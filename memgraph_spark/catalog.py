@@ -1,0 +1,250 @@
+"""Graph catalog: the property-graph data model on columnar DataFrames.
+
+Reference data model (SURVEY.md §1): vertices with label sets + packed property
+stores in skip lists (src/storage/v2/vertex.hpp:29-41), edges stored in both
+endpoints (src/storage/v2/vertex.hpp:29-30). We invert the layout: the graph is
+a set of *typed columnar tables* — one DataFrame per node label and one per
+edge type — which is what Parquet/Catalyst optimize (pushdown, pruning, stats).
+
+Node ids are globally unique int64: (label_code << KEY_BITS) | natural_key.
+With KEY_BITS=56 this supports 127 labels x 7.2e16 keys — enough for 100 TB
+scale (TPC-H sf100k orderkeys ~6e12). The id is a pure column expression, so
+it never forces a shuffle and both endpoints of an edge can be derived from
+the source fact table scan.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+KEY_BITS = 56
+
+# Stable label -> code registry for the built-in tpch graph (FIXTURES.md §1).
+LABEL_CODES = {
+    "Region": 1,
+    "Nation": 2,
+    "Customer": 3,
+    "Supplier": 4,
+    "Part": 5,
+    "Order": 6,
+    "Document": 7,
+}
+
+TPCH_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def node_id(label: str, key_col) -> F.Column:
+    """Global node id as a column expression (no lookup table, no shuffle)."""
+    code = LABEL_CODES[label]
+    return (F.lit(code * (1 << KEY_BITS)) + key_col.cast("long")).alias("id")
+
+
+@dataclass
+class PropertyGraph:
+    """A property graph = per-label node tables + per-type edge tables.
+
+    Equivalent surface to the reference's Storage (vertices+edges in skip
+    lists) but columnar: every node DF has an ``id`` column plus typed
+    property columns; every edge DF has ``src``, ``dst`` plus typed property
+    columns. Cross-label scans union the per-label tables lazily.
+    """
+
+    spark: SparkSession
+    nodes: dict[str, DataFrame] = field(default_factory=dict)
+    edges: dict[str, DataFrame] = field(default_factory=dict)
+    # extra non-graph tables (documents/embeddings/events base tables etc.)
+    tables: dict[str, DataFrame] = field(default_factory=dict)
+
+    # -- schema surface (SHOW SCHEMA INFO parity: schema is observed) -------
+    def labels(self) -> list[str]:
+        return sorted(self.nodes)
+
+    def edge_types(self) -> list[str]:
+        return sorted(self.edges)
+
+    def node(self, label: str) -> DataFrame:
+        """ScanAllByLabel: per-label table scan (the 'label index' is the
+        table layout itself — SURVEY §2.1)."""
+        return self.nodes[label]
+
+    def edge(self, etype: str) -> DataFrame:
+        return self.edges[etype]
+
+    def all_nodes(self, properties: list[str] | None = None) -> DataFrame:
+        """ScanAll: union of all label tables on (id, labels, shared props).
+
+        Only the requested property columns are carried (column pruning
+        survives the union); missing ones are null — the reference's
+        schemaless 'any vertex, any property' semantics.
+        """
+        properties = properties or []
+        dfs = []
+        for label, df in self.nodes.items():
+            cols = [F.col("id"), F.array(F.lit(label)).alias("labels")]
+            for p in properties:
+                cols.append(
+                    F.col(p).alias(p) if p in df.columns else F.lit(None).alias(p)
+                )
+            dfs.append(df.select(*cols))
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def all_edges(self, properties: list[str] | None = None) -> DataFrame:
+        properties = properties or []
+        dfs = []
+        for etype, df in self.edges.items():
+            cols = [F.col("src"), F.col("dst"), F.lit(etype).alias("type")]
+            for p in properties:
+                cols.append(
+                    F.col(p).alias(p) if p in df.columns else F.lit(None).alias(p)
+                )
+            dfs.append(df.select(*cols))
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def degrees(self, etype: str | None = None, direction: str = "out") -> DataFrame:
+        """degree/inDegree/outDegree (awesome functions) as a pre-aggregated
+        table: (id, degree). Map-side combine; broadcast-able for joins."""
+        edges = self.edge(etype) if etype else self.all_edges()
+        if direction == "out":
+            keyed = edges.select(F.col("src").alias("id"))
+        elif direction == "in":
+            keyed = edges.select(F.col("dst").alias("id"))
+        else:  # both
+            keyed = edges.select(F.col("src").alias("id")).unionAll(
+                edges.select(F.col("dst").alias("id"))
+            )
+        return keyed.groupBy("id").agg(F.count("*").alias("degree"))
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet reader tolerant of TIMESTAMP(NANOS) files (Spark rejects the
+    physical type): nanos columns are read as long and rebuilt as timestamps
+    (truncated to micros — Spark's finest grain) via integer division, which
+    is exact for int64 nanos where a double round-trip would not be."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import pyarrow.parquet as pq
+
+    arrow_schema = pq.read_schema(path)
+    nanos_cols = [
+        f.name for f in arrow_schema
+        if str(f.type).startswith("timestamp[ns")
+    ]
+    df = spark.read.parquet(path)
+    for c in nanos_cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {
+        name: _read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+        for name in TPCH_TABLES
+    }
+
+
+def load_tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
+    """Build the FIXTURES.md §1 property graph over the driver's star schema.
+
+    All node/edge tables are *views* over the parquet scans — constructing the
+    graph is zero-cost; Catalyst prunes columns and pushes filters into each
+    underlying scan per query.
+    """
+    t = load_tables(spark, sf_dir)
+    g = PropertyGraph(spark, tables=t)
+
+    g.nodes["Region"] = t["region"].select(
+        node_id("Region", F.col("r_regionkey")),
+        F.col("r_regionkey").alias("key"),
+        F.col("r_name").alias("name"),
+    )
+    g.nodes["Nation"] = t["nation"].select(
+        node_id("Nation", F.col("n_nationkey")),
+        F.col("n_nationkey").alias("key"),
+        F.col("n_name").alias("name"),
+    )
+    g.nodes["Customer"] = t["customer"].select(
+        node_id("Customer", F.col("c_custkey")),
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    g.nodes["Supplier"] = t["supplier"].select(
+        node_id("Supplier", F.col("s_suppkey")),
+        F.col("s_suppkey").alias("key"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    g.nodes["Part"] = t["part"].select(
+        node_id("Part", F.col("p_partkey")),
+        F.col("p_partkey").alias("key"),
+        F.col("p_name").alias("name"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("type"),
+        F.col("p_size").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    )
+    g.nodes["Order"] = t["orders"].select(
+        node_id("Order", F.col("o_orderkey")),
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("orderstatus"),
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_orderdate").alias("orderdate"),
+        F.col("o_orderpriority").alias("orderpriority"),
+    )
+    g.nodes["Document"] = t["documents"].select(
+        node_id("Document", F.col("doc_id")),
+        F.col("doc_id").alias("key"),
+        F.col("text"),
+        F.col("lang"),
+        F.col("source"),
+        F.col("n_chars"),
+    )
+
+    g.edges["IN_REGION"] = t["nation"].select(
+        node_id("Nation", F.col("n_nationkey")).alias("src"),
+        node_id("Region", F.col("n_regionkey")).alias("dst"),
+    )
+    g.edges["FROM_NATION"] = t["customer"].select(
+        node_id("Customer", F.col("c_custkey")).alias("src"),
+        node_id("Nation", F.col("c_nationkey")).alias("dst"),
+    )
+    g.edges["BASED_IN"] = t["supplier"].select(
+        node_id("Supplier", F.col("s_suppkey")).alias("src"),
+        node_id("Nation", F.col("s_nationkey")).alias("dst"),
+    )
+    g.edges["PLACED"] = t["orders"].select(
+        node_id("Customer", F.col("o_custkey")).alias("src"),
+        node_id("Order", F.col("o_orderkey")).alias("dst"),
+        F.col("o_orderdate").alias("orderdate"),
+    )
+    g.edges["CONTAINS"] = t["lineitem"].select(
+        node_id("Order", F.col("l_orderkey")).alias("src"),
+        node_id("Part", F.col("l_partkey")).alias("dst"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_extendedprice").alias("extendedprice"),
+        F.col("l_discount").alias("discount"),
+        F.col("l_tax").alias("tax"),
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_linestatus").alias("linestatus"),
+        F.col("l_shipdate").alias("shipdate"),
+    )
+    g.edges["SUPPLIED_BY"] = t["lineitem"].select(
+        node_id("Order", F.col("l_orderkey")).alias("src"),
+        node_id("Supplier", F.col("l_suppkey")).alias("dst"),
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_quantity").alias("quantity"),
+    )
+    return g

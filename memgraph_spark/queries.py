@@ -1,0 +1,499 @@
+"""The driver-facing query suite: each entry exercises operators from
+SURVEY.md §2 through the engine (catalog + operators + functions), with an
+ANSI-SQL oracle DuckDB runs on the same parquet tables.
+
+Naming/aliasing contract: every computed column is aliased identically in the
+Spark plan and the oracle SQL (the driver hash-compares columns sorted by
+name). Float aggregates are rounded (2dp for money, 4dp for similarity) so
+summation order cannot flip the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from memgraph_spark.catalog import PropertyGraph, load_tpch_graph
+from memgraph_spark.operators import (
+    aggregate,
+    bfs,
+    bind,
+    distinct,
+    expand,
+    expand_variable,
+    optional,
+    order_by,
+    pattern_anti,
+    pattern_semi,
+    union,
+    unwind,
+)
+
+_graph_cache: dict[tuple[int, str], PropertyGraph] = {}
+
+
+def graph_for(spark: SparkSession, sf_dir: str) -> PropertyGraph:
+    key = (id(spark), sf_dir)
+    if key not in _graph_cache:
+        _graph_cache[key] = load_tpch_graph(spark, sf_dir)
+    return _graph_cache[key]
+
+
+# node-id arithmetic mirrored in SQL oracles (catalog.node_id)
+_B = 1 << 56
+_ID = {label: code * _B for label, code in
+       {"Region": 1, "Nation": 2, "Customer": 3, "Supplier": 4, "Part": 5, "Order": 6}.items()}
+
+
+# ---------------------------------------------------------------------------
+# scans / filter / orderby / limit  (ScanAllByLabel + Filter + OrderBy + Limit)
+# ---------------------------------------------------------------------------
+
+def q_scan_filter_orderby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH (p:Part) WHERE p.size > 40 RETURN ... ORDER BY ... LIMIT 20.
+
+    Plan check: filter + projection push into the parquet scan; OrderBy+Limit
+    fuses to TakeOrderedAndProject (top-k, no global sort)."""
+    g = graph_for(spark, sf_dir)
+    df = bind(g, "Part", "p").filter(F.col("p_size") > 40)
+    df = df.select(
+        F.col("p_key").alias("partkey"),
+        F.col("p_name").alias("name"),
+        F.col("p_retailprice").alias("retailprice"),
+    )
+    return order_by(df, ("retailprice", "desc"), ("partkey", "asc")).limit(20)
+
+
+ORACLE_SCAN_FILTER_ORDERBY = """
+SELECT p_partkey AS partkey, p_name AS name, p_retailprice AS retailprice
+FROM part WHERE p_size > 40
+ORDER BY retailprice DESC, partkey ASC LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# expand: 1..3 hops + aggregation (Expand + Aggregate, implicit grouping keys)
+# ---------------------------------------------------------------------------
+
+def q_expand_one_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH (c:Customer)-[:PLACED]->(o:Order)
+    RETURN c.mktsegment, count(o) AS n_orders, round(sum(o.totalprice),2)."""
+    g = graph_for(spark, sf_dir)
+    df = bind(g, "Customer", "c", ["mktsegment"])
+    df = expand(df, g, "PLACED", "c", "o")
+    df = df.join(bind(g, "Order", "o_n", ["totalprice"]),
+                 F.col("o_id") == F.col("o_n_id"))
+    return aggregate(
+        df,
+        [F.col("c_mktsegment").alias("mktsegment")],
+        [F.count("*").alias("n_orders"),
+         F.round(F.sum("o_n_totalprice"), 2).alias("total_value")],
+    )
+
+
+ORACLE_EXPAND_ONE_HOP = """
+SELECT c_mktsegment AS mktsegment, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_value
+FROM customer JOIN orders ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_expand_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH (c:Customer)-[:PLACED]->(:Order)-[:CONTAINS]->(p:Part)
+    RETURN c.mktsegment, count(DISTINCT p) AS n_parts, count(*) AS n_paths."""
+    g = graph_for(spark, sf_dir)
+    df = bind(g, "Customer", "c", ["mktsegment"])
+    df = expand(df, g, "PLACED", "c", "o")
+    df = expand(df, g, "CONTAINS", "o", "p")
+    return aggregate(
+        df,
+        [F.col("c_mktsegment").alias("mktsegment")],
+        [F.count_distinct(F.col("p_id")).alias("n_parts"),
+         F.count("*").alias("n_paths")],
+    )
+
+
+ORACLE_EXPAND_TWO_HOP = """
+SELECT c_mktsegment AS mktsegment, count(DISTINCT l_partkey) AS n_parts,
+       count(*) AS n_paths
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship 3-hop: revenue by region of the ordering customer.
+
+    MATCH (r:Region)<-[:IN_REGION]-(:Nation)<-[:FROM_NATION]-(c:Customer)
+          -[:PLACED]->(o:Order)-[e:CONTAINS]->(:Part)
+    RETURN r.name, round(sum(e.extendedprice * (1 - e.discount)), 2)."""
+    g = graph_for(spark, sf_dir)
+    df = bind(g, "Customer", "c")
+    df = expand(df, g, "FROM_NATION", "c", "n")
+    df = expand(df, g, "IN_REGION", "n", "r")
+    df = df.join(bind(g, "Region", "reg", ["name"]), F.col("r_id") == F.col("reg_id"))
+    df = expand(df, g, "PLACED", "c", "o")
+    df = expand(df, g, "CONTAINS", "o", "p", edge_sym="e",
+                edge_properties=["extendedprice", "discount"])
+    return aggregate(
+        df,
+        [F.col("reg_name").alias("region")],
+        [F.round(F.sum(F.col("e_extendedprice") * (1 - F.col("e_discount"))), 2)
+         .alias("revenue"),
+         F.count("*").alias("n_lineitems")],
+    )
+
+
+ORACLE_REGION_REVENUE = """
+SELECT r_name AS region,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# OPTIONAL MATCH / pattern predicates (Optional, EvaluatePatternFilter)
+# ---------------------------------------------------------------------------
+
+def q_optional_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH (c:Customer) WHERE c.acctbal > 9900
+    OPTIONAL MATCH (c)-[:PLACED]->(o) RETURN c.key, count(o.id) AS n_orders.
+
+    count(expr) skips nulls — unmatched customers report 0."""
+    g = graph_for(spark, sf_dir)
+    c = bind(g, "Customer", "c", ["key", "acctbal"]).filter(F.col("c_acctbal") > 9900)
+    placed = g.edge("PLACED").select(F.col("src"), F.col("dst").alias("o_id"))
+    df = optional(c, placed, F.col("c_id") == F.col("src"))
+    return aggregate(df, [F.col("c_key").alias("custkey")],
+                     [F.count(F.col("o_id")).alias("n_orders")])
+
+
+ORACLE_OPTIONAL_MATCH = """
+SELECT c_custkey AS custkey, count(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+WHERE c_acctbal > 9900
+GROUP BY c_custkey
+"""
+
+
+def q_pattern_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH (c:Customer) WHERE NOT (c)-[:PLACED]->() — customers with no
+    orders, counted per nation (left-anti join)."""
+    g = graph_for(spark, sf_dir)
+    c = bind(g, "Customer", "c")
+    c = pattern_anti(c, g.edge("PLACED"), F.col("c_id") == F.col("src"))
+    df = expand(c, g, "FROM_NATION", "c", "n")
+    df = df.join(bind(g, "Nation", "nn", ["name"]), F.col("n_id") == F.col("nn_id"))
+    return aggregate(df, [F.col("nn_name").alias("nation")],
+                     [F.count("*").alias("n_customers")])
+
+
+ORACLE_PATTERN_ANTI = """
+SELECT n_name AS nation, count(*) AS n_customers
+FROM customer JOIN nation ON n_nationkey = c_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY n_name
+"""
+
+
+def q_pattern_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH (c:Customer) WHERE exists((c)-[:PLACED]->(o)) AND o.totalprice
+    filter — customers with at least one big order (left-semi join)."""
+    g = graph_for(spark, sf_dir)
+    big = g.edge("PLACED").join(
+        bind(g, "Order", "o", ["totalprice"]).filter(F.col("o_totalprice") > 400000),
+        F.col("dst") == F.col("o_id"), "left_semi")
+    c = bind(g, "Customer", "c", ["mktsegment"])
+    c = pattern_semi(c, big, F.col("c_id") == F.col("src"))
+    return aggregate(c, [F.col("c_mktsegment").alias("mktsegment")],
+                     [F.count("*").alias("n_customers")])
+
+
+ORACLE_PATTERN_EXISTS = """
+SELECT c_mktsegment AS mktsegment, count(*) AS n_customers
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# aggregation variants / distinct / union / unwind / windows
+# ---------------------------------------------------------------------------
+
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-aggregate DISTINCT (aggregation.hpp:60 distinct_ flag):
+    count(DISTINCT segment) + min/max/avg over customers per nation."""
+    g = graph_for(spark, sf_dir)
+    df = bind(g, "Customer", "c", ["mktsegment", "acctbal"])
+    df = expand(df, g, "FROM_NATION", "c", "n")
+    df = df.join(bind(g, "Nation", "nn", ["name"]), F.col("n_id") == F.col("nn_id"))
+    return aggregate(
+        df,
+        [F.col("nn_name").alias("nation")],
+        [F.count_distinct(F.col("c_mktsegment")).alias("n_segments"),
+         F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+         F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+         F.round(F.avg("c_acctbal"), 2).alias("avg_bal")],
+    )
+
+
+ORACLE_AGG_DISTINCT = """
+SELECT n_name AS nation, count(DISTINCT c_mktsegment) AS n_segments,
+       round(min(c_acctbal), 2) AS min_bal, round(max(c_acctbal), 2) AS max_bal,
+       round(avg(c_acctbal), 2) AS avg_bal
+FROM customer JOIN nation ON n_nationkey = c_nationkey
+GROUP BY n_name
+"""
+
+
+def q_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETURN DISTINCT c.mktsegment, n.name (Distinct, operator.hpp:2719)."""
+    g = graph_for(spark, sf_dir)
+    df = bind(g, "Customer", "c", ["mktsegment"])
+    df = expand(df, g, "FROM_NATION", "c", "n")
+    df = df.join(bind(g, "Nation", "nn", ["name"]), F.col("n_id") == F.col("nn_id"))
+    return distinct(df.select(F.col("c_mktsegment").alias("mktsegment"),
+                              F.col("nn_name").alias("nation")))
+
+
+ORACLE_DISTINCT_ROWS = """
+SELECT DISTINCT c_mktsegment AS mktsegment, n_name AS nation
+FROM customer JOIN nation ON n_nationkey = c_nationkey
+"""
+
+
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer names UNION ALL supplier names (rich accounts) with a kind
+    tag (Union, operator.hpp:2751)."""
+    g = graph_for(spark, sf_dir)
+    c = bind(g, "Customer", "c", ["name", "acctbal"]).filter(F.col("c_acctbal") > 9000) \
+        .select(F.lit("customer").alias("kind"), F.col("c_name").alias("name"),
+                F.round(F.col("c_acctbal"), 2).alias("acctbal"))
+    s = bind(g, "Supplier", "s", ["name", "acctbal"]).filter(F.col("s_acctbal") > 9000) \
+        .select(F.lit("supplier").alias("kind"), F.col("s_name").alias("name"),
+                F.round(F.col("s_acctbal"), 2).alias("acctbal"))
+    return union(c, s)
+
+
+ORACLE_UNION_ALL = """
+SELECT 'customer' AS kind, c_name AS name, round(c_acctbal, 2) AS acctbal
+FROM customer WHERE c_acctbal > 9000
+UNION ALL
+SELECT 'supplier' AS kind, s_name AS name, round(s_acctbal, 2) AS acctbal
+FROM supplier WHERE s_acctbal > 9000
+"""
+
+
+def q_groupby_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation + post-aggregation filter (WITH ... WHERE in Cypher)."""
+    g = graph_for(spark, sf_dir)
+    df = expand(bind(g, "Customer", "c"), g, "FROM_NATION", "c", "n")
+    df = df.join(bind(g, "Nation", "nn", ["name"]), F.col("n_id") == F.col("nn_id"))
+    agg = aggregate(df, [F.col("nn_name").alias("nation")],
+                    [F.count("*").alias("n_customers")])
+    return agg.filter(F.col("n_customers") > 50)
+
+
+ORACLE_GROUPBY_HAVING = """
+SELECT n_name AS nation, count(*) AS n_customers
+FROM customer JOIN nation ON n_nationkey = c_nationkey
+GROUP BY n_name HAVING count(*) > 50
+"""
+
+
+def q_unwind_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNWIND split(d.text) AS token ... frequency of tokens appearing > 200
+    times (Unwind -> explode over the documents table)."""
+    g = graph_for(spark, sf_dir)
+    d = bind(g, "Document", "d", ["text"])
+    toks = unwind(d, F.split(F.col("d_text"), r"\s+"), "token")
+    toks = toks.filter(F.col("token") != "")
+    out = aggregate(toks, [F.col("token")], [F.count("*").alias("n")])
+    return out.filter(F.col("n") > 200)
+
+
+ORACLE_UNWIND_TOKENS = r"""
+SELECT token, count(*) AS n
+FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token HAVING count(*) > 200
+"""
+
+
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by totalprice per mktsegment (RollUpApply-style per-group
+    top-k expressed as a window; deterministic tiebreak on orderkey)."""
+    g = graph_for(spark, sf_dir)
+    df = bind(g, "Customer", "c", ["mktsegment"])
+    df = expand(df, g, "PLACED", "c", "o")
+    df = df.join(bind(g, "Order", "on", ["key", "totalprice"]),
+                 F.col("o_id") == F.col("on_id"))
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("on_totalprice").desc(), F.col("on_key").asc())
+    ranked = df.withColumn("rk", F.row_number().over(w))
+    return ranked.filter(F.col("rk") <= 3).select(
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("on_key").alias("orderkey"),
+        F.round(F.col("on_totalprice"), 2).alias("totalprice"),
+        F.col("rk"),
+    )
+
+
+ORACLE_WINDOW_TOPK = """
+SELECT mktsegment, orderkey, totalprice, rk FROM (
+  SELECT c_mktsegment AS mktsegment, o_orderkey AS orderkey,
+         round(o_totalprice, 2) AS totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM customer JOIN orders ON o_custkey = c_custkey
+) WHERE rk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# traversals: BFS + variable-length expand
+# ---------------------------------------------------------------------------
+
+def q_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS from customer #1 over all edge types: nodes reachable per hop
+    distance (SingleSourceShortestPath, operator.cpp:2726)."""
+    g = graph_for(spark, sf_dir)
+    sources = spark.createDataFrame([(_ID["Customer"] + 1,)], "id long")
+    reach = bfs(g, sources, etype=None, direction="out", max_hops=6)
+    return aggregate(reach, [F.col("dist")], [F.count("*").alias("n_nodes")])
+
+
+ORACLE_BFS_REACH = f"""
+WITH RECURSIVE
+edges AS (
+  SELECT ({_ID['Customer']}::BIGINT)+o_custkey AS src, ({_ID['Order']}::BIGINT)+o_orderkey AS dst FROM orders
+  UNION ALL SELECT ({_ID['Order']}::BIGINT)+l_orderkey, ({_ID['Part']}::BIGINT)+l_partkey FROM lineitem
+  UNION ALL SELECT ({_ID['Order']}::BIGINT)+l_orderkey, ({_ID['Supplier']}::BIGINT)+l_suppkey FROM lineitem
+  UNION ALL SELECT ({_ID['Customer']}::BIGINT)+c_custkey, ({_ID['Nation']}::BIGINT)+c_nationkey FROM customer
+  UNION ALL SELECT ({_ID['Supplier']}::BIGINT)+s_suppkey, ({_ID['Nation']}::BIGINT)+s_nationkey FROM supplier
+  UNION ALL SELECT ({_ID['Nation']}::BIGINT)+n_nationkey, ({_ID['Region']}::BIGINT)+n_regionkey FROM nation
+),
+dedup_edges AS (SELECT DISTINCT src, dst FROM edges),
+reach(id, dist) AS (
+  SELECT ({_ID['Customer']}::BIGINT)+1, 0
+  UNION
+  SELECT e.dst, r.dist+1 FROM reach r JOIN dedup_edges e ON e.src = r.id WHERE r.dist < 6
+)
+SELECT dist, count(*) AS n_nodes
+FROM (SELECT id, min(dist) AS dist FROM reach GROUP BY id)
+GROUP BY dist
+"""
+
+
+def q_var_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH (c:Customer)-[*1..2]->(x) WHERE c.acctbal > 9950
+    RETURN c.key, depth, count(*) — bag of paths per depth
+    (ExpandVariable, operator.cpp:2199)."""
+    g = graph_for(spark, sf_dir)
+    c = bind(g, "Customer", "c", ["key", "acctbal"]).filter(F.col("c_acctbal") > 9950) \
+        .select("c_id", "c_key")
+    paths = expand_variable(c, g, None, "c", "x", lower=1, upper=2,
+                            direction="out", depth_col="depth")
+    return aggregate(paths, [F.col("c_key").alias("custkey"), F.col("depth")],
+                     [F.count("*").alias("n_paths")])
+
+
+ORACLE_VAR_EXPAND = f"""
+WITH starts AS (SELECT c_custkey FROM customer WHERE c_acctbal > 9950),
+edges AS (
+  SELECT ({_ID['Customer']}::BIGINT)+o_custkey AS src, ({_ID['Order']}::BIGINT)+o_orderkey AS dst FROM orders
+  UNION ALL SELECT ({_ID['Order']}::BIGINT)+l_orderkey, ({_ID['Part']}::BIGINT)+l_partkey FROM lineitem
+  UNION ALL SELECT ({_ID['Order']}::BIGINT)+l_orderkey, ({_ID['Supplier']}::BIGINT)+l_suppkey FROM lineitem
+  UNION ALL SELECT ({_ID['Customer']}::BIGINT)+c_custkey, ({_ID['Nation']}::BIGINT)+c_nationkey FROM customer
+  UNION ALL SELECT ({_ID['Supplier']}::BIGINT)+s_suppkey, ({_ID['Nation']}::BIGINT)+s_nationkey FROM supplier
+  UNION ALL SELECT ({_ID['Nation']}::BIGINT)+n_nationkey, ({_ID['Region']}::BIGINT)+n_regionkey FROM nation
+),
+hop1 AS (
+  SELECT s.c_custkey, e.dst FROM starts s
+  JOIN edges e ON e.src = ({_ID['Customer']}::BIGINT)+s.c_custkey
+),
+hop2 AS (
+  SELECT h.c_custkey, e2.dst FROM hop1 h JOIN edges e2 ON e2.src = h.dst
+)
+SELECT c_custkey AS custkey, 1 AS depth, count(*) AS n_paths FROM hop1 GROUP BY c_custkey
+UNION ALL
+SELECT c_custkey AS custkey, 2 AS depth, count(*) AS n_paths FROM hop2 GROUP BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# events (streaming table, batch view) — windowed aggregation
+# ---------------------------------------------------------------------------
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type: count + rounded sum(value).
+    Batch view of the streaming agg (streaming/ runs the same plan on
+    readStream)."""
+    g = graph_for(spark, sf_dir)
+    ev = g.tables["events"]
+    bucket = F.date_trunc("hour", F.col("ts"))
+    return aggregate(
+        ev.select(F.unix_timestamp(bucket).alias("bucket_epoch"),
+                  F.col("event_type"), F.col("value")),
+        [F.col("bucket_epoch"), F.col("event_type")],
+        [F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value")],
+    )
+
+
+ORACLE_EVENTS_WINDOW = """
+SELECT CAST(extract(epoch FROM date_trunc('hour', ts)) AS BIGINT) AS bucket_epoch,
+       event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "scan_filter_orderby": q_scan_filter_orderby,
+    "expand_one_hop": q_expand_one_hop,
+    "expand_two_hop": q_expand_two_hop,
+    "region_revenue": q_region_revenue,
+    "optional_match": q_optional_match,
+    "pattern_anti": q_pattern_anti,
+    "pattern_exists": q_pattern_exists,
+    "agg_distinct": q_agg_distinct,
+    "distinct_rows": q_distinct_rows,
+    "union_all": q_union_all,
+    "groupby_having": q_groupby_having,
+    "unwind_tokens": q_unwind_tokens,
+    "window_topk": q_window_topk,
+    "bfs_reach": q_bfs_reach,
+    "var_expand": q_var_expand,
+    "events_window": q_events_window,
+}
+
+ORACLES = {
+    "scan_filter_orderby": ORACLE_SCAN_FILTER_ORDERBY,
+    "expand_one_hop": ORACLE_EXPAND_ONE_HOP,
+    "expand_two_hop": ORACLE_EXPAND_TWO_HOP,
+    "region_revenue": ORACLE_REGION_REVENUE,
+    "optional_match": ORACLE_OPTIONAL_MATCH,
+    "pattern_anti": ORACLE_PATTERN_ANTI,
+    "pattern_exists": ORACLE_PATTERN_EXISTS,
+    "agg_distinct": ORACLE_AGG_DISTINCT,
+    "distinct_rows": ORACLE_DISTINCT_ROWS,
+    "union_all": ORACLE_UNION_ALL,
+    "groupby_having": ORACLE_GROUPBY_HAVING,
+    "unwind_tokens": ORACLE_UNWIND_TOKENS,
+    "window_topk": ORACLE_WINDOW_TOPK,
+    "bfs_reach": ORACLE_BFS_REACH,
+    "var_expand": ORACLE_VAR_EXPAND,
+    "events_window": ORACLE_EVENTS_WINDOW,
+}
