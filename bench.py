@@ -1,0 +1,67 @@
+"""Benchmark harness (mgbench-style, SURVEY §6): runs the headline query set
+at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed with a count() action (full pipeline materialization,
+no driver-side result transfer) after a warm-up of the input scans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from memgraph_spark import queries as Q  # noqa: E402
+from memgraph_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "scan_filter_orderby",
+    "expand_one_hop",
+    "expand_two_hop",
+    "region_revenue",
+    "optional_match",
+    "pattern_anti",
+    "agg_distinct",
+    "window_topk",
+    "unwind_tokens",
+    "bfs_reach",
+    "var_expand",
+    "events_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("memgraph-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + file metadata (not the query plans themselves)
+    for t in Q.graph_for(spark, sf_dir).tables.values():
+        t.count()
+
+    per_query: dict[str, float] = {}
+    names = [n for n in HEADLINE if n in Q.QUERIES]
+    t_all = time.perf_counter()
+    for name in names:
+        t0 = time.perf_counter()
+        Q.QUERIES[name](spark, sf_dir).count()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_all, 3)
+
+    print(json.dumps({
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,13 @@
+"""Graph algorithm library — MAGE parity (SURVEY §2.10).
+
+Reference: src/mage/cpp/* and query_modules/* ship pagerank, WCC, community
+detection, centralities, node similarity etc. as C++/Python procedures over
+the in-memory graph. Here each algorithm is an iterative DataFrame program
+(Pregel-style message passing via groupBy-aggregate joins): fully distributed,
+lineage-truncated per round with localCheckpoint.
+"""
+
+from memgraph_spark.algos.pagerank import pagerank  # noqa: F401
+from memgraph_spark.algos.components import weakly_connected_components, label_propagation  # noqa: F401
+from memgraph_spark.algos.centrality import degree_centrality, node_similarity_jaccard  # noqa: F401
+from memgraph_spark.algos.triangles import triangle_count  # noqa: F401

@@ -60,6 +60,21 @@ class PropertyGraph:
     edges: dict[str, DataFrame] = field(default_factory=dict)
     # extra non-graph tables (documents/embeddings/events base tables etc.)
     tables: dict[str, DataFrame] = field(default_factory=dict)
+    # persisted (src,dst) adjacency, shared by all iterative traversals
+    _adj_cache: dict = field(default_factory=dict, repr=False)
+
+    def adjacency(self, etype: str | None, direction: str = "out") -> DataFrame:
+        """Deduped, persisted (src, dst) list oriented for traversal —
+        the shared 'adjacency index' every iterative operator re-joins.
+        Materialized once per (etype, direction); reused across queries."""
+        key = (etype, direction)
+        if key not in self._adj_cache:
+            edges = self.edge(etype) if etype else self.all_edges()
+            out = edges.select("src", "dst")
+            inn = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            df = {"out": out, "in": inn}.get(direction, out.unionAll(inn))
+            self._adj_cache[key] = df.dropDuplicates().persist()
+        return self._adj_cache[key]
 
     # -- schema surface (SHOW SCHEMA INFO parity: schema is observed) -------
     def labels(self) -> list[str]:
@@ -151,6 +166,18 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         name: _read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
         for name in TPCH_TABLES
     }
+
+
+_graph_cache: dict[tuple[int, str], "PropertyGraph"] = {}
+
+
+def graph_for(spark: SparkSession, sf_dir: str) -> "PropertyGraph":
+    """Session-scoped graph cache (the reference's plan/AST caches are LRU on
+    stripped query text; ours caches the catalog views + persisted adjacency)."""
+    key = (id(spark), sf_dir)
+    if key not in _graph_cache:
+        _graph_cache[key] = load_tpch_graph(spark, sf_dir)
+    return _graph_cache[key]
 
 
 def load_tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:

@@ -1,0 +1,249 @@
+"""Deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All signature computation is JVM-side (higher-order functions over arrays +
+xxhash64) — whole-stage-codegen'd, no Python in the hot path. Candidate
+generation shuffles on band hashes (O(n) per band), never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# -- exact ------------------------------------------------------------------
+
+def exact_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level exact-dup summary: total docs vs distinct contents.
+    Hash-groupBy (md5 so the 'key' is small on the shuffle)."""
+    return df.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct(F.md5(F.col(text_col))).alias("n_unique"),
+    )
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: (keeper_id, n_copies) for every content hash
+    appearing more than once; keeper = min id (deterministic survivor)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .select("keeper_id", "n_copies")
+    )
+
+
+# -- shingling / minhash ----------------------------------------------------
+
+def shingle(text: Column, k: int = 5) -> Column:
+    """Distinct character k-grams, computed as a JVM higher-order expression
+    (sequence + transform + substring); empty array for short texts."""
+    return F.when(
+        F.length(text) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(text) - k + 1),
+                lambda i: text.substr(i, F.lit(k)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _seeded_hash(seed: int):
+    # closure factory: a HOF lambda must have exactly the arity PySpark
+    # expects — extra default args become lambda variables (index!) and
+    # silently shadow the Python value
+    return lambda s: F.xxhash64(s, F.lit(seed))
+
+
+def minhash_signature(shingles: Column, num_perm: int = 128) -> Column:
+    """num_perm minhash values over string shingles.
+
+    Each shingle string is hashed to a long ONCE; the num_perm 'permutations'
+    re-hash that long with a per-perm seed (long-input xxhash64 is far
+    cheaper than re-scanning the string num_perm times)."""
+    base = F.transform(shingles, lambda s: F.xxhash64(s))
+    return F.array(*[
+        F.array_min(F.transform(base, _seeded_hash(i)))
+        for i in range(num_perm)
+    ])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_perm: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs, exact-Jaccard verified.
+
+    shingle -> minhash (num_perm) -> band (bands x rows) -> bucket join on
+    (band_idx, band_hash) -> candidate (id_a < id_b) -> verify with exact
+    Jaccard over shingle sets. With 32 bands x 4 rows at threshold 0.8 the
+    false-negative probability per true pair is (1-0.8^4)^32 ~ 5e-8, so the
+    verified output equals the brute-force answer (which is what the SQL
+    oracle computes) while candidate generation stays O(n·bands).
+    """
+    rows = num_perm // bands
+    spark = df.sparkSession
+    # small-file inputs arrive as 1 partition; the signature stage is the
+    # CPU-heavy part, so spread it across the cluster first
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        shingle(F.col(text_col), k).alias("sh"),
+    ).filter(F.size("sh") > 0).repartition(spark.sparkContext.defaultParallelism, "id")
+    sigs = docs.select("id", minhash_signature(F.col("sh"), num_perm).alias("sig"))
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"),
+                         F.xxhash64(F.slice("sig", b * rows + 1, rows)).alias("bh"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bh")
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "bh"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates()
+    )
+    a = docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = docs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(a, "id_a").join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+# -- simhash ----------------------------------------------------------------
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """64-bit SimHash over whitespace tokens: bit b = sign of the sum over
+    tokens of (2*bit_b(xxhash64(token)) - 1). Pure column expression."""
+    tokens = F.filter(F.split(text, r"\s+"), lambda t: t != "")
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+
+    def bit_set(h, b):
+        # bitwiseAND with a literal mask (F.shiftright on a lambda variable
+        # trips py4j conversion); bit 63 is the sign bit of the long
+        if b == 63:
+            return h < 0
+        return h.bitwiseAND(F.lit(1 << b).cast("long")) != 0
+
+    def make_vote(b):
+        return lambda acc, h: acc + F.when(bit_set(h, b), F.lit(1)).otherwise(F.lit(-1))
+
+    bit_cols = []
+    for b in range(bits):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), make_vote(b))
+        weight = F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long")
+        bit_cols.append(F.when(vote > 0, weight).otherwise(F.lit(0).cast("long")))
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out + c
+    return out
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Banding: 4 x 16-bit chunks — any pair within hamming 3 agrees on >= 1
+    chunk (pigeonhole), so the chunk-equality join has perfect recall; the
+    exact hamming check (bit_count(xor)) filters the candidates. Output is
+    hash-function-dependent -> no cross-engine SQL oracle (rows-only check).
+    """
+    sh = df.select(F.col(id_col).alias("id"), F.col(text_col)) \
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, id_col) \
+        .select("id", simhash(F.col(text_col)).alias("sh"))
+    chunks = sh.select(
+        "id", "sh",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"),
+                     F.shiftrightunsigned("sh", 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("cv"))
+            for c in range(4)
+        ])).alias("cc"),
+    ).select("id", "sh", "cc.chunk", "cc.cv")
+    cand = (
+        chunks.alias("l").join(chunks.alias("r"), ["chunk", "cv"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                F.col("l.sh").alias("sh_a"), F.col("r.sh").alias("sh_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# -- n-gram jaccard ---------------------------------------------------------
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined)."""
+    toks = F.filter(F.split(text, r"\s+"), lambda t: t != "")
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs with word-n-gram Jaccard >= threshold.
+
+    Exact (no LSH): pairs are pruned with the provably-safe size filter
+    |A| >= t*|B| and |B| >= t*|A| (Jaccard >= t implies both) before the
+    set intersection — the SQL oracle implements the identical semantics.
+    At very large n this operator is the exact fallback; minhash_lsh_pairs
+    is the scale path.
+    """
+    docs = df.select(F.col(id_col).alias("id"),
+                     word_ngrams(F.col(text_col), n).alias("ng")) \
+             .withColumn("sz", F.size("ng")).filter(F.col("sz") > 0) \
+             .repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
+    a = docs.select(F.col("id").alias("id_a"), F.col("ng").alias("ng_a"),
+                    F.col("sz").alias("sz_a"))
+    b = docs.select(F.col("id").alias("id_b"), F.col("ng").alias("ng_b"),
+                    F.col("sz").alias("sz_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("sz_a") >= threshold * F.col("sz_b"))
+                & (F.col("sz_b") >= threshold * F.col("sz_a")))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("ng_a", "ng_b"))
+            / F.size(F.array_union("ng_a", "ng_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )

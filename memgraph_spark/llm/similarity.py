@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (ARRAY<FLOAT>).
+
+Parity surface: the reference's usearch-HNSW vector index
+(src/storage/v2/indices/vector_index.cpp, query_modules/
+vector_search_module.cpp) exposed as `vector_search.search(k, query)`.
+
+Spark-first re-expression: exact brute-force top-k (zip_with dot product +
+TakeOrdered) as the baseline; random-hyperplane LSH bucketing as the scale
+path (candidates from matching buckets only — the HNSW role). All vector math
+is JVM higher-order functions, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Exact top-k by cosine against a literal query vector: one scan, one
+    TakeOrdered — the correctness baseline every ANN variant is judged by."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec]).cast("array<double>")
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 4).alias("sim"),
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    return scored.orderBy(F.col("sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: all (a < b) with cosine >= threshold.
+    Exact all-pairs — use lsh_bucket_topk's banding for the 100 TB path."""
+    v = df.select(F.col(id_col).alias("id"),
+                  F.col(vec_col).cast("array<double>").alias("v"))
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    return (
+        a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(cosine(F.col("v_a"), F.col("v_b")), 4))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def _hyperplane(dim: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane (hash-derived, no RNG
+    state — reproducible across engines and runs)."""
+    import math
+    vals = []
+    for i in range(dim):
+        # splitmix64-style integer scramble -> [-1, 1)
+        x = (seed * 0x9E3779B97F4A7C15 + i * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 31
+        x = (x * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        vals.append((x / 2**63) - 1.0)
+    n = math.sqrt(sum(v * v for v in vals)) or 1.0
+    return [v / n for v in vals]
+
+
+def lsh_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
+    """Random-hyperplane signature: bit i = sign(<v, h_i>) packed to a long."""
+    sig = F.lit(0).cast("long")
+    for i in range(n_planes):
+        h = F.array(*[F.lit(v) for v in _hyperplane(dim, i + 1)])
+        sig = sig + F.when(dot(vec, h) > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Approximate top-k: candidates = vectors sharing >= 1 signature band
+    with the query (bands x (n_planes/bands)-bit chunks), then exact cosine
+    on candidates only. At scale the bucket join replaces the full scan."""
+    dim = len(query_vec)
+    rows = n_planes // bands
+    mask = (1 << rows) - 1
+    v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    v = v.withColumn("sig", lsh_signature(F.col("v"), dim, n_planes))
+
+    import math
+    qsig = 0
+    for i in range(n_planes):
+        h = _hyperplane(dim, i + 1)
+        if sum(a * b for a, b in zip(query_vec, h)) > 0:
+            qsig |= 1 << i
+    cond = None
+    for b in range(bands):
+        c = (F.shiftrightunsigned("sig", b * rows).bitwiseAND(F.lit(mask))
+             == F.lit((qsig >> (b * rows)) & mask))
+        cond = c if cond is None else (cond | c)
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    return (
+        v.filter(cond)
+        .select(F.col(id_col), F.round(cosine(F.col("v"), q), 4).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

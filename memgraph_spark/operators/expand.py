@@ -17,9 +17,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Frontiers smaller than this are broadcast in iterative joins so the big
+# edge table never shuffles; larger frontiers fall back to shuffle joins
+# (the 100 TB path — AQE handles skew there).
+BROADCAST_FRONTIER_ROWS = 500_000
+
+
+def _maybe_broadcast(df: DataFrame, nrows: int) -> DataFrame:
+    return F.broadcast(df) if nrows <= BROADCAST_FRONTIER_ROWS else df
+
 
 def _edges_for(graph, etype, direction: str) -> DataFrame:
-    """Edge table oriented so we always traverse src -> dst."""
+    """Edge table oriented so we always traverse src -> dst (not deduped —
+    bag semantics for single-hop expand; iterative ops use graph.adjacency)."""
     edges = graph.edge(etype) if etype else graph.all_edges()
     out = edges.select(F.col("src"), F.col("dst"))
     inn = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -105,12 +115,13 @@ def expand_variable(
     if upper is None:
         upper = 16  # safety bound; edge-uniqueness bounds real paths anyway
     edges = _edges_for(graph, etype, direction)
-    # synthetic edge identity for uniqueness tracking
+    # synthetic edge identity for uniqueness tracking; persist once — every
+    # round re-joins this table and must not re-derive it from the scans
     e = edges.select(
         F.col("src").alias("__from"),
         F.col("dst").alias("__to"),
         F.xxhash64("src", "dst").alias("__eid"),
-    )
+    ).persist()
     base_cols = df.columns
     cur = df.select(
         "*",
@@ -121,9 +132,11 @@ def expand_variable(
     results = []
     if lower == 0:
         results.append(cur)
-    for _ in range(1, upper + 1):
+    cur_rows = None
+    for depth in range(1, upper + 1):
+        lhs = cur if cur_rows is None else _maybe_broadcast(cur, cur_rows)
         stepped = (
-            cur.join(e, cur["__node"] == e["__from"], "inner")
+            lhs.join(e, lhs["__node"] == e["__from"], "inner")
             .filter(~F.array_contains(F.col("__edges"), F.col("__eid")))
             .select(
                 *base_cols,
@@ -133,12 +146,14 @@ def expand_variable(
             )
         )
         stepped = stepped.localCheckpoint(eager=True)
-        if stepped.isEmpty():
+        cur_rows = stepped.count()
+        if cur_rows == 0:
             cur = stepped
             break
         cur = stepped
-        if cur.select("__depth").first()["__depth"] >= lower:
+        if depth >= lower:
             results.append(cur)
+    e.unpersist()
     if not results:
         return df.limit(0).withColumns(
             {f"{to_sym}_id": F.lit(None).cast("long"),
@@ -169,25 +184,33 @@ def bfs(
     start to every reachable node. Each round: frontier ⋈ edges, anti-join
     the visited set, union. Driver loop = diameter iterations only.
     """
-    edges = _edges_for(graph, etype, direction).dropDuplicates()
-    visited = sources.select(
+    # shared persisted adjacency; every BFS round re-joins it
+    edges = graph.adjacency(etype, direction)
+    frontier = sources.select(
         F.col(source_col).alias("start"),
         F.col(source_col).alias("id"),
         F.lit(0).alias("dist"),
     ).localCheckpoint(eager=True)
-    frontier = visited
+    # visited = union of per-round frontiers, each already materialized by
+    # its own localCheckpoint — no O(rounds^2) re-checkpointing of the union
+    visited = frontier
+    f_rows = frontier.count()
+    v_rows = f_rows
     for d in range(1, max_hops + 1):
+        f = _maybe_broadcast(frontier, f_rows)
         nxt = (
-            frontier.join(edges, frontier["id"] == edges["src"], "inner")
+            f.join(edges, f["id"] == edges["src"], "inner")
             .select(F.col("start"), F.col("dst").alias("id"))
             .dropDuplicates()
-            .join(visited, ["start", "id"], "left_anti")
+            .join(_maybe_broadcast(visited, v_rows), ["start", "id"], "left_anti")
             .withColumn("dist", F.lit(d))
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        f_rows = nxt.count()
+        if f_rows == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        v_rows += f_rows
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
 
@@ -232,16 +255,19 @@ def weighted_shortest_path(
         edges = edges.unionByName(
             edges.withColumnRenamed("src", "__t").withColumnRenamed("dst", "src")
                  .withColumnRenamed("__t", "dst"))
-    e = edges.select(F.col("src"), F.col("dst"), F.col(weight_col).cast("double").alias("__w"))
+    e = edges.select(F.col("src"), F.col("dst"),
+                     F.col(weight_col).cast("double").alias("__w")).persist()
     dist = sources.select(
         F.col(source_col).alias("start"),
         F.col(source_col).alias("id"),
         F.lit(0.0).alias("cost"),
     ).localCheckpoint(eager=True)
     frontier = dist  # rows improved last round
+    f_rows = frontier.count()
     for _ in range(max_iterations):
+        f = _maybe_broadcast(frontier, f_rows)
         cand = (
-            frontier.join(e, frontier["id"] == e["src"], "inner")
+            f.join(e, f["id"] == e["src"], "inner")
             .select(F.col("start"), F.col("dst").alias("id"),
                     (F.col("cost") + F.col("__w")).alias("cost"))
             .groupBy("start", "id").agg(F.min("cost").alias("cost"))
@@ -253,7 +279,8 @@ def weighted_shortest_path(
             .select("start", "id", "cost")
             .localCheckpoint(eager=True)
         )
-        if improved.isEmpty():
+        f_rows = improved.count()
+        if f_rows == 0:
             break
         dist = (
             dist.unionByName(improved)
@@ -261,4 +288,5 @@ def weighted_shortest_path(
             .localCheckpoint(eager=True)
         )
         frontier = improved
+    e.unpersist()
     return dist

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from memgraph_spark.catalog import PropertyGraph, load_tpch_graph
+from memgraph_spark.catalog import PropertyGraph, graph_for as _catalog_graph_for, load_tpch_graph
 from memgraph_spark.operators import (
     aggregate,
     bfs,
@@ -30,14 +30,7 @@ from memgraph_spark.operators import (
     unwind,
 )
 
-_graph_cache: dict[tuple[int, str], PropertyGraph] = {}
-
-
-def graph_for(spark: SparkSession, sf_dir: str) -> PropertyGraph:
-    key = (id(spark), sf_dir)
-    if key not in _graph_cache:
-        _graph_cache[key] = load_tpch_graph(spark, sf_dir)
-    return _graph_cache[key]
+graph_for = _catalog_graph_for
 
 
 # node-id arithmetic mirrored in SQL oracles (catalog.node_id)
@@ -479,6 +472,10 @@ QUERIES = {
     "events_window": q_events_window,
 }
 
+from memgraph_spark.queries_llm import LLM_ORACLES, LLM_QUERIES  # noqa: E402
+
+QUERIES.update(LLM_QUERIES)
+
 ORACLES = {
     "scan_filter_orderby": ORACLE_SCAN_FILTER_ORDERBY,
     "expand_one_hop": ORACLE_EXPAND_ONE_HOP,
@@ -497,3 +494,5 @@ ORACLES = {
     "var_expand": ORACLE_VAR_EXPAND,
     "events_window": ORACLE_EVENTS_WINDOW,
 }
+
+ORACLES.update(LLM_ORACLES)

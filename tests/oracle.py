@@ -21,10 +21,13 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon(v):
+    import decimal
     if v is None:
         return "∅"
     if isinstance(v, bool):
         return str(v)
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"

@@ -1,0 +1,80 @@
+"""Unit tests for LLM-pipeline operators (dedup/similarity/text/multimodal)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from memgraph_spark.llm import (
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    cosine_topk,
+)
+from memgraph_spark.llm.multimodal import extract_features, frame_sample_plan
+
+
+@pytest.fixture(scope="module")
+def doc_df(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base * 4),
+        (2, base * 4),                      # exact dup of 1
+        (3, (base * 4).replace("dog", "cat")),  # near dup of 1
+        (4, "completely different content about spark dataframes and shuffles " * 4),
+        (5, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dup_groups(spark, doc_df):
+    groups = exact_dup_groups(doc_df).collect()
+    assert len(groups) == 1
+    assert groups[0]["keeper_id"] == 1 and groups[0]["n_copies"] == 2
+
+
+def test_minhash_finds_near_dups(spark, doc_df):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in minhash_lsh_pairs(doc_df, threshold=0.6).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.6
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_simhash_near_pairs(spark, doc_df):
+    pairs = {(r["id_a"], r["id_b"]) for r in simhash_near_pairs(doc_df).collect()}
+    assert (1, 2) in pairs  # identical text -> hamming 0
+
+
+def test_ngram_jaccard(spark, doc_df):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(doc_df, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+
+
+def test_cosine_topk(spark):
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.1]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = cosine_topk(df, [1.0, 0.0], k=2, exclude_id=0).collect()
+    assert [r["vec_id"] for r in top] == [1, 2]
+
+
+def test_multimodal_extract_features(spark):
+    rows = [(1, bytearray(b"\x01\x02\x03\x04")), (2, bytearray(b"")), (3, None)]
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    out = {r["media_id"]: r for r in extract_features(df, dim=4).collect()}
+    assert out[1]["n_bytes"] == 4 and len(out[1]["features"]) == 4
+    assert out[3]["n_bytes"] == 0
+    # determinism: same blob -> same features
+    out2 = {r["media_id"]: r for r in extract_features(df, dim=4).collect()}
+    assert out[1]["features"] == out2[1]["features"]
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame(
+        [(1, ("video", "mp4", 0, 0, 3500))],
+        "media_id long, meta struct<media_type:string,format:string,width:int,height:int,duration_ms:long>",
+    )
+    frames = frame_sample_plan(df, every_ms=1000).collect()
+    assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
