@@ -274,4 +274,10 @@ def load_tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
         F.col("l_partkey").alias("partkey"),
         F.col("l_quantity").alias("quantity"),
     )
+    # deterministic per-edge identity (Cypher edge-isomorphism needs to tell
+    # edges apart; parallel edges differ in at least one property column)
+    for etype, df in g.edges.items():
+        g.edges[etype] = df.withColumn(
+            "eid", F.xxhash64(F.lit(etype), *[F.col(c) for c in df.columns])
+        )
     return g

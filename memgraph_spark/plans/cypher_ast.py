@@ -1,0 +1,253 @@
+"""Cypher AST (mirrors the shape of the reference's ast.hpp node families,
+reduced to the query surface the behavior corpus exercises)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# -- expressions ------------------------------------------------------------
+
+@dataclass
+class Expr:
+    pass
+
+
+@dataclass
+class Literal(Expr):
+    value: object  # None | bool | int | float | str
+
+
+@dataclass
+class ListLiteral(Expr):
+    items: list[Expr]
+
+
+@dataclass
+class MapLiteral(Expr):
+    items: dict[str, Expr]
+
+
+@dataclass
+class Param(Expr):
+    name: str
+
+
+@dataclass
+class Var(Expr):
+    name: str
+
+
+@dataclass
+class Property(Expr):
+    subject: Expr
+    key: str
+
+
+@dataclass
+class UnaryOp(Expr):
+    op: str  # NOT | - | +
+    operand: Expr
+
+
+@dataclass
+class BinaryOp(Expr):
+    op: str  # AND OR XOR = <> < > <= >= + - * / % ^ IN STARTS ENDS CONTAINS =~
+    left: Expr
+    right: Expr
+
+
+@dataclass
+class IsNull(Expr):
+    operand: Expr
+    negated: bool
+
+
+@dataclass
+class FuncCall(Expr):
+    name: str
+    args: list[Expr]
+    distinct: bool = False
+
+
+@dataclass
+class CountStar(Expr):
+    pass
+
+
+@dataclass
+class CaseExpr(Expr):
+    test: Expr | None            # simple CASE subject or None (searched)
+    whens: list[tuple[Expr, Expr]]
+    default: Expr | None
+
+
+@dataclass
+class Subscript(Expr):
+    subject: Expr
+    index: Expr
+
+
+@dataclass
+class Slice(Expr):
+    subject: Expr
+    lo: Expr | None
+    hi: Expr | None
+
+
+@dataclass
+class ListComprehension(Expr):
+    var: str
+    source: Expr
+    where: Expr | None
+    projection: Expr | None
+
+
+@dataclass
+class PatternPredicate(Expr):
+    """exists((n)-[:T]->(m)) or bare pattern in WHERE."""
+    pattern: "PatternPart"
+    negated: bool = False
+
+
+@dataclass
+class LabelsTest(Expr):
+    subject: Expr
+    labels: list[str]
+
+
+# -- patterns ---------------------------------------------------------------
+
+@dataclass
+class NodePattern:
+    var: str | None
+    labels: list[str]
+    props: dict[str, Expr] = field(default_factory=dict)
+
+
+@dataclass
+class RelPattern:
+    var: str | None
+    types: list[str]
+    direction: str          # out | in | both
+    props: dict[str, Expr] = field(default_factory=dict)
+    var_length: bool = False
+    lo: int | None = None
+    hi: int | None = None
+
+
+@dataclass
+class PatternPart:
+    var: str | None         # named path
+    start: NodePattern
+    chain: list[tuple[RelPattern, NodePattern]] = field(default_factory=list)
+
+
+# -- clauses ----------------------------------------------------------------
+
+@dataclass
+class Clause:
+    pass
+
+
+@dataclass
+class Match(Clause):
+    patterns: list[PatternPart]
+    where: Expr | None = None
+    optional: bool = False
+
+
+@dataclass
+class Unwind(Clause):
+    expr: Expr
+    var: str
+
+
+@dataclass
+class ReturnItem:
+    expr: Expr
+    alias: str | None
+    text: str               # original text (Cypher result column name)
+
+
+@dataclass
+class OrderItem:
+    expr: Expr
+    ascending: bool
+
+
+@dataclass
+class With(Clause):
+    items: list[ReturnItem]
+    star: bool = False
+    distinct: bool = False
+    order: list[OrderItem] = field(default_factory=list)
+    skip: Expr | None = None
+    limit: Expr | None = None
+    where: Expr | None = None
+
+
+@dataclass
+class Return(Clause):
+    items: list[ReturnItem]
+    star: bool = False
+    distinct: bool = False
+    order: list[OrderItem] = field(default_factory=list)
+    skip: Expr | None = None
+    limit: Expr | None = None
+
+
+@dataclass
+class Create(Clause):
+    patterns: list[PatternPart]
+
+
+@dataclass
+class Merge(Clause):
+    pattern: PatternPart
+    on_match: list["SetItem"] = field(default_factory=list)
+    on_create: list["SetItem"] = field(default_factory=list)
+
+
+@dataclass
+class SetItem:
+    subject: Expr           # Property(n, key) or Var (for n = {..} / n += {..})
+    value: Expr
+    op: str = "="           # '=' | '+=' | 'label' (SET n:Label)
+    labels: list[str] = field(default_factory=list)
+
+
+@dataclass
+class SetClause(Clause):
+    items: list[SetItem]
+
+
+@dataclass
+class RemoveItem:
+    subject: Expr
+    key: str | None = None
+    labels: list[str] = field(default_factory=list)
+
+
+@dataclass
+class RemoveClause(Clause):
+    items: list[RemoveItem]
+
+
+@dataclass
+class Delete(Clause):
+    exprs: list[Expr]
+    detach: bool = False
+
+
+# -- query ------------------------------------------------------------------
+
+@dataclass
+class SingleQuery:
+    clauses: list[Clause]
+
+
+@dataclass
+class UnionQuery:
+    parts: list[SingleQuery]
+    alls: list[bool]        # len(parts)-1 flags: UNION ALL vs UNION

@@ -1,0 +1,368 @@
+"""Cypher expression -> pyspark Column compiler.
+
+Reference: the tree-walking ExpressionEvaluator (src/query/interpret/
+eval.hpp:279) with SQL-style ternary null logic. Spark Columns already give
+3-valued null semantics for comparisons/boolean ops, so most nodes map 1:1;
+the divergences (cross-type comparisons, `+` overloading) are handled with
+schema probes against the current frame.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from memgraph_spark.functions import AGGREGATES, FUNCTIONS
+from memgraph_spark.plans import cypher_ast as A
+
+
+@dataclass
+class Env:
+    """Compile-time environment: the current frame + symbol kinds."""
+    df: DataFrame | None
+    symbols: dict[str, str] = field(default_factory=dict)  # name -> node|rel|value|path
+    params: dict[str, object] = field(default_factory=dict)
+    lambda_vars: dict[str, Column] = field(default_factory=dict)
+
+    def columns(self) -> set[str]:
+        return set(self.df.columns) if self.df is not None else set()
+
+    def typeof(self, col: Column) -> T.DataType | None:
+        if self.df is None:
+            return None
+        try:
+            return self.df.select(col.alias("__t")).schema[0].dataType
+        except Exception:
+            return None
+
+
+class CompileError(Exception):
+    pass
+
+
+def compile_expr(e: A.Expr, env: Env) -> Column:
+    if isinstance(e, A.Literal):
+        return F.lit(e.value)
+    if isinstance(e, A.ListLiteral):
+        return F.array(*[compile_expr(x, env) for x in e.items])
+    if isinstance(e, A.MapLiteral):
+        return F.struct(*[compile_expr(v, env).alias(k) for k, v in e.items.items()])
+    if isinstance(e, A.Param):
+        if e.name not in env.params:
+            raise CompileError(f"missing parameter ${e.name}")
+        v = env.params[e.name]
+        return F.array(*[F.lit(x) for x in v]) if isinstance(v, (list, tuple)) else F.lit(v)
+    if isinstance(e, A.Var):
+        return _compile_var(e.name, env)
+    if isinstance(e, A.Property):
+        return _compile_property(e, env)
+    if isinstance(e, A.UnaryOp):
+        c = compile_expr(e.operand, env)
+        return ~c if e.op == "NOT" else (-c if e.op == "-" else c)
+    if isinstance(e, A.BinaryOp):
+        return _compile_binop(e, env)
+    if isinstance(e, A.IsNull):
+        # node/rel symbols are column groups: null-ness = their identity col
+        # (an unmatched OPTIONAL MATCH leaves the whole group null)
+        if isinstance(e.operand, A.Var):
+            kind = env.symbols.get(e.operand.name)
+            if kind == "node":
+                c = F.col(f"{e.operand.name}_id")
+                return c.isNotNull() if e.negated else c.isNull()
+            if kind == "rel":
+                c = F.col(f"{e.operand.name}_eid")
+                return c.isNotNull() if e.negated else c.isNull()
+        c = compile_expr(e.operand, env)
+        return c.isNotNull() if e.negated else c.isNull()
+    if isinstance(e, A.CountStar):
+        return F.count(F.lit(1))
+    if isinstance(e, A.FuncCall):
+        return _compile_func(e, env)
+    if isinstance(e, A.CaseExpr):
+        return _compile_case(e, env)
+    if isinstance(e, A.Subscript):
+        subj = compile_expr(e.subject, env)
+        idx = compile_expr(e.index, env)
+        t = env.typeof(subj)
+        if isinstance(t, T.ArrayType):
+            # Cypher list[i] is 0-based; negative wraps from the end
+            i = idx.cast("int")
+            return F.get(subj, F.when(i < 0, F.size(subj) + i).otherwise(i))
+        return F.try_element_at(subj, idx)  # map / struct key
+    if isinstance(e, A.Slice):
+        subj = compile_expr(e.subject, env)
+        lo = compile_expr(e.lo, env).cast("int") if e.lo is not None else F.lit(0)
+        hi = (compile_expr(e.hi, env).cast("int") if e.hi is not None
+              else F.size(subj))
+        lo_n = F.when(lo < 0, F.greatest(F.size(subj) + lo, F.lit(0))).otherwise(lo)
+        hi_n = F.when(hi < 0, F.size(subj) + hi).otherwise(F.least(hi, F.size(subj)))
+        return F.slice(subj, lo_n + 1, F.greatest(hi_n - lo_n, F.lit(0)))
+    if isinstance(e, A.ListComprehension):
+        src = compile_expr(e.source, env)
+
+        def body(x: Column) -> Column:
+            inner = Env(env.df, env.symbols, env.params,
+                        {**env.lambda_vars, e.var: x})
+            return inner
+
+        filtered = src
+        if e.where is not None:
+            filtered = F.filter(src, lambda x: compile_expr(e.where, body(x)))
+        if e.projection is not None:
+            return F.transform(filtered, lambda x: compile_expr(e.projection, body(x)))
+        return filtered
+    if isinstance(e, A.LabelsTest):
+        subj = e.subject
+        if isinstance(subj, A.Var) and env.symbols.get(subj.name) == "node":
+            labels_col = F.col(f"{subj.name}_labels")
+            cond = None
+            for lbl in e.labels:
+                c = F.array_contains(labels_col, lbl)
+                cond = c if cond is None else (cond & c)
+            return cond
+        raise CompileError("labels test on non-node")
+    if isinstance(e, A.PatternPredicate):
+        raise CompileError("pattern predicate must be handled by the clause compiler")
+    raise CompileError(f"cannot compile {type(e).__name__}")
+
+
+def _compile_var(name: str, env: Env) -> Column:
+    if name in env.lambda_vars:
+        return env.lambda_vars[name]
+    kind = env.symbols.get(name)
+    if kind == "node":
+        # node value = struct of its columns (id, labels, props)
+        cols = [c for c in env.columns() if c.startswith(f"{name}_")]
+        return F.struct(*[F.col(c).alias(c[len(name) + 1:]) for c in sorted(cols)])
+    if kind == "rel":
+        cols = [c for c in env.columns() if c.startswith(f"{name}_")]
+        return F.struct(*[F.col(c).alias(c[len(name) + 1:]) for c in sorted(cols)])
+    if env.df is not None and name in env.df.columns:
+        return F.col(name)
+    raise CompileError(f"unbound variable {name}")
+
+
+def _compile_property(e: A.Property, env: Env) -> Column:
+    if isinstance(e.subject, A.Var):
+        nm = e.subject.name
+        kind = env.symbols.get(nm)
+        if kind in ("node", "rel"):
+            col = f"{nm}_{e.key}"
+            if col in env.columns():
+                return F.col(col)
+            return F.lit(None)
+        if nm in env.lambda_vars:
+            return F.try_element_at(env.lambda_vars[nm], F.lit(e.key))
+    subj = compile_expr(e.subject, env)
+    t = env.typeof(subj)
+    if isinstance(t, T.StructType):
+        if e.key in t.names:
+            return subj.getField(e.key)
+        return F.lit(None)
+    return F.try_element_at(subj, F.lit(e.key))
+
+
+def _string_side(x: A.Expr, env: Env) -> bool:
+    if isinstance(x, A.Literal) and isinstance(x.value, str):
+        return True
+    c_t = env.typeof(compile_expr(x, env)) if env.df is not None else None
+    return isinstance(c_t, T.StringType)
+
+
+def _array_side(x: A.Expr, env: Env) -> bool:
+    if isinstance(x, A.ListLiteral):
+        return True
+    c_t = env.typeof(compile_expr(x, env)) if env.df is not None else None
+    return isinstance(c_t, T.ArrayType)
+
+
+def _compile_binop(e: A.BinaryOp, env: Env) -> Column:
+    op = e.op
+    if op in ("AND", "OR", "XOR"):
+        l, r = compile_expr(e.left, env), compile_expr(e.right, env)
+        if op == "AND":
+            return l & r
+        if op == "OR":
+            return l | r
+        return (l & ~r) | (~l & r)
+    l, r = compile_expr(e.left, env), compile_expr(e.right, env)
+    if op == "=":
+        return l == r
+    if op == "<>":
+        return l != r
+    if op == "<":
+        return l < r
+    if op == ">":
+        return l > r
+    if op == "<=":
+        return l <= r
+    if op == ">=":
+        return l >= r
+    if op == "+":
+        # Cypher + is overloaded: numeric add, string concat, list concat
+        if _array_side(e.left, env) or _array_side(e.right, env):
+            return F.concat(l, r)
+        if _string_side(e.left, env) or _string_side(e.right, env):
+            return F.concat(l.cast("string"), r.cast("string"))
+        return l + r
+    if op == "-":
+        return l - r
+    if op == "*":
+        return l * r
+    if op == "/":
+        # Cypher int/int is integer division truncating toward zero
+        return l / r if _is_float(e, env) else _int_div(l, r)
+    if op == "%":
+        return l % r
+    if op == "^":
+        return F.pow(l, r)
+    if op == "IN":
+        return F.array_contains(r, l)
+    if op == "STARTS":
+        return l.startswith(r)
+    if op == "ENDS":
+        return l.endswith(r)
+    if op == "CONTAINS":
+        return l.contains(r)
+    if op == "=~":
+        # Cypher =~ is a FULL-string regex match (rlike is substring search)
+        if isinstance(e.right, A.Literal):
+            return l.rlike(f"^(?:{e.right.value})$")
+        return F.regexp_like(
+            l, F.concat(F.lit("^(?:"), r.cast("string"), F.lit(")$")))
+    raise CompileError(f"unknown operator {op}")
+
+
+def _is_float(e: A.BinaryOp, env: Env) -> bool:
+    for side in (e.left, e.right):
+        if isinstance(side, A.Literal) and isinstance(side.value, float):
+            return True
+        t = env.typeof(compile_expr(side, env)) if env.df is not None else None
+        if isinstance(t, (T.DoubleType, T.FloatType)):
+            return True
+    return False
+
+
+def _int_div(l: Column, r: Column) -> Column:
+    # Cypher integer / integer is integer division (truncates toward zero)
+    return (l / r).cast("long")
+
+
+def _compile_func(e: A.FuncCall, env: Env) -> Column:
+    name = e.name.lower()
+    # quantifiers all/any/none/single(x IN list WHERE pred): the parser wraps
+    # the predicate in a ListComprehension; compile it as a boolean lambda
+    if name.startswith("__quant_") and isinstance(e.args[0], A.ListComprehension):
+        lc = e.args[0]
+        src = compile_expr(lc.source, env)
+
+        def pred(x: Column) -> Column:
+            inner = Env(env.df, env.symbols, env.params,
+                        {**env.lambda_vars, lc.var: x})
+            return compile_expr(lc.where, inner)
+
+        kind = name[len("__quant_"):]
+        if kind == "all":
+            return F.forall(src, pred)
+        if kind == "any":
+            return F.exists(src, pred)
+        if kind == "none":
+            return ~F.exists(src, pred)
+        return F.size(F.filter(src, pred)) == 1  # single
+    # length(p) on a named path -> its hop-count column
+    if (name == "length" and e.args and isinstance(e.args[0], A.Var)
+            and env.symbols.get(e.args[0].name) == "path"):
+        return F.col(f"{e.args[0].name}_length")
+    # round(x, d): the scale must be a literal int (Spark round signature)
+    if name == "round" and len(e.args) == 2 and isinstance(e.args[1], A.Literal):
+        return F.round(compile_expr(e.args[0], env), e.args[1].value)
+    args = [compile_expr(a, env) for a in e.args]
+    if name in AGGREGATES:
+        return AGGREGATES[name](args[0], e.distinct)
+    # graph accessors need symbol context
+    if name == "id" and isinstance(e.args[0], A.Var):
+        sym = e.args[0].name
+        if env.symbols.get(sym) == "node":
+            return F.col(f"{sym}_id")
+        if env.symbols.get(sym) == "rel":
+            return F.col(f"{sym}_eid")
+    if name == "labels" and isinstance(e.args[0], A.Var):
+        return F.col(f"{e.args[0].name}_labels")
+    if name == "type" and isinstance(e.args[0], A.Var):
+        return F.col(f"{e.args[0].name}_type")
+    if name == "startnode" and isinstance(e.args[0], A.Var):
+        return F.col(f"{e.args[0].name}_src")
+    if name == "endnode" and isinstance(e.args[0], A.Var):
+        return F.col(f"{e.args[0].name}_dst")
+    if name == "properties" and isinstance(e.args[0], A.Var):
+        sym = e.args[0].name
+        cols = [c for c in env.columns()
+                if c.startswith(f"{sym}_") and c not in
+                (f"{sym}_id", f"{sym}_labels", f"{sym}_eid", f"{sym}_type",
+                 f"{sym}_src", f"{sym}_dst")]
+        return F.struct(*[F.col(c).alias(c[len(sym) + 1:]) for c in sorted(cols)])
+    if name == "keys" and isinstance(e.args[0], A.Var):
+        sym = e.args[0].name
+        cols = [c[len(sym) + 1:] for c in sorted(env.columns())
+                if c.startswith(f"{sym}_") and c not in
+                (f"{sym}_id", f"{sym}_labels", f"{sym}_eid", f"{sym}_type",
+                 f"{sym}_src", f"{sym}_dst")]
+        # only keys whose value is non-null on this row
+        return F.filter(
+            F.array(*[F.when(F.col(f"{sym}_{k}").isNotNull(), F.lit(k)) for k in cols]),
+            lambda x: x.isNotNull(),
+        )
+    if name in ("size", "length"):
+        t = env.typeof(args[0])
+        if isinstance(t, T.ArrayType):
+            return F.size(args[0])
+        if isinstance(t, T.MapType):
+            return F.size(args[0])
+        return F.length(args[0])
+    if name in FUNCTIONS:
+        fn = FUNCTIONS[name]
+        return fn(*args)
+    raise CompileError(f"unknown function {e.name}")
+
+
+def _compile_case(e: A.CaseExpr, env: Env) -> Column:
+    col = None
+    subject = compile_expr(e.test, env) if e.test is not None else None
+    for cond_e, val_e in e.whens:
+        cond = compile_expr(cond_e, env)
+        if subject is not None:
+            cond = subject == cond
+        val = compile_expr(val_e, env)
+        col = F.when(cond, val) if col is None else col.when(cond, val)
+    default = compile_expr(e.default, env) if e.default is not None else F.lit(None)
+    return col.otherwise(default) if col is not None else default
+
+
+def contains_aggregate(e: A.Expr) -> bool:
+    if isinstance(e, A.CountStar):
+        return True
+    if isinstance(e, A.FuncCall):
+        if e.name.lower() in AGGREGATES:
+            return True
+        return any(contains_aggregate(a) for a in e.args)
+    if isinstance(e, A.BinaryOp):
+        return contains_aggregate(e.left) or contains_aggregate(e.right)
+    if isinstance(e, A.UnaryOp):
+        return contains_aggregate(e.operand)
+    if isinstance(e, A.IsNull):
+        return contains_aggregate(e.operand)
+    if isinstance(e, A.Property):
+        return contains_aggregate(e.subject)
+    if isinstance(e, A.CaseExpr):
+        parts = [e.test] if e.test else []
+        parts += [x for w in e.whens for x in w]
+        parts += [e.default] if e.default else []
+        return any(contains_aggregate(p) for p in parts)
+    if isinstance(e, (A.Subscript, A.Slice)):
+        return contains_aggregate(e.subject)
+    if isinstance(e, A.ListLiteral):
+        return any(contains_aggregate(x) for x in e.items)
+    return False

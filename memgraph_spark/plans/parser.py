@@ -1,0 +1,609 @@
+"""Recursive-descent openCypher parser (reference: ANTLR Cypher.g4 +
+CypherMainVisitor, src/query/frontend/ast/cypher_main_visitor.cpp)."""
+
+from __future__ import annotations
+
+from memgraph_spark.plans import cypher_ast as A
+from memgraph_spark.plans.lexer import Token, tokenize
+
+AGG_FUNCS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "COLLECT", "STDEV", "STDEVP"}
+
+
+class Parser:
+    def __init__(self, text: str):
+        self.text = text
+        self.toks = tokenize(text)
+        self.i = 0
+
+    # -- token helpers ------------------------------------------------------
+    def peek(self, ahead: int = 0) -> Token:
+        return self.toks[min(self.i + ahead, len(self.toks) - 1)]
+
+    def next(self) -> Token:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def at_kw(self, *kws: str) -> bool:
+        t = self.peek()
+        return t.kind == "KEYWORD" and t.value in kws
+
+    def at_op(self, *ops: str) -> bool:
+        t = self.peek()
+        return t.kind == "OP" and t.value in ops
+
+    def eat_kw(self, *kws: str) -> str:
+        if not self.at_kw(*kws):
+            raise SyntaxError(f"expected {kws} at {self.peek()}")
+        return self.next().value
+
+    def eat_op(self, op: str) -> None:
+        if not self.at_op(op):
+            raise SyntaxError(f"expected {op!r} at {self.peek()}")
+        self.next()
+
+    def try_kw(self, *kws: str) -> bool:
+        if self.at_kw(*kws):
+            self.next()
+            return True
+        return False
+
+    def name(self) -> str:
+        t = self.next()
+        if t.kind == "NAME":
+            return t.value
+        if t.kind == "KEYWORD":    # keywords usable as identifiers keep case
+            return t.raw or t.value
+        raise SyntaxError(f"expected name at {t}")
+
+    # -- entry --------------------------------------------------------------
+    def parse(self) -> A.UnionQuery:
+        parts = [self.single_query()]
+        alls: list[bool] = []
+        while self.at_kw("UNION"):
+            self.next()
+            alls.append(self.try_kw("ALL"))
+            parts.append(self.single_query())
+        if self.at_op(";"):
+            self.next()
+        if self.peek().kind != "EOF":
+            raise SyntaxError(f"unexpected trailing input at {self.peek()}")
+        return A.UnionQuery(parts, alls)
+
+    def single_query(self) -> A.SingleQuery:
+        clauses: list[A.Clause] = []
+        while True:
+            if self.at_kw("OPTIONAL"):
+                self.next()
+                self.eat_kw("MATCH")
+                clauses.append(self.match_clause(optional=True))
+            elif self.at_kw("MATCH"):
+                self.next()
+                clauses.append(self.match_clause(optional=False))
+            elif self.at_kw("UNWIND"):
+                self.next()
+                e = self.expr()
+                self.eat_kw("AS")
+                clauses.append(A.Unwind(e, self.name()))
+            elif self.at_kw("WITH"):
+                self.next()
+                clauses.append(self.projection_clause(A.With))
+            elif self.at_kw("RETURN"):
+                self.next()
+                clauses.append(self.projection_clause(A.Return))
+            elif self.at_kw("CREATE"):
+                self.next()
+                clauses.append(A.Create(self.patterns()))
+            elif self.at_kw("MERGE"):
+                self.next()
+                clauses.append(self.merge_clause())
+            elif self.at_kw("DELETE"):
+                self.next()
+                clauses.append(self.delete_clause(detach=False))
+            elif self.at_kw("DETACH"):
+                self.next()
+                self.eat_kw("DELETE")
+                clauses.append(self.delete_clause(detach=True))
+            elif self.at_kw("SET"):
+                self.next()
+                clauses.append(A.SetClause(self.set_items()))
+            elif self.at_kw("REMOVE"):
+                self.next()
+                clauses.append(A.RemoveClause(self.remove_items()))
+            else:
+                break
+        if not clauses:
+            raise SyntaxError(f"expected a clause at {self.peek()}")
+        return A.SingleQuery(clauses)
+
+    # -- clauses ------------------------------------------------------------
+    def match_clause(self, optional: bool) -> A.Match:
+        pats = self.patterns()
+        where = self.expr() if self.try_kw("WHERE") else None
+        return A.Match(pats, where, optional)
+
+    def projection_clause(self, cls):
+        distinct = self.try_kw("DISTINCT")
+        star = False
+        items: list[A.ReturnItem] = []
+        if self.at_op("*"):
+            self.next()
+            star = True
+            if self.at_op(","):
+                self.next()
+        if not star or self.peek().kind != "KEYWORD" or items:
+            pass
+        if not star:
+            items.append(self.return_item())
+        while self.at_op(","):
+            self.next()
+            items.append(self.return_item())
+        order: list[A.OrderItem] = []
+        if self.at_kw("ORDER"):
+            self.next()
+            self.eat_kw("BY")
+            order.append(self.order_item())
+            while self.at_op(","):
+                self.next()
+                order.append(self.order_item())
+        skip = None
+        if self.try_kw("SKIP"):
+            skip = self.expr()
+        limit = None
+        if self.try_kw("LIMIT"):
+            limit = self.expr()
+        if cls is A.With:
+            where = self.expr() if self.try_kw("WHERE") else None
+            return A.With(items, star, distinct, order, skip, limit, where)
+        return A.Return(items, star, distinct, order, skip, limit)
+
+    def return_item(self) -> A.ReturnItem:
+        start = self.peek().pos
+        e = self.expr()
+        end = self.peek().pos
+        text = self.text[start:end].strip()
+        alias = None
+        if self.try_kw("AS"):
+            alias = self.name()
+        return A.ReturnItem(e, alias, text)
+
+    def order_item(self) -> A.OrderItem:
+        e = self.expr()
+        asc = True
+        if self.at_kw("ASC", "ASCENDING"):
+            self.next()
+        elif self.at_kw("DESC", "DESCENDING"):
+            self.next()
+            asc = False
+        return A.OrderItem(e, asc)
+
+    def merge_clause(self) -> A.Merge:
+        pat = self.pattern_part()
+        on_match: list[A.SetItem] = []
+        on_create: list[A.SetItem] = []
+        while self.at_kw("ON"):
+            self.next()
+            which = self.eat_kw("MATCH", "CREATE")
+            self.eat_kw("SET")
+            items = self.set_items()
+            (on_match if which == "MATCH" else on_create).extend(items)
+        return A.Merge(pat, on_match, on_create)
+
+    def delete_clause(self, detach: bool) -> A.Delete:
+        exprs = [self.expr()]
+        while self.at_op(","):
+            self.next()
+            exprs.append(self.expr())
+        return A.Delete(exprs, detach)
+
+    def set_items(self) -> list[A.SetItem]:
+        items = [self.set_item()]
+        while self.at_op(","):
+            self.next()
+            items.append(self.set_item())
+        return items
+
+    def set_item(self) -> A.SetItem:
+        subj = self.expr()
+        if isinstance(subj, A.Var) and self.at_op(":"):
+            labels = []
+            while self.at_op(":"):
+                self.next()
+                labels.append(self.name())
+            return A.SetItem(subj, A.Literal(None), "label", labels)
+        if self.at_op("+="):
+            self.next()
+            return A.SetItem(subj, self.expr(), "+=")
+        self.eat_op("=")
+        return A.SetItem(subj, self.expr(), "=")
+
+    def remove_items(self) -> list[A.RemoveItem]:
+        items = []
+        while True:
+            subj = self.expr()
+            if isinstance(subj, A.Property):
+                items.append(A.RemoveItem(subj.subject, subj.key))
+            elif isinstance(subj, A.Var) and self.at_op(":"):
+                labels = []
+                while self.at_op(":"):
+                    self.next()
+                    labels.append(self.name())
+                items.append(A.RemoveItem(subj, None, labels))
+            elif isinstance(subj, A.LabelsTest):
+                items.append(A.RemoveItem(subj.subject, None, subj.labels))
+            else:
+                raise SyntaxError("REMOVE expects n.prop or n:Label")
+            if not self.at_op(","):
+                break
+            self.next()
+        return items
+
+    # -- patterns -----------------------------------------------------------
+    def patterns(self) -> list[A.PatternPart]:
+        parts = [self.pattern_part()]
+        while self.at_op(","):
+            self.next()
+            parts.append(self.pattern_part())
+        return parts
+
+    def pattern_part(self) -> A.PatternPart:
+        var = None
+        if (self.peek().kind == "NAME" and self.peek(1).kind == "OP"
+                and self.peek(1).value == "=" and self.peek(2).kind == "OP"
+                and self.peek(2).value == "("):
+            var = self.name()
+            self.eat_op("=")
+        start = self.node_pattern()
+        chain: list[tuple[A.RelPattern, A.NodePattern]] = []
+        while self.at_op("-", "<"):
+            rel = self.rel_pattern()
+            node = self.node_pattern()
+            chain.append((rel, node))
+        return A.PatternPart(var, start, chain)
+
+    def node_pattern(self) -> A.NodePattern:
+        self.eat_op("(")
+        var = None
+        if self.peek().kind == "NAME" and not self.at_op(")"):
+            var = self.name()
+        labels = []
+        while self.at_op(":"):
+            self.next()
+            labels.append(self.name())
+        props: dict[str, A.Expr] = {}
+        if self.at_op("{"):
+            props = self.map_entries()
+        self.eat_op(")")
+        return A.NodePattern(var, labels, props)
+
+    def rel_pattern(self) -> A.RelPattern:
+        direction = "both"
+        if self.at_op("<"):
+            self.next()
+            self.eat_op("-")
+            direction = "in"
+        else:
+            self.eat_op("-")
+        var = None
+        types: list[str] = []
+        props: dict[str, A.Expr] = {}
+        var_length = False
+        lo = hi = None
+        if self.at_op("["):
+            self.next()
+            if self.peek().kind == "NAME" and not self.at_op(":"):
+                var = self.name()
+            if self.at_op(":"):
+                self.next()
+                types.append(self.name())
+                while self.at_op("|"):
+                    self.next()
+                    if self.at_op(":"):
+                        self.next()
+                    types.append(self.name())
+            if self.at_op("*"):
+                self.next()
+                var_length = True
+                if self.peek().kind == "INT":
+                    lo = self.next().value
+                    if self.at_op(".."):
+                        self.next()
+                        if self.peek().kind == "INT":
+                            hi = self.next().value
+                    else:
+                        hi = lo
+                elif self.at_op(".."):
+                    self.next()
+                    if self.peek().kind == "INT":
+                        hi = self.next().value
+            if self.at_op("{"):
+                props = self.map_entries()
+            self.eat_op("]")
+        if self.at_op("-"):
+            self.next()
+        if self.at_op(">"):
+            self.next()
+            if direction == "in":
+                raise SyntaxError("relationship cannot be both <- and ->")
+            direction = "out"
+        return A.RelPattern(var, types, direction, props, var_length, lo, hi)
+
+    def map_entries(self) -> dict[str, A.Expr]:
+        self.eat_op("{")
+        out: dict[str, A.Expr] = {}
+        if not self.at_op("}"):
+            while True:
+                k = self.name()
+                self.eat_op(":")
+                out[k] = self.expr()
+                if not self.at_op(","):
+                    break
+                self.next()
+        self.eat_op("}")
+        return out
+
+    # -- expressions (precedence climbing) ----------------------------------
+    def expr(self) -> A.Expr:
+        return self.or_expr()
+
+    def or_expr(self) -> A.Expr:
+        left = self.xor_expr()
+        while self.at_kw("OR"):
+            self.next()
+            left = A.BinaryOp("OR", left, self.xor_expr())
+        return left
+
+    def xor_expr(self) -> A.Expr:
+        left = self.and_expr()
+        while self.at_kw("XOR"):
+            self.next()
+            left = A.BinaryOp("XOR", left, self.and_expr())
+        return left
+
+    def and_expr(self) -> A.Expr:
+        left = self.not_expr()
+        while self.at_kw("AND"):
+            self.next()
+            left = A.BinaryOp("AND", left, self.not_expr())
+        return left
+
+    def not_expr(self) -> A.Expr:
+        if self.at_kw("NOT"):
+            self.next()
+            # NOT (pattern) — pattern predicate
+            operand = self.not_expr()
+            if isinstance(operand, A.PatternPredicate):
+                operand.negated = not operand.negated
+                return operand
+            return A.UnaryOp("NOT", operand)
+        return self.comparison()
+
+    def comparison(self) -> A.Expr:
+        left = self.additive()
+        out = None
+        while True:
+            if self.at_op("=", "<>", "<", ">", "<=", ">=", "=~"):
+                op = self.next().value
+                right = self.additive()
+                node = A.BinaryOp(op, left, right)
+                out = node if out is None else A.BinaryOp("AND", out, node)
+                left = right
+            elif self.at_kw("IN"):
+                self.next()
+                node = A.BinaryOp("IN", left, self.additive())
+                out = node if out is None else A.BinaryOp("AND", out, node)
+            elif self.at_kw("STARTS"):
+                self.next()
+                self.eat_kw("WITH") if self.at_kw("WITH") else None
+                node = A.BinaryOp("STARTS", left, self.additive())
+                out = node if out is None else A.BinaryOp("AND", out, node)
+            elif self.at_kw("ENDS"):
+                self.next()
+                self.eat_kw("WITH") if self.at_kw("WITH") else None
+                node = A.BinaryOp("ENDS", left, self.additive())
+                out = node if out is None else A.BinaryOp("AND", out, node)
+            elif self.at_kw("CONTAINS"):
+                self.next()
+                node = A.BinaryOp("CONTAINS", left, self.additive())
+                out = node if out is None else A.BinaryOp("AND", out, node)
+            elif self.at_kw("IS"):
+                self.next()
+                neg = self.try_kw("NOT")
+                self.eat_kw("NULL")
+                node = A.IsNull(left, neg)
+                out = node if out is None else A.BinaryOp("AND", out, node)
+            else:
+                break
+        return out if out is not None else left
+
+    def additive(self) -> A.Expr:
+        left = self.multiplicative()
+        while self.at_op("+", "-"):
+            op = self.next().value
+            left = A.BinaryOp(op, left, self.multiplicative())
+        return left
+
+    def multiplicative(self) -> A.Expr:
+        left = self.power()
+        while self.at_op("*", "/", "%"):
+            op = self.next().value
+            left = A.BinaryOp(op, left, self.power())
+        return left
+
+    def power(self) -> A.Expr:
+        left = self.unary()
+        if self.at_op("^"):
+            self.next()
+            return A.BinaryOp("^", left, self.power())
+        return left
+
+    def unary(self) -> A.Expr:
+        if self.at_op("-"):
+            self.next()
+            return A.UnaryOp("-", self.unary())
+        if self.at_op("+"):
+            self.next()
+            return self.unary()
+        return self.postfix()
+
+    def postfix(self) -> A.Expr:
+        e = self.atom()
+        while True:
+            if self.at_op("."):
+                self.next()
+                e = A.Property(e, self.name())
+            elif self.at_op("["):
+                self.next()
+                if self.at_op(".."):
+                    self.next()
+                    hi = None if self.at_op("]") else self.expr()
+                    e = A.Slice(e, None, hi)
+                else:
+                    idx = self.expr()
+                    if self.at_op(".."):
+                        self.next()
+                        hi = None if self.at_op("]") else self.expr()
+                        e = A.Slice(e, idx, hi)
+                    else:
+                        e = A.Subscript(e, idx)
+                self.eat_op("]")
+            elif self.at_op(":") and isinstance(e, (A.Var, A.Property)):
+                labels = []
+                while self.at_op(":"):
+                    self.next()
+                    labels.append(self.name())
+                e = A.LabelsTest(e, labels)
+            else:
+                return e
+
+    def atom(self) -> A.Expr:
+        t = self.peek()
+        if t.kind in ("INT", "FLOAT", "STRING"):
+            self.next()
+            return A.Literal(t.value)
+        if t.kind == "PARAM":
+            self.next()
+            return A.Param(t.value)
+        if t.kind == "KEYWORD":
+            if t.value in ("TRUE", "FALSE"):
+                self.next()
+                return A.Literal(t.value == "TRUE")
+            if t.value == "NULL":
+                self.next()
+                return A.Literal(None)
+            if t.value == "COUNT":
+                self.next()
+                self.eat_op("(")
+                if self.at_op("*"):
+                    self.next()
+                    self.eat_op(")")
+                    return A.CountStar()
+                distinct = self.try_kw("DISTINCT")
+                arg = self.expr()
+                self.eat_op(")")
+                return A.FuncCall("count", [arg], distinct)
+            if t.value == "CASE":
+                return self.case_expr()
+            if t.value == "EXISTS":
+                self.next()
+                self.eat_op("(")
+                if self.at_op("("):
+                    pat = self.pattern_part()
+                    self.eat_op(")")
+                    return A.PatternPredicate(pat)
+                inner = self.expr()
+                self.eat_op(")")
+                return A.FuncCall("exists", [inner])
+            if t.value == "ALL":          # all(x IN list WHERE pred)
+                return self.quantifier("all")
+            if t.value == "NOT":
+                pass  # handled by not_expr
+        if t.kind == "NAME":
+            nxt = self.peek(1)
+            if (t.value.lower() in ("any", "none", "single")
+                    and nxt.kind == "OP" and nxt.value == "("):
+                return self.quantifier(t.value.lower())
+            if nxt.kind == "OP" and nxt.value == "(":
+                fname = self.name()
+                self.eat_op("(")
+                distinct = self.try_kw("DISTINCT")
+                args = []
+                if not self.at_op(")"):
+                    args.append(self.expr())
+                    while self.at_op(","):
+                        self.next()
+                        args.append(self.expr())
+                self.eat_op(")")
+                return A.FuncCall(fname, args, distinct)
+            if t.value in ("any", "none", "single", "all") and nxt.kind == "OP" and nxt.value == "(":
+                return self.quantifier(t.value)
+            self.next()
+            return A.Var(t.value)
+        if t.kind == "OP" and t.value == "(":
+            # parenthesized expression OR a pattern predicate (n)-[...]->(m)
+            save = self.i
+            try:
+                pat = self.pattern_part()
+                if pat.chain:   # a bare node in parens is just a grouped var
+                    return A.PatternPredicate(pat)
+                raise SyntaxError("not a pattern")
+            except SyntaxError:
+                self.i = save
+            self.next()
+            e = self.expr()
+            self.eat_op(")")
+            return e
+        if t.kind == "OP" and t.value == "[":
+            self.next()
+            # list comprehension: [x IN src WHERE p | proj] vs literal
+            if (self.peek().kind == "NAME" and self.peek(1).kind == "KEYWORD"
+                    and self.peek(1).value == "IN"):
+                v = self.name()
+                self.eat_kw("IN")
+                src = self.expr()
+                where = self.expr() if self.try_kw("WHERE") else None
+                proj = None
+                if self.at_op("|"):
+                    self.next()
+                    proj = self.expr()
+                self.eat_op("]")
+                return A.ListComprehension(v, src, where, proj)
+            items = []
+            if not self.at_op("]"):
+                items.append(self.expr())
+                while self.at_op(","):
+                    self.next()
+                    items.append(self.expr())
+            self.eat_op("]")
+            return A.ListLiteral(items)
+        if t.kind == "OP" and t.value == "{":
+            return A.MapLiteral(self.map_entries())
+        raise SyntaxError(f"unexpected token {t}")
+
+    def quantifier(self, kind: str) -> A.Expr:
+        self.next()  # consume name/ALL
+        self.eat_op("(")
+        v = self.name()
+        self.eat_kw("IN")
+        src = self.expr()
+        where = self.expr() if self.try_kw("WHERE") else A.Literal(True)
+        self.eat_op(")")
+        return A.FuncCall(f"__quant_{kind}", [A.ListComprehension(v, src, where, None)])
+
+    def case_expr(self) -> A.Expr:
+        self.eat_kw("CASE")
+        test = None
+        if not self.at_kw("WHEN"):
+            test = self.expr()
+        whens = []
+        while self.try_kw("WHEN"):
+            cond = self.expr()
+            self.eat_kw("THEN")
+            whens.append((cond, self.expr()))
+        default = self.expr() if self.try_kw("ELSE") else None
+        self.eat_kw("END")
+        return A.CaseExpr(test, whens, default)
+
+
+def parse(text: str) -> A.UnionQuery:
+    return Parser(text).parse()

@@ -1,0 +1,525 @@
+"""Clause compiler: Cypher AST -> DataFrame program (the planner+executor).
+
+Reference lifecycle (SURVEY §3.1): SymbolGenerator -> RuleBasedPlanner ->
+LogicalOperator tree -> volcano Cursor pulls. Here the two planning stages
+collapse: each clause is compiled directly into DataFrame transformations and
+Catalyst does the rewrite pipeline (SURVEY §4.1 — pushdown, join selection,
+top-k). The reference's "Frame" (one slot per symbol,
+src/query/plan/operator.hpp:79) is the DataFrame's column set:
+
+  node symbol n   -> columns n_id, n_labels, n_<prop>...
+  rel symbol  r   -> columns r_eid, r_type, r_src, r_dst, r_<prop>...
+  value symbol x  -> column  x
+  path symbol p   -> column  p_length (hop count; minimal path surface)
+
+Scale notes: every MATCH hop is an equi-join Catalyst is free to plan as
+broadcast/SMJ/SHJ with AQE skew handling; anchor tables are per-label parquet
+scans so label+property predicates push down to the scan (the reference's
+IndexLookupRewriter, plan/rewrite/index_lookup.hpp:178, is subsumed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from memgraph_spark.catalog import PropertyGraph
+from memgraph_spark.operators import expand_variable, union as op_union
+from memgraph_spark.operators.scan import prefix_columns
+from memgraph_spark.plans import cypher_ast as A
+from memgraph_spark.plans.exprs import (
+    CompileError,
+    Env,
+    compile_expr,
+    contains_aggregate,
+)
+from memgraph_spark.plans.parser import parse
+
+REL_META = ("eid", "type", "src", "dst")
+
+
+class GraphSession:
+    """Executes openCypher text against a PropertyGraph.
+
+    The public API surface equivalent to the reference's
+    Interpreter::Prepare/Pull (src/query/interpreter.hpp:394-462), minus the
+    Bolt wire: execute() returns a DataFrame (lazy; caller collects).
+    """
+
+    def __init__(self, graph: PropertyGraph):
+        self.graph = graph
+
+    def execute(self, query: str, params: dict | None = None) -> DataFrame:
+        ast = parse(query)
+        out = QueryCompiler(self.graph, params).compile(ast.parts[0])
+        for part, is_all in zip(ast.parts[1:], ast.alls):
+            df = QueryCompiler(self.graph, params).compile(part)
+            out = op_union(out, df, distinct=not is_all)
+        return out
+
+    def explain(self, query: str, params: dict | None = None) -> None:
+        self.execute(query, params).explain("formatted")
+
+
+class QueryCompiler:
+    """One SingleQuery -> one DataFrame. Mirrors the reference planner's
+    clause walk (plan/rule_based_planner.cpp) at DataFrame granularity."""
+
+    def __init__(self, graph: PropertyGraph, params: dict | None = None,
+                 anon_prefix: str = ""):
+        self.g = graph
+        self.params = params or {}
+        self.df: DataFrame | None = None
+        self.symbols: dict[str, str] = {}
+        self._anon = 0
+        self._anon_prefix = anon_prefix
+        self._all_props_cache: list[str] | None = None
+
+    # -- helpers ------------------------------------------------------------
+    def _env(self, df: DataFrame | None = None,
+             symbols: dict[str, str] | None = None) -> Env:
+        return Env(df if df is not None else self.df,
+                   dict(symbols if symbols is not None else self.symbols),
+                   self.params)
+
+    def _anon_sym(self, kind: str) -> str:
+        self._anon += 1
+        return f"__{self._anon_prefix}{kind}{self._anon}"
+
+    def _all_props(self) -> list[str]:
+        if self._all_props_cache is None:
+            names: set[str] = set()
+            for df in self.g.nodes.values():
+                names.update(c for c in df.columns if c != "id")
+            self._all_props_cache = sorted(names)
+        return self._all_props_cache
+
+    def _node_df(self, labels: list[str]) -> DataFrame:
+        """ScanAll / ScanAllByLabel: one label -> its typed table (pushdown-
+        friendly); zero or many labels -> the lazy union scan + label filter."""
+        if len(labels) == 1 and labels[0] in self.g.nodes:
+            df = self.g.node(labels[0])
+            props = [c for c in df.columns if c != "id"]
+            return df.select(
+                "id", F.array(F.lit(labels[0])).alias("labels"), *props)
+        base = self.g.all_nodes(self._all_props())
+        for lbl in labels:
+            base = base.filter(F.array_contains(F.col("labels"), lbl))
+        return base
+
+    def _seed(self) -> DataFrame:
+        return self.g.spark.range(1).select(F.lit(1).alias("__once"))
+
+    def _static_int(self, e: A.Expr, what: str) -> int:
+        if isinstance(e, A.Literal) and isinstance(e.value, int):
+            return e.value
+        if isinstance(e, A.Param):
+            return int(self.params[e.name])
+        raise CompileError(f"{what} must be a literal/parameter integer")
+
+    # -- entry --------------------------------------------------------------
+    def compile(self, sq: A.SingleQuery) -> DataFrame:
+        result: DataFrame | None = None
+        for cl in sq.clauses:
+            if isinstance(cl, A.Match):
+                self._match(cl)
+            elif isinstance(cl, A.Unwind):
+                self._unwind(cl)
+            elif isinstance(cl, (A.With, A.Return)):
+                out = self._project(cl, is_return=isinstance(cl, A.Return))
+                if isinstance(cl, A.Return):
+                    result = out
+            else:
+                raise CompileError(
+                    f"clause {type(cl).__name__} requires the write engine "
+                    f"(memgraph_spark.plans.writes)")
+        if result is None:
+            raise CompileError("read query must end in RETURN")
+        return result
+
+    # -- MATCH --------------------------------------------------------------
+    def _match(self, m: A.Match) -> None:
+        if m.optional:
+            self._optional_match(m)
+            return
+        clause_rels: list[str] = []
+        for part in m.patterns:
+            clause_rels += self._pattern_part(part)
+        # EdgeUniquenessFilter (operator.hpp:1768): Cypher edge-isomorphism —
+        # no edge may repeat within one MATCH. Pairwise across single-hop rels
+        # (variable-length paths enforce it internally per path).
+        for i in range(len(clause_rels)):
+            for j in range(i + 1, len(clause_rels)):
+                self.df = self.df.filter(
+                    F.col(f"{clause_rels[i]}_eid") != F.col(f"{clause_rels[j]}_eid"))
+        if m.where is not None:
+            self._where(m.where)
+
+    def _pattern_part(self, part: A.PatternPart) -> list[str]:
+        """Compile one linear pattern; returns the single-hop rel symbols
+        bound (for edge-uniqueness)."""
+        rels: list[str] = []
+        start_sym = part.start.var or self._anon_sym("n")
+        self._bind_node(part.start, start_sym)
+        prev = start_sym
+        path_len: Column | None = None
+        for rel, node in part.chain:
+            to_sym = node.var or self._anon_sym("n")
+            if rel.var_length:
+                depth_col = self._expand_var_length(prev, rel, node, to_sym)
+                path_len = (depth_col if path_len is None
+                            else path_len + depth_col)
+            else:
+                rels.append(self._expand_single(prev, rel, node, to_sym))
+                path_len = (F.lit(1) if path_len is None else path_len + 1)
+            prev = to_sym
+        if part.var:
+            # minimal named-path surface: hop count (length(p))
+            self.df = self.df.withColumn(
+                f"{part.var}_length",
+                (path_len if path_len is not None else F.lit(0)).cast("long"))
+            self.symbols[part.var] = "path"
+        return rels
+
+    def _bind_node(self, np: A.NodePattern, sym: str) -> None:
+        if sym in self.symbols:
+            if self.symbols[sym] != "node":
+                raise CompileError(f"{sym} rebound as node")
+            for lbl in np.labels:
+                self.df = self.df.filter(
+                    F.array_contains(F.col(f"{sym}_labels"), lbl))
+        else:
+            p = prefix_columns(self._node_df(np.labels), sym)
+            self.df = p if self.df is None else self.df.crossJoin(p)
+            self.symbols[sym] = "node"
+        self._prop_filters(sym, np.props)
+
+    def _prop_filters(self, sym: str, props: dict[str, A.Expr]) -> None:
+        for k, ve in props.items():
+            col = f"{sym}_{k}"
+            if self.df is not None and col not in self.df.columns:
+                self.df = self.df.filter(F.lit(False))
+                return
+            self.df = self.df.filter(
+                F.col(col) == compile_expr(ve, self._env()))
+
+    def _edge_table(self, types: list[str], rsym: str, want_props: bool) -> DataFrame:
+        """Typed edge scan(s) unioned on a common schema, columns prefixed to
+        the rel symbol. Cols: src, dst, {rsym}_eid/_type/_src/_dst/_props."""
+        chosen = types or self.g.edge_types()
+        prop_names: set[str] = set()
+        if want_props:
+            for t in chosen:
+                prop_names.update(
+                    c for c in self.g.edge(t).columns
+                    if c not in ("src", "dst", "eid"))
+        dfs = []
+        for t in chosen:
+            e = self.g.edge(t)
+            cols = [
+                F.col("src"), F.col("dst"),
+                F.col("eid").alias(f"{rsym}_eid"),
+                F.lit(t).alias(f"{rsym}_type"),
+                F.col("src").alias(f"{rsym}_src"),
+                F.col("dst").alias(f"{rsym}_dst"),
+            ]
+            for p in sorted(prop_names):
+                cols.append((F.col(p) if p in e.columns else F.lit(None))
+                            .alias(f"{rsym}_{p}"))
+            dfs.append(e.select(*cols))
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def _expand_single(self, from_sym: str, rel: A.RelPattern,
+                       np: A.NodePattern, to_sym: str) -> str:
+        """Expand (operator.hpp:1063): one hop = one equi-join on the edge
+        table; BOTH direction = union of the two orientations."""
+        rsym = rel.var or self._anon_sym("r")
+        e = self._edge_table(rel.types, rsym, want_props=rel.var is not None
+                             or bool(rel.props))
+        if rel.direction == "out":
+            e = e.withColumnRenamed("src", "__from").withColumnRenamed("dst", "__to")
+        elif rel.direction == "in":
+            e = e.withColumnRenamed("dst", "__from").withColumnRenamed("src", "__to")
+        else:  # both
+            e = e.withColumnRenamed("src", "__from").withColumnRenamed("dst", "__to") \
+                 .unionByName(
+                     e.withColumnRenamed("dst", "__from")
+                      .withColumnRenamed("src", "__to"))
+        self.df = self.df.join(
+            e, F.col(f"{from_sym}_id") == F.col("__from"), "inner")
+        self.symbols[rsym] = "rel"
+        self._prop_filters(rsym, rel.props)
+        if to_sym in self.symbols:
+            # expand-into: both endpoints bound (operator.cpp:1904 existing-
+            # node mode) — extra equality, no new columns
+            self.df = self.df.filter(F.col("__to") == F.col(f"{to_sym}_id")) \
+                             .drop("__from", "__to")
+            self._bind_node(np, to_sym)
+        else:
+            self.df = self.df.withColumnRenamed("__to", f"{to_sym}_id") \
+                             .drop("__from")
+            self.symbols[to_sym] = "node"
+            self._attach_node(to_sym, np)
+        return rsym
+
+    def _attach_node(self, sym: str, np: A.NodePattern) -> None:
+        """Fetch the target node's labels/properties: an id equi-join against
+        the (label-pruned) node scan. Inner join doubles as the label filter."""
+        p = prefix_columns(self._node_df(np.labels), sym)
+        self.df = self.df.join(p, on=f"{sym}_id", how="inner")
+        self._prop_filters(sym, np.props)
+
+    def _expand_var_length(self, from_sym: str, rel: A.RelPattern,
+                           np: A.NodePattern, to_sym: str) -> Column:
+        """ExpandVariable (operator.cpp:2199) via iterative frontier joins."""
+        if rel.var:
+            raise CompileError("binding a variable-length relationship list "
+                               "is not supported yet")
+        if len(rel.types) > 1:
+            raise CompileError("multi-type variable-length not supported yet")
+        etype = rel.types[0] if rel.types else None
+        lower = rel.lo if rel.lo is not None else 1
+        upper = rel.hi if rel.hi is not None else 10
+        depth_col = self._anon_sym("depth")
+        if to_sym in self.symbols:
+            tmp = self._anon_sym("n")
+            self.df = expand_variable(
+                self.df, self.g, etype, from_sym, tmp, lower, upper,
+                rel.direction, depth_col=depth_col)
+            self.df = self.df.filter(
+                F.col(f"{tmp}_id") == F.col(f"{to_sym}_id")).drop(f"{tmp}_id")
+            self._bind_node(np, to_sym)
+        else:
+            self.df = expand_variable(
+                self.df, self.g, etype, from_sym, to_sym, lower, upper,
+                rel.direction, depth_col=depth_col)
+            self.symbols[to_sym] = "node"
+            self._attach_node(to_sym, np)
+        return F.col(depth_col)
+
+    # -- OPTIONAL MATCH ------------------------------------------------------
+    def _optional_match(self, m: A.Match) -> None:
+        """Optional (operator.cpp:7287): compile the branch from the distinct
+        bound anchor rows, then left-outer join it back — fully distributed,
+        no per-row re-execution."""
+        if self.df is None:
+            # leading OPTIONAL MATCH == plain MATCH (or one null row)
+            self._match(A.Match(m.patterns, m.where, False))
+            return
+        shared = sorted(s for s in self._pattern_syms(m.patterns)
+                        if s in self.symbols)
+        sub = QueryCompiler(self.g, self.params,
+                            anon_prefix=f"o{self._anon}_")
+        if shared:
+            anchor_cols = [c for c in self.df.columns
+                           if any(c == s or c.startswith(f"{s}_") for s in shared)]
+            keys = [f"{s}_id" for s in shared
+                    if self.symbols[s] == "node"] or anchor_cols
+            sub.df = self.df.select(*anchor_cols).dropDuplicates(keys)
+            sub.symbols = {s: self.symbols[s] for s in shared}
+            sub._match(A.Match(m.patterns, m.where, False))
+            branch = sub.df
+            # drop anchor prop columns duplicated on the branch side
+            drop = [c for c in anchor_cols if c not in keys]
+            branch = branch.drop(*drop) if drop else branch
+            self.df = self.df.join(branch, on=keys, how="left")
+        else:
+            sub._match(A.Match(m.patterns, m.where, False))
+            self.df = self.df.join(sub.df, F.lit(True), "left")
+        for s, k in sub.symbols.items():
+            if s not in self.symbols:
+                self.symbols[s] = k
+
+    def _pattern_syms(self, patterns: list[A.PatternPart]) -> set[str]:
+        out: set[str] = set()
+        for p in patterns:
+            if p.start.var:
+                out.add(p.start.var)
+            for rel, node in p.chain:
+                if rel.var:
+                    out.add(rel.var)
+                if node.var:
+                    out.add(node.var)
+        return out
+
+    # -- WHERE ---------------------------------------------------------------
+    def _where(self, e: A.Expr) -> None:
+        for conj in self._conjuncts(e):
+            if isinstance(conj, A.PatternPredicate):
+                self._pattern_filter(conj)
+            else:
+                self.df = self.df.filter(compile_expr(conj, self._env()))
+
+    def _conjuncts(self, e: A.Expr) -> list[A.Expr]:
+        if isinstance(e, A.BinaryOp) and e.op == "AND":
+            return self._conjuncts(e.left) + self._conjuncts(e.right)
+        return [e]
+
+    def _pattern_filter(self, pp: A.PatternPredicate) -> None:
+        """EvaluatePatternFilter (operator.hpp:2427): WHERE (n)-[:T]->(m) /
+        exists(...) -> left-semi join; NOT ... -> left-anti."""
+        shared = sorted(s for s in self._pattern_syms([pp.pattern])
+                        if s in self.symbols)
+        sub = QueryCompiler(self.g, self.params,
+                            anon_prefix=f"p{self._anon}_")
+        self._anon += 1
+        how = "left_anti" if pp.negated else "left_semi"
+        if shared:
+            keys = [f"{s}_id" for s in shared if self.symbols[s] == "node"]
+            anchor_cols = [c for c in self.df.columns
+                           if any(c == s or c.startswith(f"{s}_") for s in shared)]
+            sub.df = self.df.select(*anchor_cols).dropDuplicates(keys or anchor_cols)
+            sub.symbols = {s: self.symbols[s] for s in shared}
+            sub._pattern_part(pp.pattern)
+            self.df = self.df.join(sub.df.select(*(keys or anchor_cols)),
+                                   on=(keys or anchor_cols), how=how)
+        else:
+            sub._pattern_part(pp.pattern)
+            self.df = self.df.join(sub.df.limit(1), F.lit(True), how)
+
+    # -- UNWIND ---------------------------------------------------------------
+    def _unwind(self, cl: A.Unwind) -> None:
+        if self.df is None:
+            self.df = self._seed()
+        col = compile_expr(cl.expr, self._env())
+        self.df = self.df.withColumn(cl.var, F.explode(col))
+        if "__once" in self.df.columns:
+            self.df = self.df.drop("__once")
+        self.symbols[cl.var] = "value"
+
+    # -- WITH / RETURN ---------------------------------------------------------
+    def _project(self, cl, is_return: bool) -> DataFrame:
+        if self.df is None:
+            self.df = self._seed()
+        items = list(cl.items)
+        if cl.star:
+            items = [A.ReturnItem(A.Var(s), None, s)
+                     for s in sorted(self.symbols)
+                     if not s.startswith("__")] + items
+
+        # classify: carried graph symbols vs computed value columns
+        outs: list[tuple[str, str, object]] = []  # (name, kind, sym|expr)
+        for it in items:
+            name = it.alias or it.text
+            if (isinstance(it.expr, A.Var)
+                    and self.symbols.get(it.expr.name) in ("node", "rel", "path")):
+                outs.append((name, self.symbols[it.expr.name], it.expr.name))
+            else:
+                outs.append((name, "value", it.expr))
+
+        has_agg = any(kind == "value" and contains_aggregate(e)
+                      for _, kind, e in outs)
+        if has_agg:
+            df, new_syms = self._project_agg(outs)
+        else:
+            df, new_syms = self._project_plain(outs)
+
+        if cl.distinct:
+            df = df.dropDuplicates()
+
+        where = getattr(cl, "where", None)
+        if where is not None:
+            df = df.filter(compile_expr(where, Env(df, new_syms, self.params)))
+        if cl.order:
+            df = df.orderBy(*[
+                (self._order_col(oi, df, new_syms, outs).asc_nulls_first()
+                 if oi.ascending else
+                 self._order_col(oi, df, new_syms, outs).desc_nulls_last())
+                for oi in cl.order])
+        if cl.skip is not None:
+            df = df.offset(self._static_int(cl.skip, "SKIP"))
+        if cl.limit is not None:
+            df = df.limit(self._static_int(cl.limit, "LIMIT"))
+
+        if is_return:
+            final = []
+            for name, kind, spec in outs:
+                if kind in ("node", "rel"):
+                    cols = sorted(c for c in df.columns
+                                  if c.startswith(f"{spec}_"))
+                    final.append(F.struct(
+                        *[F.col(c).alias(c[len(spec) + 1:]) for c in cols]
+                    ).alias(name))
+                elif kind == "path":
+                    final.append(F.col(f"{spec}_length").alias(name))
+                else:
+                    final.append(F.col(name))
+            return df.select(*final)
+
+        # WITH: the projected frame becomes the new scope
+        keep: list[str] = []
+        renames: dict[str, str] = {}
+        self.symbols = {}
+        for name, kind, spec in outs:
+            if kind in ("node", "rel", "path"):
+                for c in df.columns:
+                    if c.startswith(f"{spec}_"):
+                        keep.append(c)
+                        if spec != name:
+                            renames[c] = f"{name}_{c[len(spec) + 1:]}"
+                self.symbols[name] = kind
+            else:
+                keep.append(name)
+                self.symbols[name] = "value"
+        df = df.select(*dict.fromkeys(keep))
+        for old, new in renames.items():
+            df = df.withColumnRenamed(old, new)
+        self.df = df
+        return df
+
+    def _project_plain(self, outs) -> tuple[DataFrame, dict[str, str]]:
+        df = self.df
+        for name, kind, spec in outs:
+            if kind == "value":
+                df = df.withColumn(name, compile_expr(spec, self._env(df)))
+        # prune to the output scope (+ carried symbol prefixes)
+        keep: list[str] = []
+        new_syms: dict[str, str] = {}
+        for name, kind, spec in outs:
+            if kind in ("node", "rel", "path"):
+                keep += [c for c in df.columns if c.startswith(f"{spec}_")]
+                new_syms[spec] = kind  # columns still carry the old prefix
+            else:
+                keep.append(name)
+            new_syms[name] = kind
+        return df.select(*dict.fromkeys(keep)), new_syms
+
+    def _project_agg(self, outs) -> tuple[DataFrame, dict[str, str]]:
+        """Aggregate (operator.cpp:6323): implicit grouping keys = the
+        non-aggregated items; Spark partial/final hash agg replaces the
+        reference's single-thread hash table."""
+        key_cols: list[Column] = []
+        carried_prefix_cols: list[str] = []
+        agg_cols: list[Column] = []
+        env = self._env()
+        for name, kind, spec in outs:
+            if kind in ("node", "rel", "path"):
+                carried_prefix_cols += [c for c in self.df.columns
+                                        if c.startswith(f"{spec}_")]
+            elif contains_aggregate(spec):
+                agg_cols.append(compile_expr(spec, env).alias(name))
+            else:
+                key_cols.append(compile_expr(spec, env).alias(name))
+        all_keys = [F.col(c) for c in dict.fromkeys(carried_prefix_cols)] + key_cols
+        if all_keys:
+            df = self.df.groupBy(*all_keys).agg(*agg_cols)
+        else:
+            df = self.df.agg(*agg_cols)
+        new_syms = {name: kind for name, kind, _ in outs}
+        for name, kind, spec in outs:
+            if kind in ("node", "rel", "path"):
+                new_syms[spec] = kind  # columns keep the pre-alias prefix
+        return df, new_syms
+
+    def _order_col(self, oi: A.OrderItem, df: DataFrame,
+                   new_syms: dict[str, str], outs) -> Column:
+        if contains_aggregate(oi.expr):
+            for name, kind, spec in outs:
+                if kind == "value" and spec == oi.expr:
+                    return F.col(name)
+            raise CompileError("ORDER BY aggregate must appear in the "
+                               "projection (alias it)")
+        return compile_expr(oi.expr, Env(df, new_syms, self.params))

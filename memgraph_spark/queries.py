@@ -473,8 +473,10 @@ QUERIES = {
 }
 
 from memgraph_spark.queries_llm import LLM_ORACLES, LLM_QUERIES  # noqa: E402
+from memgraph_spark.queries_cypher import CYPHER_ORACLES, CYPHER_QUERIES  # noqa: E402
 
 QUERIES.update(LLM_QUERIES)
+QUERIES.update(CYPHER_QUERIES)
 
 ORACLES = {
     "scan_filter_orderby": ORACLE_SCAN_FILTER_ORDERBY,
@@ -496,3 +498,4 @@ ORACLES = {
 }
 
 ORACLES.update(LLM_ORACLES)
+ORACLES.update(CYPHER_ORACLES)

@@ -1,0 +1,178 @@
+"""Driver-facing queries expressed in openCypher TEXT, run through the full
+frontend (lexer -> parser -> clause compiler -> DataFrame) with ANSI-SQL
+oracles. These prove the Cypher surface end-to-end, not just the operator API.
+
+Reference parity: each query shape maps to gql_behave corpus features
+(tests/gql_behave/tests/memgraph_V1/features/*.feature).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from memgraph_spark.catalog import graph_for
+from memgraph_spark.plans import GraphSession
+
+
+def _run(cypher: str, params: dict | None = None):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return GraphSession(graph_for(spark, sf_dir)).execute(cypher, params)
+    q.__doc__ = cypher
+    return q
+
+
+CYPHER_QUERIES = {
+    # ScanAllByLabel + Filter + OrderBy + Limit (pushdown + top-k)
+    "cy_scan_topk": _run(
+        "MATCH (p:Part) WHERE p.size > 40 "
+        "RETURN p.key AS partkey, p.name AS name, p.size AS size "
+        "ORDER BY size DESC, partkey ASC LIMIT 20"),
+    # Expand + implicit-group aggregation
+    "cy_expand_agg": _run(
+        "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
+        "RETURN n.name AS nation, count(*) AS cnt, "
+        "round(sum(c.acctbal), 2) AS total_bal"),
+    # 2-hop expand + filter on far end
+    "cy_two_hop": _run(
+        "MATCH (c:Customer)-[:FROM_NATION]->(:Nation)-[:IN_REGION]->(r:Region) "
+        "RETURN r.name AS region, count(*) AS customers"),
+    # edge properties + filter on the relationship
+    "cy_edge_props": _run(
+        "MATCH (o:Order)-[l:CONTAINS]->(p:Part) WHERE l.quantity >= 45 "
+        "RETURN p.brand AS brand, count(*) AS heavy_lines, "
+        "round(sum(l.extendedprice), 2) AS volume"),
+    # OPTIONAL MATCH (left-outer) + count(expr) null-skipping
+    "cy_optional": _run(
+        "MATCH (n:Nation) OPTIONAL MATCH (c:Customer)-[:FROM_NATION]->(n) "
+        "RETURN n.name AS nation, count(c.key) AS customers"),
+    # pattern predicate -> semi join
+    "cy_exists": _run(
+        "MATCH (s:Supplier) WHERE (s)-[:BASED_IN]->(:Nation {name: 'NATION_3'}) "
+        "RETURN s.key AS suppkey, s.name AS name"),
+    # negated pattern predicate -> anti join
+    "cy_not_exists": _run(
+        "MATCH (n:Nation) WHERE NOT (:Supplier)-[:BASED_IN]->(n) "
+        "RETURN n.name AS nation"),
+    # WITH pipeline: aggregate then filter then re-aggregate
+    "cy_with_having": _run(
+        "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+        "WITH c, count(o) AS n_orders, round(sum(o.totalprice), 2) AS spend "
+        "WHERE n_orders >= 12 "
+        "RETURN count(*) AS heavy_customers, round(sum(spend), 2) AS heavy_spend"),
+    # disconnected patterns sharing a node (cyclic join)
+    "cy_cyclic": _run(
+        "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation), "
+        "(s:Supplier)-[:BASED_IN]->(n) "
+        "RETURN n.name AS nation, count(*) AS pairs"),
+    # UNION ALL of two label scans
+    "cy_union": _run(
+        "MATCH (r:Region) RETURN r.name AS name "
+        "UNION ALL MATCH (n:Nation) RETURN n.name AS name"),
+    # UNWIND + expression arithmetic (int division truncates toward zero)
+    "cy_unwind": _run(
+        "UNWIND [7, -7, 10, 3] AS x RETURN x AS x, x / 2 AS half, x % 3 AS rem"),
+    # CASE expression + DISTINCT
+    "cy_case_distinct": _run(
+        "MATCH (p:Part) RETURN DISTINCT "
+        "CASE WHEN p.size > 25 THEN 'big' ELSE 'small' END AS bucket, "
+        "p.brand AS brand"),
+    # quantifiers + list comprehension (pure expression layer)
+    "cy_list_exprs": _run(
+        "UNWIND [1, 2, 3, 4, 5, 6] AS x "
+        "WITH x WHERE x % 2 = 0 "
+        "RETURN x AS x, [y IN range(0, x) WHERE y % 2 = 0 | y * y] AS squares, "
+        "all(y IN range(1, x) WHERE y > 0) AS allpos"),
+    # string predicates
+    "cy_strings": _run(
+        "MATCH (c:Customer) WHERE c.name ENDS WITH '1' AND c.name CONTAINS '0' "
+        "RETURN c.name AS name"),
+    # parameterized query
+    "cy_params": _run(
+        "MATCH (p:Part) WHERE p.size > $minsize AND p.brand = $brand "
+        "RETURN count(*) AS n",
+        {"minsize": 20, "brand": "Brand#1"}),
+}
+
+
+CYPHER_ORACLES = {
+    "cy_scan_topk": """
+SELECT p_partkey AS partkey, p_name AS name, p_size AS size
+FROM part WHERE p_size > 40
+ORDER BY size DESC, partkey ASC LIMIT 20
+""",
+    "cy_expand_agg": """
+SELECT n_name AS nation, count(*) AS cnt, round(sum(c_acctbal), 2) AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    "cy_two_hop": """
+SELECT r_name AS region, count(*) AS customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+    "cy_edge_props": """
+SELECT p_brand AS brand, count(*) AS heavy_lines,
+       round(sum(l_extendedprice), 2) AS volume
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_quantity >= 45
+GROUP BY p_brand
+""",
+    "cy_optional": """
+SELECT n_name AS nation, count(c_custkey) AS customers
+FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    "cy_exists": """
+SELECT s_suppkey AS suppkey, s_name AS name
+FROM supplier
+WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_3')
+""",
+    "cy_not_exists": """
+SELECT n_name AS nation FROM nation
+WHERE n_nationkey NOT IN (SELECT s_nationkey FROM supplier)
+""",
+    "cy_with_having": """
+SELECT count(*) AS heavy_customers, round(sum(spend), 2) AS heavy_spend
+FROM (
+  SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+  FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+)
+""",
+    "cy_cyclic": """
+SELECT n_name AS nation, count(*) AS pairs
+FROM customer
+JOIN supplier ON c_nationkey = s_nationkey
+JOIN nation ON n_nationkey = c_nationkey
+GROUP BY n_name
+""",
+    "cy_union": """
+SELECT r_name AS name FROM region
+UNION ALL SELECT n_name AS name FROM nation
+""",
+    "cy_unwind": """
+SELECT x, CAST(trunc(x / 2.0) AS BIGINT) AS half,
+       CAST(x - 3 * trunc(x / 3.0) AS BIGINT) AS rem
+FROM (VALUES (7), (-7), (10), (3)) t(x)
+""",
+    "cy_case_distinct": """
+SELECT DISTINCT CASE WHEN p_size > 25 THEN 'big' ELSE 'small' END AS bucket,
+       p_brand AS brand
+FROM part
+""",
+    "cy_list_exprs": """
+SELECT x,
+       list_transform(list_filter(range(0, x + 1), y -> y % 2 = 0),
+                      y -> y * y) AS squares,
+       len(list_filter(range(1, x + 1), y -> y > 0)) = x AS allpos
+FROM (VALUES (2), (4), (6)) t(x)
+""",
+    "cy_strings": """
+SELECT c_name AS name FROM customer
+WHERE c_name LIKE '%1' AND c_name LIKE '%0%'
+""",
+    "cy_params": """
+SELECT count(*) AS n FROM part WHERE p_size > 20 AND p_brand = 'Brand#1'
+""",
+}
