@@ -39,9 +39,17 @@ TPCH_TABLES = (
 ).split()
 
 
+def register_label(label: str) -> int:
+    """Dynamic label registry (reference: NameIdMapper,
+    src/storage/v2/name_id_mapper.hpp — names interned to ids on first use)."""
+    if label not in LABEL_CODES:
+        LABEL_CODES[label] = max(LABEL_CODES.values()) + 1
+    return LABEL_CODES[label]
+
+
 def node_id(label: str, key_col) -> F.Column:
     """Global node id as a column expression (no lookup table, no shuffle)."""
-    code = LABEL_CODES[label]
+    code = register_label(label)
     return (F.lit(code * (1 << KEY_BITS)) + key_col.cast("long")).alias("id")
 
 
@@ -62,6 +70,28 @@ class PropertyGraph:
     tables: dict[str, DataFrame] = field(default_factory=dict)
     # persisted (src,dst) adjacency, shared by all iterative traversals
     _adj_cache: dict = field(default_factory=dict, repr=False)
+    # (id, label) rows for labels added by SET n:Label (multi-label support
+    # on top of the per-label table layout)
+    extra_labels: DataFrame | None = None
+    # monotone write-batch counter: salts created-edge eids so two write
+    # batches can never mint the same edge identity
+    write_epoch: int = 0
+
+    def next_epoch(self) -> int:
+        self.write_epoch += 1
+        return self.write_epoch
+
+    # -- versioned writes (SURVEY §1.2: batch-append snapshot semantics; the
+    # -- reference's MVCC delta chains become immutable table versions) ------
+    def set_node_version(self, label: str, df: DataFrame) -> None:
+        self.nodes[label] = df
+
+    def set_edge_version(self, etype: str, df: DataFrame) -> None:
+        self.edges[etype] = df
+        for key, cached in list(self._adj_cache.items()):
+            if key[0] in (etype, None):
+                cached.unpersist()
+                del self._adj_cache[key]
 
     def adjacency(self, etype: str | None, direction: str = "out") -> DataFrame:
         """Deduped, persisted (src, dst) list oriented for traversal —
@@ -110,7 +140,19 @@ class PropertyGraph:
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
-        return out
+        return self.with_extra_labels(out)
+
+    def with_extra_labels(self, df: DataFrame) -> DataFrame:
+        """Merge SET-added labels into a (id, labels, ...) frame."""
+        if self.extra_labels is None:
+            return df
+        extras = self.extra_labels.groupBy("id").agg(
+            F.collect_set("label").alias("__extra"))
+        return df.join(extras, "id", "left").withColumn(
+            "labels",
+            F.array_union("labels", F.coalesce(
+                "__extra", F.array().cast("array<string>")))
+        ).drop("__extra")
 
     def all_edges(self, properties: list[str] | None = None) -> DataFrame:
         properties = properties or []

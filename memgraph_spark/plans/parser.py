@@ -204,13 +204,11 @@ class Parser:
         return items
 
     def set_item(self) -> A.SetItem:
-        subj = self.expr()
-        if isinstance(subj, A.Var) and self.at_op(":"):
-            labels = []
-            while self.at_op(":"):
-                self.next()
-                labels.append(self.name())
-            return A.SetItem(subj, A.Literal(None), "label", labels)
+        # target is a postfix expression only (n, n.prop, n:Label) — a full
+        # expr would swallow the '=' as a comparison operator
+        subj = self.postfix()
+        if isinstance(subj, A.LabelsTest):
+            return A.SetItem(subj.subject, A.Literal(None), "label", subj.labels)
         if self.at_op("+="):
             self.next()
             return A.SetItem(subj, self.expr(), "+=")

@@ -34,8 +34,12 @@ from memgraph_spark.plans.exprs import (
     contains_aggregate,
 )
 from memgraph_spark.plans.parser import parse
+from memgraph_spark.plans.writes import WriteMixin
 
 REL_META = ("eid", "type", "src", "dst")
+
+WRITE_COUNTERS = ("nodes_created", "relationships_created", "properties_set",
+                  "labels_added", "nodes_deleted", "relationships_deleted")
 
 
 class GraphSession:
@@ -61,7 +65,7 @@ class GraphSession:
         self.execute(query, params).explain("formatted")
 
 
-class QueryCompiler:
+class QueryCompiler(WriteMixin):
     """One SingleQuery -> one DataFrame. Mirrors the reference planner's
     clause walk (plan/rule_based_planner.cpp) at DataFrame granularity."""
 
@@ -74,6 +78,9 @@ class QueryCompiler:
         self._anon = 0
         self._anon_prefix = anon_prefix
         self._all_props_cache: list[str] | None = None
+        from collections import defaultdict
+        self.counters: dict[str, int] = defaultdict(int)
+        self.wrote = False
 
     # -- helpers ------------------------------------------------------------
     def _env(self, df: DataFrame | None = None,
@@ -100,8 +107,8 @@ class QueryCompiler:
         if len(labels) == 1 and labels[0] in self.g.nodes:
             df = self.g.node(labels[0])
             props = [c for c in df.columns if c != "id"]
-            return df.select(
-                "id", F.array(F.lit(labels[0])).alias("labels"), *props)
+            return self.g.with_extra_labels(df.select(
+                "id", F.array(F.lit(labels[0])).alias("labels"), *props))
         base = self.g.all_nodes(self._all_props())
         for lbl in labels:
             base = base.filter(F.array_contains(F.col("labels"), lbl))
@@ -129,12 +136,30 @@ class QueryCompiler:
                 out = self._project(cl, is_return=isinstance(cl, A.Return))
                 if isinstance(cl, A.Return):
                     result = out
+            elif isinstance(cl, A.Create):
+                self.wrote = True
+                self._create(cl)
+            elif isinstance(cl, A.Merge):
+                self.wrote = True
+                self._merge(cl)
+            elif isinstance(cl, A.SetClause):
+                self.wrote = True
+                self._set(cl.items)
+            elif isinstance(cl, A.RemoveClause):
+                self.wrote = True
+                self._remove(cl)
+            elif isinstance(cl, A.Delete):
+                self.wrote = True
+                self._delete(cl)
             else:
-                raise CompileError(
-                    f"clause {type(cl).__name__} requires the write engine "
-                    f"(memgraph_spark.plans.writes)")
+                raise CompileError(f"unsupported clause {type(cl).__name__}")
         if result is None:
-            raise CompileError("read query must end in RETURN")
+            if not self.wrote:
+                raise CompileError("read query must end in RETURN")
+            # write-only query: the reference's execution summary
+            return self.g.spark.createDataFrame(
+                [tuple(int(self.counters.get(k, 0)) for k in WRITE_COUNTERS)],
+                " BIGINT, ".join(WRITE_COUNTERS) + " BIGINT")
         return result
 
     # -- MATCH --------------------------------------------------------------
