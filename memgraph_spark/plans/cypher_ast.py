@@ -240,6 +240,27 @@ class Delete(Clause):
     detach: bool = False
 
 
+@dataclass
+class CallProc(Clause):
+    """CALL module.proc(args) YIELD a, b AS c (CallProcedure,
+    operator.hpp:2891 — procedures are UDTFs)."""
+    name: str                       # dotted module.proc
+    args: list[Expr]
+    yields: list[tuple[str, str | None]]  # (column, alias)
+
+
+@dataclass
+class LoadFile(Clause):
+    """LOAD CSV/PARQUET/JSONL FROM path AS row (operator.hpp:2935-3000)."""
+    kind: str                       # csv | parquet | jsonl
+    path: Expr
+    var: str
+    header: bool = True
+    delimiter: str | None = None
+    quote: str | None = None
+    nullif: str | None = None
+
+
 # -- query ------------------------------------------------------------------
 
 @dataclass

@@ -13,6 +13,8 @@ KEYWORDS = {
     "REMOVE", "ON", "AND", "OR", "XOR", "NOT", "IN", "STARTS", "ENDS",
     "CONTAINS", "IS", "NULL", "TRUE", "FALSE", "CASE", "WHEN", "THEN",
     "ELSE", "END", "EXISTS", "COUNT", "CALL", "YIELD", "FOREACH",
+    "LOAD", "CSV", "PARQUET", "JSONL", "FROM", "HEADER", "NO",
+    "DELIMITER", "QUOTE", "NULLIF",
 }
 
 TOKEN_RE = re.compile(

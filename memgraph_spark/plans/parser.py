@@ -107,6 +107,12 @@ class Parser:
             elif self.at_kw("SET"):
                 self.next()
                 clauses.append(A.SetClause(self.set_items()))
+            elif self.at_kw("CALL"):
+                self.next()
+                clauses.append(self.call_clause())
+            elif self.at_kw("LOAD"):
+                self.next()
+                clauses.append(self.load_clause())
             elif self.at_kw("REMOVE"):
                 self.next()
                 clauses.append(A.RemoveClause(self.remove_items()))
@@ -188,6 +194,52 @@ class Parser:
             items = self.set_items()
             (on_match if which == "MATCH" else on_create).extend(items)
         return A.Merge(pat, on_match, on_create)
+
+    def call_clause(self) -> A.CallProc:
+        parts = [self.name()]
+        while self.at_op("."):
+            self.next()
+            parts.append(self.name())
+        args: list[A.Expr] = []
+        if self.at_op("("):
+            self.next()
+            if not self.at_op(")"):
+                args.append(self.expr())
+                while self.at_op(","):
+                    self.next()
+                    args.append(self.expr())
+            self.eat_op(")")
+        yields: list[tuple[str, str | None]] = []
+        if self.try_kw("YIELD"):
+            while True:
+                col = self.name()
+                alias = self.name() if self.try_kw("AS") else None
+                yields.append((col, alias))
+                if not self.at_op(","):
+                    break
+                self.next()
+        return A.CallProc(".".join(parts), args, yields)
+
+    def load_clause(self) -> A.LoadFile:
+        kind = self.eat_kw("CSV", "PARQUET", "JSONL").lower()
+        self.eat_kw("FROM")
+        path = self.expr()
+        header, delimiter, quote, nullif = True, None, None, None
+        if kind == "csv":
+            if self.try_kw("WITH"):
+                self.eat_kw("HEADER")
+            elif self.try_kw("NO"):
+                self.eat_kw("HEADER")
+                header = False
+            if self.try_kw("DELIMITER"):
+                delimiter = self.next().value
+            if self.try_kw("QUOTE"):
+                quote = self.next().value
+            if self.try_kw("NULLIF"):
+                nullif = self.next().value
+        self.eat_kw("AS")
+        return A.LoadFile(kind, path, self.name(), header, delimiter,
+                          quote, nullif)
 
     def delete_clause(self, detach: bool) -> A.Delete:
         exprs = [self.expr()]

@@ -136,6 +136,10 @@ class QueryCompiler(WriteMixin):
                 out = self._project(cl, is_return=isinstance(cl, A.Return))
                 if isinstance(cl, A.Return):
                     result = out
+            elif isinstance(cl, A.CallProc):
+                self._call(cl)
+            elif isinstance(cl, A.LoadFile):
+                self._load(cl)
             elif isinstance(cl, A.Create):
                 self.wrote = True
                 self._create(cl)
@@ -405,6 +409,66 @@ class QueryCompiler(WriteMixin):
             sub._pattern_part(pp.pattern)
             self.df = self.df.join(sub.df.limit(1), F.lit(True), how)
 
+    # -- CALL / LOAD -----------------------------------------------------------
+    def _call(self, cl: A.CallProc) -> None:
+        """CallProcedure (operator.hpp:2891): procedures are UDTFs. Result
+        columns join the frame; uncorrelated procedures cross-join (each
+        frame row sees the full yield stream — the reference's semantics)."""
+        from memgraph_spark.procedures import PROCEDURES
+        fn = PROCEDURES.get(cl.name.lower())
+        if fn is None:
+            raise CompileError(f"unknown procedure {cl.name}")
+        args = []
+        for a in cl.args:
+            if isinstance(a, A.Literal):
+                args.append(a.value)
+            elif isinstance(a, A.Param):
+                args.append(self.params[a.name])
+            else:
+                raise CompileError("CALL arguments must be literals/parameters")
+        result = fn(self.g, *args)
+        if cl.yields:
+            cols = []
+            for col, alias in cl.yields:
+                if col not in result.columns:
+                    raise CompileError(
+                        f"procedure {cl.name} does not yield {col!r} "
+                        f"(yields: {result.columns})")
+                cols.append(F.col(col).alias(alias or col))
+                self.symbols[alias or col] = "value"
+            result = result.select(*cols)
+        else:
+            for col in result.columns:
+                self.symbols[col] = "value"
+        self.df = result if self.df is None else self.df.crossJoin(result)
+        if self.df is not None and "__once" in self.df.columns:
+            self.df = self.df.drop("__once")
+
+    def _load(self, cl: A.LoadFile) -> None:
+        """LoadCsv/LoadParquet/LoadJsonl (operator.hpp:2935-3000): file rows
+        become a struct-valued symbol; property access is struct access."""
+        if not isinstance(cl.path, A.Literal):
+            raise CompileError("LOAD path must be a string literal")
+        path = cl.path.value
+        spark = self.g.spark
+        if cl.kind == "csv":
+            reader = spark.read.option("header", str(cl.header).lower()) \
+                .option("inferSchema", "true")
+            if cl.delimiter:
+                reader = reader.option("sep", cl.delimiter)
+            if cl.quote:
+                reader = reader.option("quote", cl.quote)
+            if cl.nullif is not None:
+                reader = reader.option("nullValue", cl.nullif)
+            df = reader.csv(path)
+        elif cl.kind == "parquet":
+            df = spark.read.parquet(path)
+        else:
+            df = spark.read.json(path)
+        loaded = df.select(F.struct(*df.columns).alias(cl.var))
+        self.df = loaded if self.df is None else self.df.crossJoin(loaded)
+        self.symbols[cl.var] = "value"
+
     # -- UNWIND ---------------------------------------------------------------
     def _unwind(self, cl: A.Unwind) -> None:
         if self.df is None:
@@ -443,7 +507,15 @@ class QueryCompiler(WriteMixin):
             df, new_syms = self._project_plain(outs)
 
         if cl.distinct:
+            # DISTINCT is over the output columns only; ORDER BY afterwards
+            # may legally only reference them (Cypher scoping rule)
+            df = df.select(*self._keep_cols(outs, df))
             df = df.dropDuplicates()
+            new_syms = {}
+            for name, kind, spec in outs:
+                new_syms[name] = kind
+                if kind in ("node", "rel", "path"):
+                    new_syms[spec] = kind
 
         where = getattr(cl, "where", None)
         if where is not None:
@@ -495,22 +567,27 @@ class QueryCompiler(WriteMixin):
         self.df = df
         return df
 
+    def _keep_cols(self, outs, df: DataFrame) -> list[str]:
+        keep: list[str] = []
+        for name, kind, spec in outs:
+            if kind in ("node", "rel", "path"):
+                keep += [c for c in df.columns if c.startswith(f"{spec}_")]
+            else:
+                keep.append(name)
+        return list(dict.fromkeys(keep))
+
     def _project_plain(self, outs) -> tuple[DataFrame, dict[str, str]]:
+        """Computes output columns but keeps the full frame: ORDER BY after a
+        non-DISTINCT projection may reference pre-projection expressions
+        (pruning to the output scope happens at the final select)."""
         df = self.df
         for name, kind, spec in outs:
             if kind == "value":
                 df = df.withColumn(name, compile_expr(spec, self._env(df)))
-        # prune to the output scope (+ carried symbol prefixes)
-        keep: list[str] = []
-        new_syms: dict[str, str] = {}
+        new_syms: dict[str, str] = dict(self.symbols)
         for name, kind, spec in outs:
-            if kind in ("node", "rel", "path"):
-                keep += [c for c in df.columns if c.startswith(f"{spec}_")]
-                new_syms[spec] = kind  # columns still carry the old prefix
-            else:
-                keep.append(name)
             new_syms[name] = kind
-        return df.select(*dict.fromkeys(keep)), new_syms
+        return df, new_syms
 
     def _project_agg(self, outs) -> tuple[DataFrame, dict[str, str]]:
         """Aggregate (operator.cpp:6323): implicit grouping keys = the

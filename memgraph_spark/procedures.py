@@ -1,0 +1,115 @@
+"""Procedure registry: CALL module.proc(...) YIELD ... (SURVEY §2.10).
+
+Reference: CallProcedure (operator.hpp:2891) dispatches to the mgp module
+registry (src/query/procedure/module.cpp); MAGE ships the algorithms as
+C++/Python modules (query_modules/*). Here a procedure is a Python function
+(graph, *args) -> DataFrame with documented output columns — the UDTF shape —
+and the DataFrame body is the distributed implementation (algos/, llm/).
+
+Vertex-valued yields are node ids (join back on the nodes tables for
+properties), matching our id-based frame representation.
+
+register() is the mgp.add_read_proc equivalent for user modules.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from memgraph_spark.algos import (
+    degree_centrality,
+    label_propagation,
+    node_similarity_jaccard,
+    pagerank,
+    triangle_count,
+    weakly_connected_components,
+)
+from memgraph_spark.llm.textstats import language_id, quality_score, token_stats
+
+PROCEDURES: dict[str, Callable[..., DataFrame]] = {}
+
+
+def register(name: str, fn: Callable[..., DataFrame]) -> None:
+    """mgp-style registration (include/mgp.py add_read_proc parity)."""
+    PROCEDURES[name.lower()] = fn
+
+
+def _edges(g, etype=None):
+    return (g.edge(etype) if etype else g.all_edges()).select("src", "dst")
+
+
+# -- MAGE algorithm modules (query_modules/* naming) -------------------------
+
+def _pagerank(g, max_iterations: int = 20, damping_factor: float = 0.85):
+    """pagerank.get() YIELD node, rank (src/mage/cpp/pagerank_module)."""
+    r = pagerank(_edges(g), damping=damping_factor, max_iter=int(max_iterations))
+    return r.select(F.col("id").alias("node"), F.col("rank"))
+
+
+def _wcc(g):
+    """weakly_connected_components.get() YIELD node_id, component_id
+    (query_modules/wcc.py)."""
+    r = weakly_connected_components(_edges(g))
+    return r.select(F.col("id").alias("node_id"),
+                    F.col("component").alias("component_id"))
+
+
+def _label_prop(g, max_iterations: int = 10):
+    """community_detection.get() YIELD node, community_id (label propagation
+    stands in for Louvain/Leiden — same output contract)."""
+    r = label_propagation(_edges(g), max_iter=int(max_iterations))
+    return r.select(F.col("id").alias("node"),
+                    F.col("label").alias("community_id"))
+
+
+def _degree(g, direction: str = "both"):
+    """degree_centrality.get() YIELD node, degree, centrality."""
+    r = degree_centrality(_edges(g), direction=direction)
+    return r.select(F.col("id").alias("node"), F.col("degree"),
+                    F.col("centrality"))
+
+
+def _triangles(g):
+    """triangle_count.get() YIELD n_triangles (global count)."""
+    return triangle_count(_edges(g))
+
+
+def _node_similarity(g, min_common: int = 1):
+    """node_similarity.jaccard() YIELD node1, node2, similarity."""
+    r = node_similarity_jaccard(_edges(g), min_common=int(min_common))
+    return r.select(F.col("v_a").alias("node1"), F.col("v_b").alias("node2"),
+                    F.col("jaccard").alias("similarity"))
+
+
+# -- text utility modules (text analysis over the documents table) -----------
+
+def _text_tokens(g):
+    """text_util.tokens() YIELD doc_id, n_tokens, avg_token_len."""
+    return token_stats(g.tables["documents"]).select(
+        "doc_id", "n_tokens", "avg_token_len")
+
+
+def _text_quality(g):
+    """text_util.quality() YIELD doc_id, quality."""
+    return quality_score(g.tables["documents"]).select("doc_id", "quality")
+
+
+def _text_langid(g):
+    """text_util.language() YIELD doc_id, lang_pred."""
+    return language_id(g.tables["documents"]).select("doc_id", "lang_pred")
+
+
+register("pagerank.get", _pagerank)
+register("weakly_connected_components.get", _wcc)
+register("wcc.get", _wcc)
+register("community_detection.get", _label_prop)
+register("label_propagation.get", _label_prop)
+register("degree_centrality.get", _degree)
+register("triangle_count.get", _triangles)
+register("node_similarity.jaccard", _node_similarity)
+register("text_util.tokens", _text_tokens)
+register("text_util.quality", _text_quality)
+register("text_util.language", _text_langid)

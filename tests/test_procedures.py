@@ -1,0 +1,99 @@
+"""CALL procedure + LOAD clause tests (SURVEY §2.10, §2.1)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from memgraph_spark.catalog import graph_for
+from memgraph_spark.plans import GraphSession
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def gs(spark):
+    return GraphSession(graph_for(spark, SF_SMOKE))
+
+
+def test_call_pagerank(gs):
+    r = gs.execute("CALL pagerank.get() YIELD node, rank "
+                   "RETURN count(*) AS n, round(sum(rank), 4) AS total"
+                   ).collect()[0]
+    assert r.n > 0 and abs(r.total - 1.0) < 1e-3
+
+
+def test_call_wcc_single_component(gs):
+    # the TPC-H graph is fully connected through nation/region spokes
+    r = gs.execute("CALL wcc.get() YIELD node_id, component_id "
+                   "RETURN count(DISTINCT component_id) AS comps").collect()[0]
+    assert r.comps == 1
+
+
+def test_call_yield_alias_and_pipeline(gs):
+    rows = gs.execute(
+        "CALL degree_centrality.get() YIELD node AS v, degree AS d "
+        "WITH v, d WHERE d > 0 RETURN count(*) AS n").collect()
+    assert rows[0].n > 0
+
+
+def test_call_with_args(gs):
+    r = gs.execute("CALL pagerank.get(5, 0.9) YIELD node, rank "
+                   "RETURN round(sum(rank), 3) AS total").collect()[0]
+    assert abs(r.total - 1.0) < 1e-2
+
+
+def test_call_unknown_yield_errors(gs):
+    from memgraph_spark.plans.exprs import CompileError
+    with pytest.raises(CompileError):
+        gs.execute("CALL pagerank.get() YIELD nope RETURN nope")
+
+
+def test_register_custom_procedure(gs, spark):
+    from memgraph_spark import procedures
+
+    def my_proc(g, k=3):
+        return g.spark.range(int(k)).selectExpr("id AS x")
+
+    procedures.register("my_module.numbers", my_proc)
+    rows = gs.execute("CALL my_module.numbers(4) YIELD x "
+                      "RETURN sum(x) AS s").collect()
+    assert rows[0].s == 6
+
+
+def test_load_csv(gs):
+    d = tempfile.mkdtemp()
+    with open(os.path.join(d, "people.csv"), "w") as f:
+        f.write("name,age\nalice,30\nbob,25\n")
+    rows = gs.execute(
+        f"LOAD CSV FROM '{d}/people.csv' WITH HEADER AS row "
+        "RETURN row.name AS name, row.age AS age ORDER BY name").collect()
+    assert [(r.name, r.age) for r in rows] == [("alice", 30), ("bob", 25)]
+
+
+def test_load_csv_no_header_delimiter(gs):
+    d = tempfile.mkdtemp()
+    with open(os.path.join(d, "data.csv"), "w") as f:
+        f.write("x|1\ny|2\n")
+    rows = gs.execute(
+        f"LOAD CSV FROM '{d}/data.csv' NO HEADER DELIMITER '|' AS row "
+        "RETURN count(*) AS n").collect()
+    assert rows[0].n == 2
+
+
+def test_load_parquet(gs):
+    rows = gs.execute(
+        f"LOAD PARQUET FROM '{SF_SMOKE}/region.parquet' AS r "
+        "RETURN r.r_name AS name ORDER BY name LIMIT 1").collect()
+    assert rows[0].name == "AFRICA"
+
+
+def test_load_jsonl(gs):
+    d = tempfile.mkdtemp()
+    with open(os.path.join(d, "docs.jsonl"), "w") as f:
+        f.write('{"id": 1, "txt": "hello"}\n{"id": 2, "txt": "world"}\n')
+    rows = gs.execute(
+        f"LOAD JSONL FROM '{d}/docs.jsonl' AS doc "
+        "RETURN doc.id AS id, doc.txt AS txt ORDER BY id").collect()
+    assert [(r.id, r.txt) for r in rows] == [(1, "hello"), (2, "world")]
