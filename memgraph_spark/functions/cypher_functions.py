@@ -93,6 +93,10 @@ FUNCTIONS: dict[str, object] = {
     "tointegerornull": _to_integer,
     "tofloatornull": _to_float,
     "tobooleanornull": _to_boolean,
+    # spatial (memgraph_spark.functions.spatial; point() itself is compiled
+    # in the expression layer because its argument is a map literal)
+    "point.distance": None,  # bound below
+    "point.withinbbox": None,
     # misc
     "coalesce": F.coalesce,
     "randomuuid": F.uuid,
@@ -108,6 +112,12 @@ FUNCTIONS: dict[str, object] = {
 # aggregate name -> fn(Column, distinct: bool) -> Column
 def _agg(fn):
     return lambda c, distinct=False: fn(c)
+
+
+from memgraph_spark.functions.spatial import point_distance, point_withinbbox  # noqa: E402
+
+FUNCTIONS["point.distance"] = point_distance
+FUNCTIONS["point.withinbbox"] = point_withinbbox
 
 
 AGGREGATES: dict[str, object] = {

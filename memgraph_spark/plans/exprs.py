@@ -279,6 +279,18 @@ def _compile_func(e: A.FuncCall, env: Env) -> Column:
     # round(x, d): the scale must be a literal int (Spark round signature)
     if name == "round" and len(e.args) == 2 and isinstance(e.args[1], A.Literal):
         return F.round(compile_expr(e.args[0], env), e.args[1].value)
+    # point({x:…, y:…}) / point({longitude:…, latitude:…}) -> typed struct
+    if name == "point" and e.args and isinstance(e.args[0], A.MapLiteral):
+        from memgraph_spark.functions.spatial import (
+            SRID_CARTESIAN, SRID_WGS84, make_point)
+        m = e.args[0].items
+        if "longitude" in m and "latitude" in m:
+            return make_point(compile_expr(m["longitude"], env),
+                              compile_expr(m["latitude"], env), SRID_WGS84)
+        if "x" in m and "y" in m:
+            return make_point(compile_expr(m["x"], env),
+                              compile_expr(m["y"], env), SRID_CARTESIAN)
+        raise CompileError("point() needs x/y or longitude/latitude")
     args = [compile_expr(a, env) for a in e.args]
     if name in AGGREGATES:
         return AGGREGATES[name](args[0], e.distinct)

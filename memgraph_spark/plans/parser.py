@@ -573,6 +573,22 @@ class Parser:
             if (t.value.lower() in ("any", "none", "single")
                     and nxt.kind == "OP" and nxt.value == "("):
                 return self.quantifier(t.value.lower())
+            # dotted function names: point.distance(a, b), duration.between(...)
+            if (nxt.kind == "OP" and nxt.value == "."
+                    and self.peek(2).kind in ("NAME", "KEYWORD")
+                    and self.peek(3).kind == "OP" and self.peek(3).value == "("):
+                mod = self.name()
+                self.eat_op(".")
+                fname = f"{mod}.{self.name()}"
+                self.eat_op("(")
+                args = []
+                if not self.at_op(")"):
+                    args.append(self.expr())
+                    while self.at_op(","):
+                        self.next()
+                        args.append(self.expr())
+                self.eat_op(")")
+                return A.FuncCall(fname, args)
             if nxt.kind == "OP" and nxt.value == "(":
                 fname = self.name()
                 self.eat_op("(")

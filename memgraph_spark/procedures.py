@@ -102,6 +102,29 @@ def _text_langid(g):
     return language_id(g.tables["documents"]).select("doc_id", "lang_pred")
 
 
+# -- text search module (query_modules/text_search_module.cpp:23-31) --------
+
+def _text_search(g, query: str, k: int = 10):
+    """text_search.search(query, k) YIELD doc_id, score (BM25)."""
+    from memgraph_spark.search import bm25_search
+    return bm25_search(g.tables["documents"], query, k=int(k))
+
+
+def _text_regex(g, pattern: str):
+    """text_search.regex_search(pattern) YIELD doc_id."""
+    from memgraph_spark.search import regex_search
+    return regex_search(g.tables["documents"], pattern)
+
+
+def _text_fuzzy(g, term: str, max_edits: int = 1):
+    """text_search.fuzzy_search(term, max_edits) YIELD doc_id."""
+    from memgraph_spark.search import fuzzy_search
+    return fuzzy_search(g.tables["documents"], term, int(max_edits))
+
+
+register("text_search.search", _text_search)
+register("text_search.regex_search", _text_regex)
+register("text_search.fuzzy_search", _text_fuzzy)
 register("pagerank.get", _pagerank)
 register("weakly_connected_components.get", _wcc)
 register("wcc.get", _wcc)

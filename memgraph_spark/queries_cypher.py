@@ -91,6 +91,22 @@ CYPHER_QUERIES = {
         "MATCH (p:Part) WHERE p.size > $minsize AND p.brand = $brand "
         "RETURN count(*) AS n",
         {"minsize": 20, "brand": "Brand#1"}),
+    # BM25 full-text search over the documents table (CALL procedure surface)
+    "cy_text_bm25": _run(
+        "CALL text_search.search('vector hash join', 10) YIELD doc_id, score "
+        "RETURN doc_id, score"),
+    # regex search (tantivy regex_search parity -> rlike scan)
+    "cy_text_regex": _run(
+        "CALL text_search.regex_search('vector.*stream') YIELD doc_id "
+        "RETURN count(*) AS n"),
+    # geo: haversine distance + bbox predicate as pure column expressions
+    "cy_point_geo": _run(
+        "UNWIND [[13.4, 52.52], [2.35, 48.86], [-0.13, 51.51]] AS c "
+        "WITH point({longitude: c[0], latitude: c[1]}) AS p "
+        "RETURN round(point.distance(p, point({longitude: 0.0, latitude: 0.0})) "
+        "/ 1000, 1) AS dist_km, "
+        "point.withinbbox(p, point({longitude: -1.0, latitude: 45.0}), "
+        "point({longitude: 5.0, latitude: 55.0})) AS in_box"),
 }
 
 
@@ -174,5 +190,46 @@ WHERE c_name LIKE '%1' AND c_name LIKE '%0%'
 """,
     "cy_params": """
 SELECT count(*) AS n FROM part WHERE p_size > 20 AND p_brand = 'Brand#1'
+""",
+    "cy_text_bm25": """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+exploded AS (
+  SELECT doc_id, len(toks) AS doc_len, unnest(toks) AS token FROM tok
+),
+idx AS (
+  SELECT token, doc_id, doc_len, count(*) AS tf
+  FROM exploded GROUP BY 1, 2, 3
+),
+stats AS (SELECT count(*) AS n FROM documents),
+avgl AS (SELECT avg(doc_len) AS al
+         FROM (SELECT DISTINCT doc_id, doc_len FROM idx)),
+terms AS (SELECT unnest(['hash', 'join', 'vector']) AS token),
+hits AS (SELECT i.* FROM idx i JOIN terms USING (token)),
+dfreq AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM hits GROUP BY 1),
+scored AS (
+  SELECT doc_id,
+         round(sum(ln(1 + (n - df_t + 0.5) / (df_t + 0.5))
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * doc_len / al))), 4) AS score
+  FROM hits JOIN dfreq USING (token), stats, avgl
+  GROUP BY doc_id, n, al
+)
+SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10
+""",
+    "cy_text_regex": """
+SELECT count(*) AS n FROM documents WHERE regexp_matches(text, 'vector.*stream')
+""",
+    "cy_point_geo": """
+SELECT round(2 * 6371009 * asin(sqrt(
+         sin(radians((0 - lat) / 2)) ^ 2
+         + cos(radians(lat)) * cos(radians(0))
+           * sin(radians((0 - lon) / 2)) ^ 2)) / 1000, 1) AS dist_km,
+       (lon BETWEEN -1.0 AND 5.0) AND (lat BETWEEN 45.0 AND 55.0) AS in_box
+FROM (VALUES (13.4, 52.52), (2.35, 48.86), (-0.13, 51.51)) t(lon, lat)
 """,
 }
