@@ -31,7 +31,14 @@ HEADLINE = [
     "unwind_tokens",
     "bfs_reach",
     "var_expand",
+    "weighted_shortest",
+    "project_subgraph",
     "events_window",
+    # Cypher-frontend compiled plans (parse -> AST -> DataFrame)
+    "cy_expand_agg",
+    "cy_two_hop",
+    "cy_with_having",
+    "cy_text_bm25",
 ]
 
 

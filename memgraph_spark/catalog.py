@@ -169,6 +169,25 @@ class PropertyGraph:
             out = out.unionByName(d)
         return out
 
+    def project(self, node_ids: DataFrame,
+                etypes: list[str] | None = None) -> "PropertyGraph":
+        """PROJECT/DERIVE parity (SURVEY §2.5, aggregation.hpp:27): the
+        induced subgraph on a node-id set as a new graph value. Lazy — two
+        semi-joins per edge table; nothing materializes until queried."""
+        ids = node_ids.select(F.col(node_ids.columns[0]).alias("id"))
+        sub = PropertyGraph(self.spark, tables=self.tables)
+        for label, df in self.nodes.items():
+            sub.nodes[label] = df.join(ids, on="id", how="left_semi")
+        for etype, e in self.edges.items():
+            if etypes is not None and etype not in etypes:
+                continue
+            sub.edges[etype] = (
+                e.join(ids.withColumnRenamed("id", "src"), on="src",
+                       how="left_semi")
+                .join(ids.withColumnRenamed("id", "dst"), on="dst",
+                      how="left_semi"))
+        return sub
+
     def degrees(self, etype: str | None = None, direction: str = "out") -> DataFrame:
         """degree/inDegree/outDegree (awesome functions) as a pre-aggregated
         table: (id, degree). Map-side combine; broadcast-able for joins."""

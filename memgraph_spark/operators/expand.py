@@ -235,19 +235,22 @@ def shortest_path(
 def weighted_shortest_path(
     graph,
     sources: DataFrame,
-    etype: str,
+    etype: str | None,
     weight_col: str,
     direction: str = "out",
     max_iterations: int = 30,
     source_col: str = "id",
+    edges_df: DataFrame | None = None,
 ) -> DataFrame:
     """ExpandWeightedShortestPath (operator.cpp:3000, Dijkstra with a pq).
 
     Distributed re-expression: Bellman-Ford-style iterative relaxation with a
     per-(start,node) min-aggregation until fixpoint — the scalable equivalent
     of Dijkstra when the frontier is a DataFrame. Returns (start, id, cost).
+    Pass `edges_df` (src, dst, <weight_col>) to mix edge types with
+    heterogeneous weights (the reference's weight lambda).
     """
-    edges = graph.edge(etype)
+    edges = edges_df if edges_df is not None else graph.edge(etype)
     if direction == "in":
         edges = edges.withColumnRenamed("src", "__t").withColumnRenamed("dst", "src") \
                      .withColumnRenamed("__t", "dst")

@@ -427,6 +427,73 @@ SELECT c_custkey AS custkey, 2 AS depth, count(*) AS n_paths FROM hop2 GROUP BY 
 
 
 # ---------------------------------------------------------------------------
+# weighted shortest path (ExpandWeightedShortestPath, operator.cpp:3000)
+# ---------------------------------------------------------------------------
+
+def q_weighted_shortest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dijkstra-as-relaxation from high-balance customers over heterogeneous
+    edge weights (PLACED=1, CONTAINS=quantity) to Part nodes; returns
+    (custkey, partkey, cost) where cost = 1 + min lineitem quantity."""
+    from memgraph_spark.operators import weighted_shortest_path
+    g = graph_for(spark, sf_dir)
+    placed = g.edge("PLACED").select("src", "dst", F.lit(1.0).alias("w"))
+    contains = g.edge("CONTAINS").select(
+        "src", "dst", F.col("quantity").cast("double").alias("w"))
+    starts = bind(g, "Customer", "c").filter(F.col("c_acctbal") > 9950) \
+        .select(F.col("c_id").alias("id"))
+    dist = weighted_shortest_path(g, starts, None, "w",
+                                  edges_df=placed.unionByName(contains))
+    parts = dist.filter((F.col("id") / F.lit(_B)).cast("long")
+                        == _ID["Part"] // _B)
+    return parts.select(
+        (F.col("start") - F.lit(_ID["Customer"])).alias("custkey"),
+        (F.col("id") - F.lit(_ID["Part"])).alias("partkey"),
+        F.round(F.col("cost"), 2).alias("cost"))
+
+
+ORACLE_WEIGHTED_SHORTEST = """
+WITH starts AS (SELECT c_custkey FROM customer WHERE c_acctbal > 9950)
+SELECT s.c_custkey AS custkey, l_partkey AS partkey,
+       round(1 + min(l_quantity), 2) AS cost
+FROM starts s
+JOIN orders ON o_custkey = s.c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# graph projection (PROJECT/DERIVE aggregations, aggregation.hpp:27)
+# ---------------------------------------------------------------------------
+
+def q_project_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Induced subgraph on ASIA (region + nations + customers) as a graph
+    value; per-type edge counts of the projection."""
+    g = graph_for(spark, sf_dir)
+    asia = bind(g, "Region", "r").filter(F.col("r_name") == "ASIA") \
+        .select(F.col("r_id").alias("id"))
+    nations = g.edge("IN_REGION").join(
+        asia.withColumnRenamed("id", "dst"), on="dst", how="left_semi") \
+        .select(F.col("src").alias("id"))
+    custs = g.edge("FROM_NATION").join(
+        nations.withColumnRenamed("id", "dst"), on="dst", how="left_semi") \
+        .select(F.col("src").alias("id"))
+    sub = g.project(asia.unionByName(nations).unionByName(custs))
+    return sub.all_edges().groupBy(F.col("type").alias("etype")) \
+        .agg(F.count("*").alias("n_edges"))
+
+
+ORACLE_PROJECT_SUBGRAPH = """
+SELECT 'FROM_NATION' AS etype, count(*) AS n_edges
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'
+UNION ALL
+SELECT 'IN_REGION' AS etype, count(*) AS n_edges
+FROM nation JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'
+"""
+
+
+# ---------------------------------------------------------------------------
 # events (streaming table, batch view) — windowed aggregation
 # ---------------------------------------------------------------------------
 
@@ -469,6 +536,8 @@ QUERIES = {
     "window_topk": q_window_topk,
     "bfs_reach": q_bfs_reach,
     "var_expand": q_var_expand,
+    "weighted_shortest": q_weighted_shortest,
+    "project_subgraph": q_project_subgraph,
     "events_window": q_events_window,
 }
 
@@ -494,6 +563,8 @@ ORACLES = {
     "window_topk": ORACLE_WINDOW_TOPK,
     "bfs_reach": ORACLE_BFS_REACH,
     "var_expand": ORACLE_VAR_EXPAND,
+    "weighted_shortest": ORACLE_WEIGHTED_SHORTEST,
+    "project_subgraph": ORACLE_PROJECT_SUBGRAPH,
     "events_window": ORACLE_EVENTS_WINDOW,
 }
 
