@@ -111,6 +111,15 @@ class PatternPredicate(Expr):
 
 
 @dataclass
+class PatternComprehension(Expr):
+    """[(n)-[:T]->(m) WHERE pred | projection] — RollUpApply
+    (operator.hpp:3185): a list of projections per pattern match."""
+    pattern: "PatternPart"
+    where: Expr | None
+    projection: Expr
+
+
+@dataclass
 class LabelsTest(Expr):
     subject: Expr
     labels: list[str]
@@ -238,6 +247,21 @@ class RemoveClause(Clause):
 class Delete(Clause):
     exprs: list[Expr]
     detach: bool = False
+
+
+@dataclass
+class Foreach(Clause):
+    """FOREACH (x IN list | update-clauses) (operator.hpp:3032)."""
+    var: str
+    source: Expr
+    updates: list[Clause]
+
+
+@dataclass
+class CallSubquery(Clause):
+    """CALL { ... } (Apply, operator.hpp:3061): correlated via a leading
+    WITH import, uncorrelated otherwise."""
+    query: "SingleQuery"
 
 
 @dataclass

@@ -162,6 +162,15 @@ def _compile_property(e: A.Property, env: Env) -> Column:
         if e.key in t.names:
             return subj.getField(e.key)
         return F.lit(None)
+    # temporal component accessors: date(...).year etc. (the reference's
+    # temporal types expose components as property lookups)
+    if isinstance(t, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+        comp = {
+            "year": F.year, "month": F.month, "day": F.dayofmonth,
+            "hour": F.hour, "minute": F.minute, "second": F.second,
+        }.get(e.key.lower())
+        if comp is not None:
+            return comp(subj).cast("long")
     return F.try_element_at(subj, F.lit(e.key))
 
 

@@ -109,7 +109,23 @@ class Parser:
                 clauses.append(A.SetClause(self.set_items()))
             elif self.at_kw("CALL"):
                 self.next()
-                clauses.append(self.call_clause())
+                if self.at_op("{"):
+                    self.next()
+                    inner = self.single_query()
+                    self.eat_op("}")
+                    clauses.append(A.CallSubquery(inner))
+                else:
+                    clauses.append(self.call_clause())
+            elif self.at_kw("FOREACH"):
+                self.next()
+                self.eat_op("(")
+                v = self.name()
+                self.eat_kw("IN")
+                src = self.expr()
+                self.eat_op("|")
+                updates = self.foreach_updates()
+                self.eat_op(")")
+                clauses.append(A.Foreach(v, src, updates))
             elif self.at_kw("LOAD"):
                 self.next()
                 clauses.append(self.load_clause())
@@ -194,6 +210,44 @@ class Parser:
             items = self.set_items()
             (on_match if which == "MATCH" else on_create).extend(items)
         return A.Merge(pat, on_match, on_create)
+
+    def foreach_updates(self) -> list[A.Clause]:
+        updates: list[A.Clause] = []
+        while True:
+            if self.at_kw("SET"):
+                self.next()
+                updates.append(A.SetClause(self.set_items()))
+            elif self.at_kw("REMOVE"):
+                self.next()
+                updates.append(A.RemoveClause(self.remove_items()))
+            elif self.at_kw("CREATE"):
+                self.next()
+                updates.append(A.Create(self.patterns()))
+            elif self.at_kw("MERGE"):
+                self.next()
+                updates.append(self.merge_clause())
+            elif self.at_kw("DELETE"):
+                self.next()
+                updates.append(self.delete_clause(detach=False))
+            elif self.at_kw("DETACH"):
+                self.next()
+                self.eat_kw("DELETE")
+                updates.append(self.delete_clause(detach=True))
+            elif self.at_kw("FOREACH"):
+                self.next()
+                self.eat_op("(")
+                v = self.name()
+                self.eat_kw("IN")
+                src = self.expr()
+                self.eat_op("|")
+                inner = self.foreach_updates()
+                self.eat_op(")")
+                updates.append(A.Foreach(v, src, inner))
+            else:
+                break
+        if not updates:
+            raise SyntaxError("FOREACH needs at least one update clause")
+        return updates
 
     def call_clause(self) -> A.CallProc:
         parts = [self.name()]
@@ -621,6 +675,20 @@ class Parser:
             return e
         if t.kind == "OP" and t.value == "[":
             self.next()
+            # pattern comprehension: [(n)-[:T]->(m) WHERE p | proj]
+            if self.at_op("("):
+                save = self.i
+                try:
+                    pat = self.pattern_part()
+                    if not pat.chain:
+                        raise SyntaxError("not a pattern comprehension")
+                    where = self.expr() if self.try_kw("WHERE") else None
+                    self.eat_op("|")
+                    proj = self.expr()
+                    self.eat_op("]")
+                    return A.PatternComprehension(pat, where, proj)
+                except SyntaxError:
+                    self.i = save
             # list comprehension: [x IN src WHERE p | proj] vs literal
             if (self.peek().kind == "NAME" and self.peek(1).kind == "KEYWORD"
                     and self.peek(1).value == "IN"):

@@ -128,35 +128,10 @@ class QueryCompiler(WriteMixin):
     def compile(self, sq: A.SingleQuery) -> DataFrame:
         result: DataFrame | None = None
         for cl in sq.clauses:
-            if isinstance(cl, A.Match):
-                self._match(cl)
-            elif isinstance(cl, A.Unwind):
-                self._unwind(cl)
-            elif isinstance(cl, (A.With, A.Return)):
-                out = self._project(cl, is_return=isinstance(cl, A.Return))
-                if isinstance(cl, A.Return):
-                    result = out
-            elif isinstance(cl, A.CallProc):
-                self._call(cl)
-            elif isinstance(cl, A.LoadFile):
-                self._load(cl)
-            elif isinstance(cl, A.Create):
-                self.wrote = True
-                self._create(cl)
-            elif isinstance(cl, A.Merge):
-                self.wrote = True
-                self._merge(cl)
-            elif isinstance(cl, A.SetClause):
-                self.wrote = True
-                self._set(cl.items)
-            elif isinstance(cl, A.RemoveClause):
-                self.wrote = True
-                self._remove(cl)
-            elif isinstance(cl, A.Delete):
-                self.wrote = True
-                self._delete(cl)
+            if isinstance(cl, A.Return):
+                result = self._project(cl, is_return=True)
             else:
-                raise CompileError(f"unsupported clause {type(cl).__name__}")
+                self.compile_clause(cl)
         if result is None:
             if not self.wrote:
                 raise CompileError("read query must end in RETURN")
@@ -165,6 +140,40 @@ class QueryCompiler(WriteMixin):
                 [tuple(int(self.counters.get(k, 0)) for k in WRITE_COUNTERS)],
                 " BIGINT, ".join(WRITE_COUNTERS) + " BIGINT")
         return result
+
+    def compile_clause(self, cl: A.Clause) -> None:
+        if isinstance(cl, A.Match):
+            self._match(cl)
+        elif isinstance(cl, A.Unwind):
+            self._unwind(cl)
+        elif isinstance(cl, A.With):
+            self._project(cl, is_return=False)
+        elif isinstance(cl, A.CallProc):
+            self._call(cl)
+        elif isinstance(cl, A.CallSubquery):
+            self._call_subquery(cl)
+        elif isinstance(cl, A.Foreach):
+            self.wrote = True
+            self._foreach(cl)
+        elif isinstance(cl, A.LoadFile):
+            self._load(cl)
+        elif isinstance(cl, A.Create):
+            self.wrote = True
+            self._create(cl)
+        elif isinstance(cl, A.Merge):
+            self.wrote = True
+            self._merge(cl)
+        elif isinstance(cl, A.SetClause):
+            self.wrote = True
+            self._set(cl.items)
+        elif isinstance(cl, A.RemoveClause):
+            self.wrote = True
+            self._remove(cl)
+        elif isinstance(cl, A.Delete):
+            self.wrote = True
+            self._delete(cl)
+        else:
+            raise CompileError(f"unsupported clause {type(cl).__name__}")
 
     # -- MATCH --------------------------------------------------------------
     def _match(self, m: A.Match) -> None:
@@ -380,6 +389,7 @@ class QueryCompiler(WriteMixin):
             if isinstance(conj, A.PatternPredicate):
                 self._pattern_filter(conj)
             else:
+                conj = self._lift(conj)
                 self.df = self.df.filter(compile_expr(conj, self._env()))
 
     def _conjuncts(self, e: A.Expr) -> list[A.Expr]:
@@ -469,11 +479,159 @@ class QueryCompiler(WriteMixin):
         self.df = loaded if self.df is None else self.df.crossJoin(loaded)
         self.symbols[cl.var] = "value"
 
+    # -- RollUpApply: pattern comprehensions ----------------------------------
+    def _lift(self, e: A.Expr) -> A.Expr:
+        """Replace PatternComprehension nodes inside an expression tree with
+        precomputed list columns (RollUpApply, operator.cpp:9208: per anchor
+        binding, collect the projections over all pattern matches)."""
+        import dataclasses
+        if isinstance(e, A.PatternComprehension):
+            return self._roll_up(e)
+        if isinstance(e, A.PatternPredicate) or not dataclasses.is_dataclass(e):
+            return e
+        changes = {}
+        for f in dataclasses.fields(e):
+            v = getattr(e, f.name)
+            if isinstance(v, A.Expr):
+                nv = self._lift(v)
+                if nv is not v:
+                    changes[f.name] = nv
+            elif isinstance(v, list) and v and isinstance(v[0], A.Expr):
+                changes[f.name] = [self._lift(x) for x in v]
+            elif (isinstance(v, list) and v and isinstance(v[0], tuple)
+                  and len(v[0]) == 2):  # CaseExpr whens
+                changes[f.name] = [(self._lift(a), self._lift(b))
+                                   for a, b in v]
+            elif isinstance(v, dict):
+                changes[f.name] = {
+                    k: (self._lift(x) if isinstance(x, A.Expr) else x)
+                    for k, x in v.items()}
+        return dataclasses.replace(e, **changes) if changes else e
+
+    def _roll_up(self, pc: A.PatternComprehension) -> A.Expr:
+        shared = sorted(s for s in self._pattern_syms([pc.pattern])
+                        if s in self.symbols)
+        keys = [f"{s}_id" for s in shared if self.symbols[s] == "node"]
+        if not keys:
+            raise CompileError(
+                "pattern comprehension must anchor at a bound node")
+        sub = QueryCompiler(self.g, self.params,
+                            anon_prefix=f"rc{self._anon}_")
+        self._anon += 1
+        anchor_cols = [c for c in self.df.columns
+                       if any(c == s or c.startswith(f"{s}_") for s in shared)]
+        sub.df = self.df.select(*anchor_cols).dropDuplicates(keys)
+        sub.symbols = {s: self.symbols[s] for s in shared}
+        sub._pattern_part(pc.pattern)
+        if pc.where is not None:
+            sub._where(pc.where)
+        proj = compile_expr(pc.projection, sub._env())
+        out = self._anon_sym("pc")
+        rolled = (sub.df.select(*keys, proj.alias("__proj"))
+                  .groupBy(*keys).agg(F.collect_list("__proj").alias(out)))
+        self.df = self.df.join(rolled, on=keys, how="left")
+        self.df = self.df.withColumn(out, F.coalesce(F.col(out), F.array()))
+        self.symbols[out] = "value"
+        return A.Var(out)
+
+    # -- FOREACH / CALL {} -----------------------------------------------------
+    def _foreach(self, cl: A.Foreach) -> None:
+        """Foreach (operator.cpp:8770): run update clauses once per list
+        element; the outer frame is unchanged."""
+        if self.df is None:
+            self.df = self._seed()
+        sub = QueryCompiler(self.g, self.params,
+                            anon_prefix=f"fe{self._anon}_")
+        self._anon += 1
+        sub.counters = self.counters
+        sub.df = self.df.withColumn(
+            cl.var, F.explode(compile_expr(self._lift(cl.source), self._env())))
+        sub.symbols = dict(self.symbols) | {cl.var: "value"}
+        for upd in cl.updates:
+            if isinstance(upd, A.SetClause):
+                sub._set(upd.items)
+            elif isinstance(upd, A.RemoveClause):
+                sub._remove(upd)
+            elif isinstance(upd, A.Create):
+                sub._create(upd)
+            elif isinstance(upd, A.Merge):
+                sub._merge(upd)
+            elif isinstance(upd, A.Delete):
+                sub._delete(upd)
+            elif isinstance(upd, A.Foreach):
+                sub._foreach(upd)
+            else:
+                raise CompileError(
+                    f"FOREACH cannot contain {type(upd).__name__}")
+
+    def _call_subquery(self, cl: A.CallSubquery) -> None:
+        """Apply (operator.hpp:3061): CALL { [WITH imports] ... RETURN ... }.
+        Correlated subqueries anchor on the imported symbols' distinct rows
+        and join back — decorrelation by construction, no per-row re-run."""
+        clauses = list(cl.query.clauses)
+        imports: list[str] = []
+        if (clauses and isinstance(clauses[0], A.With)
+                and not clauses[0].star
+                and all(isinstance(it.expr, A.Var) and it.alias is None
+                        for it in clauses[0].items)):
+            imports = [it.expr.name for it in clauses[0].items]
+            clauses = clauses[1:]
+        sub = QueryCompiler(self.g, self.params,
+                            anon_prefix=f"cs{self._anon}_")
+        self._anon += 1
+        sub.counters = self.counters
+        keys: list[str] = []
+        if imports and self.df is not None:
+            unknown = [s for s in imports if s not in self.symbols]
+            if unknown:
+                raise CompileError(f"CALL {{}} imports unbound {unknown}")
+            keys = [f"{s}_id" for s in imports
+                    if self.symbols[s] == "node"] or \
+                   [s for s in imports if self.symbols[s] == "value"]
+            anchor_cols = [c for c in self.df.columns
+                           if any(c == s or c.startswith(f"{s}_")
+                                  for s in imports)]
+            sub.df = self.df.select(*anchor_cols).dropDuplicates(keys)
+            sub.symbols = {s: self.symbols[s] for s in imports}
+        returned = False
+        for c in clauses:
+            if isinstance(c, A.Return):
+                # keep frame form: compile RETURN as WITH so the outer query
+                # can keep operating on the columns; carry the imported
+                # symbols so a correlated aggregate groups per anchor row
+                items = list(c.items)
+                names = {it.alias or it.text for it in items}
+                items = [A.ReturnItem(A.Var(s), None, s)
+                         for s in imports
+                         if s in sub.symbols and s not in names] + items
+                sub._project(A.With(items, c.star, c.distinct, c.order,
+                                    c.skip, c.limit, None),
+                             is_return=False)
+                returned = True
+            else:
+                sub.compile_clause(c)
+        if sub.wrote:
+            self.wrote = True
+        if not returned:
+            return  # unit subquery (writes only): frame unchanged
+        branch = sub.df
+        if keys:
+            drop = [c for c in branch.columns
+                    if c not in keys and c in self.df.columns]
+            branch = branch.drop(*drop) if drop else branch
+            self.df = self.df.join(branch, on=keys, how="inner")
+        else:
+            self.df = (branch if self.df is None
+                       else self.df.crossJoin(branch))
+        for s, k in sub.symbols.items():
+            if s not in self.symbols:
+                self.symbols[s] = k
+
     # -- UNWIND ---------------------------------------------------------------
     def _unwind(self, cl: A.Unwind) -> None:
         if self.df is None:
             self.df = self._seed()
-        col = compile_expr(cl.expr, self._env())
+        col = compile_expr(self._lift(cl.expr), self._env())
         self.df = self.df.withColumn(cl.var, F.explode(col))
         if "__once" in self.df.columns:
             self.df = self.df.drop("__once")
@@ -488,6 +646,10 @@ class QueryCompiler(WriteMixin):
             items = [A.ReturnItem(A.Var(s), None, s)
                      for s in sorted(self.symbols)
                      if not s.startswith("__")] + items
+        # RollUpApply pass: pattern comprehensions become list columns first
+        if self.df is not None:
+            items = [A.ReturnItem(self._lift(it.expr), it.alias, it.text)
+                     for it in items]
 
         # classify: carried graph symbols vs computed value columns
         outs: list[tuple[str, str, object]] = []  # (name, kind, sym|expr)

@@ -194,6 +194,35 @@ CASES = [
     ("labels_and_id_functions",
      "MATCH (r:Region) RETURN labels(r)[0] AS lbl, r.key AS k",
      "SELECT 'Region' AS lbl, r_regionkey AS k FROM region"),
+    ("pattern_comprehension",
+     "MATCH (n:Nation) RETURN n.name AS nation, "
+     "size([(c:Customer)-[:FROM_NATION]->(n) | c.key]) AS custs",
+     "SELECT n_name AS nation, (SELECT count(*) FROM customer "
+     "WHERE c_nationkey = n_nationkey) AS custs FROM nation"),
+    ("pattern_comprehension_filtered",
+     "MATCH (n:Nation) RETURN n.name AS nation, "
+     "size([(c:Customer)-[:FROM_NATION]->(n) WHERE c.acctbal > 5000 | c.key]) "
+     "AS rich",
+     "SELECT n_name AS nation, (SELECT count(*) FROM customer WHERE "
+     "c_nationkey = n_nationkey AND c_acctbal > 5000) AS rich FROM nation"),
+    ("call_subquery_correlated",
+     "MATCH (n:Nation) CALL { WITH n "
+     "MATCH (c:Customer)-[:FROM_NATION]->(n) RETURN count(c) AS nc } "
+     "RETURN n.name AS nation, nc",
+     "SELECT n_name AS nation, cnt AS nc FROM nation JOIN (SELECT "
+     "c_nationkey, count(*) AS cnt FROM customer GROUP BY 1) "
+     "ON c_nationkey = n_nationkey"),
+    ("call_subquery_uncorrelated",
+     "CALL { MATCH (r:Region) RETURN count(*) AS regions } "
+     "MATCH (n:Nation) RETURN regions, count(*) AS nations",
+     "SELECT (SELECT count(*) FROM region) AS regions, "
+     "count(*) AS nations FROM nation"),
+    ("temporal_accessors",
+     "MATCH (o:Order) RETURN o.orderdate.year AS y, "
+     "o.orderdate.month AS m, count(*) AS n",
+     "SELECT CAST(year(o_orderdate) AS BIGINT) AS y, "
+     "CAST(month(o_orderdate) AS BIGINT) AS m, count(*) AS n "
+     "FROM orders GROUP BY 1, 2"),
 ]
 
 

@@ -125,6 +125,29 @@ def test_detach_delete(gs):
         "MATCH ()-[r:KNOWS]->() RETURN count(*) AS n")).n == 0
 
 
+def test_foreach_creates_per_element(gs):
+    summary = _one(gs.execute(
+        "FOREACH (i IN [1, 2, 3] | CREATE (:Tick {v: i}))"))
+    assert summary.nodes_created == 3
+    vals = [r.v for r in gs.execute(
+        "MATCH (t:Tick) RETURN t.v AS v ORDER BY v").collect()]
+    assert vals == [1, 2, 3]
+
+
+def test_foreach_set_over_matched(gs):
+    gs.execute("MATCH (t:Tick) WITH collect(t.v) AS vs "
+               "FOREACH (x IN vs | MERGE (:TickCopy {key: x}))").collect()
+    n = _one(gs.execute("MATCH (c:TickCopy) RETURN count(*) AS n")).n
+    assert n == 3
+
+
+def test_call_subquery_write(gs):
+    gs.execute("MATCH (t:Tick) CALL { WITH t "
+               "CREATE (:TickAudit {v: t.v}) }").collect()
+    assert _one(gs.execute(
+        "MATCH (a:TickAudit) RETURN count(*) AS n")).n == 3
+
+
 def test_writes_do_not_leak_into_base_tables(gs):
     # TPC-H labels untouched by the Person/KNOWS churn
     assert _one(gs.execute("MATCH (n:Nation) RETURN count(*) AS n")).n == 25
