@@ -25,6 +25,11 @@ from memgraph_spark.operators.joins import (  # noqa: F401
     pattern_semi,
     pattern_anti,
 )
+from memgraph_spark.operators.kshortest import (  # noqa: F401
+    bfs_path_counts,
+    k_shortest_paths,
+    shortest_path_with_nodes,
+)
 from memgraph_spark.operators.aggregate import aggregate, distinct, unwind  # noqa: F401
 from memgraph_spark.operators.sort import order_by, skip, limit  # noqa: F401
 from memgraph_spark.operators.setops import union  # noqa: F401
