@@ -81,6 +81,18 @@ class PropertyGraph:
         self.write_epoch += 1
         return self.write_epoch
 
+    # cached per-label row counts (ANALYZE GRAPH parity — the planner's
+    # vertex_count_cache, src/query/plan/vertex_count_cache.hpp)
+    _count_cache: dict = field(default_factory=dict, repr=False)
+
+    def label_count(self, label: str) -> int:
+        if label not in self._count_cache:
+            self._count_cache[label] = self.nodes[label].count()
+        return self._count_cache[label]
+
+    def total_node_count(self) -> int:
+        return sum(self.label_count(lbl) for lbl in self.nodes)
+
     # -- versioned writes (SURVEY §1.2: batch-append snapshot semantics; the
     # -- reference's MVCC delta chains become immutable table versions) ------
     def set_node_version(self, label: str, df: DataFrame) -> None:

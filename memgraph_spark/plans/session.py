@@ -193,9 +193,44 @@ class QueryCompiler(WriteMixin):
         if m.where is not None:
             self._where(m.where)
 
+    def _node_score(self, np: A.NodePattern) -> float:
+        """Estimated scan cardinality of anchoring at this node pattern —
+        the cost model's vertex-count × filter selectivity (CardParam
+        kFilter = 0.25, plan/cost_constants.hpp:18-52)."""
+        if np.var is not None and np.var in self.symbols:
+            return 0.0  # already bound: anchoring here is free
+        if len(np.labels) == 1 and np.labels[0] in self.g.nodes:
+            n = float(self.g.label_count(np.labels[0]))
+        else:
+            n = float(self.g.total_node_count())
+        return n * (0.25 ** len(np.props))
+
+    def _maybe_reverse(self, part: A.PatternPart) -> A.PatternPart:
+        """VariableStartPlanner parity (plan/variable_start_planner.hpp:24):
+        anchor a linear pattern at its cheaper end. We compare only the two
+        endpoints (the dominant choice) instead of enumerating every start —
+        the middle nodes join either way."""
+        if not part.chain or any(r.var_length for r, _ in part.chain):
+            return part
+        end = part.chain[-1][1]
+        if self._node_score(end) >= self._node_score(part.start):
+            return part
+        nodes = [part.start] + [n for _, n in part.chain]
+        rels = [r for r, _ in part.chain]
+        flip = {"out": "in", "in": "out", "both": "both"}
+        chain = [
+            (A.RelPattern(rels[i].var, rels[i].types,
+                          flip[rels[i].direction], rels[i].props,
+                          rels[i].var_length, rels[i].lo, rels[i].hi),
+             nodes[i])
+            for i in range(len(rels) - 1, -1, -1)
+        ]
+        return A.PatternPart(part.var, nodes[-1], chain)
+
     def _pattern_part(self, part: A.PatternPart) -> list[str]:
         """Compile one linear pattern; returns the single-hop rel symbols
         bound (for edge-uniqueness)."""
+        part = self._maybe_reverse(part)
         rels: list[str] = []
         start_sym = part.start.var or self._anon_sym("n")
         self._bind_node(part.start, start_sym)

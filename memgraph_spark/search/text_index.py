@@ -47,7 +47,11 @@ def bm25_search(df: DataFrame, query: str, id_col: str = "doc_id",
     idf = ln(1 + (N - df + 0.5)/(df + 0.5)); per-term scores sum over the
     distinct query tokens. Deterministic tie-break on doc_id.
     """
-    idx = index if index is not None else build_text_index(df, id_col, text_col)
+    # materialize the index once: the stats pass and the scoring pass both
+    # read it (at lake scale this is the persisted/bucketed index table)
+    idx = (index if index is not None
+           else build_text_index(df, id_col, text_col)
+           .localCheckpoint(eager=True))
     n_docs = df.count()
     avg_len = idx.select("doc_id", "doc_len").dropDuplicates() \
         .agg(F.avg("doc_len")).first()[0] or 1.0
