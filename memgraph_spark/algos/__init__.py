@@ -11,3 +11,4 @@ from memgraph_spark.algos.pagerank import pagerank  # noqa: F401
 from memgraph_spark.algos.components import weakly_connected_components, label_propagation  # noqa: F401
 from memgraph_spark.algos.centrality import degree_centrality, node_similarity_jaccard  # noqa: F401
 from memgraph_spark.algos.triangles import triangle_count  # noqa: F401
+from memgraph_spark.algos.betweenness import betweenness_centrality  # noqa: F401

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from memgraph_spark.algos import (
+    betweenness_centrality,
     degree_centrality,
     label_propagation,
     node_similarity_jaccard,
@@ -70,6 +71,18 @@ def _degree(g, direction: str = "both"):
     r = degree_centrality(_edges(g), direction=direction)
     return r.select(F.col("id").alias("node"), F.col("degree"),
                     F.col("centrality"))
+
+
+def _betweenness(g, n_samples: int = 0):
+    """betweenness_centrality.get([n_samples]) YIELD node, betweenness —
+    exact Brandes when n_samples = 0, sampled-source approximation otherwise."""
+    sources = None
+    if int(n_samples) > 0:
+        adj = _edges(g)
+        sources = (adj.select(F.col("src").alias("id")).dropDuplicates()
+                   .orderBy("id").limit(int(n_samples)))
+    r = betweenness_centrality(g, sources=sources)
+    return r.select(F.col("id").alias("node"), F.col("betweenness"))
 
 
 def _triangles(g):
@@ -131,6 +144,7 @@ register("wcc.get", _wcc)
 register("community_detection.get", _label_prop)
 register("label_propagation.get", _label_prop)
 register("degree_centrality.get", _degree)
+register("betweenness_centrality.get", _betweenness)
 register("triangle_count.get", _triangles)
 register("node_similarity.jaccard", _node_similarity)
 register("text_util.tokens", _text_tokens)

@@ -61,6 +61,42 @@ def test_bfs_path_counts_multiplicity(spark):
     assert rows[(4, 2)] == 2  # two minimal 2-hop paths
 
 
+def test_betweenness_path_graph(spark):
+    from memgraph_spark.algos import betweenness_centrality
+    g = load_tpch_graph(spark, SF_SMOKE)
+    g.edges = {"E": spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long")
+        .withColumn("eid", F.xxhash64("src", "dst"))}
+    g._adj_cache.clear()
+    b = {r.id: r.betweenness
+         for r in betweenness_centrality(g, etype="E").collect()}
+    # directed path 1->2->3->4: node 2 lies on (1,3),(1,4); node 3 on (1,4),(2,4)
+    assert b[2] == 2.0 and b[3] == 2.0 and b.get(4, 0.0) == 0.0
+
+
+def test_betweenness_split_paths(spark):
+    from memgraph_spark.algos import betweenness_centrality
+    g = load_tpch_graph(spark, SF_SMOKE)
+    g.edges = {"E": spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4)], "src long, dst long")
+        .withColumn("eid", F.xxhash64("src", "dst"))}
+    g._adj_cache.clear()
+    b = {r.id: r.betweenness
+         for r in betweenness_centrality(g, etype="E").collect()}
+    # two equal-length 1->4 paths: each mid node carries half the dependency
+    assert b[2] == 0.5 and b[3] == 0.5
+
+
+def test_betweenness_procedure(spark):
+    from memgraph_spark.catalog import graph_for
+    from memgraph_spark.plans import GraphSession
+    gs = GraphSession(graph_for(spark, SF_SMOKE))
+    rows = gs.execute(
+        "CALL betweenness_centrality.get(20) YIELD node, betweenness "
+        "RETURN count(*) AS n, max(betweenness) AS mx").collect()
+    assert rows[0].n > 0 and rows[0].mx >= 0.0
+
+
 def test_schema_info(spark):
     g = graph_for(spark, SF_SMOKE)
     info = schema_info(g)
