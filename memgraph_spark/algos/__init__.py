@@ -12,3 +12,4 @@ from memgraph_spark.algos.components import weakly_connected_components, label_p
 from memgraph_spark.algos.centrality import degree_centrality, node_similarity_jaccard  # noqa: F401
 from memgraph_spark.algos.triangles import triangle_count  # noqa: F401
 from memgraph_spark.algos.betweenness import betweenness_centrality  # noqa: F401
+from memgraph_spark.algos.maxflow import max_flow, min_cut  # noqa: F401

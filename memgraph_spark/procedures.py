@@ -135,6 +135,35 @@ def _text_fuzzy(g, term: str, max_edits: int = 1):
     return fuzzy_search(g.tables["documents"], term, int(max_edits))
 
 
+def _max_flow(g, source, sink, edge_property: str = "weight"):
+    """max_flow.get_flow(source, sink, property) YIELD max_flow
+    (reference src/mage/python/max_flow.py:10 — Ford-Fulkerson w/ scaling)."""
+    from memgraph_spark.algos import max_flow
+    total, _, _ = max_flow(g, int(source), int(sink), edge_property)
+    return g.spark.createDataFrame([(float(total),)], "max_flow double")
+
+
+def _max_flow_paths(g, source, sink, edge_property: str = "weight"):
+    """max_flow.get_paths(...) YIELD path (node-id list), flow
+    (reference src/mage/python/max_flow.py:41)."""
+    from memgraph_spark.algos import max_flow
+    _, paths, _ = max_flow(g, int(source), int(sink), edge_property)
+    return g.spark.createDataFrame(
+        [(p, float(f)) for p, f in paths] or [],
+        "path array<long>, flow double")
+
+
+def _mincut(g, source, sink, capacity: str = "weight"):
+    """igraphalg.mincut(source, target, capacity) YIELD node, partition_id
+    (reference src/mage/python/igraphalg.py:67)."""
+    from memgraph_spark.algos import min_cut
+    r = min_cut(g, int(source), int(sink), capacity)
+    return r.select(F.col("id").alias("node"), F.col("partition_id"))
+
+
+register("max_flow.get_flow", _max_flow)
+register("max_flow.get_paths", _max_flow_paths)
+register("igraphalg.mincut", _mincut)
 register("text_search.search", _text_search)
 register("text_search.regex_search", _text_regex)
 register("text_search.fuzzy_search", _text_fuzzy)
