@@ -13,3 +13,5 @@ from memgraph_spark.algos.centrality import degree_centrality, node_similarity_j
 from memgraph_spark.algos.triangles import triangle_count  # noqa: F401
 from memgraph_spark.algos.betweenness import betweenness_centrality  # noqa: F401
 from memgraph_spark.algos.maxflow import max_flow, min_cut  # noqa: F401
+from memgraph_spark.algos.node2vec import node2vec_embeddings, node2vec_walks  # noqa: F401
+from memgraph_spark.algos.tsp import tsp_solve  # noqa: F401

@@ -161,6 +161,38 @@ def _mincut(g, source, sink, capacity: str = "weight"):
     return r.select(F.col("id").alias("node"), F.col("partition_id"))
 
 
+def _node2vec(g, is_directed: bool = False, p: float = 2.0, q: float = 0.5,
+              num_walks: int = 4, walk_length: int = 5, vector_size: int = 100,
+              alpha: float = 0.025, window: int = 5, min_count: int = 1,
+              seed: int = 1, workers: int = 1, min_alpha: float = 0.0001,
+              sg: int = 1, hs: int = 0, negative: int = 5, epochs: int = 5,
+              edge_weight_property: str = "weight"):
+    """node2vec.get_embeddings(...) YIELD node, embedding
+    (src/mage/cpp/node2vec_module/node2vec_module.cpp:275-297 arg list;
+    min_count/workers/sg/hs accepted for signature parity, SGNS only)."""
+    from memgraph_spark.algos import node2vec_embeddings
+    return node2vec_embeddings(
+        g, is_directed=bool(is_directed), p=float(p), q=float(q),
+        num_walks=int(num_walks), walk_length=int(walk_length),
+        vector_size=int(vector_size), alpha=float(alpha), window=int(window),
+        negative=int(negative), epochs=int(epochs), min_alpha=float(min_alpha),
+        seed=int(seed))
+
+
+def _tsp(g, points=None, method: str = "1.5_approx"):
+    """tsp.solve(points, method) YIELD sources, destinations
+    (src/mage/python/tsp.py:15). `points` is a node-id list or a label."""
+    from memgraph_spark.algos import tsp_solve
+    label = points if isinstance(points, str) else None
+    ids = points if isinstance(points, (list, tuple)) else None
+    r = tsp_solve(g, point_ids=ids, label=label, method=str(method))
+    schema = "sources array<long>, destinations array<long>"
+    rows = [] if r is None else [(list(r[0]), list(r[1]))]
+    return g.spark.createDataFrame(rows, schema)
+
+
+register("node2vec.get_embeddings", _node2vec)
+register("tsp.solve", _tsp)
 register("max_flow.get_flow", _max_flow)
 register("max_flow.get_paths", _max_flow_paths)
 register("igraphalg.mincut", _mincut)
