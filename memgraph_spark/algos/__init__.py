@@ -15,3 +15,5 @@ from memgraph_spark.algos.betweenness import betweenness_centrality  # noqa: F40
 from memgraph_spark.algos.maxflow import max_flow, min_cut  # noqa: F401
 from memgraph_spark.algos.node2vec import node2vec_embeddings, node2vec_walks  # noqa: F401
 from memgraph_spark.algos.tsp import tsp_solve  # noqa: F401
+from memgraph_spark.algos.dag import contains_cycle, spanning_tree, topological_layers  # noqa: F401
+from memgraph_spark.algos.katz import katz_centrality  # noqa: F401

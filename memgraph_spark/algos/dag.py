@@ -1,0 +1,109 @@
+"""DAG utilities: topological sort, cycle detection, spanning tree.
+
+Parity: igraphalg.topological_sort / contains_cycle
+(src/mage/python/igraphalg.py:86-230) and igraphalg.spanning_tree (:144).
+
+Spark re-expression: topological sort is iterative zero-in-degree peeling —
+each layer is one groupBy(dst) + anti-join, O(#layers) rounds, every round
+fully distributed. A cycle exists iff peeling stalls with nodes left.
+Spanning tree is Boruvka: each round every component picks its minimum
+outgoing edge (min_by over a groupBy on component), components merge via
+hash-min label propagation — O(log n) rounds, all joins/aggs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def topological_layers(graph, etype: str | None = None, mode: str = "out"):
+    """Returns (id, layer) DataFrame, or None if the graph has a cycle.
+    mode="out": edges point dependency -> dependent (igraph semantics);
+    mode="in" reverses."""
+    adj = graph.adjacency(etype, "out" if mode == "out" else "in")
+    nodes = (adj.select(F.col("src").alias("id"))
+             .unionAll(adj.select(F.col("dst").alias("id")))
+             .dropDuplicates().localCheckpoint(eager=True))
+    remaining = adj.localCheckpoint(eager=True)
+    layers, layer = [], 0
+    active = nodes
+    while not active.isEmpty():
+        with_preds = remaining.select(F.col("dst").alias("id")).dropDuplicates()
+        zero = active.join(with_preds, "id", "left_anti").localCheckpoint(eager=True)
+        if zero.isEmpty():
+            return None  # peeling stalled -> cycle
+        layers.append(zero.withColumn("layer", F.lit(layer)))
+        active = active.join(zero, "id", "left_anti").localCheckpoint(eager=True)
+        remaining = (remaining.join(zero.withColumnRenamed("id", "src"), "src",
+                                    "left_anti").localCheckpoint(eager=True))
+        layer += 1
+    out = layers[0]
+    for df in layers[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def contains_cycle(graph, etype: str | None = None) -> bool:
+    """igraphalg.contains_cycle parity (igraphalg.py:203-230)."""
+    return topological_layers(graph, etype) is None
+
+
+def spanning_tree(graph, weights: str | None = None,
+                  etype: str | None = None) -> DataFrame:
+    """Minimum spanning forest via Boruvka; returns (src, dst) tree edges.
+    Unweighted (weights=None) treats every edge as weight 1 (igraph default:
+    an arbitrary spanning tree)."""
+    if weights:
+        edges = (graph.edge(etype) if etype
+                 else graph.all_edges(properties=[weights]))
+        e = edges.select("src", "dst",
+                         F.col(weights).cast("double").alias("w"))
+    else:
+        e = (graph.edge(etype) if etype else graph.all_edges()) \
+            .select("src", "dst", F.lit(1.0).alias("w"))
+    # undirected: keep both orientations so either endpoint can claim the edge
+    und = e.unionByName(e.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst"), "w")) \
+        .groupBy("src", "dst").agg(F.min("w").alias("w")).persist()
+    comp = (und.select(F.col("src").alias("id"))
+            .dropDuplicates()
+            .withColumn("comp", F.col("id"))
+            .localCheckpoint(eager=True))
+    picked = []
+    for _ in range(64):  # ~log2(n) rounds suffice; hard bound for safety
+        lbl = und \
+            .join(comp.withColumnRenamed("id", "src")
+                      .withColumnRenamed("comp", "c_src"), "src") \
+            .join(comp.withColumnRenamed("id", "dst")
+                      .withColumnRenamed("comp", "c_dst"), "dst") \
+            .filter(F.col("c_src") != F.col("c_dst"))
+        if lbl.isEmpty():
+            break
+        # each component claims its minimum outgoing edge; the tie-break key
+        # (w, lo, hi) is a total order symmetric in orientation, so
+        # equal-weight picks can never close a cycle between components
+        choice = (lbl.groupBy("c_src")
+                  .agg(F.min(F.struct(F.col("w"),
+                                      F.least("src", "dst").alias("lo"),
+                                      F.greatest("src", "dst").alias("hi"))).alias("m")))
+        picked.append(choice.select(F.col("m.lo").alias("src"),
+                                    F.col("m.hi").alias("dst"))
+                      .dropDuplicates().localCheckpoint(eager=True))
+        # merge: recompute components over the tree edges picked so far
+        # (hash-min WCC, the same machinery as algos/components.py)
+        from memgraph_spark.algos.components import weakly_connected_components
+        tree = picked[0]
+        for df in picked[1:]:
+            tree = tree.unionByName(df)
+        wcc = weakly_connected_components(tree.dropDuplicates())
+        comp = (comp.select("id")
+                .join(wcc.withColumnRenamed("component", "c"), "id", "left")
+                .select("id", F.coalesce("c", F.col("id")).alias("comp"))
+                .localCheckpoint(eager=True))
+    if not picked:
+        return graph.spark.createDataFrame([], "src long, dst long")
+    out = picked[0]
+    for df in picked[1:]:
+        out = out.unionByName(df)
+    return out.dropDuplicates()

@@ -95,7 +95,8 @@ def _weighted_edges(graph, etype, weight_col, edges_df) -> DataFrame:
     if edges_df is not None:
         return edges_df.select("src", "dst", F.col(weight_col or "w")
                                .cast("double").alias("w"))
-    base = graph.edge(etype) if etype else graph.all_edges()
+    base = graph.edge(etype) if etype else \
+        graph.all_edges(properties=[weight_col] if weight_col else None)
     w = (F.col(weight_col).cast("double") if weight_col else F.lit(1.0))
     return base.select("src", "dst", w.alias("w"))
 

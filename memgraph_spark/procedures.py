@@ -191,6 +191,116 @@ def _tsp(g, points=None, method: str = "1.5_approx"):
     return g.spark.createDataFrame(rows, schema)
 
 
+def _topo_sort(g, mode: str = "out"):
+    """igraphalg.topological_sort(mode) YIELD nodes (igraphalg.py:86);
+    raises on cycles like the reference."""
+    from memgraph_spark.algos import topological_layers
+    layers = topological_layers(g, mode=mode)
+    if layers is None:
+        raise ValueError(
+            "Topological sort can't be performed on graph that contains cycle!")
+    ordered = [r.id for r in layers.orderBy("layer", "id").collect()]
+    return g.spark.createDataFrame([(ordered,)], "nodes array<long>")
+
+
+def _katz(g, alpha: float = 0.2, epsilon: float = 0.01):
+    """katz_centrality.get(alpha, epsilon) YIELD node, rank
+    (src/mage/cpp/katz_centrality_module)."""
+    from memgraph_spark.algos import katz_centrality
+    r = katz_centrality(_edges(g), alpha=float(alpha), epsilon=float(epsilon))
+    return r.select(F.col("id").alias("node"), F.col("rank"))
+
+
+def _spanning_tree(g, weights=None):
+    """igraphalg.spanning_tree([weights]) YIELD tree — [src, dst] node-id
+    pairs (igraphalg.py:144)."""
+    from memgraph_spark.algos import spanning_tree
+    edges = spanning_tree(g, weights=weights)
+    pairs = [[r.src, r.dst] for r in edges.collect()]
+    return g.spark.createDataFrame([(pairs,)], "tree array<array<long>>")
+
+
+def _sp_length(g, source, target, weights=None):
+    """igraphalg.shortest_path_length(source, target, [weights]) YIELD length
+    (igraphalg.py:153). Unweighted = hop count; unreachable = infinity."""
+    if weights:
+        from memgraph_spark.operators.kshortest import shortest_path_with_nodes
+        r = shortest_path_with_nodes(g, int(source), int(target),
+                                     weight_col=weights)
+        length = float("inf") if r is None else float(r[1])
+    else:
+        from memgraph_spark.operators.expand import shortest_path
+        d = shortest_path(g, int(source), int(target))
+        length = float("inf") if d is None else float(d)
+    return g.spark.createDataFrame([(length,)], "length double")
+
+
+def _sp_path(g, source, target, weights=None):
+    """igraphalg.get_shortest_path(source, target, [weights]) YIELD path
+    (igraphalg.py:191) — node-id list."""
+    from memgraph_spark.operators.kshortest import shortest_path_with_nodes
+    r = shortest_path_with_nodes(g, int(source), int(target),
+                                 weight_col=weights)
+    rows = [] if r is None else [(r[0],)]
+    return g.spark.createDataFrame(rows, "path array<long>")
+
+
+def _all_sp_lengths(g, weights=None):
+    """igraphalg.all_shortest_path_lengths() YIELD src_node, dest_node,
+    length (igraphalg.py:171). All-pairs BFS: every source advances in the
+    same distributed frontier."""
+    from memgraph_spark.operators.expand import bfs
+    adj = g.adjacency(None, "out")
+    nodes = (adj.selectExpr("src as id").unionAll(adj.selectExpr("dst as id"))
+             .dropDuplicates())
+    if weights:
+        from memgraph_spark.operators.expand import weighted_shortest_path
+        e = g.all_edges(properties=[weights]).select(
+            "src", "dst", F.col(weights).cast("double").alias("w"))
+        r = weighted_shortest_path(g, nodes, None, "w", edges_df=e)
+        return r.select(F.col("start").alias("src_node"),
+                        F.col("id").alias("dest_node"),
+                        F.col("cost").alias("length"))
+    r = bfs(g, nodes)
+    return r.select(F.col("start").alias("src_node"),
+                    F.col("id").alias("dest_node"),
+                    F.col("dist").cast("double").alias("length"))
+
+
+def _simple_paths(g, v, to, cutoff: int = -1):
+    """igraphalg.get_all_simple_paths(v, to, cutoff) YIELD path
+    (igraphalg.py:55). Frontier rows carry their node-id path; the simple-
+    path constraint is an array_contains filter — no driver recursion."""
+    hops = 10 if int(cutoff) < 0 else int(cutoff)
+    adj = g.adjacency(None, "out")
+    frontier = g.spark.createDataFrame([([int(v)],)], "path array<long>") \
+        .localCheckpoint(eager=True)
+    found = []
+    for _ in range(hops):
+        if frontier.isEmpty():
+            break
+        step = (frontier
+                .join(adj, F.element_at(F.col("path"), -1) == adj["src"])
+                .filter(~F.array_contains("path", F.col("dst")))
+                .select(F.concat("path", F.array("dst")).alias("path"))
+                .localCheckpoint(eager=True))
+        found.append(step.filter(F.element_at(F.col("path"), -1) == int(to)))
+        frontier = step.filter(F.element_at(F.col("path"), -1) != int(to))
+    if not found:
+        return g.spark.createDataFrame([], "path array<long>")
+    out = found[0]
+    for df in found[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+register("igraphalg.topological_sort", _topo_sort)
+register("katz_centrality.get", _katz)
+register("igraphalg.spanning_tree", _spanning_tree)
+register("igraphalg.shortest_path_length", _sp_length)
+register("igraphalg.get_shortest_path", _sp_path)
+register("igraphalg.all_shortest_path_lengths", _all_sp_lengths)
+register("igraphalg.get_all_simple_paths", _simple_paths)
 register("node2vec.get_embeddings", _node2vec)
 register("tsp.solve", _tsp)
 register("max_flow.get_flow", _max_flow)
