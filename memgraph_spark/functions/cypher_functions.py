@@ -97,6 +97,28 @@ FUNCTIONS: dict[str, object] = {
     # in the expression layer because its argument is a map literal)
     "point.distance": None,  # bound below
     "point.withinbbox": None,
+    # byte strings (awesome_memgraph_functions.cpp:1514-1567): hex text with
+    # a 0x prefix <-> binary; odd-length hex gets an implied leading zero
+    "tobytestring": lambda c: F.unhex(
+        F.when(F.length(F.regexp_replace(c, r"^0[xX]", "")) % 2 == 1,
+               F.concat(F.lit("0"), F.regexp_replace(c, r"^0[xX]", "")))
+        .otherwise(F.regexp_replace(c, r"^0[xX]", ""))),
+    "frombytestring": lambda c, *min_len: F.concat(
+        F.lit("0x"),
+        F.repeat(F.lit("0"),
+                 F.greatest((min_len[0] if min_len else F.lit(0)) * 2
+                            - F.length(F.hex(c)), F.lit(0)).cast("int")),
+        F.lower(F.hex(c))),
+    # uniformSample(list, n): n draws with replacement
+    # (awesome_memgraph_functions.cpp:1085)
+    "uniformsample": lambda lst, n: F.when(
+        lst.isNotNull() & n.isNotNull() & (F.size(lst) > 0),
+        F.transform(F.sequence(F.lit(1), n),
+                    # coalesce keeps the analyzer happy on typed-NULL input
+                    # (the when() guard means it never evaluates then)
+                    lambda _: F.element_at(
+                        F.coalesce(lst, F.array()),
+                        (F.floor(F.rand() * F.size(lst)) + 1).cast("int")))),
     # misc
     "coalesce": F.coalesce,
     "randomuuid": F.uuid,

@@ -3,6 +3,8 @@ CypherMainVisitor, src/query/frontend/ast/cypher_main_visitor.cpp)."""
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from memgraph_spark.plans import cypher_ast as A
 from memgraph_spark.plans.lexer import Token, tokenize
 
@@ -740,4 +742,13 @@ class Parser:
 
 
 def parse(text: str) -> A.UnionQuery:
+    """AST cache keyed on query text (reference parity: the stripped-query
+    AST/plan LRU, src/query/frontend/stripped.cpp + interpreter caches).
+    Parameters travel out-of-band in our API, so raw text is a sound key;
+    compilation never mutates AST nodes, so entries are shareable."""
+    return _parse_cached(text)
+
+
+@lru_cache(maxsize=256)
+def _parse_cached(text: str) -> A.UnionQuery:
     return Parser(text).parse()
