@@ -17,3 +17,11 @@ from memgraph_spark.algos.node2vec import node2vec_embeddings, node2vec_walks  #
 from memgraph_spark.algos.tsp import tsp_solve  # noqa: F401
 from memgraph_spark.algos.dag import contains_cycle, spanning_tree, topological_layers  # noqa: F401
 from memgraph_spark.algos.katz import katz_centrality  # noqa: F401
+from memgraph_spark.algos.bridges import (  # noqa: F401
+    bipartite_matching,
+    bridges,
+    fundamental_cycles,
+    union_find_connected,
+)
+from memgraph_spark.algos.kmeans import kmeans  # noqa: F401
+from memgraph_spark.algos.setcover import set_cover_greedy  # noqa: F401

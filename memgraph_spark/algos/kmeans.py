@@ -1,0 +1,63 @@
+"""K-means clustering over an embedding column, fully JVM-side.
+
+Parity: the reference's kmeans module (src/mage/python/kmeans.py —
+`kmeans.get_clusters(n_clusters, embedding_property, ...)` YIELD node,
+cluster_id; delegates to single-node sklearn).
+
+Spark re-expression: Lloyd's algorithm where the k x d centroid matrix is a
+broadcast array literal. Assignment is argmin over per-centroid squared
+distances computed with transform/zip_with/aggregate (whole-stage codegen,
+no Python in the loop); the update step is a posexplode + groupBy(cid, pos)
+avg — k*d rows back to the driver per round, independent of data size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def kmeans(
+    df: DataFrame,
+    n_clusters: int,
+    max_iter: int = 10,
+    tol: float = 1e-4,
+    seed: int = 1998,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Returns (id, cluster_id). Init: deterministic pseudo-random k rows
+    (hash-ordered sample — the distributed analogue of seeded init)."""
+    pts = df.select(F.col(id_col).alias("id"),
+                    F.col(vec_col).cast("array<double>").alias("v")) \
+        .filter(F.col("v").isNotNull()).persist()
+    k = int(n_clusters)
+    init = pts.orderBy(F.xxhash64(F.col("id") + F.lit(seed))).limit(k).collect()
+    centroids = [list(r.v) for r in init]
+
+    def _assign(frame):
+        cents = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                          for c in centroids])
+        dists = F.transform(
+            cents,
+            lambda c: F.aggregate(F.zip_with(c, F.col("v"),
+                                             lambda a, b: (a - b) * (a - b)),
+                                  F.lit(0.0), lambda acc, x: acc + x))
+        return frame.withColumn(
+            "cid", (F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+
+    for _ in range(max_iter):
+        assigned = _assign(pts)
+        rows = (assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cid", "pos").agg(F.avg("x").alias("m")).collect())
+        new = [list(c) for c in centroids]
+        for r in rows:
+            new[r.cid][r.pos] = r.m
+        shift = max(sum((a - b) ** 2 for a, b in zip(c0, c1)) ** 0.5
+                    for c0, c1 in zip(centroids, new))
+        centroids = new
+        if shift < tol:
+            break
+    out = _assign(pts).select("id", F.col("cid").alias("cluster_id"))
+    pts.unpersist()
+    return out

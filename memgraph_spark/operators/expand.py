@@ -104,6 +104,7 @@ def expand_variable(
     upper: int = 8,
     direction: str = "out",
     depth_col: str | None = None,
+    hops: dict | None = None,
 ) -> DataFrame:
     """ExpandVariable (operator.cpp:2199): `-[:T*lo..hi]->`.
 
@@ -153,6 +154,14 @@ def expand_variable(
         cur = stepped
         if depth >= lower:
             results.append(cur)
+        # USING HOPS LIMIT (hops_limit.hpp): each expanded path-edge row
+        # consumes quota; on exhaustion stop with partial results (the
+        # reference's hops_limit_partial_results=true default)
+        if hops is not None and hops.get("limit"):
+            hops["used"] += cur_rows
+            if hops["used"] >= hops["limit"]:
+                hops["reached"] = True
+                break
     e.unpersist()
     if not results:
         return df.limit(0).withColumns(

@@ -296,3 +296,6 @@ class SingleQuery:
 class UnionQuery:
     parts: list[SingleQuery]
     alls: list[bool]        # len(parts)-1 flags: UNION ALL vs UNION
+    # USING HOPS LIMIT n (MemgraphCypher.g4:413, src/query/hops_limit.hpp):
+    # global cap on edges expanded by this query; None = unlimited
+    hops_limit: int | None = None

@@ -14,7 +14,7 @@ KEYWORDS = {
     "CONTAINS", "IS", "NULL", "TRUE", "FALSE", "CASE", "WHEN", "THEN",
     "ELSE", "END", "EXISTS", "COUNT", "CALL", "YIELD", "FOREACH",
     "LOAD", "CSV", "PARQUET", "JSONL", "FROM", "HEADER", "NO",
-    "DELIMITER", "QUOTE", "NULLIF",
+    "DELIMITER", "QUOTE", "NULLIF", "USING", "HOPS",
 }
 
 TOKEN_RE = re.compile(

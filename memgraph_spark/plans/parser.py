@@ -60,6 +60,15 @@ class Parser:
 
     # -- entry --------------------------------------------------------------
     def parse(self) -> A.UnionQuery:
+        hops_limit = None
+        if self.at_kw("USING"):   # USING HOPS LIMIT n (MemgraphCypher.g4:413)
+            self.next()
+            self.eat_kw("HOPS")
+            self.eat_kw("LIMIT")
+            t = self.next()
+            if t.kind != "INT":
+                raise SyntaxError(f"expected integer hops limit at {t}")
+            hops_limit = int(t.value)
         parts = [self.single_query()]
         alls: list[bool] = []
         while self.at_kw("UNION"):
@@ -70,7 +79,7 @@ class Parser:
             self.next()
         if self.peek().kind != "EOF":
             raise SyntaxError(f"unexpected trailing input at {self.peek()}")
-        return A.UnionQuery(parts, alls)
+        return A.UnionQuery(parts, alls, hops_limit)
 
     def single_query(self) -> A.SingleQuery:
         clauses: list[A.Clause] = []

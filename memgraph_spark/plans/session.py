@@ -55,9 +55,15 @@ class GraphSession:
 
     def execute(self, query: str, params: dict | None = None) -> DataFrame:
         ast = parse(query)
-        out = QueryCompiler(self.graph, params).compile(ast.parts[0])
+        # USING HOPS LIMIT n (src/query/hops_limit.hpp): shared quota on
+        # expanded edges; partial results on exhaustion (the reference's
+        # hops_limit_partial_results=true default). Inspect via last_hops.
+        self.last_hops = {"limit": ast.hops_limit, "used": 0, "reached": False}
+        out = QueryCompiler(self.graph, params,
+                            hops=self.last_hops).compile(ast.parts[0])
         for part, is_all in zip(ast.parts[1:], ast.alls):
-            df = QueryCompiler(self.graph, params).compile(part)
+            df = QueryCompiler(self.graph, params,
+                               hops=self.last_hops).compile(part)
             out = op_union(out, df, distinct=not is_all)
         return out
 
@@ -70,9 +76,10 @@ class QueryCompiler(WriteMixin):
     clause walk (plan/rule_based_planner.cpp) at DataFrame granularity."""
 
     def __init__(self, graph: PropertyGraph, params: dict | None = None,
-                 anon_prefix: str = ""):
+                 anon_prefix: str = "", hops: dict | None = None):
         self.g = graph
         self.params = params or {}
+        self.hops = hops
         self.df: DataFrame | None = None
         self.symbols: dict[str, str] = {}
         self._anon = 0
@@ -361,14 +368,14 @@ class QueryCompiler(WriteMixin):
             tmp = self._anon_sym("n")
             self.df = expand_variable(
                 self.df, self.g, etype, from_sym, tmp, lower, upper,
-                rel.direction, depth_col=depth_col)
+                rel.direction, depth_col=depth_col, hops=self.hops)
             self.df = self.df.filter(
                 F.col(f"{tmp}_id") == F.col(f"{to_sym}_id")).drop(f"{tmp}_id")
             self._bind_node(np, to_sym)
         else:
             self.df = expand_variable(
                 self.df, self.g, etype, from_sym, to_sym, lower, upper,
-                rel.direction, depth_col=depth_col)
+                rel.direction, depth_col=depth_col, hops=self.hops)
             self.symbols[to_sym] = "node"
             self._attach_node(to_sym, np)
         return F.col(depth_col)
@@ -384,7 +391,7 @@ class QueryCompiler(WriteMixin):
             return
         shared = sorted(s for s in self._pattern_syms(m.patterns)
                         if s in self.symbols)
-        sub = QueryCompiler(self.g, self.params,
+        sub = QueryCompiler(self.g, self.params, hops=self.hops,
                             anon_prefix=f"o{self._anon}_")
         if shared:
             anchor_cols = [c for c in self.df.columns
@@ -437,7 +444,7 @@ class QueryCompiler(WriteMixin):
         exists(...) -> left-semi join; NOT ... -> left-anti."""
         shared = sorted(s for s in self._pattern_syms([pp.pattern])
                         if s in self.symbols)
-        sub = QueryCompiler(self.g, self.params,
+        sub = QueryCompiler(self.g, self.params, hops=self.hops,
                             anon_prefix=f"p{self._anon}_")
         self._anon += 1
         how = "left_anti" if pp.negated else "left_semi"
@@ -550,7 +557,7 @@ class QueryCompiler(WriteMixin):
         if not keys:
             raise CompileError(
                 "pattern comprehension must anchor at a bound node")
-        sub = QueryCompiler(self.g, self.params,
+        sub = QueryCompiler(self.g, self.params, hops=self.hops,
                             anon_prefix=f"rc{self._anon}_")
         self._anon += 1
         anchor_cols = [c for c in self.df.columns
@@ -575,7 +582,7 @@ class QueryCompiler(WriteMixin):
         element; the outer frame is unchanged."""
         if self.df is None:
             self.df = self._seed()
-        sub = QueryCompiler(self.g, self.params,
+        sub = QueryCompiler(self.g, self.params, hops=self.hops,
                             anon_prefix=f"fe{self._anon}_")
         self._anon += 1
         sub.counters = self.counters
@@ -611,7 +618,7 @@ class QueryCompiler(WriteMixin):
                         for it in clauses[0].items)):
             imports = [it.expr.name for it in clauses[0].items]
             clauses = clauses[1:]
-        sub = QueryCompiler(self.g, self.params,
+        sub = QueryCompiler(self.g, self.params, hops=self.hops,
                             anon_prefix=f"cs{self._anon}_")
         self._anon += 1
         sub.counters = self.counters

@@ -395,6 +395,6 @@ class WriteMixin:
 
     def _sub_compiler(self, prefix: str):
         from memgraph_spark.plans.session import QueryCompiler
-        sub = QueryCompiler(self.g, self.params, anon_prefix=prefix)
+        sub = QueryCompiler(self.g, self.params, hops=self.hops, anon_prefix=prefix)
         sub.counters = self.counters
         return sub

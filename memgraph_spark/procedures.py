@@ -294,6 +294,102 @@ def _simple_paths(g, v, to, cutoff: int = -1):
     return out
 
 
+def _bridges(g):
+    """bridges.get() YIELD node_from, node_to
+    (src/mage/cpp/bridges_module)."""
+    from memgraph_spark.algos import bridges
+    return bridges(g)
+
+
+def _cycles(g):
+    """cycles.get() YIELD cycle_id, node (src/mage/cpp/cycles_module;
+    fundamental cycle basis)."""
+    from memgraph_spark.algos import fundamental_cycles
+    return fundamental_cycles(g)
+
+
+def _bipartite(g):
+    """bipartite_matching.max() YIELD maximum_bipartite_matching
+    (src/mage/cpp/bipartite_matching_module)."""
+    from memgraph_spark.algos import bipartite_matching
+    n = bipartite_matching(g)
+    return g.spark.createDataFrame([(n,)], "maximum_bipartite_matching long")
+
+
+def _union_find(g, nodes1, nodes2, mode: str = "pairwise",
+                update: bool = True):
+    """union_find.connected(nodes1, nodes2, mode) YIELD node1, node2,
+    connected (src/mage/python/union_find.py; `update` accepted for parity —
+    components are always recomputed from the current table versions)."""
+    from memgraph_spark.algos import union_find_connected
+    return union_find_connected(g, nodes1, nodes2, mode=str(mode))
+
+
+def _kmeans(g, n_clusters, embedding_property: str = "embedding",
+            init: str = "k-means++", n_init: int = 10, max_iter: int = 10,
+            tol: float = 1e-4, algorithm: str = "lloyd",
+            random_state: int = 1998):
+    """kmeans.get_clusters(...) YIELD node, cluster_id
+    (src/mage/python/kmeans.py:46). Runs over the embeddings table (or any
+    node label carrying `embedding_property`)."""
+    from memgraph_spark.algos import kmeans
+    src = None
+    for df in list(g.nodes.values()) + [g.tables.get("embeddings")]:
+        if df is not None and embedding_property in df.columns:
+            idc = "id" if "id" in df.columns else df.columns[0]
+            src = df.select(F.col(idc).alias("id"), embedding_property)
+            break
+    if src is None:
+        raise ValueError(f"no table with column '{embedding_property}'")
+    r = kmeans(src, int(n_clusters), max_iter=int(max_iter), tol=float(tol),
+               seed=int(random_state), vec_col=embedding_property)
+    return r.select(F.col("id").alias("node"), F.col("cluster_id"))
+
+
+def _set_cover(g, element_vertexes, set_vertexes):
+    """set_cover.greedy(elements, sets) YIELD containing_set
+    (src/mage/python/set_cover.py:46; index-paired membership lists)."""
+    from memgraph_spark.algos import set_cover_greedy
+    pairs = g.spark.createDataFrame(
+        list(zip([int(x) for x in element_vertexes],
+                 [int(x) for x in set_vertexes])),
+        "element long, containing_set long")
+    chosen = set_cover_greedy(pairs)
+    return g.spark.createDataFrame([(c,) for c in chosen],
+                                   "containing_set long")
+
+
+def _knn(g, top_k: int = 1, similarity_cutoff: float = 0.0):
+    """knn.get({topK, similarityCutoff}) YIELD node, neighbour, similarity
+    (src/mage/cpp/knn_module — cosine top-k per node; here over the
+    embeddings table; exact all-pairs — llm.similarity.lsh_bucket_topk is
+    the 100 TB path)."""
+    from pyspark.sql import Window
+
+    from memgraph_spark.llm.similarity import cosine
+    emb = g.tables["embeddings"].select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"))
+    a = emb.select(F.col("id").alias("node"), F.col("v").alias("va"))
+    b = emb.select(F.col("id").alias("neighbour"), F.col("v").alias("vb"))
+    pairs = (a.crossJoin(b).filter(F.col("node") != F.col("neighbour"))
+             .withColumn("similarity",
+                         F.round(cosine(F.col("va"), F.col("vb")), 4))
+             .filter(F.col("similarity") >= float(similarity_cutoff)))
+    w = Window.partitionBy("node").orderBy(F.desc("similarity"),
+                                           F.asc("neighbour"))
+    return (pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= int(top_k))
+            .select("node", "neighbour", "similarity"))
+
+
+register("bridges.get", _bridges)
+register("cycles.get", _cycles)
+register("bipartite_matching.max", _bipartite)
+register("union_find.connected", _union_find)
+register("kmeans.get_clusters", _kmeans)
+register("set_cover.greedy", _set_cover)
+register("knn.get", _knn)
 register("igraphalg.topological_sort", _topo_sort)
 register("katz_centrality.get", _katz)
 register("igraphalg.spanning_tree", _spanning_tree)

@@ -1,0 +1,35 @@
+"""USING HOPS LIMIT (MemgraphCypher.g4:413, src/query/hops_limit.hpp)."""
+
+from memgraph_spark.catalog import load_tpch_graph
+from memgraph_spark.plans import GraphSession
+from tests.conftest import SF_SMOKE
+
+
+def _chain_session(spark, n=8):
+    g = load_tpch_graph(spark, SF_SMOKE)
+    g.edges = {"E": spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "src long, dst long")}
+    g.nodes = {"N": spark.createDataFrame(
+        [(i,) for i in range(1, n + 1)], "id long")}
+    g._adj_cache.clear()
+    return GraphSession(g)
+
+
+def test_hops_limit_truncates_expansion(spark):
+    gs = _chain_session(spark)
+    full = gs.execute("MATCH (a:N {id: 1})-[:E*1..10]->(b) "
+                      "RETURN count(*) AS n").collect()[0].n
+    assert full == 7  # chain of 8 nodes: 7 reachable path lengths
+    limited = gs.execute("USING HOPS LIMIT 3 MATCH (a:N {id: 1})-[:E*1..10]->(b) "
+                         "RETURN count(*) AS n").collect()[0].n
+    assert limited < full  # partial results once the quota is exhausted
+    assert gs.last_hops["reached"] is True
+    assert gs.last_hops["used"] >= 3
+
+
+def test_hops_limit_not_reached(spark):
+    gs = _chain_session(spark)
+    n = gs.execute("USING HOPS LIMIT 1000 MATCH (a:N {id: 1})-[:E*1..10]->(b) "
+                   "RETURN count(*) AS n").collect()[0].n
+    assert n == 7
+    assert gs.last_hops["reached"] is False and 0 < gs.last_hops["used"] <= 1000
