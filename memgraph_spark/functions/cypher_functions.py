@@ -119,6 +119,94 @@ FUNCTIONS: dict[str, object] = {
                     lambda _: F.element_at(
                         F.coalesce(lst, F.array()),
                         (F.floor(F.rand() * F.size(lst)) + 1).cast("int")))),
+    # -- MAGE "magic function" modules (scalar functions callable in
+    # -- expressions; reference src/mage/cpp/<module>_module/algorithm/*.hpp)
+    # collections_module
+    "collections.sum": lambda l: F.aggregate(
+        l, F.lit(0.0), lambda acc, x: acc + x.cast("double")),
+    "collections.sum_longs": lambda l: F.aggregate(
+        l, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")),
+    "collections.avg": lambda l: F.aggregate(
+        l, F.lit(0.0), lambda acc, x: acc + x.cast("double")) / F.size(l),
+    "collections.max": F.array_max,
+    "collections.min": F.array_min,
+    "collections.sort": F.sort_array,
+    "collections.to_set": F.array_distinct,
+    "collections.flatten": F.flatten,
+    "collections.contains": F.array_contains,
+    "collections.contains_sorted": F.array_contains,
+    "collections.contains_all": lambda l, items:
+        F.size(F.array_except(items, l)) == 0,
+    "collections.intersection": F.array_intersect,
+    "collections.union": F.array_union,
+    "collections.union_all": F.concat,
+    "collections.subtract": F.array_except,
+    "collections.disjunction": lambda a, b: F.array_union(
+        F.array_except(a, b), F.array_except(b, a)),
+    "collections.remove_all": lambda l, rem: F.filter(
+        l, lambda x: ~F.array_contains(rem, x)),
+    "collections.duplicates": lambda l: F.filter(
+        F.array_distinct(l),
+        lambda x: F.size(F.filter(l, lambda y: y == x)) > 1),
+    "collections.pairs": lambda l: F.zip_with(
+        F.slice(l, 1, F.greatest(F.size(l) - 1, F.lit(0))),
+        F.slice(l, 2, F.greatest(F.size(l) - 1, F.lit(0))),
+        lambda a, b: F.array(a, b)),
+    "collections.partition": lambda l, n: F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(l) / n).cast("int") - 1),
+        lambda i: F.slice(l, (i * n + 1).cast("int"), n.cast("int"))),
+    # map_module
+    "map.from_pairs": lambda ps: F.map_from_entries(
+        F.transform(ps, lambda p: F.struct(
+            F.element_at(p, 1).alias("key"),
+            F.element_at(p, 2).alias("value")))),
+    "map.from_lists": F.map_from_arrays,
+    "map.from_values": lambda l: F.map_from_arrays(
+        F.filter(l, lambda _, i: i % 2 == 0),
+        F.filter(l, lambda _, i: i % 2 == 1)),
+    "map.merge": lambda m1, m2: F.aggregate(
+        F.map_entries(m2), m1,
+        lambda acc, e: F.map_concat(
+            F.map_filter(acc, lambda k, _: k != e["key"]),
+            F.create_map(e["key"], e["value"]))),
+    "map.set_key": lambda m, k, v: F.map_concat(
+        F.map_filter(m, lambda mk, _: mk != k), F.create_map(k, v)),
+    "map.remove_key": lambda m, k: F.map_filter(m, lambda mk, _: mk != k),
+    "map.remove_keys": lambda m, ks: F.map_filter(
+        m, lambda mk, _: ~F.array_contains(ks, mk)),
+    "map.merge_list": lambda ms: F.aggregate(
+        F.slice(ms, 2, F.greatest(F.size(ms) - 1, F.lit(0))),
+        F.element_at(ms, 1),
+        lambda acc, m: F.aggregate(
+            F.map_entries(m), acc,
+            lambda acc2, e: F.map_concat(
+                F.map_filter(acc2, lambda k, _: k != e["key"]),
+                F.create_map(e["key"], e["value"])))),
+    # text_module
+    # call_function: the py wrappers of array_join/instr demand python-str
+    # args; the SQL functions take expressions
+    "text.join": lambda l, d: F.call_function("array_join", l, d),
+    "text.replace": lambda s, a, b: F.replace(s, a, b),
+    "text.regreplace": F.regexp_replace,
+    "text.distance": F.levenshtein,
+    "text.indexof": lambda s, sub:
+        (F.call_function("instr", s, sub) - 1).cast("long"),
+    "text.regexgroups": lambda s, p: F.regexp_extract_all(s, p, 0),
+    "text.compare_cleaned": lambda a, b:
+        F.regexp_replace(F.lower(a), r"[^a-z0-9]", "")
+        == F.regexp_replace(F.lower(b), r"[^a-z0-9]", ""),
+    # each param fills the leftmost remaining {} placeholder
+    "text.format": lambda s, ps: F.aggregate(
+        ps, s, lambda acc, p: F.when(
+            F.instr(acc, "{}") > 0,
+            F.concat(F.substring(acc, 1, F.instr(acc, "{}") - 1),
+                     p.cast("string"),
+                     F.substring(acc, F.instr(acc, "{}") + 2, 0x7FFFFFFF)))
+        .otherwise(acc)),
+    # util_module / uuid_module
+    "util_module.md5": lambda c: F.md5(c.cast("string")),
+    "util.md5": lambda c: F.md5(c.cast("string")),
+    "uuid.get": F.uuid,
     # misc
     "coalesce": F.coalesce,
     "randomuuid": F.uuid,

@@ -383,6 +383,86 @@ def _knn(g, top_k: int = 1, similarity_cutoff: float = 0.0):
             .select("node", "neighbour", "similarity"))
 
 
+def _neighbors_at_hop(g, node, rel_types=None, distance: int = 1):
+    """neighbors.at_hop(node, rel_types, distance) YIELD nodes
+    (src/mage/cpp/neighbors_module) — nodes at exactly `distance` hops."""
+    from memgraph_spark.operators.expand import bfs
+    src = g.spark.createDataFrame([(int(node),)], "id long")
+    etype = rel_types[0] if rel_types else None
+    r = bfs(g, src, etype, direction="both", max_hops=int(distance))
+    return (r.filter(F.col("dist") == int(distance))
+            .select(F.col("id").alias("nodes")).orderBy("nodes"))
+
+
+def _neighbors_by_hop(g, node, rel_types=None, distance: int = 3):
+    """neighbors.by_hop(...) YIELD nodes — one row per hop with the node-id
+    list at that distance."""
+    from memgraph_spark.operators.expand import bfs
+    src = g.spark.createDataFrame([(int(node),)], "id long")
+    etype = rel_types[0] if rel_types else None
+    r = bfs(g, src, etype, direction="both", max_hops=int(distance))
+    return (r.filter(F.col("dist") > 0)
+            .groupBy("dist").agg(F.sort_array(F.collect_list("id")).alias("nodes"))
+            .orderBy("dist").select("nodes"))
+
+
+def _meta_stats(g):
+    """meta.stats_offline/stats_online YIELD stats (src/mage/cpp/meta_module):
+    node/edge counts plus per-label and per-type breakdowns."""
+    label_counts = {lbl: g.label_count(lbl) for lbl in g.nodes}
+    etype_counts = {t: g.edge(t).count() for t in g.edges}
+    row = (int(sum(label_counts.values())), int(sum(etype_counts.values())),
+           len(label_counts), len(etype_counts),
+           {k: int(v) for k, v in label_counts.items()},
+           {k: int(v) for k, v in etype_counts.items()})
+    return g.spark.createDataFrame(
+        [row],
+        "node_count long, relationship_count long, label_count long, "
+        "relationship_type_count long, labels map<string,long>, "
+        "relationship_types map<string,long>")
+
+
+def _label_exists(g, node, label: str):
+    """label.exists(node, label) YIELD exists (src/mage/cpp/label_module)."""
+    nid = int(node)
+    found = False
+    if label in g.nodes:
+        found = not g.node(label).filter(F.col("id") == nid).isEmpty()
+    if not found and g.extra_labels is not None:
+        found = not g.extra_labels.filter(
+            (F.col("id") == nid) & (F.col("label") == label)).isEmpty()
+    return g.spark.createDataFrame([(found,)], "exists boolean")
+
+
+def _node_rel_types(g, node):
+    """node.relationship_types(node) YIELD relationship_types
+    (src/mage/cpp/node_module)."""
+    nid = int(node)
+    types = [t for t in sorted(g.edges)
+             if not g.edge(t).filter((F.col("src") == nid)
+                                     | (F.col("dst") == nid)).isEmpty()]
+    return g.spark.createDataFrame([(types,)],
+                                   "relationship_types array<string>")
+
+
+def _node_rel_exists(g, node, types=None):
+    """node.relationship_exists(node, [types]) YIELD exists."""
+    nid = int(node)
+    check = [t for t in (types or sorted(g.edges)) if t in g.edges]
+    found = any(not g.edge(t).filter((F.col("src") == nid)
+                                     | (F.col("dst") == nid)).isEmpty()
+                for t in check)
+    return g.spark.createDataFrame([(found,)], "exists boolean")
+
+
+register("neighbors.at_hop", _neighbors_at_hop)
+register("neighbors.by_hop", _neighbors_by_hop)
+register("meta.stats_offline", _meta_stats)
+register("meta.stats_online", _meta_stats)
+register("meta.stats", _meta_stats)
+register("label.exists", _label_exists)
+register("node.relationship_types", _node_rel_types)
+register("node.relationship_exists", _node_rel_exists)
 register("bridges.get", _bridges)
 register("cycles.get", _cycles)
 register("bipartite_matching.max", _bipartite)
