@@ -543,9 +543,11 @@ QUERIES = {
 
 from memgraph_spark.queries_llm import LLM_ORACLES, LLM_QUERIES  # noqa: E402
 from memgraph_spark.queries_cypher import CYPHER_ORACLES, CYPHER_QUERIES  # noqa: E402
+from memgraph_spark.queries_algos import ALGO_ORACLES, ALGO_QUERIES  # noqa: E402
 
 QUERIES.update(LLM_QUERIES)
 QUERIES.update(CYPHER_QUERIES)
+QUERIES.update(ALGO_QUERIES)
 
 ORACLES = {
     "scan_filter_orderby": ORACLE_SCAN_FILTER_ORDERBY,
@@ -570,3 +572,4 @@ ORACLES = {
 
 ORACLES.update(LLM_ORACLES)
 ORACLES.update(CYPHER_ORACLES)
+ORACLES.update(ALGO_ORACLES)

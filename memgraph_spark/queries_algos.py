@@ -1,0 +1,140 @@
+"""Algorithm queries with DuckDB oracles: kNN, topological layers, Katz.
+
+Each entry runs a distributed algorithm from memgraph_spark.algos through
+the engine and pins it to an ANSI-SQL oracle (recursive CTEs exploit that
+the TPC-H graph Customer->Order->{Part,Supplier}->Nation->Region is a DAG,
+so fixpoint algorithms have closed-form path-sum equivalents).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from memgraph_spark.catalog import graph_for
+
+_B = 1 << 56
+_ID = {label: code * _B for label, code in
+       {"Region": 1, "Nation": 2, "Customer": 3, "Supplier": 4, "Part": 5,
+        "Order": 6}.items()}
+
+# the same directed edge list the catalog builds (catalog.load_tpch_graph),
+# shared by every graph-shaped oracle below
+_EDGES_CTE = f"""
+edges AS (
+  SELECT ({_ID['Customer']}::BIGINT)+o_custkey AS src, ({_ID['Order']}::BIGINT)+o_orderkey AS dst FROM orders
+  UNION ALL SELECT ({_ID['Order']}::BIGINT)+l_orderkey, ({_ID['Part']}::BIGINT)+l_partkey FROM lineitem
+  UNION ALL SELECT ({_ID['Order']}::BIGINT)+l_orderkey, ({_ID['Supplier']}::BIGINT)+l_suppkey FROM lineitem
+  UNION ALL SELECT ({_ID['Customer']}::BIGINT)+c_custkey, ({_ID['Nation']}::BIGINT)+c_nationkey FROM customer
+  UNION ALL SELECT ({_ID['Supplier']}::BIGINT)+s_suppkey, ({_ID['Nation']}::BIGINT)+s_nationkey FROM supplier
+  UNION ALL SELECT ({_ID['Nation']}::BIGINT)+n_nationkey, ({_ID['Region']}::BIGINT)+n_regionkey FROM nation
+),
+dedup_edges AS (SELECT DISTINCT src, dst FROM edges)
+"""
+
+
+def q_algo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-1 cosine neighbour per embedding (knn module parity;
+    src/mage/cpp/knn_module). All-pairs + per-node TakeOrdered."""
+    from memgraph_spark.llm.similarity import cosine
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select(F.col("vec_id"), F.col("embedding").cast("array<double>")
+                   .alias("v")))
+    a = emb.select(F.col("vec_id").alias("node"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("neighbour"), F.col("v").alias("vb"))
+    pairs = (a.crossJoin(b).filter(F.col("node") != F.col("neighbour"))
+             .withColumn("similarity",
+                         F.round(cosine(F.col("va"), F.col("vb")), 4)))
+    w = W.partitionBy("node").orderBy(F.desc("similarity"), F.asc("neighbour"))
+    return (pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "neighbour", "similarity"))
+
+
+ORACLE_ALGO_KNN = """
+WITH pairs AS (
+  SELECT a.vec_id AS node, b.vec_id AS neighbour,
+         round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 4) AS similarity
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT node, neighbour, similarity,
+         row_number() OVER (PARTITION BY node
+                            ORDER BY similarity DESC, neighbour ASC) AS rn
+  FROM pairs
+)
+SELECT node, neighbour, similarity FROM ranked WHERE rn = 1
+"""
+
+
+def q_algo_topo_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topological peel layers over the (DAG) graph: (layer, n_nodes)
+    (igraphalg.topological_sort parity; layer = longest root distance)."""
+    from memgraph_spark.algos import topological_layers
+    g = graph_for(spark, sf_dir)
+    layers = topological_layers(g)
+    return (layers.groupBy("layer").agg(F.count("*").alias("n_nodes"))
+            .select(F.col("layer").cast("long"), "n_nodes"))
+
+
+ORACLE_ALGO_TOPO = f"""
+WITH RECURSIVE
+{_EDGES_CTE},
+roots AS (
+  SELECT DISTINCT src AS id FROM dedup_edges
+  WHERE src NOT IN (SELECT dst FROM dedup_edges)
+),
+walk(id, d) AS (
+  SELECT id, 0 FROM roots
+  UNION
+  SELECT e.dst, w.d + 1 FROM walk w JOIN dedup_edges e ON e.src = w.id
+  WHERE w.d < 8
+)
+SELECT d AS layer, count(*) AS n_nodes
+FROM (SELECT id, max(d) AS d FROM walk GROUP BY id)
+GROUP BY layer
+"""
+
+
+def q_algo_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality, alpha=0.2 (katz_centrality module parity). On a DAG
+    the fixpoint equals the finite path sum the oracle enumerates."""
+    from memgraph_spark.algos import katz_centrality
+    g = graph_for(spark, sf_dir)
+    r = katz_centrality(g.adjacency(None, "out"), alpha=0.2,
+                        epsilon=1e-9, max_iter=10)
+    return r.select(F.col("id").alias("node"),
+                    F.round(F.col("rank"), 4).alias("rank"))
+
+
+ORACLE_ALGO_KATZ = f"""
+WITH RECURSIVE
+{_EDGES_CTE},
+verts AS (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM dedup_edges UNION ALL SELECT dst FROM dedup_edges)
+),
+walk(id, w) AS (
+  SELECT dst, 0.2::DOUBLE FROM dedup_edges
+  UNION ALL
+  SELECT e.dst, w.w * 0.2 FROM walk w JOIN dedup_edges e ON e.src = w.id
+  WHERE w.w > 1e-9
+),
+katz AS (SELECT id, sum(w) AS s FROM walk GROUP BY id)
+SELECT v.id AS node, round(coalesce(k.s, 0.0), 4) AS rank
+FROM verts v LEFT JOIN katz k ON k.id = v.id
+"""
+
+ALGO_QUERIES = {
+    "algo_knn": q_algo_knn,
+    "algo_topo_layers": q_algo_topo_layers,
+    "algo_katz": q_algo_katz,
+}
+
+ALGO_ORACLES = {
+    "algo_knn": ORACLE_ALGO_KNN,
+    "algo_topo_layers": ORACLE_ALGO_TOPO,
+    "algo_katz": ORACLE_ALGO_KATZ,
+}
