@@ -488,7 +488,25 @@ register("text_search.fuzzy_search", _text_fuzzy)
 register("pagerank.get", _pagerank)
 register("weakly_connected_components.get", _wcc)
 register("wcc.get", _wcc)
-register("community_detection.get", _label_prop)
+def _louvain(g, max_levels: int = 3, max_rounds: int = 8,
+             resolution: float = 1.0, weight_property=None):
+    """community_detection.get([...]) YIELD node, community_id — Louvain
+    (src/mage/cpp/community_detection_module,
+    leiden_community_detection_module)."""
+    from memgraph_spark.algos import louvain_communities
+    edges = (g.all_edges(properties=[weight_property])
+             if weight_property else g.all_edges())
+    r = louvain_communities(edges, max_levels=int(max_levels),
+                            max_rounds=int(max_rounds),
+                            resolution=float(resolution),
+                            weight_col=weight_property)
+    return r.select(F.col("id").alias("node"),
+                    F.col("community").alias("community_id"))
+
+
+register("community_detection.get", _louvain)
+register("leiden_community_detection.get", _louvain)
+register("louvain.get", _louvain)
 register("label_propagation.get", _label_prop)
 register("degree_centrality.get", _degree)
 register("betweenness_centrality.get", _betweenness)
