@@ -26,3 +26,4 @@ from memgraph_spark.algos.bridges import (  # noqa: F401
 from memgraph_spark.algos.kmeans import kmeans  # noqa: F401
 from memgraph_spark.algos.setcover import set_cover_greedy  # noqa: F401
 from memgraph_spark.algos.louvain import louvain_communities  # noqa: F401
+from memgraph_spark.algos.coloring import color_graph, link_prediction_scores  # noqa: F401

@@ -470,14 +470,17 @@ class QueryCompiler(WriteMixin):
         fn = PROCEDURES.get(cl.name.lower())
         if fn is None:
             raise CompileError(f"unknown procedure {cl.name}")
-        args = []
-        for a in cl.args:
+        def _static(a):
             if isinstance(a, A.Literal):
-                args.append(a.value)
-            elif isinstance(a, A.Param):
-                args.append(self.params[a.name])
-            else:
-                raise CompileError("CALL arguments must be literals/parameters")
+                return a.value
+            if isinstance(a, A.Param):
+                return self.params[a.name]
+            if isinstance(a, A.ListLiteral):
+                return [_static(x) for x in a.items]
+            if isinstance(a, A.MapLiteral):
+                return {k: _static(v) for k, v in a.items.items()}
+            raise CompileError("CALL arguments must be literals/parameters")
+        args = [_static(a) for a in cl.args]
         result = fn(self.g, *args)
         if cl.yields:
             cols = []

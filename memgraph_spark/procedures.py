@@ -455,6 +455,143 @@ def _node_rel_exists(g, node, types=None):
     return g.spark.createDataFrame([(found,)], "exists boolean")
 
 
+def _color_graph(g, parameters=None, edge_property=None):
+    """graph_coloring.color_graph() YIELD node, color
+    (src/mage/python/graph_coloring.py:10; QA metaheuristic replaced by
+    distributed Jones-Plassmann greedy — same output contract)."""
+    from memgraph_spark.algos import color_graph
+    return color_graph(g).select(F.col("id").alias("node"), F.col("color"))
+
+
+def _link_prediction(g, top_k: int = 50, method: str = "adamic_adar"):
+    """link_prediction.get(...) YIELD node1, node2, score
+    (src/mage/python/link_prediction.py — torch GNN stubbed; classic
+    neighbourhood heuristics fill the contract)."""
+    from memgraph_spark.algos import link_prediction_scores
+    return link_prediction_scores(g, top_k=int(top_k), method=str(method))
+
+
+def _json_load_from_path(g, path: str):
+    """json_util.load_from_path(path) YIELD objects
+    (src/mage/python/json_util.py:85). Distributed spark.read.json scan —
+    one row per JSON object with a map of stringified fields."""
+    df = g.spark.read.json(path)
+    obj = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in df.columns]),
+        F.array(*[F.col(c).cast("string") for c in df.columns]))
+    return df.select(obj.alias("objects"))
+
+
+def _export_json(g, path: str, label: str | None = None):
+    """export_util.json(path) (src/mage/python/export_util.py) — writes the
+    node tables as JSON lines; returns the per-label row counts."""
+    rows = []
+    for lbl, df in g.nodes.items():
+        if label and lbl != label:
+            continue
+        df.write.mode("overwrite").json(f"{path.rstrip('/')}/{lbl}")
+        rows.append((lbl, df.count()))
+    return g.spark.createDataFrame(rows, "label string, rows long")
+
+
+def _export_csv(g, path: str, label: str | None = None):
+    """export_util.csv(path) — same contract as export_util.json."""
+    rows = []
+    for lbl, df in g.nodes.items():
+        if label and lbl != label:
+            continue
+        df.write.mode("overwrite").option("header", True) \
+            .csv(f"{path.rstrip('/')}/{lbl}")
+        rows.append((lbl, df.count()))
+    return g.spark.createDataFrame(rows, "label string, rows long")
+
+
+def _do_when(g, condition, if_query: str, else_query: str = "", params=None):
+    """do.when(condition, ifQuery, elseQuery, params) YIELD value
+    (src/mage/cpp/do_module — conditional Cypher execution)."""
+    from memgraph_spark.plans import GraphSession
+    q = if_query if condition else else_query
+    if not q:
+        return g.spark.createDataFrame([], "value string")
+    out = GraphSession(g).execute(q, params or {})
+    return out.select(F.to_json(F.struct(*out.columns)).alias("value"))
+
+
+def _do_case(g, conditions, queries, else_query: str = "", params=None):
+    """do.case([cond...], [query...], elseQuery) YIELD value — first true
+    condition's query runs (src/mage/cpp/do_module kProcedureCase)."""
+    q = else_query
+    for c, qq in zip(list(conditions), list(queries)):
+        if c:
+            q = qq
+            break
+    return _do_when(g, True, q, "", params)
+
+
+def _periodic_iterate(g, query: str, config=None):
+    """periodic.iterate(query, config) YIELD success, number_of_executed_batches
+    (src/mage/cpp/periodic_module). Batch semantics collapse to one
+    distributed execution: Spark already partitions the work that the
+    reference's row-batching loop simulates."""
+    from memgraph_spark.plans import GraphSession
+    GraphSession(g).execute(query).collect()
+    return g.spark.createDataFrame([(True, 1)],
+                                   "success boolean, number_of_executed_batches long")
+
+
+def _refactor_rename_label(g, old_label: str, new_label: str):
+    """refactor.rename_label(old, new) YIELD nodes_changed
+    (src/mage/cpp/refactor_module)."""
+    if old_label not in g.nodes:
+        return g.spark.createDataFrame([(0,)], "nodes_changed long")
+    df = g.nodes.pop(old_label)
+    if new_label in g.nodes:
+        common = [c for c in df.columns if c in g.nodes[new_label].columns]
+        g.set_node_version(new_label, g.nodes[new_label].select(common)
+                           .unionByName(df.select(common)))
+    else:
+        g.set_node_version(new_label, df)
+    return g.spark.createDataFrame([(df.count(),)], "nodes_changed long")
+
+
+def _refactor_rename_type(g, old_type: str, new_type: str):
+    """refactor.rename_type(old, new) YIELD relationships_changed."""
+    if old_type not in g.edges:
+        return g.spark.createDataFrame([(0,)], "relationships_changed long")
+    df = g.edges.pop(old_type)
+    g.set_edge_version(new_type, df)
+    for key, cached in list(g._adj_cache.items()):
+        cached.unpersist()
+        del g._adj_cache[key]
+    return g.spark.createDataFrame([(df.count(),)],
+                                   "relationships_changed long")
+
+
+def _refactor_rename_node_property(g, old_property: str, new_property: str,
+                                   label: str | None = None):
+    """refactor.rename_node_property(old, new, [label]) YIELD nodes_changed."""
+    n = 0
+    for lbl, df in list(g.nodes.items()):
+        if label and lbl != label:
+            continue
+        if old_property in df.columns:
+            g.set_node_version(lbl, df.withColumnRenamed(old_property,
+                                                         new_property))
+            n += df.count()
+    return g.spark.createDataFrame([(n,)], "nodes_changed long")
+
+
+register("graph_coloring.color_graph", _color_graph)
+register("link_prediction.get", _link_prediction)
+register("json_util.load_from_path", _json_load_from_path)
+register("export_util.json", _export_json)
+register("export_util.csv", _export_csv)
+register("do.when", _do_when)
+register("do.case", _do_case)
+register("periodic.iterate", _periodic_iterate)
+register("refactor.rename_label", _refactor_rename_label)
+register("refactor.rename_type", _refactor_rename_type)
+register("refactor.rename_node_property", _refactor_rename_node_property)
 register("neighbors.at_hop", _neighbors_at_hop)
 register("neighbors.by_hop", _neighbors_by_hop)
 register("meta.stats_offline", _meta_stats)

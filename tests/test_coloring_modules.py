@@ -1,0 +1,102 @@
+"""Graph coloring, link prediction, json_util/export/do/periodic/refactor
+(reference graph_coloring, link_prediction, json_util, export_util,
+do_module, periodic_module, refactor_module)."""
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from memgraph_spark.algos import color_graph, link_prediction_scores
+from memgraph_spark.catalog import load_tpch_graph
+from memgraph_spark.plans import GraphSession
+from tests.conftest import SF_SMOKE
+
+
+def _graph(spark, edges):
+    g = load_tpch_graph(spark, SF_SMOKE)
+    g.edges = {"E": spark.createDataFrame(edges, "src long, dst long")}
+    g._adj_cache.clear()
+    return g
+
+
+def test_coloring_is_proper(spark):
+    # odd cycle + chords: any proper coloring works, adjacency must differ
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1), (1, 3)]
+    g = _graph(spark, edges)
+    colors = {r.id: r.color for r in color_graph(g).collect()}
+    assert set(colors) == {1, 2, 3, 4, 5}
+    for a, b in edges:
+        assert colors[a] != colors[b]
+    assert max(colors.values()) <= 4  # greedy bound: <= max_degree
+
+
+def test_link_prediction_adamic_adar(spark):
+    # path 1-2-3: only candidate pair (1,3) via common neighbour 2 (deg 2)
+    g = _graph(spark, [(1, 2), (2, 3)])
+    rows = link_prediction_scores(g).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.node1, r.node2) == (1, 3)
+    import math
+    assert abs(r.score - round(1.0 / math.log(2 + 1e-9), 4)) < 1e-6
+
+
+def test_json_util_and_export(spark):
+    g = load_tpch_graph(spark, SF_SMOKE)
+    gs = GraphSession(g)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "objs.jsonl")
+        with open(p, "w") as f:
+            f.write(json.dumps({"a": 1, "b": "x"}) + "\n")
+            f.write(json.dumps({"a": 2, "b": "y"}) + "\n")
+        rows = gs.execute(
+            f"CALL json_util.load_from_path('{p}') YIELD objects "
+            "RETURN objects").collect()
+        assert len(rows) == 2
+        assert {r.objects["a"] for r in rows} == {"1", "2"}
+
+        rows = gs.execute(
+            f"CALL export_util.json('{d}/out', 'Region') YIELD label, rows "
+            "RETURN label, rows").collect()
+        assert rows[0].label == "Region" and rows[0].rows == 5
+        back = spark.read.json(f"{d}/out/Region")
+        assert back.count() == 5
+
+
+def test_do_when_and_case(spark):
+    gs = GraphSession(load_tpch_graph(spark, SF_SMOKE))
+    rows = gs.execute("CALL do.when(true, 'RETURN 1 AS x', 'RETURN 2 AS x') "
+                      "YIELD value RETURN value").collect()
+    assert json.loads(rows[0].value) == {"x": 1}
+    rows = gs.execute(
+        "CALL do.case([false, true], ['RETURN 1 AS x', 'RETURN 2 AS x'], "
+        "'RETURN 3 AS x') YIELD value RETURN value").collect()
+    assert json.loads(rows[0].value) == {"x": 2}
+
+
+def test_periodic_iterate(spark):
+    gs = GraphSession(load_tpch_graph(spark, SF_SMOKE))
+    rows = gs.execute(
+        "CALL periodic.iterate('MATCH (r:Region) RETURN count(*) AS n', null) "
+        "YIELD success, number_of_executed_batches AS b "
+        "RETURN success, b").collect()
+    assert rows[0].success is True and rows[0].b == 1
+
+
+def test_refactor_renames(spark):
+    g = load_tpch_graph(spark, SF_SMOKE)
+    gs = GraphSession(g)
+    rows = gs.execute("CALL refactor.rename_label('Region', 'Zone') "
+                      "YIELD nodes_changed RETURN nodes_changed").collect()
+    assert rows[0].nodes_changed == 5
+    assert "Zone" in g.nodes and "Region" not in g.nodes
+    rows = gs.execute("CALL refactor.rename_type('IN_REGION', 'IN_ZONE') "
+                      "YIELD relationships_changed AS n RETURN n").collect()
+    assert rows[0].n > 0 and "IN_ZONE" in g.edges
+    rows = gs.execute(
+        "CALL refactor.rename_node_property('name', 'title', 'Zone') "
+        "YIELD nodes_changed RETURN nodes_changed").collect()
+    assert rows[0].nodes_changed == 5
+    assert "title" in g.nodes["Zone"].columns
