@@ -581,6 +581,26 @@ def _refactor_rename_node_property(g, old_property: str, new_property: str,
     return g.spark.createDataFrame([(n,)], "nodes_changed long")
 
 
+def _biconnected(g):
+    """biconnected_components.get() YIELD bcc_id, node_from, node_to
+    (src/mage/cpp/biconnected_components_module)."""
+    from memgraph_spark.algos.biconnected import biconnected_components
+    return biconnected_components(g)
+
+
+def _vrp(g, depot_node, number_of_vehicles=None):
+    """vrp.route(depot_node, [k]) YIELD from_vertex, to_vertex
+    (src/mage/python/vrp.py:65; sweep + nearest-neighbour heuristic)."""
+    from memgraph_spark.algos.biconnected import vrp_route
+    k = 1 if number_of_vehicles is None else int(number_of_vehicles)
+    r = vrp_route(g, int(depot_node), k)
+    rows = [] if not r else list(zip(r[0], r[1]))
+    return g.spark.createDataFrame(rows or [],
+                                   "from_vertex long, to_vertex long")
+
+
+register("biconnected_components.get", _biconnected)
+register("vrp.route", _vrp)
 register("graph_coloring.color_graph", _color_graph)
 register("link_prediction.get", _link_prediction)
 register("json_util.load_from_path", _json_load_from_path)
