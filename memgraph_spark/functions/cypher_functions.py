@@ -44,6 +44,22 @@ def _to_string(c: Column) -> Column:
     return c.cast("string")
 
 
+_STRFTIME = [("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%d", "dd"),
+             ("%H", "HH"), ("%I", "hh"), ("%M", "mm"), ("%S", "ss"),
+             ("%f", "SSSSSS"), ("%p", "a"), ("%z", "xx"), ("%Z", "zz"),
+             ("%j", "DDD"), ("%a", "EEE"), ("%A", "EEEE"), ("%b", "MMM"),
+             ("%B", "MMMM"), ("%%", "%")]
+
+
+def _strftime_to_java(fmt: Column) -> Column:
+    """python strftime directives -> Java SimpleDateFormat (the reference's
+    temporal.format takes strftime patterns, Spark's date_format takes Java)."""
+    out = fmt
+    for py, java in _STRFTIME:
+        out = F.replace(out, F.lit(py), F.lit(java))
+    return out
+
+
 # name (lowercased) -> fn(*Column) -> Column
 FUNCTIONS: dict[str, object] = {
     # lists ("size"/"length" are type-dependent -> resolved in the expression
@@ -203,6 +219,33 @@ FUNCTIONS: dict[str, object] = {
                      p.cast("string"),
                      F.substring(acc, F.instr(acc, "{}") + 2, 0x7FFFFFFF)))
         .otherwise(acc)),
+    # collections.split(list, delim): sublists between delimiter elements
+    # (collections_module Split); slice(l,1,0) types the empty accumulators
+    "collections.split": lambda l, d: F.aggregate(
+        l,
+        F.struct(F.slice(F.array(F.slice(l, 1, 0)), 1, 0).alias("parts"),
+                 F.slice(l, 1, 0).alias("cur")),
+        lambda acc, x: F.when(
+            x == d,
+            F.struct(F.array_append(acc["parts"], acc["cur"]).alias("parts"),
+                     F.slice(l, 1, 0).alias("cur")))
+        .otherwise(F.struct(acc["parts"].alias("parts"),
+                            F.array_append(acc["cur"], x).alias("cur"))),
+        lambda acc: F.array_append(acc["parts"], acc["cur"])),
+    # map.flatten(m, delim): one-level nested-map flattening is a typed
+    # operation in Spark; for the common map<string,map<string,T>> shape
+    "map.flatten": lambda m, *d: F.map_from_entries(F.flatten(F.transform(
+        F.map_entries(m),
+        lambda e: F.transform(
+            F.map_entries(e["value"]),
+            lambda i: F.struct(
+                F.concat(e["key"], (d[0] if d else F.lit(".")), i["key"])
+                .alias("key"),
+                i["value"].alias("value")))))),
+    # temporal.format(value, strftime_format) (src/mage/python/temporal.py:8)
+    "temporal.format": lambda ts, fmt: F.call_function(
+        "date_format", ts,
+        _strftime_to_java(fmt)),
     # util_module / uuid_module
     "util_module.md5": lambda c: F.md5(c.cast("string")),
     "util.md5": lambda c: F.md5(c.cast("string")),

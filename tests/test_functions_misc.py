@@ -44,3 +44,23 @@ def test_ast_cache_hits(spark):
     assert _parse_cached.cache_info().hits >= 1
     # and a cached AST still compiles correctly on reuse
     assert len(gs.execute(q).collect()) == len(gs.execute(q).collect()) == 5
+
+
+def test_collections_split(spark):
+    r = _gs(spark).execute(
+        "RETURN collections.split([1, 2, 0, 3, 0, 4], 0) AS s").collect()
+    assert r[0].s == [[1, 2], [3], [4]]
+
+
+def test_map_flatten(spark):
+    r = _gs(spark).execute(
+        "RETURN map.flatten(map.from_lists(['a'], "
+        "[map.from_lists(['x', 'y'], [1, 2])])) AS m").collect()
+    assert r[0].m == {"a.x": 1, "a.y": 2}
+
+
+def test_temporal_format(spark):
+    r = _gs(spark).execute(
+        "RETURN temporal.format(datetime('2024-03-05 10:20:30'), "
+        "'%Y/%m/%d %H:%M') AS s").collect()
+    assert r[0].s == "2024/03/05 10:20"
