@@ -127,13 +127,48 @@ SELECT v.id AS node, round(coalesce(k.s, 0.0), 4) AS rank
 FROM verts v LEFT JOIN katz k ON k.id = v.id
 """
 
+def q_algo_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly connected components over the Nation->Region subgraph
+    (wcc / union_find parity). Component label = min node id, matching the
+    hash-min propagation's fixpoint."""
+    from memgraph_spark.algos import weakly_connected_components
+    g = graph_for(spark, sf_dir)
+    edges = g.edge("IN_REGION").select("src", "dst")
+    r = weakly_connected_components(edges)
+    return (r.groupBy(F.col("component"))
+            .agg(F.count("*").alias("n_nodes"))
+            .select("component", "n_nodes"))
+
+
+ORACLE_ALGO_WCC = f"""
+WITH RECURSIVE
+edges AS (
+  SELECT ({_ID['Nation']}::BIGINT)+n_nationkey AS src,
+         ({_ID['Region']}::BIGINT)+n_regionkey AS dst FROM nation
+),
+und AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION ALL SELECT dst, src FROM edges
+),
+reach(id, root) AS (
+  SELECT DISTINCT a, a FROM und
+  UNION
+  SELECT u.b, r.root FROM reach r JOIN und u ON u.a = r.id
+),
+comp AS (SELECT id, min(root) AS component FROM reach GROUP BY id)
+SELECT component, count(*) AS n_nodes FROM comp GROUP BY component
+"""
+
+
 ALGO_QUERIES = {
+    "algo_wcc": q_algo_wcc,
     "algo_knn": q_algo_knn,
     "algo_topo_layers": q_algo_topo_layers,
     "algo_katz": q_algo_katz,
 }
 
 ALGO_ORACLES = {
+    "algo_wcc": ORACLE_ALGO_WCC,
     "algo_knn": ORACLE_ALGO_KNN,
     "algo_topo_layers": ORACLE_ALGO_TOPO,
     "algo_katz": ORACLE_ALGO_KATZ,
