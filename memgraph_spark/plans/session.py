@@ -54,6 +54,12 @@ class GraphSession:
         self.graph = graph
 
     def execute(self, query: str, params: dict | None = None) -> DataFrame:
+        # admin statements (index/constraint DDL, ANALYZE, SHOW …) are
+        # separate query types in the reference grammar too — dispatch first
+        from memgraph_spark.admin import try_admin
+        admin = try_admin(self.graph, query)
+        if admin is not None:
+            return admin
         ast = parse(query)
         # USING HOPS LIMIT n (src/query/hops_limit.hpp): shared quota on
         # expanded edges; partial results on exhaustion (the reference's

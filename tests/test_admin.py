@@ -1,0 +1,56 @@
+"""Admin statements: index DDL, constraints, ANALYZE GRAPH, SHOW ... INFO
+(reference IndexQuery/ConstraintQuery/AnalyzeGraphQuery/StorageInfoQuery)."""
+
+import pytest
+
+from memgraph_spark.catalog import load_tpch_graph
+from memgraph_spark.plans import GraphSession
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def gs(spark):
+    return GraphSession(load_tpch_graph(spark, SF_SMOKE))
+
+
+def test_index_ddl_and_show(gs):
+    gs.execute("CREATE INDEX ON :Region")
+    gs.execute("CREATE INDEX ON :Part(size)")
+    rows = gs.execute("SHOW INDEX INFO").collect()
+    info = {(r.index_type, r.label, r.property): r["count"] for r in rows}
+    assert info[("label", "Region", None)] == 5
+    assert ("label+property", "Part", "size") in info
+    gs.execute("DROP INDEX ON :Region")
+    rows = gs.execute("SHOW INDEX INFO").collect()
+    assert all(r.label != "Region" for r in rows)
+
+
+def test_constraints(gs):
+    gs.execute("CREATE CONSTRAINT ON (n:Region) ASSERT EXISTS (n.name)")
+    gs.execute("CREATE CONSTRAINT ON (n:Region) ASSERT n.key IS UNIQUE")
+    rows = gs.execute("SHOW CONSTRAINT INFO").collect()
+    kinds = {(r.constraint_type, r.label) for r in rows}
+    assert ("exists", "Region") in kinds and ("unique", "Region") in kinds
+    # a violated constraint is refused (order statuses are heavily repeated)
+    with pytest.raises(Exception, match="violated"):
+        gs.execute(
+            "CREATE CONSTRAINT ON (n:Order) ASSERT n.orderstatus IS UNIQUE")
+    rows = gs.execute("SHOW CONSTRAINT INFO").collect()
+    assert all(r.label != "Order" for r in rows)  # rolled back
+
+
+def test_storage_and_schema_info(gs):
+    rows = {r.storage_info: r.value
+            for r in gs.execute("SHOW STORAGE INFO").collect()}
+    assert int(rows["vertex_count"]) > 0 and int(rows["edge_count"]) > 0
+    assert rows["storage_mode"] == "IN_MEMORY_ANALYTICAL"
+    schema = gs.execute("SHOW SCHEMA INFO").collect()
+    assert len(schema) > 0
+
+
+def test_analyze_graph(gs):
+    rows = gs.execute("ANALYZE GRAPH ON LABELS :Region, :Nation").collect()
+    by = {(r.label, r.property): r for r in rows}
+    r = by[("Region", "name")]
+    assert r.num_estimation_nodes == 5 and r.num_groups >= 4
+    assert ("Nation", "name") in by
