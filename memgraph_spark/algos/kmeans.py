@@ -25,9 +25,12 @@ def kmeans(
     seed: int = 1998,
     id_col: str = "id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Returns (id, cluster_id). Init: deterministic pseudo-random k rows
-    (hash-ordered sample — the distributed analogue of seeded init)."""
+    return_model: bool = False,
+):
+    """Returns (id, cluster_id) — or ((id, cluster_id), centroids) when
+    `return_model` (the IVF coarse quantizer needs the centroid matrix).
+    Init: deterministic pseudo-random k rows (hash-ordered sample — the
+    distributed analogue of seeded init)."""
     pts = df.select(F.col(id_col).alias("id"),
                     F.col(vec_col).cast("array<double>").alias("v")) \
         .filter(F.col("v").isNotNull()).persist()
@@ -59,5 +62,9 @@ def kmeans(
         if shift < tol:
             break
     out = _assign(pts).select("id", F.col("cid").alias("cluster_id"))
+    if return_model:
+        out = out.localCheckpoint(eager=True)
+        pts.unpersist()
+        return out, centroids
     pts.unpersist()
     return out

@@ -132,3 +132,34 @@ def lsh_bucket_topk(
         .orderBy(F.col("sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF approximate top-k: kmeans coarse quantizer (algos/kmeans — fully
+    JVM-side Lloyd's) partitions vectors into n_lists inverted lists; the
+    query probes its n_probe nearest centroids and brute-forces only those
+    lists. The 100 TB path: lists are disjoint partitions, so the probe scan
+    touches ~n_probe/n_lists of the data; the assignment is a one-off
+    offline job reused across queries."""
+    from memgraph_spark.algos.kmeans import kmeans
+
+    assigned, centroids = kmeans(
+        df.select(F.col(id_col).alias("id"), vec_col), n_lists,
+        seed=seed, vec_col=vec_col, return_model=True)
+    import numpy as np
+    q = np.asarray(query_vec, dtype=float)
+    cents = np.asarray(centroids, dtype=float)
+    d2 = ((cents - q) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d2)[:n_probe]]
+    cand_ids = assigned.filter(F.col("cluster_id").isin(probe)).select("id")
+    cand = df.join(cand_ids.withColumnRenamed("id", id_col), id_col)
+    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)

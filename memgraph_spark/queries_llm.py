@@ -146,6 +146,16 @@ def q_embed_ann_lsh(spark, sf_dir):
                            [float(v) for v in qvec], k=10)
 
 
+def q_embed_ann_ivf(spark, sf_dir):
+    """Approximate top-10 via IVF (kmeans coarse quantizer + probed lists).
+    Approximate -> rows-only."""
+    from memgraph_spark.llm.similarity import ivf_topk
+    emb = _embeds(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ivf_topk(emb.filter(F.col("vec_id") != 0),
+                    [float(v) for v in qvec], k=10, n_lists=8, n_probe=3)
+
+
 def q_embed_label_norms(spark, sf_dir):
     from memgraph_spark.llm.similarity import norm
     emb = _embeds(spark, sf_dir)
@@ -266,6 +276,7 @@ LLM_QUERIES = {
     "embed_cosine_pairs": q_embed_cosine_pairs,
     "embed_knn": q_embed_knn,
     "embed_ann_lsh": q_embed_ann_lsh,
+    "embed_ann_ivf": q_embed_ann_ivf,
     "embed_label_norms": q_embed_label_norms,
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
@@ -284,5 +295,5 @@ LLM_ORACLES = {
     "text_token_stats": ORACLE_TEXT_TOKEN_STATS,
     "text_quality": ORACLE_TEXT_QUALITY,
     "text_langid": ORACLE_TEXT_LANGID,
-    # dedup_simhash / embed_ann_lsh / text_fingerprint: rows-only by design
+    # dedup_simhash / embed_ann_lsh / embed_ann_ivf / text_fingerprint: rows-only by design
 }

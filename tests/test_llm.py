@@ -13,6 +13,7 @@ from memgraph_spark.llm import (
     cosine_topk,
 )
 from memgraph_spark.llm.multimodal import extract_features, frame_sample_plan
+from tests.conftest import SF_SMOKE
 
 
 @pytest.fixture(scope="module")
@@ -78,3 +79,17 @@ def test_frame_sample_plan(spark):
     )
     frames = frame_sample_plan(df, every_ms=1000).collect()
     assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_ivf_topk_matches_exact_on_small_set(spark):
+    from memgraph_spark.llm.similarity import cosine_topk, ivf_topk
+    df = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = [float(v) for v in
+         df.filter("vec_id = 0").select("embedding").first()[0]]
+    rest = df.filter("vec_id <> 0")
+    exact = [r[0] for r in cosine_topk(rest, q, k=10).collect()]
+    approx = [r[0] for r in
+              ivf_topk(rest, q, k=10, n_lists=8, n_probe=3).collect()]
+    # the driver-query configuration: high recall, deterministic seed
+    assert len(set(exact) & set(approx)) >= 6
+    assert len(approx) == 10
