@@ -110,6 +110,103 @@ def try_admin(graph, query: str) -> DataFrame | None:
         from memgraph_spark.schema import schema_info
         return schema_info(graph)
 
+    # -- streams (CREATE/START/STOP/DROP/CHECK STREAM, SHOW STREAMS —
+    # -- src/query/stream/streams.hpp:123-183) ---------------------------
+    def _streams():
+        if not hasattr(graph, "streams_registry"):
+            from memgraph_spark.streaming import Streams
+            graph.streams_registry = Streams(graph)
+        return graph.streams_registry
+
+    m = re.match(r"CREATE (KAFKA|FILE) STREAM (\w+) "
+                 r"(?:TOPICS ([\w.,-]+) |PATH '([^']+)' FORMAT (\w+) )?"
+                 r"TRANSFORM ([\w.]+)"
+                 r"(?: BOOTSTRAP_SERVERS '([^']+)')?"
+                 r"(?: BATCH_INTERVAL (\d+))?(?: BATCH_SIZE (\d+))?$", q, re.I)
+    if m:
+        from memgraph_spark.streaming import TRANSFORMATIONS
+        kind, name, topics, path, fmt, transform, servers, interval, bsize = \
+            m.groups()
+        fn = TRANSFORMATIONS.get(transform.lower())
+        if fn is None:
+            raise ValueError(f"unknown transformation {transform} "
+                             "(register_transformation first)")
+        if kind.upper() == "KAFKA":
+            reader = (spark.readStream.format("kafka")
+                      .option("kafka.bootstrap.servers",
+                              servers or "localhost:9092")
+                      .option("subscribe", topics or name))
+            try:
+                source = reader.load()
+            except Exception as exc:
+                raise ValueError(
+                    "kafka connector unavailable in this environment; "
+                    "use CREATE FILE STREAM for file-backed sources") from exc
+        else:
+            src = spark.readStream.format(fmt.lower())
+            batch = spark.read.format(fmt.lower()).load(path)
+            source = src.schema(batch.schema).load(path)
+        _streams().create(name, source, fn,
+                          batch_interval_ms=int(interval or 100),
+                          batch_size=int(bsize) if bsize else None)
+        return spark.createDataFrame([], "status string")
+
+    m = re.match(r"(START|STOP|DROP|CHECK) STREAM (\w+)"
+                 r"(?: BATCH_LIMIT (\d+))?$", q, re.I)
+    if m:
+        op, name = m.group(1).upper(), m.group(2)
+        reg = _streams()
+        if op == "START":
+            if m.group(3):  # BATCH_LIMIT: drain-now semantics
+                reg.start_with_limit(name)
+            else:
+                reg.start(name)
+        elif op == "STOP":
+            reg.stop(name)
+        elif op == "DROP":
+            reg.drop(name)
+        else:
+            info = reg.check(name)
+            return spark.createDataFrame(
+                [(info["name"], info["batches_run"],
+                  "; ".join(info["errors"]))],
+                "name string, batches_run long, errors string")
+        return spark.createDataFrame([], "status string")
+
+    if u == "SHOW STREAMS":
+        rows = [(s["name"], s["batch_interval"], s["is_running"],
+                 s["batches_run"]) for s in _streams().show()]
+        return spark.createDataFrame(
+            rows or [], "name string, batch_interval long, "
+                        "is_running boolean, batches_run long")
+
+    # -- triggers (CREATE/DROP TRIGGER, SHOW TRIGGERS — ast.hpp TriggerQuery)
+    def _triggers():
+        if not hasattr(graph, "trigger_session"):
+            from memgraph_spark.streaming import TriggeredSession
+            graph.trigger_session = TriggeredSession(graph)
+        return graph.trigger_session
+
+    m = re.match(r"CREATE TRIGGER (\w+) ON (?:\(\) |--> )?"
+                 r"(CREATE|UPDATE|DELETE|ANY)?\s*"
+                 r"(?:BEFORE|AFTER)? ?COMMIT EXECUTE (.+)$", q,
+                 re.I | re.S)
+    if m:
+        name, event, stmt = m.group(1), m.group(2) or "ANY", m.group(3)
+        _triggers().create_trigger(name, event, stmt)
+        return spark.createDataFrame([], "status string")
+
+    m = re.match(r"DROP TRIGGER (\w+)$", q, re.I)
+    if m:
+        _triggers().drop_trigger(m.group(1))
+        return spark.createDataFrame([], "status string")
+
+    if u == "SHOW TRIGGERS":
+        rows = [(t["name"], t["event"], t["fired"])
+                for t in _triggers().show_triggers()]
+        return spark.createDataFrame(
+            rows or [], "trigger_name string, event_type string, fired long")
+
     m = re.match(r"ANALYZE GRAPH(?: ON LABELS ((?::\w+(?:, ?)?)+))?$", q, re.I)
     if m:
         labels = ([s.strip().lstrip(":") for s in m.group(1).split(",")]

@@ -125,3 +125,14 @@ class Streams:
         spec = self._streams[name]
         return {"name": name, "batches_run": spec.batches_run,
                 "errors": [str(e) for _, e in spec.errors]}
+
+
+# -- named transformation registry (the reference's transformation modules:
+# -- mgp transformations resolved by "module.name", streams.cpp:87) ---------
+TRANSFORMATIONS: dict[str, Transformation] = {}
+
+
+def register_transformation(name: str, fn: Transformation) -> None:
+    """mgp.transformation parity: statements reference transforms by name
+    (CREATE ... STREAM ... TRANSFORM module.name)."""
+    TRANSFORMATIONS[name.lower()] = fn
