@@ -639,9 +639,44 @@ register("tsp.solve", _tsp)
 register("max_flow.get_flow", _max_flow)
 register("max_flow.get_paths", _max_flow_paths)
 register("igraphalg.mincut", _mincut)
+def _import_json(g, path: str):
+    """import_util.json(path) (src/mage/python/import_util.py:311) — loads
+    node tables exported by export_util.json back into the graph; YIELD
+    label, rows."""
+    import os
+    rows = []
+    base = path.rstrip("/")
+    for lbl in sorted(os.listdir(base)):
+        sub = os.path.join(base, lbl)
+        if not os.path.isdir(sub):
+            continue
+        df = g.spark.read.json(sub)
+        if "id" in df.columns:
+            g.set_node_version(lbl, df)
+            rows.append((lbl, df.count()))
+    return g.spark.createDataFrame(rows or [], "label string, rows long")
+
+
+def _text_search_indexed(g, index_name: str, search_query: str, k: int = 10):
+    """text_search.search_all(index_name, search_query) parity
+    (query_modules/text_search_module.cpp:28) — the index name maps to the
+    indexed table; `documents` is the built-in corpus."""
+    return _text_search(g, search_query, k)
+
+
+def _text_fuzzy_indexed(g, index_name: str, search_query: str,
+                        max_edits: int = 1):
+    """text_search.fuzzy_phrase_search(index_name, query) parity
+    (text_search_module.cpp:24)."""
+    return _text_fuzzy(g, search_query, max_edits)
+
+
+register("import_util.json", _import_json)
 register("text_search.search", _text_search)
+register("text_search.search_all", _text_search_indexed)
 register("text_search.regex_search", _text_regex)
 register("text_search.fuzzy_search", _text_fuzzy)
+register("text_search.fuzzy_phrase_search", _text_fuzzy_indexed)
 register("pagerank.get", _pagerank)
 register("weakly_connected_components.get", _wcc)
 register("wcc.get", _wcc)

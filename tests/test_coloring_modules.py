@@ -100,3 +100,25 @@ def test_refactor_renames(spark):
         "YIELD nodes_changed RETURN nodes_changed").collect()
     assert rows[0].nodes_changed == 5
     assert "title" in g.nodes["Zone"].columns
+
+
+def test_import_json_roundtrip(spark):
+    g = load_tpch_graph(spark, SF_SMOKE)
+    gs = GraphSession(g)
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        gs.execute(f"CALL export_util.json('{d}', 'Region') "
+                   "YIELD label RETURN label").collect()
+        g2 = load_tpch_graph(spark, SF_SMOKE)
+        gs2 = GraphSession(g2)
+        rows = gs2.execute(f"CALL import_util.json('{d}') YIELD label, rows "
+                           "RETURN label, rows").collect()
+        assert rows[0].label == "Region" and rows[0].rows == 5
+        assert g2.nodes["Region"].count() == 5
+
+
+def test_text_search_index_aliases(spark):
+    gs = GraphSession(load_tpch_graph(spark, SF_SMOKE))
+    rows = gs.execute("CALL text_search.search_all('documents', 'the', 5) "
+                      "YIELD doc_id, score RETURN count(*) AS n").collect()
+    assert rows[0].n > 0
