@@ -671,6 +671,22 @@ def _text_fuzzy_indexed(g, index_name: str, search_query: str,
     return _text_fuzzy(g, search_query, max_edits)
 
 
+def _vector_search(g, index_name: str, result_set_size: int, query_vector):
+    """vector_search.search(index_name, result_set_size, query_vector)
+    YIELD node, distance, similarity
+    (query_modules/vector_search_module.cpp — usearch HNSW replaced by the
+    exact top-k scan; llm.similarity.ivf_topk/lsh_bucket_topk are the
+    approximate scale paths)."""
+    from memgraph_spark.llm.similarity import cosine_topk
+    emb = g.tables["embeddings"]
+    r = cosine_topk(emb, [float(v) for v in query_vector],
+                    k=int(result_set_size))
+    return r.select(F.col("vec_id").alias("node"),
+                    (1.0 - F.col("sim")).alias("distance"),
+                    F.col("sim").alias("similarity"))
+
+
+register("vector_search.search", _vector_search)
 register("import_util.json", _import_json)
 register("text_search.search", _text_search)
 register("text_search.search_all", _text_search_indexed)

@@ -122,3 +122,18 @@ def test_text_search_index_aliases(spark):
     rows = gs.execute("CALL text_search.search_all('documents', 'the', 5) "
                       "YIELD doc_id, score RETURN count(*) AS n").collect()
     assert rows[0].n > 0
+
+
+def test_vector_search_procedure(spark):
+    g = load_tpch_graph(spark, SF_SMOKE)
+    gs = GraphSession(g)
+    q = [float(v) for v in
+         g.tables["embeddings"].filter("vec_id = 0")
+         .select("embedding").first()[0]]
+    rows = gs.execute(
+        "CALL vector_search.search('embeddings', 3, $q) "
+        "YIELD node, distance, similarity "
+        "RETURN node, distance, similarity", params={"q": q}).collect()
+    assert len(rows) == 3
+    assert rows[0].node == 0 and abs(rows[0].similarity - 1.0) < 1e-6
+    assert all(abs(1.0 - r.similarity - r.distance) < 1e-9 for r in rows)
