@@ -686,6 +686,38 @@ def _vector_search(g, index_name: str, result_set_size: int, query_vector):
                     F.col("sim").alias("similarity"))
 
 
+def _algo_astar(g, source, target, config=None):
+    """algo.astar(source, target, config) YIELD path, weight
+    (src/mage/cpp/algo_module — A*'s heuristic is a single-node pruning
+    trick; the distributed equivalent runs the same-result frontier-parallel
+    Dijkstra/Bellman relaxation, so path and weight match exactly)."""
+    from memgraph_spark.operators.kshortest import shortest_path_with_nodes
+    cfg = config or {}
+    weight = cfg.get("weight_property") if isinstance(cfg, dict) else None
+    unweighted = bool(cfg.get("unweighted")) if isinstance(cfg, dict) else False
+    r = shortest_path_with_nodes(g, int(source), int(target),
+                                 weight_col=None if unweighted else weight)
+    rows = [] if r is None else [(r[0], float(r[1]))]
+    return g.spark.createDataFrame(rows or [],
+                                   "path array<long>, weight double")
+
+
+def _algo_cover(g, nodes):
+    """algo.cover(nodes) YIELD rel — edges of the induced subgraph
+    (src/mage/cpp/algo_module/algorithm/algo.cpp:178)."""
+    ids = g.spark.createDataFrame([(int(n),) for n in nodes], "id long")
+    e = g.all_edges()
+    out = (e.join(F.broadcast(ids.withColumnRenamed("id", "src")), "src",
+                  "left_semi")
+           .join(F.broadcast(ids.withColumnRenamed("id", "dst")), "dst",
+                 "left_semi")
+           .select("src", "dst", "type"))
+    return out
+
+
+register("algo.astar", _algo_astar)
+register("algo.cover", _algo_cover)
+register("algo.all_simple_paths", _simple_paths)
 register("vector_search.search", _vector_search)
 register("import_util.json", _import_json)
 register("text_search.search", _text_search)

@@ -98,3 +98,22 @@ def test_katz_procedure(spark):
                       "RETURN node, rank ORDER BY node").collect()
     assert len(rows) == 3 and rows[0].rank == 0.0
     assert not math.isnan(rows[2].rank)
+
+
+def test_algo_module(spark):
+    g = _graph(spark, [(1, 2, 2.0), (2, 3, 2.0), (1, 3, 5.0), (3, 4, 1.0)],
+               "src long, dst long, weight double")
+    gs = GraphSession(g)
+    rows = gs.execute(
+        "CALL algo.astar(1, 3, {weight_property: 'weight'}) "
+        "YIELD path, weight RETURN path, weight").collect()
+    assert rows[0].path == [1, 2, 3] and rows[0].weight == 4.0
+    rows = gs.execute("CALL algo.astar(1, 3, {unweighted: true}) "
+                      "YIELD path RETURN path").collect()
+    assert rows[0].path == [1, 3]
+    rows = gs.execute("CALL algo.cover([1, 2, 3]) YIELD src, dst "
+                      "RETURN src, dst ORDER BY src, dst").collect()
+    assert [(r.src, r.dst) for r in rows] == [(1, 2), (1, 3), (2, 3)]
+    rows = gs.execute("CALL algo.all_simple_paths(1, 4, 5) YIELD path "
+                      "RETURN path ORDER BY size(path)").collect()
+    assert [r.path for r in rows] == [[1, 3, 4], [1, 2, 3, 4]]
