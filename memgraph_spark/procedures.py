@@ -715,6 +715,72 @@ def _algo_cover(g, nodes):
     return out
 
 
+def _create_node(g, labels=None, props=None):
+    """create.node(labels, props) YIELD node
+    (src/mage/cpp/create_module — APOC-style write helper). The write is a
+    table-version swap; the yielded node id is the version diff."""
+    from memgraph_spark.plans import GraphSession
+    labels = list(labels or ["__Node"])
+    props = dict(props or {})
+    lbl = labels[0]
+    before = g.nodes[lbl].select("id") if lbl in g.nodes else None
+    items = ", ".join(f"{k}: ${k}" for k in props)
+    body = f":{':'.join(labels)}" + (f" {{{items}}}" if items else "")
+    GraphSession(g).execute(f"CREATE (n{body})", props).collect()
+    after = g.nodes[lbl].select("id")
+    new = after.join(before, "id", "left_anti") if before is not None else after
+    return new.select(F.col("id").alias("node"))
+
+
+def _create_nodes(g, labels=None, props=None):
+    """create.nodes(labels, props_list) YIELD node — bulk variant."""
+    out = None
+    for p in (props or [{}]):
+        df = _create_node(g, labels, p)
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def _create_relationship(g, from_node, rel_type: str, props, to_node):
+    """create.relationship(from, relationshipType, properties, to)
+    YIELD relationship (eid)."""
+    src, dst = int(from_node), int(to_node)
+    props = dict(props or {})
+    epoch = g.next_epoch()
+    schema_cols = ["src long", "dst long"] + \
+        [f"{k} string" for k in props]  # property values stringified
+    new = g.spark.createDataFrame(
+        [(src, dst, *[str(v) for v in props.values()])],
+        ", ".join(schema_cols))
+    new = new.withColumn("eid", F.xxhash64(F.lit(rel_type), F.lit(epoch),
+                                           "src", "dst"))
+    if rel_type in g.edges:
+        old = g.edges[rel_type]
+        common = [c for c in new.columns if c in old.columns]
+        merged = old.select(common).unionByName(new.select(common))
+    else:
+        merged = new
+    g.set_edge_version(rel_type, merged)
+    return new.select(F.col("eid").alias("relationship"))
+
+
+def _create_set_property(g, node, key: str, value):
+    """create.set_property(node, key, value) YIELD node."""
+    nid = int(node)
+    for lbl, df in list(g.nodes.items()):
+        if df.filter(F.col("id") == nid).isEmpty():
+            continue
+        col = (F.when(F.col("id") == nid, F.lit(value))
+               .otherwise(F.col(key) if key in df.columns else F.lit(None)))
+        g.set_node_version(lbl, df.withColumn(key, col))
+    return g.spark.createDataFrame([(nid,)], "node long")
+
+
+register("create.node", _create_node)
+register("create.nodes", _create_nodes)
+register("create.relationship", _create_relationship)
+register("create.set_property", _create_set_property)
+register("set_property.set_property", _create_set_property)
 register("algo.astar", _algo_astar)
 register("algo.cover", _algo_cover)
 register("algo.all_simple_paths", _simple_paths)

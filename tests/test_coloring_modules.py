@@ -137,3 +137,23 @@ def test_vector_search_procedure(spark):
     assert len(rows) == 3
     assert rows[0].node == 0 and abs(rows[0].similarity - 1.0) < 1e-6
     assert all(abs(1.0 - r.similarity - r.distance) < 1e-9 for r in rows)
+
+
+def test_create_module(spark):
+    g = load_tpch_graph(spark, SF_SMOKE)
+    gs = GraphSession(g)
+    rows = gs.execute("CALL create.node(['Widget'], {name: 'w1'}) "
+                      "YIELD node RETURN node").collect()
+    assert len(rows) == 1
+    nid = rows[0].node
+    assert g.nodes["Widget"].filter(F.col("id") == nid).count() == 1
+    rows = gs.execute(
+        "CALL create.relationship($a, 'LINKS', {kind: 'x'}, $b) "
+        "YIELD relationship RETURN relationship",
+        params={"a": nid, "b": nid}).collect()
+    assert len(rows) == 1 and "LINKS" in g.edges
+    rows = gs.execute("CALL create.set_property($n, 'color', 'red') "
+                      "YIELD node RETURN node", params={"n": nid}).collect()
+    assert rows[0].node == nid
+    assert g.nodes["Widget"].filter(F.col("id") == nid) \
+        .select("color").first()[0] == "red"
