@@ -38,6 +38,28 @@ def try_admin(graph, query: str) -> DataFrame | None:
         from memgraph_spark.schema import ConstraintSet
         graph.constraint_registry = ConstraintSet(graph)
 
+    # text / vector index DDL (ast.hpp TextIndexQuery :2320 /
+    # VectorIndexQuery :2386) — named indexes over a label's text/embedding
+    # column; the physical "index" is the tokenized/embedding table layout
+    m = re.match(r"CREATE TEXT INDEX (\w+) ON :(\w+)(?: ?\((\w+)\))?$", q, re.I)
+    if m:
+        graph.index_registry.append((m.group(2), m.group(3), "text", m.group(1)))
+        return spark.createDataFrame([], "status string")
+
+    m = re.match(r"CREATE VECTOR INDEX (\w+) ON :(\w+) ?\((\w+)\)"
+                 r"(?: WITH CONFIG .*)?$", q, re.I)
+    if m:
+        graph.index_registry.append((m.group(2), m.group(3), "vector", m.group(1)))
+        return spark.createDataFrame([], "status string")
+
+    m = re.match(r"DROP (TEXT|VECTOR) INDEX (\w+)$", q, re.I)
+    if m:
+        graph.index_registry = [
+            e for e in graph.index_registry
+            if not (len(e) == 4 and e[3] == m.group(2)
+                    and e[2] == m.group(1).lower())]
+        return spark.createDataFrame([], "status string")
+
     m = re.match(r"CREATE INDEX ON :(\w+)(?: ?\((\w+)\))?$", q, re.I)
     if m:
         entry = (m.group(1), m.group(2))
@@ -54,10 +76,12 @@ def try_admin(graph, query: str) -> DataFrame | None:
 
     if u == "SHOW INDEX INFO":
         rows = []
-        for label, prop in graph.index_registry:
+        for entry in graph.index_registry:
+            label, prop = entry[0], entry[1]
+            kind = entry[2] if len(entry) == 4 else (
+                "label" if prop is None else "label+property")
             n = graph.label_count(label) if label in graph.nodes else 0
-            rows.append(("label" if prop is None else "label+property",
-                         label, prop, n))
+            rows.append((kind, label, prop, n))
         return spark.createDataFrame(
             rows or [], "index_type string, label string, property string, "
                         "count long")

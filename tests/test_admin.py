@@ -54,3 +54,17 @@ def test_analyze_graph(gs):
     r = by[("Region", "name")]
     assert r.num_estimation_nodes == 5 and r.num_groups >= 4
     assert ("Nation", "name") in by
+
+
+def test_text_and_vector_index_ddl(gs):
+    gs.execute("CREATE TEXT INDEX docidx ON :Document(text)")
+    gs.execute("CREATE VECTOR INDEX embidx ON :Document(embedding) "
+               "WITH CONFIG {\"dimension\": 64}")
+    rows = gs.execute("SHOW INDEX INFO").collect()
+    kinds = {(r.index_type, r.label, r.property) for r in rows}
+    assert ("text", "Document", "text") in kinds
+    assert ("vector", "Document", "embedding") in kinds
+    gs.execute("DROP TEXT INDEX docidx")
+    gs.execute("DROP VECTOR INDEX embidx")
+    rows = gs.execute("SHOW INDEX INFO").collect()
+    assert all(r.index_type not in ("text", "vector") for r in rows)
