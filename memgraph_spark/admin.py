@@ -130,6 +130,17 @@ def try_admin(graph, query: str) -> DataFrame | None:
                 ("storage_mode", "IN_MEMORY_ANALYTICAL")]
         return spark.createDataFrame(rows, "storage_info string, value string")
 
+    if u == "SHOW DATABASES":
+        # single-database deployment (multi-tenant routing is the lake
+        # catalog's job on Spark); parity row for the reference's default db
+        return spark.createDataFrame([("memgraph",)], "name string")
+
+    if u == "SHOW TRANSACTIONS":
+        # IN_MEMORY_ANALYTICAL semantics: no interactive transactions — the
+        # only "transaction" is the current batch job itself
+        return spark.createDataFrame(
+            [], "username string, transaction_id string, query array<string>")
+
     if u == "SHOW SCHEMA INFO":
         from memgraph_spark.schema import schema_info
         return schema_info(graph)

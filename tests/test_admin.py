@@ -68,3 +68,9 @@ def test_text_and_vector_index_ddl(gs):
     gs.execute("DROP VECTOR INDEX embidx")
     rows = gs.execute("SHOW INDEX INFO").collect()
     assert all(r.index_type not in ("text", "vector") for r in rows)
+
+
+def test_show_databases_and_transactions(gs):
+    rows = gs.execute("SHOW DATABASES").collect()
+    assert [r.name for r in rows] == ["memgraph"]
+    assert gs.execute("SHOW TRANSACTIONS").collect() == []
