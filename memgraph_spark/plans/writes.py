@@ -337,6 +337,20 @@ class WriteMixin:
         missing = (matched.filter(F.col(f"{sym}_id").isNull())
                    .select(*frame.columns))
         n_missing = missing.count()
+        # ON MATCH applies to the rows that bound BEFORE the create step, so
+        # mixed match+create batches set only the pre-existing nodes
+        # (operator.cpp:7194 runs the two cursors per input row; batched, the
+        # split is by the null-ness of the joined id)
+        wrote_match = False
+        if cl.on_match:
+            found = matched.filter(F.col(f"{sym}_id").isNotNull())
+            if not found.isEmpty():
+                sub = self._sub_compiler("om")
+                sub.df = found
+                sub.symbols = dict(self.symbols)
+                sub.symbols[sym] = "node"
+                sub._set(cl.on_match)
+                wrote_match = True
         if n_missing:
             env_m = self._env(missing)
             distinct = missing.select(
@@ -350,12 +364,11 @@ class WriteMixin:
                               {k: A.Var(f"__p_{k}") for k in np.props}), sym)
             if cl.on_create:
                 creator._set(cl.on_create)
-            self.df = join_pattern("inner")  # new table version: all rows bind
+        if n_missing or wrote_match:
+            self.df = join_pattern("inner")  # rebind on the new table version
         else:
             self.df = matched
         self.symbols[sym] = "node"
-        if cl.on_match and n_missing == 0:
-            self._set(cl.on_match)
 
     def _merge_edge(self, part: A.PatternPart, cl: A.Merge) -> None:
         rel, target = part.chain[0]
@@ -375,6 +388,20 @@ class WriteMixin:
         else:
             missing = frame
         n_missing = missing.count()
+        # ON MATCH first, on the rows whose relationship already exists —
+        # mixed batches set only those (see _merge_node note)
+        if cl.on_match:
+            found = (frame.join(missing.select(f"{src}_id", f"{dst}_id")
+                                .dropDuplicates(),
+                                [f"{src}_id", f"{dst}_id"], "left_anti")
+                     if n_missing else frame)
+            if not found.isEmpty():
+                sub = self._sub_compiler("om")
+                sub.df, sub.symbols = found, dict(self.symbols)
+                bind_rel = A.RelPattern(rel.var or sub._anon_sym("r"),
+                                        rel.types, rel.direction, rel.props)
+                sub._expand_single(a, bind_rel, target, b)
+                sub._set(cl.on_match)
         if n_missing:
             creator = self._sub_compiler("me")
             creator.df = missing.dropDuplicates([f"{src}_id", f"{dst}_id"])
@@ -382,13 +409,6 @@ class WriteMixin:
             creator._create_edge(a, rel, b)
             if cl.on_create:
                 creator._set(cl.on_create)
-        elif cl.on_match:
-            sub = self._sub_compiler("om")
-            sub.df, sub.symbols = frame, dict(self.symbols)
-            bind_rel = A.RelPattern(rel.var or sub._anon_sym("r"), rel.types,
-                                    rel.direction, rel.props)
-            sub._expand_single(a, bind_rel, target, b)
-            sub._set(cl.on_match)
         # rebind against the (possibly new) edge version so the rel is visible
         self.df = frame
         self._expand_single(a, rel, target, b)

@@ -152,3 +152,19 @@ def test_writes_do_not_leak_into_base_tables(gs):
     # TPC-H labels untouched by the Person/KNOWS churn
     assert _one(gs.execute("MATCH (n:Nation) RETURN count(*) AS n")).n == 25
     assert _one(gs.execute("MATCH (r:Region) RETURN count(*) AS n")).n == 5
+
+
+def test_merge_mixed_batch_on_match(spark):
+    """Mixed match+create MERGE batches: ON MATCH hits only pre-existing
+    nodes, ON CREATE only the new ones (operator.cpp:7194 per-row split)."""
+    gs = GraphSession(load_tpch_graph(spark, SF_SMOKE))
+    gs.execute("CREATE (:Tag {name: 'a'})")
+    gs.execute("UNWIND ['a', 'b'] AS nm "
+               "MERGE (t:Tag {name: nm}) "
+               "ON MATCH SET t.seen = 'yes' "
+               "ON CREATE SET t.fresh = 'yes'")
+    rows = {r.name: r for r in gs.execute(
+        "MATCH (t:Tag) RETURN t.name AS name, t.seen AS seen, "
+        "t.fresh AS fresh ORDER BY name").collect()}
+    assert rows["a"].seen == "yes" and rows["a"].fresh is None
+    assert rows["b"].fresh == "yes" and rows["b"].seen is None
