@@ -1,0 +1,100 @@
+"""Run the reference's gql_behave corpus against our engine and report.
+
+Usage:
+  python corpus_report.py                     # both suites, writes CORPUS.md
+  python corpus_report.py aggregations        # only matching feature files
+  python corpus_report.py -v match.feature    # verbose: print each failure
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "tests"))
+
+from gql_corpus import (  # noqa: E402
+    corpus_files, graphs_dir_for, parse_feature, run_scenario,
+)
+from memgraph_spark.session import get_spark  # noqa: E402
+
+SUITES = ["memgraph_V1", "openCypher_M09"]
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    verbose = "-v" in sys.argv
+    pattern = args[0] if args else None
+
+    spark = get_spark("gql-corpus", os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    spark.sparkContext.setLogLevel("OFF")
+
+    results: dict[str, dict] = {}
+    t0 = time.time()
+    for suite in SUITES:
+        gdir = graphs_dir_for(suite)
+        for path in corpus_files(suite):
+            fname = os.path.basename(path)
+            if pattern and pattern not in fname:
+                continue
+            scenarios = parse_feature(path)
+            stats = {"pass": 0, "fail": 0, "error": 0, "skip": 0,
+                     "timeout": 0, "failures": []}
+            for sc in scenarios:
+                r = run_scenario(spark, sc, gdir)
+                stats[r.status] += 1
+                if r.status in ("fail", "error", "timeout"):
+                    stats["failures"].append(
+                        {"scenario": sc.name, "status": r.status,
+                         "detail": r.detail})
+                    if verbose:
+                        print(f"  {r.status}: {sc.name}\n    {r.detail}")
+            results[f"{suite}/{fname}"] = stats
+            total = sum(stats[k] for k in
+                        ("pass", "fail", "error", "skip", "timeout"))
+            print(f"{suite}/{fname}: {stats['pass']}/{total} pass "
+                  f"({stats['fail']} fail, {stats['error']} error, "
+                  f"{stats['skip']} skip, {stats['timeout']} timeout) "
+                  f"[{time.time() - t0:.0f}s]", flush=True)
+
+    agg = {k: sum(r[k] for r in results.values())
+           for k in ("pass", "fail", "error", "skip", "timeout")}
+    runnable = agg["pass"] + agg["fail"] + agg["error"] + agg["timeout"]
+    print(f"\nTOTAL: {agg['pass']}/{runnable} runnable pass "
+          f"({agg['skip']} skipped as out-of-scope), "
+          f"{time.time() - t0:.0f}s")
+
+    if not pattern:
+        with open("corpus_results.json", "w") as f:
+            json.dump(results, f, indent=1)
+        write_md(results, agg, runnable)
+
+
+def write_md(results: dict, agg: dict, runnable: int) -> None:
+    lines = [
+        "# CORPUS — gql_behave corpus pass rates",
+        "",
+        "The reference's behaviour corpus (`tests/gql_behave/tests/"
+        "{memgraph_V1,openCypher_M09}`) executed against our engine by "
+        "`corpus_report.py` (runner: `tests/gql_corpus.py`).",
+        "",
+        f"**{agg['pass']}/{runnable} runnable scenarios pass** "
+        f"({agg['skip']} skipped: vector/point-index DDL, test procedures "
+        "and other out-of-scope steps).",
+        "",
+        "| feature file | pass | fail | error | timeout | skip |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name, s in sorted(results.items()):
+        lines.append(f"| {name} | {s['pass']} | {s['fail']} | {s['error']} "
+                     f"| {s['timeout']} | {s['skip']} |")
+    with open("CORPUS.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -120,7 +120,7 @@ class PropertyGraph:
 
     # -- schema surface (SHOW SCHEMA INFO parity: schema is observed) -------
     def labels(self) -> list[str]:
-        return sorted(self.nodes)
+        return sorted(lbl for lbl in self.nodes if lbl)
 
     def edge_types(self) -> list[str]:
         return sorted(self.edges)
@@ -143,12 +143,18 @@ class PropertyGraph:
         properties = properties or []
         dfs = []
         for label, df in self.nodes.items():
-            cols = [F.col("id"), F.array(F.lit(label)).alias("labels")]
+            lbl_arr = (F.array(F.lit(label)) if label
+                       else F.array().cast("array<string>"))
+            cols = [F.col("id"), lbl_arr.alias("labels")]
             for p in properties:
                 cols.append(
                     F.col(p).alias(p) if p in df.columns else F.lit(None).alias(p)
                 )
             dfs.append(df.select(*cols))
+        if not dfs:
+            schema = "id BIGINT, labels ARRAY<STRING>" + "".join(
+                f", {p} STRING" for p in properties)
+            return self.spark.createDataFrame([], schema)
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
@@ -176,6 +182,10 @@ class PropertyGraph:
                     F.col(p).alias(p) if p in df.columns else F.lit(None).alias(p)
                 )
             dfs.append(df.select(*cols))
+        if not dfs:
+            schema = "src BIGINT, dst BIGINT, type STRING" + "".join(
+                f", {p} STRING" for p in properties)
+            return self.spark.createDataFrame([], schema)
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)

@@ -80,6 +80,11 @@ FUNCTIONS: dict[str, object] = {
     "date": F.to_date,
     "datetime": F.to_timestamp,
     "localdatetime": F.to_timestamp,
+    # LocalTime as a normalized HH:MM:SS.nnnnnnnnn string — lexical order ==
+    # chronological, so min/max/comparisons work without a Spark TIME type
+    "localtime": lambda c: F.concat(
+        F.date_format(F.to_timestamp(F.concat(F.lit("1970-01-01 "), c)),
+                      "HH:mm:ss.SSSSSS"), F.lit("000")),
     "log": F.log,
     "log10": F.log10,
     "sqrt": F.sqrt,
@@ -275,7 +280,10 @@ FUNCTIONS["point.withinbbox"] = point_withinbbox
 
 AGGREGATES: dict[str, object] = {
     "count": lambda c, distinct=False: (F.count_distinct(c) if distinct else F.count(c)),
-    "sum": lambda c, distinct=False: (F.sum_distinct(c) if distinct else F.sum(c)),
+    # Cypher SUM over no values is 0, not null (CompactAggregationValue
+    # initializes the sum slot to int 0)
+    "sum": lambda c, distinct=False: F.coalesce(
+        F.sum_distinct(c) if distinct else F.sum(c), F.lit(0)),
     "min": _agg(F.min),
     "max": _agg(F.max),
     "avg": lambda c, distinct=False: F.avg(c),

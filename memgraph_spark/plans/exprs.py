@@ -302,6 +302,16 @@ def _compile_func(e: A.FuncCall, env: Env) -> Column:
         raise CompileError("point() needs x/y or longitude/latitude")
     args = [compile_expr(a, env) for a in e.args]
     if name in AGGREGATES:
+        # COLLECT_MAP (aggregation.hpp:27): collect(k, v) builds a map
+        if name == "collect" and len(args) == 2:
+            return F.map_from_entries(
+                F.collect_list(F.struct(args[0].alias("k"),
+                                        args[1].alias("v"))))
+        # sum(null) is integer 0 (typed long, not the double Spark infers)
+        if (name == "sum" and isinstance(e.args[0], A.Literal)
+                and e.args[0].value is None):
+            return F.coalesce(F.max(F.lit(0).cast("long")),
+                              F.lit(0).cast("long"))
         return AGGREGATES[name](args[0], e.distinct)
     # graph accessors need symbol context
     if name == "id" and isinstance(e.args[0], A.Var):

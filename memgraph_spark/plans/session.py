@@ -38,6 +38,12 @@ from memgraph_spark.plans.writes import WriteMixin
 
 REL_META = ("eid", "type", "src", "dst")
 
+
+def qcol(name: str) -> Column:
+    """Column reference robust to dots/odd chars in result names (RETURN
+    without AS yields columns literally named e.g. `a.x`)."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
 WRITE_COUNTERS = ("nodes_created", "relationships_created", "properties_set",
                   "labels_added", "nodes_deleted", "relationships_deleted")
 
@@ -292,7 +298,12 @@ class QueryCompiler(WriteMixin):
     def _edge_table(self, types: list[str], rsym: str, want_props: bool) -> DataFrame:
         """Typed edge scan(s) unioned on a common schema, columns prefixed to
         the rel symbol. Cols: src, dst, {rsym}_eid/_type/_src/_dst/_props."""
-        chosen = types or self.g.edge_types()
+        chosen = [t for t in (types or self.g.edge_types())
+                  if t in self.g.edges]
+        if not chosen:  # no matching edge tables: statically empty expand
+            return self.g.spark.createDataFrame(
+                [], f"src BIGINT, dst BIGINT, {rsym}_eid BIGINT, "
+                    f"{rsym}_type STRING, {rsym}_src BIGINT, {rsym}_dst BIGINT")
         prop_names: set[str] = set()
         if want_props:
             for t in chosen:
@@ -722,7 +733,7 @@ class QueryCompiler(WriteMixin):
         if cl.distinct:
             # DISTINCT is over the output columns only; ORDER BY afterwards
             # may legally only reference them (Cypher scoping rule)
-            df = df.select(*self._keep_cols(outs, df))
+            df = df.select(*[qcol(c) for c in self._keep_cols(outs, df)])
             df = df.dropDuplicates()
             new_syms = {}
             for name, kind, spec in outs:
@@ -756,7 +767,7 @@ class QueryCompiler(WriteMixin):
                 elif kind == "path":
                     final.append(F.col(f"{spec}_length").alias(name))
                 else:
-                    final.append(F.col(name))
+                    final.append(qcol(name))
             return df.select(*final)
 
         # WITH: the projected frame becomes the new scope
@@ -774,7 +785,7 @@ class QueryCompiler(WriteMixin):
             else:
                 keep.append(name)
                 self.symbols[name] = "value"
-        df = df.select(*dict.fromkeys(keep))
+        df = df.select(*[qcol(c) for c in dict.fromkeys(keep)])
         for old, new in renames.items():
             df = df.withColumnRenamed(old, new)
         self.df = df
@@ -834,7 +845,7 @@ class QueryCompiler(WriteMixin):
         if contains_aggregate(oi.expr):
             for name, kind, spec in outs:
                 if kind == "value" and spec == oi.expr:
-                    return F.col(name)
+                    return qcol(name)
             raise CompileError("ORDER BY aggregate must appear in the "
                                "projection (alias it)")
         return compile_expr(oi.expr, Env(df, new_syms, self.params))

@@ -57,10 +57,9 @@ class WriteMixin:
         """CreateNode (operator.hpp:411): one node per input row. Ids are
         (label_code << KEY_BITS) + key; key comes from the pattern's `key`
         property if given, else is allocated past the label's current max."""
-        if not np.labels:
-            raise CompileError("CREATE requires at least one label "
-                               "(the label is the table)")
-        label = np.labels[0]
+        # unlabeled nodes live in the reserved "" table with an empty label
+        # set (the reference's vertices may carry zero labels, vertex.hpp:41)
+        label = np.labels[0] if np.labels else ""
         code = register_label(label)
         if self.df is None:
             self.df = self._seed()
@@ -81,8 +80,9 @@ class WriteMixin:
         for k, ve in np.props.items():
             if k != "key":
                 aug = aug.withColumn(f"{sym}_{k}", compile_expr(ve, env))
-        aug = aug.withColumn(f"{sym}_labels",
-                             F.array(*[F.lit(x) for x in np.labels]))
+        aug = aug.withColumn(
+            f"{sym}_labels",
+            F.array(*[F.lit(x) for x in np.labels]).cast("array<string>"))
         aug = aug.localCheckpoint(eager=True)  # pin allocated ids
         prop_cols = [c for c in aug.columns
                      if c.startswith(f"{sym}_") and c != f"{sym}_labels"]

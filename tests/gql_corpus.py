@@ -1,0 +1,604 @@
+"""gql_behave corpus runner (SURVEY §5 — the reference's crown-jewel test
+layer, tests/gql_behave/run.py + steps/*.py re-expressed for our engine).
+
+Parses the reference's Gherkin `.feature` files (tests/gql_behave/tests/
+memgraph_V1 + openCypher_M09) and executes each scenario against a fresh
+in-memory PropertyGraph through GraphSession. Result comparison mirrors
+steps/parser.py: both the expected table cells and the actual driver values
+are canonicalized to the same string form (nodes sorted by label, maps by
+key), then compared as an ordered list or an unordered multiset.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import threading
+from dataclasses import dataclass, field
+
+CORPUS_ROOT = "/root/reference/tests/gql_behave/tests"
+
+# steps we recognise but deliberately do not verify (side-effect counters are
+# checked by our own write tests; the corpus' tables use server counters)
+IGNORED = ("And no side effects", "And the side effects should be")
+
+# steps that make a scenario out-of-scope for this engine (skip, not fail)
+UNSUPPORTED_MARKERS = (
+    "with new vector", "with new point index", "with new index",
+    "with new text index", "there exists a procedure",
+)
+
+
+# -- feature parsing ---------------------------------------------------------
+
+@dataclass
+class Step:
+    kind: str                      # empty|named_graph|exec|query|params|
+    #                                expect|expect_empty|expect_error|skip
+    text: str = ""
+    table: list[list[str]] = field(default_factory=list)
+    ordered: bool = False
+    list_unordered: bool = False
+
+
+@dataclass
+class Scenario:
+    feature: str
+    name: str
+    steps: list[Step]
+    skip_reason: str | None = None
+
+
+def _split_row(line: str) -> list[str]:
+    """Split one `| a | b |` table row, respecting quotes and brackets."""
+    body = line.strip()
+    assert body.startswith("|") and body.endswith("|")
+    body = body[1:-1]
+    cells, buf, depth, quote = [], [], 0, None
+    for ch in body:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+            buf.append(ch)
+        elif ch in "([{<":
+            depth += 1
+            buf.append(ch)
+        elif ch in ")]}>":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "|" and depth == 0:
+            cells.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    cells.append("".join(buf).strip())
+    return cells
+
+
+def parse_feature(path: str) -> list[Scenario]:
+    lines = open(path).read().splitlines()
+    scenarios: list[Scenario] = []
+    cur: Scenario | None = None
+    i, n = 0, len(lines)
+
+    def docstring(start: int) -> tuple[str, int]:
+        j = start
+        while j < n and '"""' not in lines[j]:
+            j += 1
+        body: list[str] = []
+        j += 1
+        while j < n and '"""' not in lines[j]:
+            body.append(lines[j])
+            j += 1
+        text = "\n".join(body)
+        indent = min((len(l) - len(l.lstrip()) for l in body if l.strip()),
+                     default=0)
+        return "\n".join(l[indent:] for l in body) if indent else text, j + 1
+
+    def table(start: int) -> tuple[list[list[str]], int]:
+        rows = []
+        j = start
+        while j < n and lines[j].strip().startswith("|"):
+            rows.append(_split_row(lines[j]))
+            j += 1
+        return rows, j
+
+    while i < n:
+        line = lines[i].strip()
+        if line.startswith("Scenario"):
+            name = line.split(":", 1)[1].strip() if ":" in line else line
+            cur = Scenario(os.path.basename(path), name, [])
+            scenarios.append(cur)
+            i += 1
+            continue
+        if cur is None:
+            i += 1
+            continue
+        if any(m in line for m in UNSUPPORTED_MARKERS):
+            cur.skip_reason = line
+            i += 1
+            continue
+        if line in ("Given an empty graph", "Given any graph"):
+            cur.steps.append(Step("empty"))
+            i += 1
+        elif line.startswith('Given graph "'):
+            cur.steps.append(Step("named_graph", line.split('"')[1]))
+            i += 1
+        elif line.startswith("Given the binary-tree-"):
+            which = "binary-tree-" + line.split("binary-tree-")[1][0]
+            cur.steps.append(Step("named_graph", which))
+            i += 1
+        elif line.startswith(("And having executed", "Given having executed")):
+            text, i = docstring(i + 1)
+            cur.steps.append(Step("exec", text))
+        elif line.startswith(("When executing query",
+                              "When executing control query")):
+            text, i = docstring(i + 1)
+            cur.steps.append(Step("query", text))
+        elif line.startswith(("And parameters are", "Given parameters are")):
+            rows, i = table(i + 1)
+            cur.steps.append(Step("params", table=rows))
+        elif line.startswith("Then the result should be empty"):
+            cur.steps.append(Step("expect_empty"))
+            i += 1
+        elif line.startswith("Then the result should be, in order"):
+            rows, i = table(i + 1)
+            cur.steps.append(Step("expect", table=rows, ordered=True))
+        elif line.startswith("Then the result should be (ignoring element "
+                             "order for lists)"):
+            rows, i = table(i + 1)
+            cur.steps.append(Step("expect", table=rows, list_unordered=True))
+        elif line.startswith("Then the result should be"):
+            rows, i = table(i + 1)
+            cur.steps.append(Step("expect", table=rows))
+        elif (" should be raised" in line and line.startswith("Then")):
+            cur.steps.append(Step("expect_error", line))
+            i += 1
+        elif line.startswith(IGNORED):
+            if i + 1 < n and lines[i + 1].strip().startswith("|"):
+                _, i = table(i + 1)
+            else:
+                i += 1
+        elif line.startswith(("Given", "When", "Then", "And", "But")):
+            cur.skip_reason = line  # unknown step -> out of scope
+            i += 1
+        else:
+            i += 1
+    return scenarios
+
+
+# -- value canonicalization --------------------------------------------------
+
+def _canon_float(f: float) -> str:
+    r = round(f, 9)
+    if r == int(r) and abs(r) < 1e15:
+        return f"{int(r)}.0"
+    return repr(r)
+
+
+def canon_actual(v, list_unordered: bool = False) -> str:
+    """Canonical string for a value returned by GraphSession.collect()."""
+    import datetime
+    lu = list_unordered
+    if v is None:
+        return "null"
+    if isinstance(v, datetime.datetime):  # before date (datetime is a date)
+        s = v.strftime("%Y-%m-%dT%H:%M:%S.%f") + "000"
+        if v.tzinfo is not None:
+            off = v.strftime("%z")
+            s += "Z" if off in ("+0000", "") else off[:3] + ":" + off[3:]
+        return s
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, datetime.time):
+        return v.strftime("%H:%M:%S.%f") + "000"
+    if isinstance(v, datetime.timedelta):
+        total = v.total_seconds()
+        sign = "-" if total < 0 else ""
+        total = abs(total)
+        d, rem = divmod(total, 86400)
+        h, rem = divmod(rem, 3600)
+        m, s = divmod(rem, 60)
+        return (f"{sign}P{int(d)}DT{int(h)}H{int(m)}M"
+                f"{s:.6f}".rstrip("0").rstrip(".") + "S")
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        return _canon_float(v)
+    if isinstance(v, str):
+        return f"'{v}'"
+    if isinstance(v, bytes):
+        return "0x" + v.hex()
+    if isinstance(v, (list, tuple)) and not hasattr(v, "asDict"):
+        items = [canon_actual(x, lu) for x in v]
+        if lu:
+            items.sort()
+        return "[" + ", ".join(items) + "]"
+    if isinstance(v, dict):
+        return ("{" + ", ".join(
+            f"{k}: {canon_actual(v[k], lu)}" for k in sorted(v)) + "}")
+    if hasattr(v, "asDict"):  # Row: node / rel / plain struct
+        d = v.asDict(recursive=False)
+        if "labels" in d and "id" in d:  # node struct
+            labels = sorted(d.get("labels") or [])
+            props = {k: x for k, x in d.items()
+                     if k not in ("id", "key", "labels") and x is not None}
+            return ("(" + "".join(f":{l}" for l in labels)
+                    + (" " if labels and props else "")
+                    + (_props_str(props, lu) if props else "") + ")")
+        if "eid" in d and "type" in d:  # rel struct
+            props = {k: x for k, x in d.items()
+                     if k not in ("eid", "type", "src", "dst")
+                     and x is not None}
+            return ("[:" + d["type"]
+                    + (" " + _props_str(props, lu) if props else "") + "]")
+        return canon_actual(d, lu)
+    return repr(v)
+
+
+def _props_str(props: dict, lu: bool) -> str:
+    return ("{" + ", ".join(
+        f"{k}: {canon_actual(props[k], lu)}" for k in sorted(props)) + "}")
+
+
+class _P:
+    """Recursive-descent parser for TCK expected-value text -> canonical
+    string matching canon_actual's output."""
+
+    def __init__(self, s: str, lu: bool):
+        self.s = s
+        self.i = 0
+        self.lu = lu
+
+    def ws(self):
+        while self.i < len(self.s) and self.s[self.i] in " \t":
+            self.i += 1
+
+    def value(self) -> str:
+        self.ws()
+        c = self.s[self.i]
+        if c == "(":
+            return self.node()
+        if c == "<":
+            return self.path()
+        if c == "{":
+            return self.map()
+        if c == "[":
+            save = self.i
+            if self._looks_like_rel():
+                return self.rel()
+            self.i = save
+            return self.list()
+        if c in "'\"":
+            return self.string(c)
+        return self.scalar()
+
+    def _looks_like_rel(self) -> bool:
+        j = self.i + 1
+        while j < len(self.s) and self.s[j] in " \t":
+            j += 1
+        return j < len(self.s) and self.s[j] == ":"
+
+    def string(self, q: str) -> str:
+        self.i += 1
+        buf = []
+        while self.s[self.i] != q:
+            if self.s[self.i] == "\\":
+                self.i += 1
+            buf.append(self.s[self.i])
+            self.i += 1
+        self.i += 1
+        return "'" + "".join(buf) + "'"
+
+    def scalar(self) -> str:
+        m = re.match(r"[^,\]\})\|]+", self.s[self.i:])
+        tok = m.group(0).strip() if m else ""
+        self.i += len(m.group(0)) if m else 0
+        low = tok.lower()
+        if low == "null":
+            return "null"
+        if low in ("true", "false"):
+            return low
+        if re.fullmatch(r"-?\d+", tok):
+            return tok
+        try:
+            return _canon_float(float(tok))
+        except ValueError:
+            return tok  # bare word (symbol-ish expected value)
+
+    def list(self) -> str:
+        self.i += 1  # [
+        items = []
+        self.ws()
+        if self.s[self.i] == "]":
+            self.i += 1
+            return "[]"
+        while True:
+            items.append(self.value())
+            self.ws()
+            if self.s[self.i] == ",":
+                self.i += 1
+            else:
+                break
+        assert self.s[self.i] == "]", self.s
+        self.i += 1
+        if self.lu:
+            items.sort()
+        return "[" + ", ".join(items) + "]"
+
+    def map(self) -> str:
+        self.i += 1  # {
+        items = {}
+        self.ws()
+        if self.s[self.i] == "}":
+            self.i += 1
+            return "{}"
+        while True:
+            self.ws()
+            m = re.match(r"`([^`]*)`|([A-Za-z_][A-Za-z0-9_]*)",
+                         self.s[self.i:])
+            key = m.group(1) if m.group(1) is not None else m.group(2)
+            self.i += m.end()
+            self.ws()
+            assert self.s[self.i] == ":"
+            self.i += 1
+            items[key] = self.value()
+            self.ws()
+            if self.s[self.i] == ",":
+                self.i += 1
+            else:
+                break
+        assert self.s[self.i] == "}"
+        self.i += 1
+        return ("{" + ", ".join(f"{k}: {items[k]}" for k in sorted(items))
+                + "}")
+
+    def node(self) -> str:
+        self.i += 1  # (
+        labels = []
+        props = "{}"
+        has_props = False
+        while True:
+            self.ws()
+            c = self.s[self.i]
+            if c == ":":
+                self.i += 1
+                m = re.match(r"`([^`]*)`|([A-Za-z_][A-Za-z0-9_]*)",
+                             self.s[self.i:])
+                labels.append(m.group(1) if m.group(1) is not None
+                              else m.group(2))
+                self.i += m.end()
+            elif c == "{":
+                props = self.map()
+                has_props = True
+            elif c == ")":
+                self.i += 1
+                break
+            else:  # variable name inside node — skip it
+                m = re.match(r"[A-Za-z_][A-Za-z0-9_]*", self.s[self.i:])
+                self.i += m.end() if m else 1
+        labels.sort()
+        body = "".join(f":{l}" for l in labels)
+        if has_props and props != "{}":
+            body += (" " if labels else "") + props
+        return "(" + body + ")"
+
+    def rel(self) -> str:
+        self.i += 1  # [
+        self.ws()
+        assert self.s[self.i] == ":"
+        self.i += 1
+        m = re.match(r"`([^`]*)`|([A-Za-z_][A-Za-z0-9_]*)", self.s[self.i:])
+        rtype = m.group(1) if m.group(1) is not None else m.group(2)
+        self.i += m.end()
+        props = "{}"
+        self.ws()
+        if self.s[self.i] == "{":
+            props = self.map()
+            self.ws()
+        assert self.s[self.i] == "]"
+        self.i += 1
+        return "[:" + rtype + (" " + props if props != "{}" else "") + "]"
+
+    def path(self) -> str:
+        # keep the structural text with nodes/rels canonicalized
+        self.i += 1  # <
+        out = "<"
+        while self.s[self.i] != ">":
+            c = self.s[self.i]
+            if c == "(":
+                out += self.node()
+            elif c == "[":
+                out += self.rel()
+            else:
+                out += c
+                self.i += 1
+        self.i += 1
+        return out + ">"
+
+
+def canon_expected(cell: str, list_unordered: bool = False) -> str:
+    cell = cell.strip()
+    if not cell:
+        return ""
+    try:
+        return _P(cell, list_unordered).value()
+    except Exception:
+        return cell
+
+
+def parse_param_value(cell: str):
+    """TCK parameter cell -> Python value (literals only)."""
+    cell = cell.strip()
+    low = cell.lower()
+    if low == "null":
+        return None
+    if low in ("true", "false"):
+        return low == "true"
+    if re.fullmatch(r"-?\d+", cell):
+        return int(cell)
+    try:
+        return float(cell)
+    except ValueError:
+        pass
+    if cell.startswith(("'", '"')) and cell.endswith(cell[0]):
+        return cell[1:-1]
+    if cell.startswith("["):
+        import json
+        try:
+            return json.loads(cell.replace("'", '"'))
+        except Exception:
+            return cell
+    if cell.startswith("{"):
+        import json
+        try:
+            return json.loads(
+                re.sub(r"([A-Za-z_][A-Za-z0-9_]*)\s*:", r'"\1":',
+                       cell).replace("'", '"'))
+        except Exception:
+            return cell
+    return cell
+
+
+# -- runner ------------------------------------------------------------------
+
+class ScenarioResult:
+    def __init__(self, status: str, detail: str = ""):
+        self.status = status  # pass | fail | error | skip | timeout
+        self.detail = detail
+
+    def __repr__(self):
+        return f"{self.status}({self.detail})" if self.detail else self.status
+
+
+def _collect_with_timeout(spark, df, seconds: float):
+    out: dict = {}
+
+    def work():
+        try:
+            out["rows"] = df.collect()
+        except Exception as e:  # noqa: BLE001 — surfaced to caller
+            out["err"] = e
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    t.join(seconds)
+    if t.is_alive():
+        spark.sparkContext.cancelAllJobs()
+        t.join(10)
+        raise TimeoutError(f"collect exceeded {seconds}s")
+    if "err" in out:
+        raise out["err"]
+    return out["rows"]
+
+
+def run_scenario(spark, sc: Scenario, graphs_dir: str,
+                 timeout: float = 60.0) -> ScenarioResult:
+    from memgraph_spark.catalog import PropertyGraph
+    from memgraph_spark.plans.session import GraphSession
+
+    if sc.skip_reason:
+        return ScenarioResult("skip", sc.skip_reason)
+
+    gs = GraphSession(PropertyGraph(spark))
+    params: dict = {}
+    last: dict = {"rows": None, "cols": None, "err": None}
+    checked = False
+
+    for step in sc.steps:
+        try:
+            if step.kind == "empty":
+                gs = GraphSession(PropertyGraph(spark))
+                params = {}
+            elif step.kind == "named_graph":
+                gs = GraphSession(PropertyGraph(spark))
+                path = os.path.join(graphs_dir, step.text + ".cypher")
+                text = open(path).read()
+                for stmt in [s.strip() for s in text.split(";") if s.strip()]:
+                    _collect_with_timeout(spark, gs.execute(stmt), timeout)
+            elif step.kind == "exec":
+                for stmt in [s.strip() for s in step.text.split(";")
+                             if s.strip()]:
+                    _collect_with_timeout(spark, gs.execute(stmt), timeout)
+            elif step.kind == "params":
+                for row in step.table:
+                    params[row[0].strip().strip("`")] = parse_param_value(
+                        row[1])
+            elif step.kind == "query":
+                last = {"rows": None, "cols": None, "err": None}
+                try:
+                    df = gs.execute(step.text, params or None)
+                    last["cols"] = df.columns
+                    last["rows"] = _collect_with_timeout(spark, df, timeout)
+                except TimeoutError:
+                    raise
+                except Exception as e:  # noqa: BLE001 — Then decides
+                    last["err"] = e
+            elif step.kind == "expect_error":
+                checked = True
+                if last["err"] is None:
+                    return ScenarioResult(
+                        "fail", "expected an error, query succeeded")
+            elif step.kind == "expect_empty":
+                checked = True
+                if last["err"] is not None:
+                    return ScenarioResult("error", repr(last["err"])[:300])
+                if last["rows"]:
+                    return ScenarioResult(
+                        "fail", f"expected empty, got {len(last['rows'])} rows")
+            elif step.kind == "expect":
+                checked = True
+                if last["err"] is not None:
+                    return ScenarioResult("error", repr(last["err"])[:300])
+                r = _compare(last, step)
+                if r is not None:
+                    return ScenarioResult("fail", r)
+        except TimeoutError as e:
+            return ScenarioResult("timeout", str(e))
+        except Exception as e:  # noqa: BLE001 — setup failure
+            return ScenarioResult("error", repr(e)[:300])
+    if not checked:
+        # scenario ends after a write/exec with no Then: execution succeeded
+        if last["err"] is not None:
+            return ScenarioResult("error", repr(last["err"])[:300])
+    return ScenarioResult("pass")
+
+
+def _compare(last: dict, step: Step) -> str | None:
+    header, *body = step.table if step.table else ([], )
+    exp_cols = [h.strip() for h in header]
+    act_cols = last["cols"] or []
+    if sorted(exp_cols) != sorted(act_cols):
+        return f"columns {act_cols} != expected {exp_cols}"
+    idx = [act_cols.index(c) for c in exp_cols]
+    lu = step.list_unordered
+    actual = [tuple(canon_actual(row[j], lu) for j in idx)
+              for row in (last["rows"] or [])]
+    expected = [tuple(canon_expected(c, lu) for c in row) for row in body]
+    if step.ordered:
+        if actual != expected:
+            return _diff(actual, expected)
+    else:
+        if sorted(actual) != sorted(expected):
+            return _diff(sorted(actual), sorted(expected))
+    return None
+
+
+def _diff(actual, expected) -> str:
+    return (f"rows differ\n  actual ({len(actual)}): {actual[:6]}\n"
+            f"  expected ({len(expected)}): {expected[:6]}")
+
+
+def corpus_files(suite: str) -> list[str]:
+    d = os.path.join(CORPUS_ROOT, suite, "features")
+    return sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".feature"))
+
+
+def graphs_dir_for(suite: str) -> str:
+    return os.path.join(CORPUS_ROOT, suite, "graphs")
