@@ -94,6 +94,38 @@ def expand_into(
     )
 
 
+def _edges_with_eid(graph, etype, direction: str) -> DataFrame:
+    """Oriented edge table carrying the real edge id and a forward flag —
+    uniqueness tracking on eid (parallel edges are distinct) plus path
+    reconstruction (fwd tells which way the stored edge was traversed)."""
+    if etype:
+        tables = [(etype, graph.edge(etype))]
+    else:
+        tables = list(graph.edges.items())
+    dfs = []
+    for _t, e in tables:
+        if "eid" not in e.columns:
+            # graphs registered without explicit edge identity: derive one
+            e = e.withColumn("eid", F.xxhash64(F.lit(_t or ""), "src", "dst"))
+        out = e.select(F.col("src").alias("__from"), F.col("dst").alias("__to"),
+                       F.col("eid").alias("__eid"), F.lit(True).alias("__fwd"))
+        inn = e.select(F.col("dst").alias("__from"), F.col("src").alias("__to"),
+                       F.col("eid").alias("__eid"), F.lit(False).alias("__fwd"))
+        if direction == "out":
+            dfs.append(out)
+        elif direction == "in":
+            dfs.append(inn)
+        else:
+            dfs.append(out.unionAll(inn))
+    if not dfs:
+        return graph.spark.createDataFrame(
+            [], "__from BIGINT, __to BIGINT, __eid BIGINT, __fwd BOOLEAN")
+    res = dfs[0]
+    for d in dfs[1:]:
+        res = res.unionAll(d)
+    return res
+
+
 def expand_variable(
     df: DataFrame,
     graph,
@@ -105,6 +137,7 @@ def expand_variable(
     direction: str = "out",
     depth_col: str | None = None,
     hops: dict | None = None,
+    path_prefix: str | None = None,
 ) -> DataFrame:
     """ExpandVariable (operator.cpp:2199): `-[:T*lo..hi]->`.
 
@@ -112,23 +145,24 @@ def expand_variable(
     table, accumulating the visited-edge set per path (Cypher edge-isomorphism:
     an edge may not repeat within a path; nodes may — EdgeUniquenessFilter,
     operator.hpp:1768). Returns the input columns + `{to_sym}_id` (+ depth).
+
+    With path_prefix, also returns `{path_prefix}_nids` (tail node ids, i.e.
+    excluding the start), `{path_prefix}_eids`, `{path_prefix}_dirs` — the
+    per-row path segment for named-path reconstruction.
     """
     if upper is None:
         upper = 16  # safety bound; edge-uniqueness bounds real paths anyway
-    edges = _edges_for(graph, etype, direction)
-    # synthetic edge identity for uniqueness tracking; persist once — every
-    # round re-joins this table and must not re-derive it from the scans
-    e = edges.select(
-        F.col("src").alias("__from"),
-        F.col("dst").alias("__to"),
-        F.xxhash64("src", "dst").alias("__eid"),
-    ).persist()
+    # persist once — every round re-joins this table and must not re-derive
+    # it from the scans
+    e = _edges_with_eid(graph, etype, direction).persist()
     base_cols = df.columns
     cur = df.select(
         "*",
         F.col(f"{from_sym}_id").alias("__node"),
         F.lit(0).alias("__depth"),
+        F.array().cast("array<long>").alias("__tail"),
         F.array().cast("array<long>").alias("__edges"),
+        F.array().cast("array<boolean>").alias("__dirs"),
     )
     results = []
     if lower == 0:
@@ -143,7 +177,9 @@ def expand_variable(
                 *base_cols,
                 F.col("__to").alias("__node"),
                 (F.col("__depth") + 1).alias("__depth"),
+                F.array_append("__tail", F.col("__to")).alias("__tail"),
                 F.array_append("__edges", F.col("__eid")).alias("__edges"),
+                F.array_append("__dirs", F.col("__fwd")).alias("__dirs"),
             )
         )
         stepped = stepped.localCheckpoint(eager=True)
@@ -163,18 +199,29 @@ def expand_variable(
                 hops["reached"] = True
                 break
     e.unpersist()
+    path_cols = ([f"{path_prefix}_nids", f"{path_prefix}_eids",
+                  f"{path_prefix}_dirs"] if path_prefix else [])
     if not results:
-        return df.limit(0).withColumns(
-            {f"{to_sym}_id": F.lit(None).cast("long"),
-             **({depth_col: F.lit(None).cast("int")} if depth_col else {})}
-        )
+        extra = {f"{to_sym}_id": F.lit(None).cast("long")}
+        if depth_col:
+            extra[depth_col] = F.lit(None).cast("int")
+        if path_prefix:
+            extra[f"{path_prefix}_nids"] = F.lit(None).cast("array<long>")
+            extra[f"{path_prefix}_eids"] = F.lit(None).cast("array<long>")
+            extra[f"{path_prefix}_dirs"] = F.lit(None).cast("array<boolean>")
+        return df.limit(0).withColumns(extra)
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
-    keep = base_cols + [f"{to_sym}_id"] + ([depth_col] if depth_col else [])
+    keep = base_cols + [f"{to_sym}_id"] + ([depth_col] if depth_col else []) \
+        + path_cols
     out = out.withColumnRenamed("__node", f"{to_sym}_id")
     if depth_col:
         out = out.withColumnRenamed("__depth", depth_col)
+    if path_prefix:
+        out = (out.withColumnRenamed("__tail", f"{path_prefix}_nids")
+               .withColumnRenamed("__edges", f"{path_prefix}_eids")
+               .withColumnRenamed("__dirs", f"{path_prefix}_dirs"))
     return out.select(*keep)
 
 

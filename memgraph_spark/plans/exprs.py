@@ -285,6 +285,13 @@ def _compile_func(e: A.FuncCall, env: Env) -> Column:
     if (name == "length" and e.args and isinstance(e.args[0], A.Var)
             and env.symbols.get(e.args[0].name) == "path"):
         return F.col(f"{e.args[0].name}_length")
+    # nodes(p) / relationships(p) over the materialized path detail arrays
+    # (ConstructNamedPath, operator.hpp:1255)
+    if (name in ("nodes", "relationships") and e.args
+            and isinstance(e.args[0], A.Var)
+            and env.symbols.get(e.args[0].name) == "path"):
+        suffix = "_nodes" if name == "nodes" else "_rels"
+        return F.col(f"{e.args[0].name}{suffix}")
     # round(x, d): the scale must be a literal int (Spark round signature)
     if name == "round" and len(e.args) == 2 and isinstance(e.args[1], A.Literal):
         return F.round(compile_expr(e.args[0], env), e.args[1].value)

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from memgraph_spark.catalog import PropertyGraph
 from memgraph_spark.operators import expand_variable, union as op_union
@@ -249,29 +250,125 @@ class QueryCompiler(WriteMixin):
     def _pattern_part(self, part: A.PatternPart) -> list[str]:
         """Compile one linear pattern; returns the single-hop rel symbols
         bound (for edge-uniqueness)."""
-        part = self._maybe_reverse(part)
+        if not part.var:
+            part = self._maybe_reverse(part)  # keep written order for paths
         rels: list[str] = []
         start_sym = part.start.var or self._anon_sym("n")
         self._bind_node(part.start, start_sym)
         prev = start_sym
         path_len: Column | None = None
+        # id-level path pieces (ConstructNamedPath, operator.hpp:1255):
+        # arrays of node ids / edge ids / traversal directions in walk order
+        nid_parts = [F.array(F.col(f"{start_sym}_id"))]
+        eid_parts: list[Column] = []
+        dir_parts: list[Column] = []
         for rel, node in part.chain:
             to_sym = node.var or self._anon_sym("n")
             if rel.var_length:
-                depth_col = self._expand_var_length(prev, rel, node, to_sym)
+                seg = self._anon_sym("seg") if part.var else None
+                depth_col = self._expand_var_length(prev, rel, node, to_sym,
+                                                    path_prefix=seg)
                 path_len = (depth_col if path_len is None
                             else path_len + depth_col)
+                if part.var:
+                    nid_parts.append(F.col(f"{seg}_nids"))
+                    eid_parts.append(F.col(f"{seg}_eids"))
+                    dir_parts.append(F.col(f"{seg}_dirs"))
             else:
-                rels.append(self._expand_single(prev, rel, node, to_sym))
+                rsym = self._expand_single(prev, rel, node, to_sym)
+                rels.append(rsym)
                 path_len = (F.lit(1) if path_len is None else path_len + 1)
+                if part.var:
+                    nid_parts.append(F.array(F.col(f"{to_sym}_id")))
+                    eid_parts.append(F.array(F.col(f"{rsym}_eid")))
+                    dir_parts.append(F.array(
+                        F.col(f"{prev}_id") == F.col(f"{rsym}_src")))
             prev = to_sym
         if part.var:
-            # minimal named-path surface: hop count (length(p))
-            self.df = self.df.withColumn(
+            self.df = (self.df.withColumn(
                 f"{part.var}_length",
                 (path_len if path_len is not None else F.lit(0)).cast("long"))
+                .withColumn(f"{part.var}_nids", F.concat(*nid_parts))
+                .withColumn(f"{part.var}_eids",
+                            F.concat(*eid_parts) if eid_parts
+                            else F.array().cast("array<long>"))
+                .withColumn(f"{part.var}_dirs",
+                            F.concat(*dir_parts) if dir_parts
+                            else F.array().cast("array<boolean>")))
+            self._materialize_path(part.var)
             self.symbols[part.var] = "path"
         return rels
+
+    def _materialize_path(self, var: str) -> None:
+        """Resolve a path's id arrays into ordered node/rel detail structs
+        (`{var}_nodes`, `{var}_rels`): posexplode -> detail join -> re-collect
+        by position. Two shuffles per named path — paths are materialized
+        values in the reference too (src/query/path.hpp)."""
+        g = self.g
+        df = self.df.withColumn(
+            "__prow", F.monotonically_increasing_id()).localCheckpoint()
+        nd = g.all_nodes(self._all_props())
+        nprops = [c for c in nd.columns if c not in ("id", "labels")]
+        ndet = nd.select(
+            F.col("id").alias("__nid"),
+            F.struct(F.col("id"), F.col("labels"),
+                     *[F.col(p) for p in nprops]).alias("__det"))
+        nodes_rolled = (
+            df.select("__prow",
+                      F.posexplode(f"{var}_nids").alias("__pos", "__nid"))
+            .join(ndet, "__nid", "inner")
+            .groupBy("__prow")
+            .agg(F.array_sort(F.collect_list(
+                F.struct("__pos", "__det"))).alias("__t"))
+            .select("__prow", F.col("__t.__det").alias(f"{var}_nodes")))
+        edet = self._edge_detail()
+        rels_rolled = (
+            df.select("__prow",
+                      F.posexplode(f"{var}_eids").alias("__pos", "__eid"))
+            .join(edet, "__eid", "inner")
+            .groupBy("__prow")
+            .agg(F.array_sort(F.collect_list(
+                F.struct("__pos", "__det"))).alias("__t"))
+            .select("__prow", F.col("__t.__det").alias(f"{var}_rels")))
+        def empty_arr(det_schema):
+            return F.array().cast(T.ArrayType(det_schema))
+
+        self.df = (df.join(nodes_rolled, "__prow", "left")
+                   .join(rels_rolled, "__prow", "left")
+                   .withColumn(f"{var}_nodes",
+                               F.coalesce(f"{var}_nodes", empty_arr(
+                                   ndet.schema["__det"].dataType)))
+                   .withColumn(f"{var}_rels",
+                               F.coalesce(f"{var}_rels", empty_arr(
+                                   edet.schema["__det"].dataType)))
+                   .drop("__prow"))
+
+    def _edge_detail(self) -> DataFrame:
+        """(eid -> rel struct) detail table over all edge tables."""
+        props: set[str] = set()
+        for e in self.g.edges.values():
+            props.update(c for c in e.columns
+                         if c not in ("src", "dst", "eid"))
+        dfs = []
+        for etype, e in self.g.edges.items():
+            if "eid" not in e.columns:
+                e = e.withColumn(
+                    "eid", F.xxhash64(F.lit(etype or ""), "src", "dst"))
+            fields = [F.col("eid"), F.lit(etype).alias("type"),
+                      F.col("src"), F.col("dst")]
+            for p in sorted(props):
+                fields.append((F.col(p) if p in e.columns
+                               else F.lit(None)).alias(p))
+            dfs.append(e.select(F.col("eid").alias("__eid"),
+                                F.struct(*fields).alias("__det")))
+        if not dfs:
+            return self.g.spark.createDataFrame(
+                [], "__eid BIGINT, __det STRUCT<eid BIGINT, type STRING, "
+                    "src BIGINT, dst BIGINT>")
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
 
     def _bind_node(self, np: A.NodePattern, sym: str) -> None:
         if sym in self.symbols:
@@ -313,6 +410,9 @@ class QueryCompiler(WriteMixin):
         dfs = []
         for t in chosen:
             e = self.g.edge(t)
+            if "eid" not in e.columns:
+                e = e.withColumn(
+                    "eid", F.xxhash64(F.lit(t or ""), "src", "dst"))
             cols = [
                 F.col("src"), F.col("dst"),
                 F.col("eid").alias(f"{rsym}_eid"),
@@ -370,7 +470,8 @@ class QueryCompiler(WriteMixin):
         self._prop_filters(sym, np.props)
 
     def _expand_var_length(self, from_sym: str, rel: A.RelPattern,
-                           np: A.NodePattern, to_sym: str) -> Column:
+                           np: A.NodePattern, to_sym: str,
+                           path_prefix: str | None = None) -> Column:
         """ExpandVariable (operator.cpp:2199) via iterative frontier joins."""
         if rel.var:
             raise CompileError("binding a variable-length relationship list "
@@ -385,14 +486,16 @@ class QueryCompiler(WriteMixin):
             tmp = self._anon_sym("n")
             self.df = expand_variable(
                 self.df, self.g, etype, from_sym, tmp, lower, upper,
-                rel.direction, depth_col=depth_col, hops=self.hops)
+                rel.direction, depth_col=depth_col, hops=self.hops,
+                path_prefix=path_prefix)
             self.df = self.df.filter(
                 F.col(f"{tmp}_id") == F.col(f"{to_sym}_id")).drop(f"{tmp}_id")
             self._bind_node(np, to_sym)
         else:
             self.df = expand_variable(
                 self.df, self.g, etype, from_sym, to_sym, lower, upper,
-                rel.direction, depth_col=depth_col, hops=self.hops)
+                rel.direction, depth_col=depth_col, hops=self.hops,
+                path_prefix=path_prefix)
             self.symbols[to_sym] = "node"
             self._attach_node(to_sym, np)
         return F.col(depth_col)
@@ -765,7 +868,14 @@ class QueryCompiler(WriteMixin):
                         *[F.col(c).alias(c[len(spec) + 1:]) for c in cols]
                     ).alias(name))
                 elif kind == "path":
-                    final.append(F.col(f"{spec}_length").alias(name))
+                    if f"{spec}_nodes" in df.columns:
+                        final.append(F.struct(
+                            F.col(f"{spec}_nodes").alias("nodes"),
+                            F.col(f"{spec}_rels").alias("rels"),
+                            F.col(f"{spec}_dirs").alias("dirs"),
+                        ).alias(name))
+                    else:
+                        final.append(F.col(f"{spec}_length").alias(name))
                 else:
                     final.append(qcol(name))
             return df.select(*final)

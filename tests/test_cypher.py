@@ -174,6 +174,20 @@ CASES = [
      "MATCH p = (c:Customer {key: 1})-[:FROM_NATION]->(:Nation) "
      "RETURN length(p) AS len",
      "SELECT 1 AS len"),
+    ("path_nodes_rels",
+     "MATCH p = (c:Customer {key: 1})-[:FROM_NATION]->(n:Nation) "
+     "RETURN size(nodes(p)) AS nn, size(relationships(p)) AS nr, "
+     "nodes(p)[1].key AS nkey, nodes(p)[0].key AS ckey",
+     "SELECT 2 AS nn, 1 AS nr, (SELECT c_nationkey FROM customer "
+     "WHERE c_custkey = 1) AS nkey, 1 AS ckey"),
+    ("path_varlen_consistency",
+     "MATCH p = (c:Customer {key: 1})-[*1..2]->(x) "
+     "RETURN count(*) AS paths, sum(size(nodes(p))) - sum(length(p)) AS nchk, "
+     "sum(size(relationships(p))) - sum(length(p)) AS rchk",
+     "SELECT paths, paths AS nchk, 0 AS rchk FROM (SELECT 2 + (SELECT "
+     "count(*) FROM orders WHERE o_custkey = 1) + 2 * (SELECT count(*) FROM "
+     "lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_custkey = 1) "
+     "AS paths) t"),
     ("xor_logic",
      "UNWIND [true, false] AS a UNWIND [true, false] AS b "
      "RETURN a AS a, b AS b, a XOR b AS x",
