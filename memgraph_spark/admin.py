@@ -145,6 +145,62 @@ def try_admin(graph, query: str) -> DataFrame | None:
         from memgraph_spark.schema import schema_info
         return schema_info(graph)
 
+    # -- enums (CreateEnumQuery / AlterEnum* / ShowEnumsQuery,
+    # -- MemgraphCypher.g4:940-948; values intern as `Type::Value` strings) --
+    if not hasattr(graph, "enum_registry"):
+        graph.enum_registry = {}           # name -> list[str] (ordered)
+
+    m = re.match(r"CREATE ENUM (\w+) VALUES \{ ?([\w, ]+?) ?\}$", q, re.I)
+    if m:
+        name, vals = m.group(1), [v.strip() for v in m.group(2).split(",")]
+        if name in graph.enum_registry:
+            raise ValueError(f"enum {name} already exists")
+        if len(set(vals)) != len(vals):
+            raise ValueError(f"duplicate enum values in {name}")
+        graph.enum_registry[name] = vals
+        return spark.createDataFrame([], "status string")
+
+    m = re.match(r"ALTER ENUM (\w+) ADD VALUE (\w+)$", q, re.I)
+    if m:
+        name, val = m.group(1), m.group(2)
+        vals = graph.enum_registry.get(name)
+        if vals is None:
+            raise ValueError(f"unknown enum {name}")
+        if val in vals:
+            raise ValueError(f"enum value {name}::{val} already exists")
+        vals.append(val)
+        return spark.createDataFrame([], "status string")
+
+    m = re.match(r"ALTER ENUM (\w+) UPDATE VALUE (\w+) TO (\w+)$", q, re.I)
+    if m:
+        name, old, new = m.groups()
+        vals = graph.enum_registry.get(name)
+        if vals is None:
+            raise ValueError(f"unknown enum {name}")
+        if old not in vals:
+            raise ValueError(f"unknown enum value {name}::{old}")
+        if new in vals:
+            raise ValueError(f"enum value {name}::{new} already exists")
+        vals[vals.index(old)] = new
+        # rewrite stored property values to the renamed constant
+        old_s, new_s = f"{name}::{old}", f"{name}::{new}"
+        for lbl, df in list(graph.nodes.items()):
+            str_cols = [c for c, t in df.dtypes if t == "string"]
+            if str_cols:
+                graph.set_node_version(lbl, df.replace(old_s, new_s,
+                                                       subset=str_cols))
+        return spark.createDataFrame([], "status string")
+
+    if re.match(r"ALTER ENUM (\w+) REMOVE VALUE (\w+)$", q, re.I) \
+            or re.match(r"DROP ENUM (\w+)$", q, re.I):
+        # parity: NotYetImplemented in the reference too (interpreter.cpp:10891)
+        raise NotImplementedError("Alter enum remove value / Drop enum")
+
+    if u == "SHOW ENUMS":
+        rows = [(k, v) for k, v in sorted(graph.enum_registry.items())]
+        return spark.createDataFrame(
+            rows, "`Enum Name` string, `Enum Values` array<string>")
+
     # -- streams (CREATE/START/STOP/DROP/CHECK STREAM, SHOW STREAMS —
     # -- src/query/stream/streams.hpp:123-183) ---------------------------
     def _streams():

@@ -29,6 +29,22 @@ class MapLiteral(Expr):
 
 
 @dataclass
+class MapProjection(Expr):
+    """`n {.name, .*, age: n.age, other}` (MapProjectionLiteral,
+    src/query/frontend/ast/ast.hpp:1005). items: ("prop", name) |
+    ("all",) | ("kv", name, Expr) | ("var", name)."""
+    subject: Expr
+    items: list[tuple]
+
+
+@dataclass
+class EnumLiteral(Expr):
+    """`Status::Good` (enumValueAccess, Cypher.g4:381)."""
+    typ: str
+    value: str
+
+
+@dataclass
 class Param(Expr):
     name: str
 

@@ -50,6 +50,12 @@ def compile_expr(e: A.Expr, env: Env) -> Column:
         return F.array(*[compile_expr(x, env) for x in e.items])
     if isinstance(e, A.MapLiteral):
         return F.struct(*[compile_expr(v, env).alias(k) for k, v in e.items.items()])
+    if isinstance(e, A.MapProjection):
+        return _compile_map_projection(e, env)
+    if isinstance(e, A.EnumLiteral):
+        # enum values intern to `Type::Value` strings (SURVEY §1.3); equality,
+        # grouping and ordering then work with plain string semantics
+        return F.lit(f"{e.typ}::{e.value}")
     if isinstance(e, A.Param):
         if e.name not in env.params:
             raise CompileError(f"missing parameter ${e.name}")
@@ -143,6 +149,39 @@ def _compile_var(name: str, env: Env) -> Column:
     if env.df is not None and name in env.df.columns:
         return F.col(name)
     raise CompileError(f"unbound variable {name}")
+
+
+def _prop_cols(sym: str, env: Env) -> list[str]:
+    """Property columns of a bound node/rel symbol (metadata excluded)."""
+    meta = {f"{sym}_id", f"{sym}_labels", f"{sym}_eid", f"{sym}_type",
+            f"{sym}_src", f"{sym}_dst"}
+    return sorted(c for c in env.columns()
+                  if c.startswith(f"{sym}_") and c not in meta)
+
+
+def _compile_map_projection(e: A.MapProjection, env: Env) -> Column:
+    """MapProjectionLiteral (ast.hpp:1005): build a map-as-struct from a
+    node/rel/map subject. Later entries win on key collision."""
+    fields: dict[str, Column] = {}
+    sym = e.subject.name if isinstance(e.subject, A.Var) else None
+    on_graph = sym is not None and env.symbols.get(sym) in ("node", "rel")
+    for it in e.items:
+        if it[0] == "all":
+            if on_graph:
+                for c in _prop_cols(sym, env):
+                    fields[c[len(sym) + 1:]] = F.col(c)
+            else:
+                raise CompileError(".* projection needs a bound node or rel")
+        elif it[0] == "prop":
+            fields[it[1]] = _compile_property(
+                A.Property(e.subject, it[1]), env)
+        elif it[0] == "kv":
+            fields[it[1]] = compile_expr(it[2], env)
+        else:  # bare variable entry: key = var name
+            fields[it[1]] = compile_expr(A.Var(it[1]), env)
+    if not fields:
+        return F.create_map().cast("map<string,string>")  # `n {}` = empty map
+    return F.struct(*[v.alias(k) for k, v in fields.items()])
 
 
 def _compile_property(e: A.Property, env: Env) -> Column:

@@ -457,6 +457,33 @@ class Parser:
         self.eat_op("}")
         return out
 
+    def map_projection(self, subject: A.Var) -> A.Expr:
+        """`n {.name, .*, age: expr, other}` (ast.hpp:1005)."""
+        self.eat_op("{")
+        items: list[tuple] = []
+        if not self.at_op("}"):
+            while True:
+                if self.at_op("."):
+                    self.next()
+                    if self.at_op("*"):
+                        self.next()
+                        items.append(("all",))
+                    else:
+                        items.append(("prop", self.name()))
+                elif (self.peek().kind in ("NAME", "KEYWORD")
+                        and self.peek(1).kind == "OP"
+                        and self.peek(1).value == ":"):
+                    k = self.name()
+                    self.eat_op(":")
+                    items.append(("kv", k, self.expr()))
+                else:
+                    items.append(("var", self.name()))
+                if not self.at_op(","):
+                    break
+                self.next()
+        self.eat_op("}")
+        return A.MapProjection(subject, items)
+
     # -- expressions (precedence climbing) ----------------------------------
     def expr(self) -> A.Expr:
         return self.or_expr()
@@ -582,6 +609,11 @@ class Parser:
                     else:
                         e = A.Subscript(e, idx)
                 self.eat_op("]")
+            elif self.at_op("{") and isinstance(e, A.Var):
+                e = self.map_projection(e)
+            elif self.at_op("::") and isinstance(e, A.Var):
+                self.next()
+                e = A.EnumLiteral(e.name, self.name())
             elif self.at_op(":") and isinstance(e, (A.Var, A.Property)):
                 labels = []
                 while self.at_op(":"):

@@ -663,10 +663,12 @@ class QueryCompiler(WriteMixin):
                     changes[f.name] = nv
             elif isinstance(v, list) and v and isinstance(v[0], A.Expr):
                 changes[f.name] = [self._lift(x) for x in v]
-            elif (isinstance(v, list) and v and isinstance(v[0], tuple)
-                  and len(v[0]) == 2):  # CaseExpr whens
-                changes[f.name] = [(self._lift(a), self._lift(b))
-                                   for a, b in v]
+            elif (isinstance(v, list) and v and isinstance(v[0], tuple)):
+                # CaseExpr whens, MapProjection items: lift Expr elements
+                changes[f.name] = [
+                    tuple(self._lift(x) if isinstance(x, A.Expr) else x
+                          for x in tup)
+                    for tup in v]
             elif isinstance(v, dict):
                 changes[f.name] = {
                     k: (self._lift(x) if isinstance(x, A.Expr) else x)

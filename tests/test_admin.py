@@ -74,3 +74,26 @@ def test_show_databases_and_transactions(gs):
     rows = gs.execute("SHOW DATABASES").collect()
     assert [r.name for r in rows] == ["memgraph"]
     assert gs.execute("SHOW TRANSACTIONS").collect() == []
+
+
+def test_enum_lifecycle(gs):
+    gs.execute("CREATE ENUM Status VALUES { Good, Okay, Bad }")
+    rows = gs.execute("SHOW ENUMS").collect()
+    assert [(r["Enum Name"], list(r["Enum Values"])) for r in rows] == \
+        [("Status", ["Good", "Okay", "Bad"])]
+    gs.execute("CREATE (t:Task {tag: 'a', status: Status::Good})")
+    gs.execute("CREATE (t:Task {tag: 'b', status: Status::Bad})")
+    got = gs.execute("MATCH (t:Task) WHERE t.status = Status::Good "
+                     "RETURN t.tag AS tag").collect()
+    assert [r.tag for r in got] == ["a"]
+    gs.execute("ALTER ENUM Status UPDATE VALUE Good TO Great")
+    got = gs.execute("MATCH (t:Task) WHERE t.status = Status::Great "
+                     "RETURN t.tag AS tag, t.status AS st").collect()
+    assert [(r.tag, r.st) for r in got] == [("a", "Status::Great")]
+    gs.execute("ALTER ENUM Status ADD VALUE Excellent")
+    rows = gs.execute("SHOW ENUMS").collect()
+    assert list(rows[0]["Enum Values"]) == ["Great", "Okay", "Bad", "Excellent"]
+    with pytest.raises(ValueError):
+        gs.execute("CREATE ENUM Status VALUES { X }")
+    with pytest.raises(NotImplementedError):
+        gs.execute("DROP ENUM Status")

@@ -174,6 +174,13 @@ CASES = [
      "MATCH p = (c:Customer {key: 1})-[:FROM_NATION]->(:Nation) "
      "RETURN length(p) AS len",
      "SELECT 1 AS len"),
+    ("map_projection",
+     "MATCH (r:Region) WITH r {.name, k: r.key * 10} AS m "
+     "RETURN m.name AS nm, m.k AS k",
+     "SELECT r_name AS nm, r_regionkey * 10 AS k FROM region"),
+    ("map_projection_all",
+     "MATCH (n:Nation {key: 3}) RETURN n {.*}.name AS nm",
+     "SELECT n_name AS nm FROM nation WHERE n_nationkey = 3"),
     ("path_nodes_rels",
      "MATCH p = (c:Customer {key: 1})-[:FROM_NATION]->(n:Nation) "
      "RETURN size(nodes(p)) AS nn, size(relationships(p)) AS nr, "
