@@ -84,6 +84,23 @@ class PropertyGraph:
     # cached per-label row counts (ANALYZE GRAPH parity — the planner's
     # vertex_count_cache, src/query/plan/vertex_count_cache.hpp)
     _count_cache: dict = field(default_factory=dict, repr=False)
+    # built text indexes: (table, id_col, text_col) -> (index_df, n_docs,
+    # avg_len). Parity with the reference's persistent tantivy index
+    # (src/storage/v2/indices/text_index.hpp:37): built once at CREATE TEXT
+    # INDEX / first search, queried hot afterwards.
+    _text_index_cache: dict = field(default_factory=dict, repr=False)
+
+    def text_index(self, table: str = "documents", id_col: str = "doc_id",
+                   text_col: str = "text"):
+        from memgraph_spark.search.text_index import (
+            build_text_index, index_stats)
+        key = (table, id_col, text_col)
+        if key not in self._text_index_cache:
+            df = self.tables[table]
+            idx = build_text_index(df, id_col, text_col) \
+                .localCheckpoint(eager=True)
+            self._text_index_cache[key] = (idx, index_stats(df, idx))
+        return self._text_index_cache[key]
 
     def label_count(self, label: str) -> int:
         if label not in self._count_cache:

@@ -120,7 +120,9 @@ def _text_langid(g):
 def _text_search(g, query: str, k: int = 10):
     """text_search.search(query, k) YIELD doc_id, score (BM25)."""
     from memgraph_spark.search import bm25_search
-    return bm25_search(g.tables["documents"], query, k=int(k))
+    idx, stats = g.text_index("documents")
+    return bm25_search(g.tables["documents"], query, k=int(k),
+                       index=idx, stats=stats)
 
 
 def _text_regex(g, pattern: str):

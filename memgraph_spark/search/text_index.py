@@ -39,9 +39,18 @@ def build_text_index(df: DataFrame, id_col: str = "doc_id",
             .agg(F.count("*").alias("tf")))
 
 
+def index_stats(df: DataFrame, idx: DataFrame) -> tuple[int, float]:
+    """(n_docs, avg_doc_len) for BM25 — computed once per index build."""
+    n_docs = df.count()
+    avg_len = idx.select("doc_id", "doc_len").dropDuplicates() \
+        .agg(F.avg("doc_len")).first()[0] or 1.0
+    return n_docs, avg_len
+
+
 def bm25_search(df: DataFrame, query: str, id_col: str = "doc_id",
                 text_col: str = "text", k: int = 10,
-                index: DataFrame | None = None) -> DataFrame:
+                index: DataFrame | None = None,
+                stats: tuple[int, float] | None = None) -> DataFrame:
     """text_search.search parity: top-k (doc_id, score) by BM25.
 
     idf = ln(1 + (N - df + 0.5)/(df + 0.5)); per-term scores sum over the
@@ -52,9 +61,7 @@ def bm25_search(df: DataFrame, query: str, id_col: str = "doc_id",
     idx = (index if index is not None
            else build_text_index(df, id_col, text_col)
            .localCheckpoint(eager=True))
-    n_docs = df.count()
-    avg_len = idx.select("doc_id", "doc_len").dropDuplicates() \
-        .agg(F.avg("doc_len")).first()[0] or 1.0
+    n_docs, avg_len = stats if stats is not None else index_stats(df, idx)
     terms = sorted({t for t in
                     __import__("re").split(r"[^a-z0-9]+", query.lower()) if t})
     if not terms:
