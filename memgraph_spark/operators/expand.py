@@ -316,15 +316,20 @@ def weighted_shortest_path(
                  .withColumnRenamed("__t", "dst"))
     e = edges.select(F.col("src"), F.col("dst"),
                      F.col(weight_col).cast("double").alias("__w")).persist()
-    dist = sources.select(
+    init = sources.select(
         F.col(source_col).alias("start"),
         F.col(source_col).alias("id"),
         F.lit(0.0).alias("cost"),
     ).localCheckpoint(eager=True)
-    frontier = dist  # rows improved last round
+    # dist = lazy min-agg over the checkpointed per-round improvement deltas;
+    # each delta only holds strict improvements, so no per-round
+    # re-materialization of the full distance table is needed
+    pieces = init
+    frontier = init
     f_rows = frontier.count()
     for _ in range(max_iterations):
         f = _maybe_broadcast(frontier, f_rows)
+        dist = pieces.groupBy("start", "id").agg(F.min("cost").alias("cost"))
         cand = (
             f.join(e, f["id"] == e["src"], "inner")
             .select(F.col("start"), F.col("dst").alias("id"),
@@ -341,11 +346,7 @@ def weighted_shortest_path(
         f_rows = improved.count()
         if f_rows == 0:
             break
-        dist = (
-            dist.unionByName(improved)
-            .groupBy("start", "id").agg(F.min("cost").alias("cost"))
-            .localCheckpoint(eager=True)
-        )
+        pieces = pieces.unionByName(improved)
         frontier = improved
     e.unpersist()
-    return dist
+    return pieces.groupBy("start", "id").agg(F.min("cost").alias("cost"))
