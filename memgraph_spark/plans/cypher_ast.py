@@ -3,7 +3,18 @@ reduced to the query surface the behavior corpus exercises)."""
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, fields, is_dataclass
+
+
+def walk(node):
+    """Yield every dataclass node in an expression/clause subtree."""
+    if not is_dataclass(node):
+        return
+    yield node
+    for f in fields(node):
+        v = getattr(node, f.name)
+        for x in (v if isinstance(v, (list, tuple)) else [v]):
+            yield from walk(x)
 
 
 # -- expressions ------------------------------------------------------------
@@ -315,3 +326,7 @@ class UnionQuery:
     # USING HOPS LIMIT n (MemgraphCypher.g4:413, src/query/hops_limit.hpp):
     # global cap on edges expanded by this query; None = unlimited
     hops_limit: int | None = None
+    # USING PERIODIC COMMIT n (PeriodicCommit, operator.hpp:3215): commit
+    # batch size; under per-batch commits, use-after-delete becomes a real
+    # runtime error in the reference (deleted in batch k, touched in k+1)
+    periodic_commit: int | None = None

@@ -61,14 +61,29 @@ class Parser:
     # -- entry --------------------------------------------------------------
     def parse(self) -> A.UnionQuery:
         hops_limit = None
-        if self.at_kw("USING"):   # USING HOPS LIMIT n (MemgraphCypher.g4:413)
+        periodic_commit = None
+        if self.at_kw("USING"):   # MemgraphCypher.g4:413 query hints
             self.next()
-            self.eat_kw("HOPS")
-            self.eat_kw("LIMIT")
-            t = self.next()
-            if t.kind != "INT":
-                raise SyntaxError(f"expected integer hops limit at {t}")
-            hops_limit = int(t.value)
+            t = self.peek()
+            if t.kind == "NAME" and str(t.value).upper() == "PERIODIC":
+                # USING PERIODIC COMMIT n (PeriodicCommit, operator.hpp:3215):
+                # chunked commits; our snapshot write model applies the whole
+                # batch atomically, which subsumes the chunking
+                self.next()
+                c = self.next()
+                if not (c.kind == "NAME" and str(c.value).upper() == "COMMIT"):
+                    raise SyntaxError(f"expected COMMIT at {c}")
+                t = self.next()
+                if t.kind != "INT":
+                    raise SyntaxError(f"expected integer commit size at {t}")
+                periodic_commit = int(t.value)
+            else:
+                self.eat_kw("HOPS")
+                self.eat_kw("LIMIT")
+                t = self.next()
+                if t.kind != "INT":
+                    raise SyntaxError(f"expected integer hops limit at {t}")
+                hops_limit = int(t.value)
         parts = [self.single_query()]
         alls: list[bool] = []
         while self.at_kw("UNION"):
@@ -79,7 +94,7 @@ class Parser:
             self.next()
         if self.peek().kind != "EOF":
             raise SyntaxError(f"unexpected trailing input at {self.peek()}")
-        return A.UnionQuery(parts, alls, hops_limit)
+        return A.UnionQuery(parts, alls, hops_limit, periodic_commit)
 
     def single_query(self) -> A.SingleQuery:
         clauses: list[A.Clause] = []

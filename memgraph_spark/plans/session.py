@@ -72,11 +72,16 @@ class GraphSession:
         # expanded edges; partial results on exhaustion (the reference's
         # hops_limit_partial_results=true default). Inspect via last_hops.
         self.last_hops = {"limit": ast.hops_limit, "used": 0, "reached": False}
-        out = QueryCompiler(self.graph, params,
-                            hops=self.last_hops).compile(ast.parts[0])
+        qc = QueryCompiler(self.graph, params, hops=self.last_hops,
+                           periodic=ast.periodic_commit is not None)
+        out = qc.compile(ast.parts[0])
+        self.last_summary = {k: int(qc.counters.get(k, 0))
+                             for k in WRITE_COUNTERS}
         for part, is_all in zip(ast.parts[1:], ast.alls):
-            df = QueryCompiler(self.graph, params,
-                               hops=self.last_hops).compile(part)
+            qc = QueryCompiler(self.graph, params, hops=self.last_hops)
+            df = qc.compile(part)
+            for k in WRITE_COUNTERS:
+                self.last_summary[k] += int(qc.counters.get(k, 0))
             out = op_union(out, df, distinct=not is_all)
         return out
 
@@ -89,12 +94,17 @@ class QueryCompiler(WriteMixin):
     clause walk (plan/rule_based_planner.cpp) at DataFrame granularity."""
 
     def __init__(self, graph: PropertyGraph, params: dict | None = None,
-                 anon_prefix: str = "", hops: dict | None = None):
+                 anon_prefix: str = "", hops: dict | None = None,
+                 periodic: bool = False):
         self.g = graph
         self.params = params or {}
         self.hops = hops
+        self.periodic = periodic
         self.df: DataFrame | None = None
         self.symbols: dict[str, str] = {}
+        # symbols consumed by DELETE: later property access / SET / REMOVE
+        # on them is an error (reference: use-after-delete raises)
+        self.deleted: set[str] = set()
         self._anon = 0
         self._anon_prefix = anon_prefix
         self._all_props_cache: list[str] | None = None
@@ -155,10 +165,11 @@ class QueryCompiler(WriteMixin):
         if result is None:
             if not self.wrote:
                 raise CompileError("read query must end in RETURN")
-            # write-only query: the reference's execution summary
+            # write-only query: zero records, like the reference's Bolt
+            # stream (counters travel in the summary — GraphSession exposes
+            # them as .last_summary, the driver's result_summary equivalent)
             return self.g.spark.createDataFrame(
-                [tuple(int(self.counters.get(k, 0)) for k in WRITE_COUNTERS)],
-                " BIGINT, ".join(WRITE_COUNTERS) + " BIGINT")
+                [], " BIGINT, ".join(WRITE_COUNTERS) + " BIGINT")
         return result
 
     def compile_clause(self, cl: A.Clause) -> None:
@@ -805,10 +816,26 @@ class QueryCompiler(WriteMixin):
         self.symbols[cl.var] = "value"
 
     # -- WITH / RETURN ---------------------------------------------------------
+    def _check_deleted(self, *exprs) -> None:
+        """Use-after-delete: RETURN touching a DELETEd symbol raises, like
+        the reference's post-Accumulate serialization of a deleted object
+        ('Trying to get properties from a deleted object', operator.cpp:5380).
+        Writes on deleted objects are silent no-ops (deletion is buffered),
+        so this check runs only for RETURN, not WITH/SET."""
+        if not self.deleted:
+            return
+        for e in exprs:
+            for node in A.walk(e):
+                if isinstance(node, A.Var) and node.name in self.deleted:
+                    raise CompileError(
+                        f"cannot return deleted object `{node.name}`")
+
     def _project(self, cl, is_return: bool) -> DataFrame:
         if self.df is None:
             self.df = self._seed()
         items = list(cl.items)
+        if is_return:
+            self._check_deleted(*[it.expr for it in items])
         if cl.star:
             items = [A.ReturnItem(A.Var(s), None, s)
                      for s in sorted(self.symbols)

@@ -137,6 +137,18 @@ class WriteMixin:
     # -- SET / REMOVE --------------------------------------------------------
     def _set(self, items: list[A.SetItem]) -> None:
         for item in items:
+            # SET on a DELETEd symbol is a silent no-op (delete.feature:
+            # 'Delete node, set property' expects an empty result, no error)
+            subj = item.subject
+            while isinstance(subj, A.Property):
+                subj = subj.subject
+            if isinstance(subj, A.Var) and subj.name in self.deleted:
+                if self.periodic:
+                    # per-batch commits: the object is already gone by the
+                    # time the next batch's SET runs (operator.cpp:5358)
+                    raise CompileError(
+                        f"cannot SET on deleted object `{subj.name}`")
+                continue
             if item.op == "label":
                 self._set_labels(item)
             elif isinstance(item.subject, A.Property):
@@ -230,6 +242,13 @@ class WriteMixin:
 
     def _remove(self, cl: A.RemoveClause) -> None:
         for item in cl.items:
+            if (isinstance(item.subject, A.Var)
+                    and item.subject.name in self.deleted):
+                if self.periodic:
+                    raise CompileError(
+                        f"cannot REMOVE on deleted object "
+                        f"`{item.subject.name}`")
+                continue  # no-op on deleted, like SET
             if item.key is not None:
                 self._set_property(A.Property(item.subject, item.key),
                                    A.Literal(None))
@@ -265,10 +284,33 @@ class WriteMixin:
                     n += t.count() - kept.count()
                     self.g.set_edge_version(etype, kept)
                 self.counters["relationships_deleted"] += n
+                self.deleted.add(sym)
             elif kind == "node":
                 ids = (self.df.select(F.col(f"{sym}_id").alias("id"))
                        .dropDuplicates())
                 node_ids = ids if node_ids is None else node_ids.unionByName(ids)
+                self.deleted.add(sym)
+            elif kind == "path":
+                # deleting a path deletes its relationships and nodes
+                # (reference: Delete on TypedValue::Path, operator.cpp:4764)
+                if self.periodic:
+                    # paths deleted per-batch touch objects deleted by
+                    # earlier batches (periodic_delete.feature expects error)
+                    raise CompileError(
+                        "cannot periodically DELETE a path")
+                eids = (self.df.select(
+                            F.explode(F.col(f"{sym}_eids")).alias("eid"))
+                        .dropDuplicates().localCheckpoint(eager=True))
+                n = 0
+                for etype, t in list(self.g.edges.items()):
+                    kept = t.join(eids, on="eid", how="left_anti")
+                    n += t.count() - kept.count()
+                    self.g.set_edge_version(etype, kept)
+                self.counters["relationships_deleted"] += n
+                ids = self.df.select(
+                    F.explode(F.col(f"{sym}_nids")).alias("id"))
+                node_ids = ids if node_ids is None else node_ids.unionByName(ids)
+                self.deleted.add(sym)
             else:
                 raise CompileError(f"cannot DELETE a {kind}")
         if node_ids is None:

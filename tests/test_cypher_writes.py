@@ -33,19 +33,19 @@ def test_create_node_and_scan(gs):
 
 
 def test_create_per_input_row(gs):
-    summary = _one(gs.execute(
-        "UNWIND ['Bob', 'Carol'] AS nm CREATE (:Person {name: nm})"))
-    assert summary.nodes_created == 2
+    gs.execute(
+        "UNWIND ['Bob', 'Carol'] AS nm CREATE (:Person {name: nm})").collect()
+    assert gs.last_summary["nodes_created"] == 2
     names = [r.name for r in gs.execute(
         "MATCH (p:Person) RETURN p.name AS name ORDER BY name").collect()]
     assert names == ["Alice", "Bob", "Carol"]
 
 
 def test_create_relationship(gs):
-    summary = _one(gs.execute(
+    gs.execute(
         "MATCH (a:Person {name: 'Alice'}), (b:Person {name: 'Bob'}) "
-        "CREATE (a)-[:KNOWS {since: 2020}]->(b)"))
-    assert summary.relationships_created == 1
+        "CREATE (a)-[:KNOWS {since: 2020}]->(b)").collect()
+    assert gs.last_summary["relationships_created"] == 1
     r = _one(gs.execute(
         "MATCH (a:Person)-[r:KNOWS]->(b:Person) "
         "RETURN a.name AS a, b.name AS b, r.since AS since"))
@@ -111,24 +111,23 @@ def test_delete_connected_node_errors(gs):
 
 def test_delete_relationship_then_node(gs):
     gs.execute("MATCH (:Person {name: 'Alice'})-[r:KNOWS]->() DELETE r").collect()
-    summary = _one(gs.execute("MATCH (p:Person {name: 'Alice'}) DELETE p"))
-    assert summary.nodes_deleted == 1
+    gs.execute("MATCH (p:Person {name: 'Alice'}) DELETE p").collect()
+    assert gs.last_summary["nodes_deleted"] == 1
     assert _one(gs.execute(
         "MATCH (p:Person) RETURN count(*) AS n")).n == 3
 
 
 def test_detach_delete(gs):
-    summary = _one(gs.execute(
-        "MATCH (p:Person {name: 'Bob'}) DETACH DELETE p"))
-    assert summary.nodes_deleted == 1 and summary.relationships_deleted == 1
+    gs.execute("MATCH (p:Person {name: 'Bob'}) DETACH DELETE p").collect()
+    s = gs.last_summary
+    assert s["nodes_deleted"] == 1 and s["relationships_deleted"] == 1
     assert _one(gs.execute(
         "MATCH ()-[r:KNOWS]->() RETURN count(*) AS n")).n == 0
 
 
 def test_foreach_creates_per_element(gs):
-    summary = _one(gs.execute(
-        "FOREACH (i IN [1, 2, 3] | CREATE (:Tick {v: i}))"))
-    assert summary.nodes_created == 3
+    gs.execute("FOREACH (i IN [1, 2, 3] | CREATE (:Tick {v: i}))").collect()
+    assert gs.last_summary["nodes_created"] == 3
     vals = [r.v for r in gs.execute(
         "MATCH (t:Tick) RETURN t.v AS v ORDER BY v").collect()]
     assert vals == [1, 2, 3]
