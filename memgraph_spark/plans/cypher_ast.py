@@ -6,6 +6,23 @@ from __future__ import annotations
 from dataclasses import dataclass, field, fields, is_dataclass
 
 
+# property names that collide with internal meta columns (id/labels on
+# nodes, eid/type/src/dst on rels) are escaped with this prefix in storage
+# and frame columns; display layers strip it back
+RESERVED_PROPS = frozenset({"id", "labels", "eid", "type", "src", "dst"})
+PROP_ESCAPE = "p__"
+
+
+def prop_col(name: str) -> str:
+    """Storage/frame column name for a property name."""
+    return PROP_ESCAPE + name if name in RESERVED_PROPS else name
+
+
+def prop_name(col: str) -> str:
+    """Display property name for a storage/frame column name."""
+    return col[len(PROP_ESCAPE):] if col.startswith(PROP_ESCAPE) else col
+
+
 def walk(node):
     """Yield every dataclass node in an expression/clause subtree."""
     if not is_dataclass(node):
@@ -13,8 +30,33 @@ def walk(node):
     yield node
     for f in fields(node):
         v = getattr(node, f.name)
+        if isinstance(v, dict):
+            v = list(v.values())
         for x in (v if isinstance(v, (list, tuple)) else [v]):
             yield from walk(x)
+
+
+def rename_vars(node, mapping: dict):
+    """Clone an expression subtree substituting variable names — used to
+    alpha-rename traversal-lambda parameters so they can't shadow bound
+    symbols (the reference scopes lambda symbols separately,
+    symbol_generator.cpp)."""
+    if isinstance(node, Var):
+        return Var(mapping.get(node.name, node.name))
+    if not is_dataclass(node):
+        return node
+
+    def sub(v):
+        if isinstance(v, list):
+            return [sub(x) for x in v]
+        if isinstance(v, tuple):
+            return tuple(sub(x) for x in v)
+        if isinstance(v, dict):
+            return {k: sub(x) for k, x in v.items()}
+        return rename_vars(v, mapping) if is_dataclass(v) else v
+
+    return type(node)(**{f.name: sub(getattr(node, f.name))
+                         for f in fields(node)})
 
 
 # -- expressions ------------------------------------------------------------
@@ -170,6 +212,16 @@ class RelPattern:
     var_length: bool = False
     lo: int | None = None
     hi: int | None = None
+    # memgraph traversal modes (EdgeAtom::Type, ast.hpp:1807):
+    # None = plain DFS enumeration, else 'bfs' | 'wshortest' | 'allshortest'
+    mode: str | None = None
+    # expansion filter lambda `(e, n [, p] | expr)` (filter_lambda_,
+    # ast.hpp EdgeAtom::Lambda) — params then body
+    flt: tuple[list[str], "Expr"] | None = None
+    # weight lambda `(e, n | expr)` (weight_lambda_, wShortest/allShortest)
+    weight: tuple[list[str], "Expr"] | None = None
+    # total-weight output symbol (total_weight_, e.g. `... ) total_weight]`)
+    weight_var: str | None = None
 
 
 @dataclass

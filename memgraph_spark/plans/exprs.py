@@ -146,6 +146,12 @@ def _compile_var(name: str, env: Env) -> Column:
     if kind == "rel":
         cols = [c for c in env.columns() if c.startswith(f"{name}_")]
         return F.struct(*[F.col(c).alias(c[len(name) + 1:]) for c in sorted(cols)])
+    if kind == "path":
+        parts = [c for c in (f"{name}_nodes", f"{name}_rels", f"{name}_dirs")
+                 if c in env.columns()]
+        if parts:
+            return F.struct(*[F.col(c).alias(c[len(name) + 1:])
+                              for c in parts])
     if env.df is not None and name in env.df.columns:
         return F.col(name)
     raise CompileError(f"unbound variable {name}")
@@ -169,7 +175,7 @@ def _compile_map_projection(e: A.MapProjection, env: Env) -> Column:
         if it[0] == "all":
             if on_graph:
                 for c in _prop_cols(sym, env):
-                    fields[c[len(sym) + 1:]] = F.col(c)
+                    fields[A.prop_name(c[len(sym) + 1:])] = F.col(c)
             else:
                 raise CompileError(".* projection needs a bound node or rel")
         elif it[0] == "prop":
@@ -189,7 +195,7 @@ def _compile_property(e: A.Property, env: Env) -> Column:
         nm = e.subject.name
         kind = env.symbols.get(nm)
         if kind in ("node", "rel"):
-            col = f"{nm}_{e.key}"
+            col = f"{nm}_{A.prop_col(e.key)}"
             if col in env.columns():
                 return F.col(col)
             return F.lit(None)
@@ -198,6 +204,8 @@ def _compile_property(e: A.Property, env: Env) -> Column:
     subj = compile_expr(e.subject, env)
     t = env.typeof(subj)
     if isinstance(t, T.StructType):
+        if A.prop_col(e.key) in t.names:
+            return subj.getField(A.prop_col(e.key))
         if e.key in t.names:
             return subj.getField(e.key)
         return F.lit(None)
@@ -331,6 +339,30 @@ def _compile_func(e: A.FuncCall, env: Env) -> Column:
             and env.symbols.get(e.args[0].name) == "path"):
         suffix = "_nodes" if name == "nodes" else "_rels"
         return F.col(f"{e.args[0].name}{suffix}")
+    # duration(...) constructor (src/utils/temporal.hpp): ISO-8601 string
+    # literal -> DayTimeIntervalType; map form -> make_dt_interval
+    if name == "duration" and e.args:
+        a = e.args[0]
+        if isinstance(a, A.Literal) and isinstance(a.value, str):
+            import re as _re
+            m = _re.fullmatch(
+                r"(-)?P(?:(\d+(?:\.\d+)?)D)?"
+                r"(?:T(?:(\d+(?:\.\d+)?)H)?(?:(\d+(?:\.\d+)?)M)?"
+                r"(?:(\d+(?:\.\d+)?)S)?)?", a.value)
+            if not m:
+                raise CompileError(f"bad duration literal {a.value!r}")
+            import datetime as _dt
+            sign = -1 if m.group(1) else 1
+            td = sign * _dt.timedelta(
+                days=float(m.group(2) or 0), hours=float(m.group(3) or 0),
+                minutes=float(m.group(4) or 0),
+                seconds=float(m.group(5) or 0))
+            return F.lit(td)
+        if isinstance(a, A.MapLiteral):
+            parts = {k: compile_expr(v, env) for k, v in a.items.items()}
+            return F.make_dt_interval(
+                parts.get("day", F.lit(0)), parts.get("hour", F.lit(0)),
+                parts.get("minute", F.lit(0)), parts.get("second", F.lit(0)))
     # round(x, d): the scale must be a literal int (Spark round signature)
     if name == "round" and len(e.args) == 2 and isinstance(e.args[1], A.Literal):
         return F.round(compile_expr(e.args[0], env), e.args[1].value)
@@ -366,13 +398,16 @@ def _compile_func(e: A.FuncCall, env: Env) -> Column:
             return F.col(f"{sym}_id")
         if env.symbols.get(sym) == "rel":
             return F.col(f"{sym}_eid")
-    if name == "labels" and isinstance(e.args[0], A.Var):
+    def _is_graph_sym(a):
+        return (isinstance(a, A.Var)
+                and env.symbols.get(a.name) in ("node", "rel"))
+    if name == "labels" and _is_graph_sym(e.args[0]):
         return F.col(f"{e.args[0].name}_labels")
-    if name == "type" and isinstance(e.args[0], A.Var):
+    if name == "type" and _is_graph_sym(e.args[0]):
         return F.col(f"{e.args[0].name}_type")
-    if name == "startnode" and isinstance(e.args[0], A.Var):
+    if name == "startnode" and _is_graph_sym(e.args[0]):
         return F.col(f"{e.args[0].name}_src")
-    if name == "endnode" and isinstance(e.args[0], A.Var):
+    if name == "endnode" and _is_graph_sym(e.args[0]):
         return F.col(f"{e.args[0].name}_dst")
     if name == "properties" and isinstance(e.args[0], A.Var):
         sym = e.args[0].name
@@ -380,7 +415,8 @@ def _compile_func(e: A.FuncCall, env: Env) -> Column:
                 if c.startswith(f"{sym}_") and c not in
                 (f"{sym}_id", f"{sym}_labels", f"{sym}_eid", f"{sym}_type",
                  f"{sym}_src", f"{sym}_dst")]
-        return F.struct(*[F.col(c).alias(c[len(sym) + 1:]) for c in sorted(cols)])
+        return F.struct(*[F.col(c).alias(A.prop_name(c[len(sym) + 1:]))
+                          for c in sorted(cols)])
     if name == "keys" and isinstance(e.args[0], A.Var):
         sym = e.args[0].name
         cols = [c[len(sym) + 1:] for c in sorted(env.columns())
@@ -389,16 +425,50 @@ def _compile_func(e: A.FuncCall, env: Env) -> Column:
                  f"{sym}_src", f"{sym}_dst")]
         # only keys whose value is non-null on this row
         return F.filter(
-            F.array(*[F.when(F.col(f"{sym}_{k}").isNotNull(), F.lit(k)) for k in cols]),
+            F.array(*[F.when(F.col(f"{sym}_{k}").isNotNull(),
+                             F.lit(A.prop_name(k))) for k in cols]),
             lambda x: x.isNotNull(),
         )
     if name in ("size", "length"):
+        # size(p)/length(p) on a path = its relationship count
+        if (isinstance(e.args[0], A.Var)
+                and env.symbols.get(e.args[0].name) == "path"):
+            return F.col(f"{e.args[0].name}_length")
         t = env.typeof(args[0])
         if isinstance(t, T.ArrayType):
             return F.size(args[0])
         if isinstance(t, T.MapType):
             return F.size(args[0])
         return F.length(args[0])
+    # graph accessors over computed node/rel detail structs (path elements:
+    # nodes(p)[i], relationships(p)[-1], last(nodes(p)) …)
+    if name in ("type", "id", "labels", "startnode", "endnode",
+                "properties", "keys") and len(args) == 1:
+        t = env.typeof(args[0])
+        if isinstance(t, T.StructType):
+            meta = ("id", "eid", "labels", "type", "src", "dst")
+            if name == "type" and "type" in t.names:
+                return args[0].getField("type")
+            if name == "id":
+                key = "eid" if "eid" in t.names else "id"
+                if key in t.names:
+                    return args[0].getField(key)
+            if name == "labels" and "labels" in t.names:
+                return args[0].getField("labels")
+            if name == "startnode" and "src" in t.names:
+                return args[0].getField("src")
+            if name == "endnode" and "dst" in t.names:
+                return args[0].getField("dst")
+            if name == "properties":
+                return F.struct(*[args[0].getField(f)
+                                  .alias(A.prop_name(f))
+                                  for f in t.names if f not in meta])
+            if name == "keys":
+                return F.filter(
+                    F.array(*[F.when(args[0].getField(f).isNotNull(),
+                                     F.lit(A.prop_name(f)))
+                              for f in t.names if f not in meta]),
+                    lambda x: x.isNotNull())
     if name in FUNCTIONS:
         fn = FUNCTIONS[name]
         return fn(*args)

@@ -419,6 +419,7 @@ class Parser:
         props: dict[str, A.Expr] = {}
         var_length = False
         lo = hi = None
+        mode = flt = weight = weight_var = None
         if self.at_op("["):
             self.next()
             if self.peek().kind == "NAME" and not self.at_op(":"):
@@ -434,18 +435,38 @@ class Parser:
             if self.at_op("*"):
                 self.next()
                 var_length = True
+                t = self.peek()
+                if (t.kind == "NAME"
+                        and str(t.value).lower() in ("bfs", "wshortest",
+                                                     "allshortest")):
+                    mode = str(t.value).lower()
+                    self.next()
                 if self.peek().kind == "INT":
-                    lo = self.next().value
+                    n = self.next().value
                     if self.at_op(".."):
                         self.next()
+                        lo = n
                         if self.peek().kind == "INT":
                             hi = self.next().value
+                    elif mode in ("wshortest", "allshortest"):
+                        hi = n   # single int = upper bound for *wShortest n
                     else:
-                        hi = lo
+                        lo = hi = n
                 elif self.at_op(".."):
                     self.next()
                     if self.peek().kind == "INT":
                         hi = self.next().value
+                if self.at_op("{"):
+                    props = self.map_entries()
+                lam = (self.traversal_lambda() if self.at_op("(") else None)
+                if mode in ("wshortest", "allshortest"):
+                    weight = lam
+                    if self.peek().kind == "NAME":
+                        weight_var = self.name()
+                    if self.at_op("("):
+                        flt = self.traversal_lambda()
+                else:
+                    flt = lam
             if self.at_op("{"):
                 props = self.map_entries()
             self.eat_op("]")
@@ -456,7 +477,24 @@ class Parser:
             if direction == "in":
                 raise SyntaxError("relationship cannot be both <- and ->")
             direction = "out"
-        return A.RelPattern(var, types, direction, props, var_length, lo, hi)
+        if not var_length:
+            mode = flt = weight = weight_var = None
+        return A.RelPattern(var, types, direction, props, var_length, lo, hi,
+                            mode, flt, weight, weight_var)
+
+    def traversal_lambda(self) -> tuple[list[str], A.Expr]:
+        """`(e, n [, p] | expr)` — EdgeAtom::Lambda (ast.hpp:1796):
+        per-expansion filter / weight with the current edge, target vertex
+        and (optionally) the accumulated path bound."""
+        self.eat_op("(")
+        params = [self.name()]
+        while self.at_op(","):
+            self.next()
+            params.append(self.name())
+        self.eat_op("|")
+        body = self.expr()
+        self.eat_op(")")
+        return (params, body)
 
     def map_entries(self) -> dict[str, A.Expr]:
         self.eat_op("{")

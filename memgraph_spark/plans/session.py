@@ -35,6 +35,7 @@ from memgraph_spark.plans.exprs import (
     contains_aggregate,
 )
 from memgraph_spark.plans.parser import parse
+from memgraph_spark.plans.traversal import TraversalMixin
 from memgraph_spark.plans.writes import WriteMixin
 
 REL_META = ("eid", "type", "src", "dst")
@@ -89,7 +90,7 @@ class GraphSession:
         self.execute(query, params).explain("formatted")
 
 
-class QueryCompiler(WriteMixin):
+class QueryCompiler(WriteMixin, TraversalMixin):
     """One SingleQuery -> one DataFrame. Mirrors the reference planner's
     clause walk (plan/rule_based_planner.cpp) at DataFrame granularity."""
 
@@ -396,7 +397,7 @@ class QueryCompiler(WriteMixin):
 
     def _prop_filters(self, sym: str, props: dict[str, A.Expr]) -> None:
         for k, ve in props.items():
-            col = f"{sym}_{k}"
+            col = f"{sym}_{A.prop_col(k)}"
             if self.df is not None and col not in self.df.columns:
                 self.df = self.df.filter(F.lit(False))
                 return
@@ -483,12 +484,16 @@ class QueryCompiler(WriteMixin):
     def _expand_var_length(self, from_sym: str, rel: A.RelPattern,
                            np: A.NodePattern, to_sym: str,
                            path_prefix: str | None = None) -> Column:
-        """ExpandVariable (operator.cpp:2199) via iterative frontier joins."""
-        if rel.var:
-            raise CompileError("binding a variable-length relationship list "
-                               "is not supported yet")
-        if len(rel.types) > 1:
-            raise CompileError("multi-type variable-length not supported yet")
+        """ExpandVariable (operator.cpp:2199) via iterative frontier joins.
+
+        Plain unbound `-[*lo..hi]-` takes the lean operator path; traversal
+        modes (*bfs/*wShortest/*allShortest), lambdas, bound edge-list
+        symbols, and multi-type unions take the featureful loop in
+        traversal.py."""
+        if (rel.mode or rel.var or rel.flt or rel.weight
+                or len(rel.types) > 1):
+            return self._expand_traversal(from_sym, rel, np, to_sym,
+                                          path_prefix)
         etype = rel.types[0] if rel.types else None
         lower = rel.lo if rel.lo is not None else 1
         upper = rel.hi if rel.hi is not None else 10

@@ -1,0 +1,360 @@
+"""Traversal-mode variable expansion: `*`, `*bfs`, `*wShortest`,
+`*allShortest` with filter / weight lambdas and bound edge-list symbols.
+
+Reference: EdgeAtom::Type {DEPTH_FIRST, BREADTH_FIRST,
+WEIGHTED_SHORTEST_PATH, ALL_SHORTEST_PATHS} (src/query/frontend/ast/
+ast.hpp:1807) with per-expansion lambdas (EdgeAtom::Lambda, ast.hpp:1796);
+cursors ExpandVariable (operator.cpp:2199), BFS (:2726), Dijkstra (:3000),
+all-shortest (:3309).
+
+Spark re-expression: one shared iterative frontier loop — each round is one
+distributed join against the oriented edge table; lambdas compile to Column
+predicates evaluated on the joined step rows (edge props + target-node props
++ accumulated-path detail arrays are all columns of the step frame, so the
+filter stays JVM-side). Mode-specific pruning between rounds:
+
+- plain `*`   : none — bag of all edge-unique walks (DFS enumeration parity)
+- `*bfs`      : first arrival per (input row, node) wins; visited anti-join
+- `*wShortest`: Bellman-Ford-style relaxation, argmin per (row, node)
+- `*allShortest`: keep every path that ties the minimum cost
+
+The driver loop only bounds rounds (graph diameter / upper bound); no row
+ever passes through the driver. localCheckpoint() truncates lineage per
+round so round N's plan doesn't embed rounds 1..N-1. At 100 TB the frontier
+and the per-round shuffles are the scaling unit — AQE handles supernode
+skew; the visited/best tables stay hash-partitioned by (row, node).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from memgraph_spark.plans import cypher_ast as A
+from memgraph_spark.plans.exprs import CompileError, Env, compile_expr
+
+MAX_ROUNDS = 32   # safety cap when no upper bound given (fixpoint modes
+                  # terminate earlier; plain mode is edge-uniqueness-bounded)
+
+
+def _lambda_refs(lam, idx: int) -> bool:
+    """Does the lambda body reference its idx-th parameter?"""
+    if lam is None or len(lam[0]) <= idx:
+        return False
+    name = lam[0][idx]
+    return any(isinstance(n, A.Var) and n.name == name
+               for n in A.walk(lam[1]))
+
+
+class TraversalMixin:
+    """QueryCompiler methods for mode/lambda variable-length expansion."""
+
+    def _expand_traversal(self, from_sym: str, rel: A.RelPattern,
+                          np: A.NodePattern, to_sym: str,
+                          path_prefix: str | None = None) -> Column:
+        mode = rel.mode
+        lower = rel.lo if rel.lo is not None else 1
+        upper = rel.hi if rel.hi is not None else MAX_ROUNDS
+        depth_col = self._anon_sym("depth")
+
+        # alpha-rename lambda params to internal names so they can shadow
+        # outer symbols safely (the reference scopes them separately);
+        # the optional 4th filter param binds the accumulated weight
+        ep, np_, pp, wp = "__te", "__tn", "__tp", "__tw"
+        flt = weight = None
+        need_n = need_p = need_w = False
+        for lam, slot in ((rel.flt, "flt"), (rel.weight, "weight")):
+            if lam is None:
+                continue
+            need_n = need_n or _lambda_refs(lam, 1)
+            need_p = need_p or _lambda_refs(lam, 2)
+            need_w = need_w or _lambda_refs(lam, 3)
+            mapping = dict(zip(lam[0], (ep, np_, pp, wp)))
+            body = A.rename_vars(lam[1], mapping)
+            if slot == "flt":
+                flt = body
+            else:
+                weight = body
+        need_detail = rel.var is not None or need_p
+        base_cols = list(self.df.columns)
+
+        # oriented edge-step table: __from/__to + {ep}_eid/_type/_src/_dst/
+        # _<props> + __fwd (traversal direction of the stored edge)
+        e = self._edge_table(rel.types, ep, want_props=True)
+        out_e = (e.withColumnRenamed("src", "__from")
+                 .withColumnRenamed("dst", "__to")
+                 .withColumn("__fwd", F.lit(True)))
+        in_e = (e.withColumnRenamed("dst", "__from")
+                .withColumnRenamed("src", "__to")
+                .withColumn("__fwd", F.lit(False)))
+        E = {"out": out_e, "in": in_e}.get(
+            rel.direction, out_e.unionByName(in_e))
+        # literal edge-property filter `{w: 1}` applies to every step edge
+        for k, ve in rel.props.items():
+            col = f"{ep}_{A.prop_col(k)}"
+            if col not in E.columns:
+                E = E.filter(F.lit(False))
+                break
+            E = E.filter(F.col(col) == compile_expr(ve, self._env()))
+        E = E.localCheckpoint(eager=True)
+        # edge detail struct mirroring _edge_detail()'s shape
+        e_fields = [c for c in E.columns if c.startswith(f"{ep}_")]
+        edet = F.struct(*[F.col(c).alias(c[len(ep) + 1:]) for c in e_fields])
+
+        # node detail (id, labels, union props) for the lambda's n param and
+        # the accumulated path's node structs
+        nd = ndet_names = None
+        if need_n or need_detail:
+            base = self._node_df([])
+            nprops = [c for c in base.columns if c not in ("id", "labels")]
+            ndet_names = ["id", "labels"] + nprops
+            nd = base.select(
+                F.col("id").alias("__to"),
+                F.struct(F.col("id"), F.col("labels"),
+                         *[F.col(p) for p in nprops]).alias("__ndet"),
+            ).localCheckpoint(eager=True)
+
+        init = (self.df.withColumn("__rid", F.monotonically_increasing_id())
+                .withColumn("__node", F.col(f"{from_sym}_id"))
+                .withColumn("__depth", F.lit(0))
+                .withColumn("__eids", F.array().cast("array<long>"))
+                .withColumn("__nids", F.array().cast("array<long>"))
+                .withColumn("__dirs", F.array().cast("array<boolean>")))
+        if need_detail:
+            # seed the path's node-struct array with the start node
+            start_nd = (nd.withColumnRenamed("__to", "__sid")
+                        if nd is not None else None)
+            init = (init.join(
+                start_nd, init["__node"] == start_nd["__sid"], "left")
+                .drop("__sid")
+                .withColumn("__pn", F.array("__ndet")).drop("__ndet")
+                .withColumn("__pe", F.array().cast(
+                    "array<struct<" + ",".join(
+                        f"`{c[len(ep) + 1:]}`:"
+                        + E.schema[c].dataType.simpleString()
+                        for c in e_fields) + ">>")))
+        if mode in ("wshortest", "allshortest"):
+            # seed weight: the weight lambda evaluated at the source with a
+            # null edge (CalculateNextWeight, operator.cpp:2983/:3147) — a
+            # null seed means "no accumulation yet"
+            if weight is not None:
+                senv_syms = dict(self.symbols)
+                senv_syms[ep] = "rel"   # no {ep}_* columns -> props are null
+                seed_df = init
+                tmp_cols = []
+                if need_n and nd is not None:
+                    sd = nd.withColumnRenamed("__to", "__sid")
+                    seed_df = seed_df.join(
+                        sd, seed_df["__node"] == sd["__sid"], "left")
+                    for fname in ndet_names:
+                        seed_df = seed_df.withColumn(
+                            f"{np_}_{fname}", F.col(f"__ndet.{fname}"))
+                        tmp_cols.append(f"{np_}_{fname}")
+                    seed_df = seed_df.drop("__sid", "__ndet")
+                    senv_syms[np_] = "node"
+                seed = compile_expr(weight, Env(seed_df, senv_syms,
+                                                self.params))
+                init = seed_df.withColumn("__cost", seed).drop(*tmp_cols)
+            else:
+                init = init.withColumn("__cost",
+                                       F.lit(None).cast("double"))
+        init = init.localCheckpoint(eager=True)
+
+        results: list[DataFrame] = []
+        if mode is None and lower == 0:
+            results.append(init)
+        visited = (init.select("__rid", "__node").localCheckpoint(eager=True)
+                   if mode == "bfs" else None)
+        # weighted modes: start nodes are zero-cost arrivals — never improved
+        # on (non-negative weights), so they are a static anti-join set; the
+        # best-cost table is created lazily so the accumulated weight keeps
+        # the weight expression's own type (int weights stay ints)
+        seeds = (init.select("__rid", "__node").localCheckpoint(eager=True)
+                 if mode in ("wshortest", "allshortest") else None)
+        best = None
+        arrived: list[DataFrame] = []   # allshortest: every candidate path
+
+        frontier = init
+        f_rows = frontier.count()
+        for depth in range(1, upper + 1):
+            if f_rows == 0:
+                break
+            step = (frontier.join(E, frontier["__node"] == E["__from"],
+                                  "inner")
+                    .filter(~F.array_contains(F.col("__eids"),
+                                              F.col(f"{ep}_eid"))))
+            if nd is not None:
+                step = step.join(nd, "__to", "left")
+            # bind lambda params as frame columns, then filter / weigh
+            env_syms = dict(self.symbols)
+            env_syms[ep] = "rel"
+            if need_n and nd is not None:
+                for fname in ndet_names:
+                    step = step.withColumn(f"{np_}_{fname}",
+                                           F.col(f"__ndet.{fname}"))
+                env_syms[np_] = "node"
+            if need_p:
+                # the lambda's path INCLUDES the candidate edge and vertex
+                # (memgraph_bfs.feature 'filter by size of accumulated path')
+                env_syms[pp] = "path"
+                step = (step.withColumn(
+                    f"{pp}_nodes", F.array_append("__pn", F.col("__ndet")))
+                    .withColumn(f"{pp}_rels", F.array_append("__pe", edet))
+                    .withColumn(f"{pp}_length",
+                                (F.col("__depth") + 1).cast("long")))
+            if mode in ("wshortest", "allshortest"):
+                wcol = (compile_expr(weight, Env(step, env_syms, self.params))
+                        if weight is not None else F.lit(1.0))
+                # ValidateWeight (operator.cpp:2983): negative weights are a
+                # runtime error; wcol - wcol is a type-agnostic zero
+                wcol = F.when(
+                    wcol < (wcol - wcol),
+                    F.raise_error(F.lit(
+                        "Weight must be non-negative"))).otherwise(wcol)
+                # accumulated cost including this edge, in the weight's
+                # type; a null running total means nothing accumulated yet
+                step = step.withColumn(
+                    "__newcost",
+                    F.when(F.col("__cost").isNull(), wcol)
+                    .otherwise(F.col("__cost") + wcol))
+                if need_w:
+                    step = step.withColumn(wp, F.col("__newcost"))
+            if flt is not None:
+                step = step.filter(
+                    compile_expr(flt, Env(step, env_syms, self.params)))
+
+            nxt = (base_cols
+                   + [F.col("__rid"),
+                      F.col("__to").alias("__node"),
+                      (F.col("__depth") + 1).alias("__depth"),
+                      F.array_append("__eids", F.col(f"{ep}_eid"))
+                      .alias("__eids"),
+                      F.array_append("__nids", F.col("__to")).alias("__nids"),
+                      F.array_append("__dirs", F.col("__fwd"))
+                      .alias("__dirs")])
+            if mode in ("wshortest", "allshortest"):
+                nxt.append(F.col("__newcost").alias("__cost"))
+            if need_detail:
+                nxt.append(F.array_append("__pn", F.col("__ndet"))
+                           .alias("__pn"))
+                nxt.append(F.array_append("__pe", edet).alias("__pe"))
+            step = step.select(*nxt)
+
+            if mode == "bfs":
+                # one deterministic shortest path per (row, node); skip nodes
+                # already reached at a smaller depth
+                step = step.join(visited, ["__rid", "__node"], "left_anti")
+                w = Window.partitionBy("__rid", "__node").orderBy("__eids")
+                step = (step.withColumn("__rn", F.row_number().over(w))
+                        .filter(F.col("__rn") == 1).drop("__rn"))
+            elif mode == "wshortest":
+                step = step.join(seeds, ["__rid", "__node"], "left_anti")
+                if best is not None:
+                    bj = best.withColumnRenamed("__best", "__b")
+                    step = (step.join(bj, ["__rid", "__node"], "left")
+                            .filter(F.col("__b").isNull()
+                                    | (F.col("__cost") < F.col("__b")))
+                            .drop("__b"))
+                w = Window.partitionBy("__rid", "__node").orderBy(
+                    "__cost", "__eids")
+                step = (step.withColumn("__rn", F.row_number().over(w))
+                        .filter(F.col("__rn") == 1).drop("__rn"))
+            elif mode == "allshortest":
+                step = step.join(seeds, ["__rid", "__node"], "left_anti")
+                if best is not None:
+                    bj = best.withColumnRenamed("__best", "__b")
+                    step = (step.join(bj, ["__rid", "__node"], "left")
+                            .filter(F.col("__b").isNull()
+                                    | (F.col("__cost") <= F.col("__b")))
+                            .drop("__b"))
+
+            step = step.localCheckpoint(eager=True)
+            f_rows = step.count()
+            if f_rows == 0:
+                frontier = step
+                break
+            if mode is None or mode == "bfs":
+                if mode == "bfs":
+                    visited = (visited.unionByName(
+                        step.select("__rid", "__node"))
+                        .localCheckpoint(eager=True))
+                if depth >= lower:
+                    results.append(step)
+            else:
+                upd = step.select("__rid", "__node",
+                                  F.col("__cost").alias("__best"))
+                best = ((upd if best is None else best.unionByName(upd))
+                        .groupBy("__rid", "__node")
+                        .agg(F.min("__best").alias("__best"))
+                        .localCheckpoint(eager=True))
+                (results if mode == "wshortest" else arrived).append(step)
+            frontier = step
+            # USING HOPS LIMIT quota (src/query/hops_limit.hpp)
+            if self.hops is not None and self.hops.get("limit"):
+                self.hops["used"] += f_rows
+                if self.hops["used"] >= self.hops["limit"]:
+                    self.hops["reached"] = True
+                    break
+
+        out = self._traversal_results(mode, results, arrived, best, init)
+        return self._traversal_bind(out, rel, np, to_sym, depth_col,
+                                    path_prefix, base_cols)
+
+    # -- result assembly -----------------------------------------------------
+
+    def _traversal_results(self, mode, results, arrived, best,
+                           init) -> DataFrame:
+        pieces = arrived if mode == "allshortest" else results
+        if not pieces or (mode in ("wshortest", "allshortest")
+                          and best is None):
+            return init.limit(0)
+        out = pieces[0]
+        for r in pieces[1:]:
+            out = out.unionByName(r)
+        if mode in ("wshortest", "allshortest"):
+            # keep only paths achieving the final minimum per (row, node)
+            bj = best.withColumnRenamed("__best", "__b")
+            out = (out.join(bj, ["__rid", "__node"], "inner")
+                   .filter(F.col("__cost") <= F.col("__b")).drop("__b"))
+            if mode == "wshortest":
+                w = Window.partitionBy("__rid", "__node").orderBy(
+                    "__cost", "__eids")
+                out = (out.withColumn("__rn", F.row_number().over(w))
+                       .filter(F.col("__rn") == 1).drop("__rn"))
+        return out
+
+    def _traversal_bind(self, out: DataFrame, rel: A.RelPattern,
+                        np: A.NodePattern, to_sym: str, depth_col: str,
+                        path_prefix: str | None,
+                        base_cols: list[str]) -> Column:
+        """Turn loop-state columns into bound symbols and drop the rest."""
+        keep: dict[str, Column] = {c: F.col(c) for c in base_cols}
+        bound = to_sym in self.symbols
+        tgt = self._anon_sym("n") if bound else to_sym
+        keep[f"{tgt}_id"] = F.col("__node")
+        keep[depth_col] = F.col("__depth")
+        if rel.weight_var:
+            keep[rel.weight_var] = (F.col("__cost")
+                                    if "__cost" in out.columns
+                                    else F.lit(None))
+        if rel.var is not None:
+            keep[rel.var] = F.col("__pe")
+        if path_prefix:
+            keep[f"{path_prefix}_nids"] = F.col("__nids")
+            keep[f"{path_prefix}_eids"] = F.col("__eids")
+            keep[f"{path_prefix}_dirs"] = F.col("__dirs")
+        self.df = out.select(*[c.alias(n) for n, c in keep.items()])
+        if rel.weight_var:
+            self.symbols[rel.weight_var] = "value"
+        if rel.var is not None:
+            self.symbols[rel.var] = "value"
+        if bound:
+            # expand-into: target already bound — equality filter
+            self.df = self.df.filter(
+                F.col(f"{tgt}_id") == F.col(f"{to_sym}_id")).drop(f"{tgt}_id")
+            self._bind_node(np, to_sym)
+        else:
+            self.symbols[to_sym] = "node"
+            self._attach_node(to_sym, np)
+        return F.col(depth_col)

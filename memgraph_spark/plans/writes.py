@@ -79,7 +79,8 @@ class WriteMixin:
             f"{sym}_id", F.lit(code * (1 << KEY_BITS)) + F.col(f"{sym}_key"))
         for k, ve in np.props.items():
             if k != "key":
-                aug = aug.withColumn(f"{sym}_{k}", compile_expr(ve, env))
+                aug = aug.withColumn(f"{sym}_{A.prop_col(k)}",
+                                     compile_expr(ve, env))
         aug = aug.withColumn(
             f"{sym}_labels",
             F.array(*[F.lit(x) for x in np.labels]).cast("array<string>"))
@@ -114,7 +115,8 @@ class WriteMixin:
         aug = self.df.withColumn(f"{rsym}_src", F.col(f"{src}_id")) \
                      .withColumn(f"{rsym}_dst", F.col(f"{dst}_id"))
         for k, ve in rel.props.items():
-            aug = aug.withColumn(f"{rsym}_{k}", compile_expr(ve, env))
+            aug = aug.withColumn(f"{rsym}_{A.prop_col(k)}",
+                                 compile_expr(ve, env))
         aug = (aug.withColumn(
                    f"{rsym}_eid",
                    F.xxhash64(F.lit(etype), F.lit(self.g.next_epoch()),
@@ -183,6 +185,7 @@ class WriteMixin:
             raise CompileError("SET target must be a bound symbol")
         sym = prop.subject.name
         kind = self.symbols.get(sym)
+        skey = A.prop_col(prop.key)
         val = compile_expr(value, self._env())
         if kind == "node":
             updates = (self.df.select(F.col(f"{sym}_id").alias("id"),
@@ -190,17 +193,17 @@ class WriteMixin:
                        .dropDuplicates(["id"])
                        .withColumn("__hit", F.lit(True))
                        .localCheckpoint(eager=True))
-            self._apply_node_update(updates, prop.key)
+            self._apply_node_update(updates, skey)
         elif kind == "rel":
             updates = (self.df.select(F.col(f"{sym}_eid").alias("eid"),
                                       val.alias("__v"))
                        .dropDuplicates(["eid"])
                        .withColumn("__hit", F.lit(True))
                        .localCheckpoint(eager=True))
-            self._apply_edge_update(updates, prop.key)
+            self._apply_edge_update(updates, skey)
         else:
             raise CompileError(f"cannot SET a property on a {kind}")
-        self.df = self.df.withColumn(f"{sym}_{prop.key}", val)
+        self.df = self.df.withColumn(f"{sym}_{skey}", val)
         self.counters["properties_set"] += updates.count()
 
     def _apply_node_update(self, updates: DataFrame, key: str) -> None:
@@ -232,11 +235,13 @@ class WriteMixin:
         if not isinstance(value, A.MapLiteral):
             raise CompileError("SET n = / += needs a map literal")
         if replace:
-            keep = {"id", "labels", "key"} | set(value.items)
+            keep = ({"id", "labels", "key"}
+                    | {A.prop_col(k) for k in value.items})
             cols = {c[len(sym) + 1:] for c in self.df.columns
                     if c.startswith(f"{sym}_")}
             for k in sorted(cols - keep):
-                self._set_property(A.Property(A.Var(sym), k), A.Literal(None))
+                self._set_property(A.Property(A.Var(sym), A.prop_name(k)),
+                                   A.Literal(None))
         for k, ve in value.items.items():
             self._set_property(A.Property(A.Var(sym), k), ve)
 

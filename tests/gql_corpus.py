@@ -55,13 +55,18 @@ def _split_row(line: str) -> list[str]:
     assert body.startswith("|") and body.endswith("|")
     body = body[1:-1]
     cells, buf, depth, quote = [], [], 0, None
-    for ch in body:
+    for i, ch in enumerate(body):
         if quote:
             buf.append(ch)
             if ch == quote:
                 quote = None
         elif ch in "'\"":
             quote = ch
+            buf.append(ch)
+        # path arrows -> and <- are not brackets
+        elif ch == "<" and i + 1 < len(body) and body[i + 1] == "-":
+            buf.append(ch)
+        elif ch == ">" and i > 0 and body[i - 1] == "-":
             buf.append(ch)
         elif ch in "([{<":
             depth += 1
@@ -196,14 +201,24 @@ def canon_actual(v, list_unordered: bool = False) -> str:
     if isinstance(v, datetime.time):
         return v.strftime("%H:%M:%S.%f") + "000"
     if isinstance(v, datetime.timedelta):
+        # memgraph Duration print format: zero units omitted (PT1S, P1DT2H)
         total = v.total_seconds()
         sign = "-" if total < 0 else ""
         total = abs(total)
         d, rem = divmod(total, 86400)
         h, rem = divmod(rem, 3600)
         m, s = divmod(rem, 60)
-        return (f"{sign}P{int(d)}DT{int(h)}H{int(m)}M"
-                f"{s:.6f}".rstrip("0").rstrip(".") + "S")
+        out = sign + "P"
+        if d:
+            out += f"{int(d)}D"
+        t = ""
+        if h:
+            t += f"{int(h)}H"
+        if m:
+            t += f"{int(m)}M"
+        if s or not (d or h or m):
+            t += f"{s:.6f}".rstrip("0").rstrip(".") + "S"
+        return out + ("T" + t if t else "")
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, int):
@@ -224,15 +239,31 @@ def canon_actual(v, list_unordered: bool = False) -> str:
             f"{k}: {canon_actual(v[k], lu)}" for k in sorted(v)) + "}")
     if hasattr(v, "asDict"):  # Row: node / rel / plain struct
         d = v.asDict(recursive=False)
+
+        def _disp(k: str) -> str:  # reserved props stored as p__<name>
+            return k[3:] if k.startswith("p__") else k
+        if "nodes" in d and "rels" in d:  # path struct: structural walk
+            nodes = d.get("nodes") or []
+            rels = d.get("rels") or []
+            dirs = d.get("dirs") or []
+            out = "<" + canon_actual(nodes[0], lu) if nodes else "<"
+            for i, r in enumerate(rels):
+                fwd = dirs[i] if i < len(dirs) else True
+                seg = canon_actual(r, lu)
+                nxt = canon_actual(nodes[i + 1], lu) if i + 1 < len(nodes) \
+                    else ""
+                out += ("-" + seg + "->" + nxt) if fwd \
+                    else ("<-" + seg + "-" + nxt)
+            return out + ">"
         if "labels" in d and "id" in d:  # node struct
             labels = sorted(d.get("labels") or [])
-            props = {k: x for k, x in d.items()
+            props = {_disp(k): x for k, x in d.items()
                      if k not in ("id", "key", "labels") and x is not None}
             return ("(" + "".join(f":{l}" for l in labels)
                     + (" " if labels and props else "")
                     + (_props_str(props, lu) if props else "") + ")")
         if "eid" in d and "type" in d:  # rel struct
-            props = {k: x for k, x in d.items()
+            props = {_disp(k): x for k, x in d.items()
                      if k not in ("eid", "type", "src", "dst")
                      and x is not None}
             return ("[:" + d["type"]
@@ -415,6 +446,11 @@ class _P:
                 out += self.node()
             elif c == "[":
                 out += self.rel()
+            elif c in " \t":
+                self.i += 1     # whitespace is not structural
+            elif c == "-" and self.s[self.i + 1] == ">":
+                out += "->"
+                self.i += 2
             else:
                 out += c
                 self.i += 1

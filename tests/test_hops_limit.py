@@ -17,10 +17,10 @@ def _chain_session(spark, n=8):
 
 def test_hops_limit_truncates_expansion(spark):
     gs = _chain_session(spark)
-    full = gs.execute("MATCH (a:N {id: 1})-[:E*1..10]->(b) "
+    full = gs.execute("MATCH (a:N)-[:E*1..10]->(b) WHERE id(a) = 1 "
                       "RETURN count(*) AS n").collect()[0].n
     assert full == 7  # chain of 8 nodes: 7 reachable path lengths
-    limited = gs.execute("USING HOPS LIMIT 3 MATCH (a:N {id: 1})-[:E*1..10]->(b) "
+    limited = gs.execute("USING HOPS LIMIT 3 MATCH (a:N)-[:E*1..10]->(b) WHERE id(a) = 1 "
                          "RETURN count(*) AS n").collect()[0].n
     assert limited < full  # partial results once the quota is exhausted
     assert gs.last_hops["reached"] is True
@@ -29,7 +29,7 @@ def test_hops_limit_truncates_expansion(spark):
 
 def test_hops_limit_not_reached(spark):
     gs = _chain_session(spark)
-    n = gs.execute("USING HOPS LIMIT 1000 MATCH (a:N {id: 1})-[:E*1..10]->(b) "
+    n = gs.execute("USING HOPS LIMIT 1000 MATCH (a:N)-[:E*1..10]->(b) WHERE id(a) = 1 "
                    "RETURN count(*) AS n").collect()[0].n
     assert n == 7
     assert gs.last_hops["reached"] is False and 0 < gs.last_hops["used"] <= 1000
