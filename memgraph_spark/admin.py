@@ -38,6 +38,21 @@ def try_admin(graph, query: str) -> DataFrame | None:
         from memgraph_spark.schema import ConstraintSet
         graph.constraint_registry = ConstraintSet(graph)
 
+    # SET DATABASE SETTING 'k' TO 'v' (SettingQuery, ast.hpp) — runtime
+    # settings registry; traversal reads hops_limit_partial_results
+    m = re.match(r"SET DATABASE SETTING '([^']+)' TO '([^']*)'$", q, re.I)
+    if m:
+        if not hasattr(graph, "settings"):
+            graph.settings = {}
+        graph.settings[m.group(1)] = m.group(2)
+        return spark.createDataFrame([], "status string")
+    m = re.match(r"SHOW DATABASE SETTING '([^']+)'$", q, re.I)
+    if m:
+        v = getattr(graph, "settings", {}).get(m.group(1), "")
+        return spark.createDataFrame([(m.group(1), v)],
+                                     "setting_name string, "
+                                     "setting_value string")
+
     # text / vector index DDL (ast.hpp TextIndexQuery :2320 /
     # VectorIndexQuery :2386) — named indexes over a label's text/embedding
     # column; the physical "index" is the tokenized/embedding table layout

@@ -26,6 +26,7 @@ class Env:
     symbols: dict[str, str] = field(default_factory=dict)  # name -> node|rel|value|path
     params: dict[str, object] = field(default_factory=dict)
     lambda_vars: dict[str, Column] = field(default_factory=dict)
+    hops: dict | None = None   # USING HOPS LIMIT counter (hops_limit.hpp)
 
     def columns(self) -> set[str]:
         return set(self.df.columns) if self.df is not None else set()
@@ -339,6 +340,11 @@ def _compile_func(e: A.FuncCall, env: Env) -> Column:
             and env.symbols.get(e.args[0].name) == "path"):
         suffix = "_nodes" if name == "nodes" else "_rels"
         return F.col(f"{e.args[0].name}{suffix}")
+    # getHopsCounter() (awesome_memgraph_functions GETHOPSCOUNTER): edges
+    # expanded so far — writes/expands run eagerly, so the counter is final
+    # by the time RETURN compiles
+    if name == "gethopscounter":
+        return F.lit(int(env.hops["used"]) if env.hops else 0)
     # duration(...) constructor (src/utils/temporal.hpp): ISO-8601 string
     # literal -> DayTimeIntervalType; map form -> make_dt_interval
     if name == "duration" and e.args:

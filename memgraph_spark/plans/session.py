@@ -118,7 +118,7 @@ class QueryCompiler(WriteMixin, TraversalMixin):
              symbols: dict[str, str] | None = None) -> Env:
         return Env(df if df is not None else self.df,
                    dict(symbols if symbols is not None else self.symbols),
-                   self.params)
+                   self.params, hops=self.hops)
 
     def _anon_sym(self, kind: str) -> str:
         self._anon += 1
@@ -459,6 +459,25 @@ class QueryCompiler(WriteMixin, TraversalMixin):
                       .withColumnRenamed("src", "__to"))
         self.df = self.df.join(
             e, F.col(f"{from_sym}_id") == F.col("__from"), "inner")
+        # USING HOPS LIMIT: single-hop expands consume quota in scan order
+        # (src id, dst id) and truncate once it is exhausted
+        # (hops_limit.hpp partial results)
+        if self.hops is not None and self.hops.get("limit"):
+            from pyspark.sql.window import Window as _W
+            remaining = max(0, self.hops["limit"] - self.hops["used"])
+            ranked = self.df.withColumn(
+                "__hrn", F.row_number().over(
+                    _W.orderBy(F.col("__from"), F.col("__to"))))
+            total = ranked.count()
+            self.df = (ranked.filter(F.col("__hrn") <= remaining)
+                       .drop("__hrn").localCheckpoint(eager=True))
+            self.hops["used"] += min(total, remaining)
+            if total > remaining:
+                self.hops["reached"] = True
+                if getattr(self.g, "settings", {}).get(
+                        "hops_limit_partial_results") == "false":
+                    raise CompileError(
+                        "Hops limit exceeded and partial results disabled")
         self.symbols[rsym] = "rel"
         self._prop_filters(rsym, rel.props)
         if to_sym in self.symbols:
@@ -491,7 +510,8 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         symbols, and multi-type unions take the featureful loop in
         traversal.py."""
         if (rel.mode or rel.var or rel.flt or rel.weight
-                or len(rel.types) > 1):
+                or len(rel.types) > 1
+                or (self.hops is not None and self.hops.get("limit"))):
             return self._expand_traversal(from_sym, rel, np, to_sym,
                                           path_prefix)
         etype = rel.types[0] if rel.types else None

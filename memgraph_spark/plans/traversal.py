@@ -56,6 +56,13 @@ class TraversalMixin:
         mode = rel.mode
         lower = rel.lo if rel.lo is not None else 1
         upper = rel.hi if rel.hi is not None else MAX_ROUNDS
+        hops = self.hops if (self.hops is not None
+                             and self.hops.get("limit")) else None
+        if hops is not None and mode in (None, "bfs"):
+            # any path kept under the quota uses one expansion per edge, so
+            # no kept path can be deeper than the remaining quota; exact
+            # enumeration-order truncation happens after the loop
+            upper = min(upper, max(0, hops["limit"] - hops["used"]))
         depth_col = self._anon_sym("depth")
 
         # alpha-rename lambda params to internal names so they can shadow
@@ -290,14 +297,42 @@ class TraversalMixin:
                         .localCheckpoint(eager=True))
                 (results if mode == "wshortest" else arrived).append(step)
             frontier = step
-            # USING HOPS LIMIT quota (src/query/hops_limit.hpp)
-            if self.hops is not None and self.hops.get("limit"):
-                self.hops["used"] += f_rows
-                if self.hops["used"] >= self.hops["limit"]:
-                    self.hops["reached"] = True
+            # USING HOPS LIMIT quota (src/query/hops_limit.hpp); plain/bfs
+            # modes truncate by enumeration order after the loop instead
+            if hops is not None and mode not in (None, "bfs"):
+                hops["used"] += f_rows
+                if hops["used"] >= hops["limit"]:
+                    hops["reached"] = True
                     break
 
         out = self._traversal_results(mode, results, arrived, best, init)
+        if hops is not None and mode in (None, "bfs"):
+            # truncate to the reference cursor's enumeration order: DFS =
+            # preorder (lexicographic node-id walk); BFS = per level, most
+            # recently discovered parent first (operator.cpp:2199/:2726)
+            remaining = max(0, hops["limit"] - hops["used"])
+            # starts are consumed sequentially in pull order (__rid), then
+            # within one start in the cursor's enumeration order
+            if mode is None:
+                w = Window.orderBy("__rid", "__nids")
+            else:
+                w = Window.orderBy(
+                    "__rid", "__depth",
+                    F.expr("slice(__nids, 1, size(__nids) - 1)").desc(),
+                    F.element_at("__nids", -1))
+            ranked = out.filter(F.col("__depth") > 0).withColumn(
+                "__hrn", F.row_number().over(w))
+            total = ranked.count()
+            kept = (ranked.filter(F.col("__hrn") <= remaining).drop("__hrn")
+                    .unionByName(out.filter(F.col("__depth") == 0)))
+            out = kept.localCheckpoint(eager=True)
+            hops["used"] += min(total, remaining)
+            if total > remaining:
+                hops["reached"] = True
+                if getattr(self.g, "settings", {}).get(
+                        "hops_limit_partial_results") == "false":
+                    raise CompileError(
+                        "Hops limit exceeded and partial results disabled")
         return self._traversal_bind(out, rel, np, to_sym, depth_col,
                                     path_prefix, base_cols)
 
