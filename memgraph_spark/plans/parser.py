@@ -226,7 +226,14 @@ class Parser:
         return A.OrderItem(e, asc)
 
     def merge_clause(self) -> A.Merge:
+        # optional parenthesized pattern: MERGE ((a)-[r:X]-(b))
+        wrapped = (self.at_op("(") and self.peek(1).kind == "OP"
+                   and self.peek(1).value == "(")
+        if wrapped:
+            self.next()
         pat = self.pattern_part()
+        if wrapped:
+            self.eat_op(")")
         on_match: list[A.SetItem] = []
         on_create: list[A.SetItem] = []
         while self.at_kw("ON"):

@@ -715,24 +715,31 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         shared = sorted(s for s in self._pattern_syms([pc.pattern])
                         if s in self.symbols)
         keys = [f"{s}_id" for s in shared if self.symbols[s] == "node"]
-        if not keys:
-            raise CompileError(
-                "pattern comprehension must anchor at a bound node")
         sub = QueryCompiler(self.g, self.params, hops=self.hops,
                             anon_prefix=f"rc{self._anon}_")
         self._anon += 1
-        anchor_cols = [c for c in self.df.columns
-                       if any(c == s or c.startswith(f"{s}_") for s in shared)]
-        sub.df = self.df.select(*anchor_cols).dropDuplicates(keys)
-        sub.symbols = {s: self.symbols[s] for s in shared}
+        out = self._anon_sym("pc")
+        if keys:
+            anchor_cols = [c for c in self.df.columns
+                           if any(c == s or c.startswith(f"{s}_")
+                                  for s in shared)]
+            sub.df = self.df.select(*anchor_cols).dropDuplicates(keys)
+            sub.symbols = {s: self.symbols[s] for s in shared}
         sub._pattern_part(pc.pattern)
         if pc.where is not None:
             sub._where(pc.where)
-        proj = compile_expr(pc.projection, sub._env())
-        out = self._anon_sym("pc")
-        rolled = (sub.df.select(*keys, proj.alias("__proj"))
-                  .groupBy(*keys).agg(F.collect_list("__proj").alias(out)))
-        self.df = self.df.join(rolled, on=keys, how="left")
+        proj = compile_expr(sub._lift(pc.projection), sub._env())
+        if keys:
+            rolled = (sub.df.select(*keys, proj.alias("__proj"))
+                      .groupBy(*keys).agg(F.collect_list("__proj").alias(out)))
+            self.df = self.df.join(rolled, on=keys, how="left")
+        else:
+            # unanchored comprehension: one global list, cross-joined in
+            rolled = (sub.df.select(proj.alias("__proj"))
+                      .agg(F.collect_list("__proj").alias(out)))
+            if self.df is None:
+                self.df = self._seed()
+            self.df = self.df.crossJoin(F.broadcast(rolled))
         self.df = self.df.withColumn(out, F.coalesce(F.col(out), F.array()))
         self.symbols[out] = "value"
         return A.Var(out)
@@ -747,9 +754,25 @@ class QueryCompiler(WriteMixin, TraversalMixin):
                             anon_prefix=f"fe{self._anon}_")
         self._anon += 1
         sub.counters = self.counters
-        sub.df = self.df.withColumn(
-            cl.var, F.explode(compile_expr(self._lift(cl.source), self._env())))
-        sub.symbols = dict(self.symbols) | {cl.var: "value"}
+        sub.deleted = self.deleted
+        src = compile_expr(self._lift(cl.source), self._env())
+        st = self._env().typeof(src)
+        if st is None or isinstance(st, T.NullType):
+            return  # FOREACH over null is a no-op
+        sub.df = self.df.withColumn(cl.var, F.explode(src))
+        kind = "value"
+        et = st.elementType if isinstance(st, T.ArrayType) else None
+        if isinstance(et, T.StructType) and "id" in et.names \
+                and "labels" in et.names:
+            kind = "node"   # node values (e.g. nodes(p)) re-bind as symbols
+        elif isinstance(et, T.StructType) and "eid" in et.names:
+            kind = "rel"
+        if kind != "value":
+            for f_ in et.names:
+                sub.df = sub.df.withColumn(f"{cl.var}_{f_}",
+                                           F.col(f"{cl.var}.{f_}"))
+            sub.df = sub.df.drop(cl.var)
+        sub.symbols = dict(self.symbols) | {cl.var: kind}
         for upd in cl.updates:
             if isinstance(upd, A.SetClause):
                 sub._set(upd.items)
@@ -899,14 +922,28 @@ class QueryCompiler(WriteMixin, TraversalMixin):
                     new_syms[spec] = kind
 
         where = getattr(cl, "where", None)
+        order = cl.order
+        if where is not None or order:
+            # pattern comprehensions in WHERE / ORDER BY roll up against the
+            # post-projection frame (RollUpApply above the Produce)
+            import dataclasses as _dc
+            saved_df, saved_syms = self.df, self.symbols
+            self.df, self.symbols = df, dict(new_syms)
+            if where is not None:
+                where = self._lift(where)
+            if order:
+                order = [_dc.replace(oi, expr=self._lift(oi.expr))
+                         for oi in order]
+            df, new_syms = self.df, self.symbols
+            self.df, self.symbols = saved_df, saved_syms
         if where is not None:
             df = df.filter(compile_expr(where, Env(df, new_syms, self.params)))
-        if cl.order:
+        if order:
             df = df.orderBy(*[
                 (self._order_col(oi, df, new_syms, outs).asc_nulls_first()
                  if oi.ascending else
                  self._order_col(oi, df, new_syms, outs).desc_nulls_last())
-                for oi in cl.order])
+                for oi in order])
         if cl.skip is not None:
             df = df.offset(self._static_int(cl.skip, "SKIP"))
         if cl.limit is not None:

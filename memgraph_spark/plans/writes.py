@@ -63,6 +63,9 @@ class WriteMixin:
         code = register_label(label)
         if self.df is None:
             self.df = self._seed()
+        # pattern comprehensions in property values roll up first
+        np = A.NodePattern(np.var, np.labels,
+                           {k: self._lift(v) for k, v in np.props.items()})
         env = self._env()
         if "key" in np.props:
             key = compile_expr(np.props["key"], env).cast("long")
@@ -111,6 +114,8 @@ class WriteMixin:
         src, dst = ((from_sym, to_sym) if rel.direction == "out"
                     else (to_sym, from_sym))
         rsym = rel.var or self._anon_sym("r")
+        props = {k: self._lift(v) for k, v in rel.props.items()}
+        rel = A.RelPattern(rel.var, rel.types, rel.direction, props)
         env = self._env()
         aug = self.df.withColumn(f"{rsym}_src", F.col(f"{src}_id")) \
                      .withColumn(f"{rsym}_dst", F.col(f"{dst}_id"))
@@ -186,7 +191,7 @@ class WriteMixin:
         sym = prop.subject.name
         kind = self.symbols.get(sym)
         skey = A.prop_col(prop.key)
-        val = compile_expr(value, self._env())
+        val = compile_expr(self._lift(value), self._env())
         if kind == "node":
             updates = (self.df.select(F.col(f"{sym}_id").alias("id"),
                                       val.alias("__v"))
@@ -357,12 +362,102 @@ class WriteMixin:
         if not part.chain:
             self._merge_node(part.start, cl)
         elif (len(part.chain) == 1
+              and part.chain[0][0].direction != "both"
+              and not cl.pattern.chain[0][0].props
+              and not part.chain[0][1].props
               and part.start.var in self.symbols
               and part.chain[0][1].var in self.symbols):
             self._merge_edge(part, cl)
         else:
-            raise CompileError("MERGE supports a single node pattern or a "
-                               "single relationship between bound nodes")
+            self._merge_general(part, cl)
+
+    def _merge_general(self, part: A.PatternPart, cl: A.Merge) -> None:
+        """Full-pattern MERGE: per input row, bind the whole pattern if it
+        matches, else create it (Merge cursor, operator.cpp:7194, runs its
+        match branch then its create branch per pulled row)."""
+        if self.df is None:
+            self.df = self._seed()
+        frame = (self.df.withColumn("__mrow", F.monotonically_increasing_id())
+                 .localCheckpoint(eager=True))
+        env = self._env(frame)
+        # null literal/expression properties are a merge error
+        prop_exprs = list(part.start.props.values())
+        for rel, node in part.chain:
+            prop_exprs += list(rel.props.values()) + list(node.props.values())
+        null_cond = None
+        compilable = []
+        for ve in prop_exprs:
+            try:
+                v = compile_expr(ve, env)
+            except CompileError:
+                continue
+            compilable.append(ve)
+            null_cond = v.isNull() if null_cond is None \
+                else null_cond | v.isNull()
+        if null_cond is not None and frame.filter(null_cond).count():
+            raise CompileError("cannot MERGE with a null property value")
+
+        # 1) match attempt over the whole pattern
+        sub = self._sub_compiler("mm")
+        sub.df = frame
+        sub.symbols = dict(self.symbols)
+        sub._pattern_part(part)
+        matched = sub.df.localCheckpoint(eager=True)
+        have_match = not matched.isEmpty()
+        missing = frame.join(matched.select("__mrow").dropDuplicates(),
+                             "__mrow", "left_anti")
+
+        if cl.on_match and have_match:
+            subm = self._sub_compiler("om2")
+            subm.df = matched
+            subm.symbols = dict(sub.symbols)
+            subm.counters = self.counters
+            subm._set(cl.on_match)
+        if not missing.isEmpty():
+            # one creation per distinct (bound anchors, property values)
+            dd = missing
+            keys = [f"{s}_id" for s in self._pattern_syms([part])
+                    if s in self.symbols
+                    and self.symbols.get(s) == "node"]
+            env_m = self._env(dd)
+            for i, ve in enumerate(compilable):
+                dd = dd.withColumn(f"__mp{i}", compile_expr(ve, env_m))
+                keys.append(f"__mp{i}")
+            # undirected single-rel merges are order-insensitive: one create
+            # per unordered endpoint pair (sequential rows would re-match)
+            if (len(part.chain) == 1
+                    and part.chain[0][0].direction == "both"
+                    and part.start.var in self.symbols
+                    and part.chain[0][1].var in self.symbols):
+                a, b = part.start.var, part.chain[0][1].var
+                dd = (dd.withColumn("__mlo", F.least(F.col(f"{a}_id"),
+                                                     F.col(f"{b}_id")))
+                      .withColumn("__mhi", F.greatest(F.col(f"{a}_id"),
+                                                      F.col(f"{b}_id"))))
+                keys = [k for k in keys
+                        if k not in (f"{a}_id", f"{b}_id")] \
+                    + ["__mlo", "__mhi"]
+            dd = dd.dropDuplicates(keys or ["__mrow"])
+            # undirected merge creates in the written (out) direction
+            chain = [(A.RelPattern(r.var, r.types,
+                                   "out" if r.direction == "both"
+                                   else r.direction, r.props), n)
+                     for r, n in part.chain]
+            creator = self._sub_compiler("mc2")
+            creator.df = dd
+            creator.symbols = dict(self.symbols)
+            creator.counters = self.counters
+            creator._create(A.Create([A.PatternPart(None, part.start, chain)]))
+            if cl.on_create:
+                creator._set(cl.on_create)
+        # rebind every input row against the new table versions
+        sub2 = self._sub_compiler("mr")
+        sub2.df = frame
+        sub2.symbols = dict(self.symbols)
+        sub2._pattern_part(part)
+        self.df = sub2.df.drop("__mrow")
+        for s, k in sub2.symbols.items():
+            self.symbols.setdefault(s, k)
 
     def _merge_node(self, np: A.NodePattern, cl: A.Merge) -> None:
         sym = np.var or self._anon_sym("n")
@@ -371,13 +466,27 @@ class WriteMixin:
         if self.df is None:
             self.df = self._seed()
         frame = self.df.localCheckpoint(eager=True)
+        if np.props:
+            env0 = self._env(frame)
+            null_cond = None
+            for ve in np.props.values():
+                try:
+                    v = compile_expr(ve, env0)
+                except CompileError:
+                    continue   # comprehension props are lifted downstream
+                null_cond = v.isNull() if null_cond is None \
+                    else null_cond | v.isNull()
+            if null_cond is not None and frame.filter(null_cond).count():
+                raise CompileError("cannot MERGE with a null property value")
 
         def join_pattern(how: str) -> DataFrame:
             p = prefix_columns(self._node_df(np.labels), sym)
             cond = F.lit(True)
             env = self._env(frame)
             for k, ve in np.props.items():
-                cond = cond & (F.col(f"{sym}_{k}") == compile_expr(ve, env))
+                col = f"{sym}_{A.prop_col(k)}"
+                c = F.col(col) if col in p.columns else F.lit(None)
+                cond = cond & (c == compile_expr(ve, env))
             return frame.join(p, cond, how)
 
         matched = join_pattern("left")

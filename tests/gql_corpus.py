@@ -55,7 +55,15 @@ def _split_row(line: str) -> list[str]:
     assert body.startswith("|") and body.endswith("|")
     body = body[1:-1]
     cells, buf, depth, quote = [], [], 0, None
+    skip = False
     for i, ch in enumerate(body):
+        if skip:
+            skip = False
+            continue
+        if ch == "\\" and i + 1 < len(body) and body[i + 1] == "|":
+            buf.append("|")    # escaped pipe inside a cell
+            skip = True
+            continue
         if quote:
             buf.append(ch)
             if ch == quote:
@@ -608,6 +616,11 @@ def run_scenario(spark, sc: Scenario, graphs_dir: str,
 def _compare(last: dict, step: Step) -> str | None:
     header, *body = step.table if step.table else ([], )
     exp_cols = [h.strip() for h in header]
+    if exp_cols in ([], [""]) and not body:
+        # headerless empty table == "the result should be empty"
+        if last["rows"]:
+            return f"expected empty, got {len(last['rows'])} rows"
+        return None
     act_cols = last["cols"] or []
     if sorted(exp_cols) != sorted(act_cols):
         return f"columns {act_cols} != expected {exp_cols}"
