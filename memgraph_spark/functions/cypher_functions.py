@@ -114,6 +114,11 @@ FUNCTIONS: dict[str, object] = {
     "tointegerornull": _to_integer,
     "tofloatornull": _to_float,
     "tobooleanornull": _to_boolean,
+    # list conversions: per-element, unconvertible -> null
+    "tointegerlist": lambda c: F.transform(c, _to_integer),
+    "tofloatlist": lambda c: F.transform(c, _to_float),
+    "tobooleanlist": lambda c: F.transform(c, _to_boolean),
+    "tostringlist": lambda c: F.transform(c, _to_string),
     # spatial (memgraph_spark.functions.spatial; point() itself is compiled
     # in the expression layer because its argument is a map literal)
     "point.distance": None,  # bound below
@@ -286,9 +291,15 @@ AGGREGATES: dict[str, object] = {
         F.sum_distinct(c) if distinct else F.sum(c), F.lit(0)),
     "min": _agg(F.min),
     "max": _agg(F.max),
-    "avg": lambda c, distinct=False: F.avg(c),
+    "avg": lambda c, distinct=False: (
+        F.sum_distinct(c) / F.count_distinct(c) if distinct else F.avg(c)),
     "collect": lambda c, distinct=False: (
         F.collect_set(c) if distinct else F.collect_list(c)),
     "stdev": _agg(F.stddev_samp),
     "stdevp": _agg(F.stddev_pop),
+    # graph-value aggregations — compiled specially in plans/exprs.py
+    # (PROJECT_PATH / DERIVE, aggregation.hpp:27); registered here so
+    # contains_aggregate() routes the projection through groupBy
+    "project": None,
+    "derive": None,
 }

@@ -173,6 +173,16 @@ class ListComprehension(Expr):
 
 
 @dataclass
+class ReduceExpr(Expr):
+    """reduce(acc = init, x IN list | expr) (ast.hpp Reduce :1322)."""
+    acc: str
+    init: Expr
+    var: str
+    source: Expr
+    body: Expr
+
+
+@dataclass
 class PatternPredicate(Expr):
     """exists((n)-[:T]->(m)) or bare pattern in WHERE."""
     pattern: "PatternPart"

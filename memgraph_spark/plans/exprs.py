@@ -107,6 +107,16 @@ def compile_expr(e: A.Expr, env: Env) -> Column:
         lo_n = F.when(lo < 0, F.greatest(F.size(subj) + lo, F.lit(0))).otherwise(lo)
         hi_n = F.when(hi < 0, F.size(subj) + hi).otherwise(F.least(hi, F.size(subj)))
         return F.slice(subj, lo_n + 1, F.greatest(hi_n - lo_n, F.lit(0)))
+    if isinstance(e, A.ReduceExpr):
+        src = compile_expr(e.source, env)
+        init = compile_expr(e.init, env)
+
+        def step(acc: Column, x: Column) -> Column:
+            inner = Env(env.df, env.symbols, env.params,
+                        {**env.lambda_vars, e.acc: acc, e.var: x}, env.hops)
+            return compile_expr(e.body, inner)
+
+        return F.aggregate(src, init, step)
     if isinstance(e, A.ListComprehension):
         src = compile_expr(e.source, env)
 
@@ -322,13 +332,25 @@ def _compile_func(e: A.FuncCall, env: Env) -> Column:
             return compile_expr(lc.where, inner)
 
         kind = name[len("__quant_"):]
+        # Cypher 3VL quantifiers (eval.hpp All/Any/None/Single visitors):
+        # a null predicate neither satisfies nor refutes — it turns the
+        # result null unless a definite answer exists
+        n_true = F.size(F.filter(src, lambda x: pred(x) == F.lit(True)))
+        n_false = F.size(F.filter(src, lambda x: pred(x) == F.lit(False)))
+        n_null = F.size(F.filter(src, lambda x: pred(x).isNull()))
         if kind == "all":
-            return F.forall(src, pred)
+            return F.when(n_false > 0, F.lit(False)) \
+                .when(n_null > 0, F.lit(None)).otherwise(F.lit(True))
         if kind == "any":
-            return F.exists(src, pred)
+            return F.when(n_true > 0, F.lit(True)) \
+                .when(n_null > 0, F.lit(None)).otherwise(F.lit(False))
         if kind == "none":
-            return ~F.exists(src, pred)
-        return F.size(F.filter(src, pred)) == 1  # single
+            return F.when(n_true > 0, F.lit(False)) \
+                .when(n_null > 0, F.lit(None)).otherwise(F.lit(True))
+        # single: exactly one true; null wins only if it could change that
+        return F.when(n_true > 1, F.lit(False)) \
+            .when(n_null > 0, F.lit(None)) \
+            .otherwise(n_true == 1)
     # length(p) on a named path -> its hop-count column
     if (name == "length" and e.args and isinstance(e.args[0], A.Var)
             and env.symbols.get(e.args[0].name) == "path"):
@@ -385,6 +407,24 @@ def _compile_func(e: A.FuncCall, env: Env) -> Column:
                               compile_expr(m["y"], env), SRID_CARTESIAN)
         raise CompileError("point() needs x/y or longitude/latitude")
     args = [compile_expr(a, env) for a in e.args]
+    # PROJECT_PATH / DERIVE graph-value aggregations (aggregation.hpp:27):
+    # a Graph/VirtualGraph value = struct(nodes: [...], edges: [...])
+    if name == "project" and args:
+        if len(args) >= 2:
+            # PROJECT_LISTS: project(nodes_list, rels_list); nulls dropped
+            return F.struct(
+                F.array_distinct(F.flatten(F.collect_list(F.filter(
+                    args[0], lambda x: x.isNotNull())))).alias("nodes"),
+                F.array_distinct(F.flatten(F.collect_list(F.filter(
+                    args[1], lambda x: x.isNotNull())))).alias("edges"))
+        arg = args[0]
+        return F.struct(
+            F.array_distinct(F.flatten(F.collect_list(
+                arg.getField("nodes")))).alias("nodes"),
+            F.array_distinct(F.flatten(F.collect_list(
+                arg.getField("rels")))).alias("edges"))
+    if name == "derive" and args:
+        return _compile_derive(e, args[0], env)
     if name in AGGREGATES:
         # COLLECT_MAP (aggregation.hpp:27): collect(k, v) builds a map
         if name == "collect" and len(args) == 2:
@@ -479,6 +519,93 @@ def _compile_func(e: A.FuncCall, env: Env) -> Column:
         fn = FUNCTIONS[name]
         return fn(*args)
     raise CompileError(f"unknown function {e.name}")
+
+
+def _compile_derive(e: A.FuncCall, path: Column, env: Env) -> Column:
+    """DERIVE aggregation (aggregation.hpp:27, operator.cpp:6297): each path
+    collapses to one virtual edge between its endpoints; options control the
+    virtual type, endpoint label/property overrides and undirected doubling.
+    The VirtualGraph value = struct(nodes, edges) where each virtual edge
+    embeds its endpoint node structs (startNode/endNode return full nodes)."""
+    opts = e.args[1] if len(e.args) > 1 else A.MapLiteral({})
+    if not isinstance(opts, A.MapLiteral):
+        raise CompileError("derive options must be a map literal")
+    o = opts.items
+    t = env.typeof(path)
+    if not isinstance(t, T.StructType) or "nodes" not in t.names:
+        raise CompileError("derive expects a path")
+    node_t = t["nodes"].dataType.elementType
+    names = list(node_t.names)
+    for key in ("sourceNodeProperties", "targetNodeProperties"):
+        if key in o:
+            if not isinstance(o[key], A.MapLiteral):
+                raise CompileError(f"derive {key} must be a map literal")
+            for k in o[key].items:
+                if A.prop_col(k) not in names:
+                    names.append(A.prop_col(k))
+
+    def build_node(base: Column, labels_key: str, props_key: str) -> Column:
+        fields: dict[str, Column] = {}
+        for f in names:
+            fields[f] = (base.getField(f) if f in node_t.names
+                         else F.lit(None))
+        if labels_key in o:
+            lv = o[labels_key]
+            if not isinstance(lv, A.ListLiteral):
+                raise CompileError(f"derive {labels_key} must be a list")
+            fields["labels"] = F.array(
+                *[compile_expr(x, env).cast("string") for x in lv.items])
+        if props_key in o:
+            for k, v in o[props_key].items.items():
+                fields[A.prop_col(k)] = compile_expr(v, env)
+        return F.struct(*[c.alias(f) for f, c in fields.items()])
+
+    nodes = path.getField("nodes")
+    src = build_node(F.element_at(nodes, 1),
+                     "sourceNodeLabels", "sourceNodeProperties")
+    dst = build_node(F.element_at(nodes, -1),
+                     "targetNodeLabels", "targetNodeProperties")
+    if "virtualEdgeType" not in o:
+        raise CompileError("derive requires a virtualEdgeType option")
+    vtype = compile_expr(o["virtualEdgeType"], env).cast("string")
+    eprops: dict[str, Column] = {}
+    if "relationshipProperties" in o:
+        if not isinstance(o["relationshipProperties"], A.MapLiteral):
+            raise CompileError(
+                "derive relationshipProperties must be a map literal")
+        for k, v in o["relationshipProperties"].items.items():
+            eprops[A.prop_col(k)] = compile_expr(v, env)
+
+    def vedge(s: Column, d: Column) -> Column:
+        # synthetic virtual-edge identity (the reference's VirtualEdge gid)
+        return F.struct(
+            F.xxhash64(vtype, s.getField("id"), d.getField("id"))
+            .alias("eid"),
+            vtype.alias("type"), s.alias("src"), d.alias("dst"),
+            *[c.alias(k) for k, c in eprops.items()])
+
+    per_row = F.array(vedge(src, dst))
+    if "undirectedEdgeTypes" in o:
+        uv = o["undirectedEdgeTypes"]
+        if isinstance(uv, A.Literal) and uv.value == "*":
+            cond = F.lit(True)
+        elif isinstance(uv, A.ListLiteral) and all(
+                isinstance(x, A.Literal) and isinstance(x.value, str)
+                for x in uv.items):
+            vals = [x.value for x in uv.items]
+            cond = (F.lit(True) if "*" in vals else vtype.isin(vals))
+        else:
+            raise CompileError(
+                "derive undirectedEdgeTypes must be '*' or a list of "
+                "edge-type strings")
+        # self-loops stay single
+        cond = cond & (src.getField("id") != dst.getField("id"))
+        per_row = F.when(cond, F.array(vedge(src, dst), vedge(dst, src))) \
+            .otherwise(F.array(vedge(src, dst)))
+    return F.struct(
+        F.array_distinct(F.flatten(F.collect_list(
+            F.array(src, dst)))).alias("nodes"),
+        F.array_distinct(F.flatten(F.collect_list(per_row))).alias("edges"))
 
 
 def _compile_case(e: A.CaseExpr, env: Env) -> Column:

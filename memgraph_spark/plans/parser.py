@@ -746,6 +746,22 @@ class Parser:
                         args.append(self.expr())
                 self.eat_op(")")
                 return A.FuncCall(fname, args)
+            if (nxt.kind == "OP" and nxt.value == "("
+                    and t.value.lower() == "reduce"):
+                # reduce(acc = init, x IN list | expr) (ast.hpp Reduce :1322)
+                self.next()
+                self.eat_op("(")
+                acc = self.name()
+                self.eat_op("=")
+                init = self.expr()
+                self.eat_op(",")
+                v = self.name()
+                self.eat_kw("IN")
+                src = self.expr()
+                self.eat_op("|")
+                body = self.expr()
+                self.eat_op(")")
+                return A.ReduceExpr(acc, init, v, src, body)
             if nxt.kind == "OP" and nxt.value == "(":
                 fname = self.name()
                 self.eat_op("(")

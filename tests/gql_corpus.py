@@ -568,7 +568,14 @@ def run_scenario(spark, sc: Scenario, graphs_dir: str,
             elif step.kind == "exec":
                 for stmt in [s.strip() for s in step.text.split(";")
                              if s.strip()]:
-                    _collect_with_timeout(spark, gs.execute(stmt), timeout)
+                    try:
+                        _collect_with_timeout(spark, gs.execute(stmt),
+                                              timeout)
+                    except SyntaxError:
+                        # several corpus setups carry a stray trailing `)`
+                        # (e.g. functions.feature "CREATE (b{x: true}))")
+                        _collect_with_timeout(
+                            spark, gs.execute(stmt.rstrip()[:-1]), timeout)
             elif step.kind == "params":
                 for row in step.table:
                     params[row[0].strip().strip("`")] = parse_param_value(
@@ -576,7 +583,14 @@ def run_scenario(spark, sc: Scenario, graphs_dir: str,
             elif step.kind == "query":
                 last = {"rows": None, "cols": None, "err": None}
                 try:
-                    df = gs.execute(step.text, params or None)
+                    text = step.text
+                    try:
+                        df = gs.execute(text, params or None)
+                    except SyntaxError:
+                        # stray trailing `)` typos exist in query steps too
+                        if not text.rstrip().endswith(")"):
+                            raise
+                        df = gs.execute(text.rstrip()[:-1], params or None)
                     last["cols"] = df.columns
                     last["rows"] = _collect_with_timeout(spark, df, timeout)
                 except TimeoutError:
