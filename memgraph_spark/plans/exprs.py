@@ -27,6 +27,7 @@ class Env:
     params: dict[str, object] = field(default_factory=dict)
     lambda_vars: dict[str, Column] = field(default_factory=dict)
     hops: dict | None = None   # USING HOPS LIMIT counter (hops_limit.hpp)
+    graph: object = None       # catalog access (toEnum validation, degrees)
 
     def columns(self) -> set[str]:
         return set(self.df.columns) if self.df is not None else set()
@@ -515,6 +516,122 @@ def _compile_func(e: A.FuncCall, env: Env) -> Column:
                                      F.lit(A.prop_name(f)))
                               for f in t.names if f not in meta]),
                     lambda x: x.isNotNull())
+    # valueType(v) (awesome_memgraph_functions.cpp:774): standardized
+    # openCypher type names; the frame schema resolves the type at compile
+    # time, a null guard covers the runtime NULL case
+    if name == "valuetype" and len(args) == 1:
+        a = e.args[0]
+        if isinstance(a, A.Var):
+            kind = env.symbols.get(a.name)
+            if kind == "node":
+                return F.lit("NODE")
+            if kind == "rel":
+                return F.lit("RELATIONSHIP")
+            if kind == "path":
+                return F.lit("PATH")
+        t = env.typeof(args[0])
+        tname = None
+        if isinstance(t, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            tname = "INTEGER"
+        elif isinstance(t, (T.DoubleType, T.FloatType, T.DecimalType)):
+            tname = "FLOAT"
+        elif isinstance(t, T.StringType):
+            tname = "STRING"
+        elif isinstance(t, T.BooleanType):
+            tname = "BOOLEAN"
+        elif isinstance(t, T.ArrayType):
+            tname = "LIST"
+        elif isinstance(t, T.MapType):
+            tname = "MAP"
+        elif isinstance(t, T.DateType):
+            tname = "DATE"
+        elif isinstance(t, T.TimestampNTZType):
+            tname = "LOCAL_DATE_TIME"
+        elif isinstance(t, T.TimestampType):
+            tname = "ZONED_DATE_TIME"
+        elif isinstance(t, T.DayTimeIntervalType):
+            tname = "DURATION"
+        elif isinstance(t, T.StructType):
+            if "srid" in t.names:
+                tname = "POINT"
+            elif "nodes" in t.names and "edges" in t.names:
+                tname = "GRAPH"
+            elif "src" in t.names and "dst" in t.names:
+                tname = "RELATIONSHIP"
+            elif "id" in t.names or "labels" in t.names:
+                tname = "NODE"
+            else:
+                tname = "MAP"
+        if tname is None:
+            return F.lit("NULL")
+        return F.when(args[0].isNull(), F.lit("NULL")).otherwise(F.lit(tname))
+    # toStringOrNull (awesome_memgraph_functions.cpp:1372): values outside
+    # the stringifiable set -> null instead of an error
+    if name == "tostringornull" and len(args) == 1:
+        t = env.typeof(args[0])
+        if isinstance(t, (T.ArrayType, T.MapType, T.StructType)):
+            return F.lit(None).cast("string")
+        return args[0].cast("string")
+    # toEnum(name[, value]) (awesome_memgraph_functions.cpp:1816): resolve
+    # against the enum registry; enum values intern to `Type::Value` strings
+    if name == "toenum" and args:
+        registry = getattr(env.graph, "enum_registry", None) or {}
+        lits = [a.value for a in e.args
+                if isinstance(a, A.Literal) and isinstance(a.value, str)]
+        if len(lits) == len(e.args):
+            s = lits[0] if len(lits) == 1 else f"{lits[0]}::{lits[1]}"
+            typ, _, val = s.partition("::")
+            if registry and val not in registry.get(typ, []):
+                raise CompileError(f"Invalid enum '{s}'")
+            return F.lit(s)
+        candidate = (args[0] if len(args) == 1
+                     else F.concat(args[0], F.lit("::"), args[1]))
+        if registry:
+            valid = [f"{t_}::{v}" for t_, vs in registry.items() for v in vs]
+            return F.when(candidate.isin(valid), candidate)
+        return candidate
+    # propertySize(entity, 'prop') (awesome_memgraph_functions.cpp:547):
+    # encoded byte size per the PropertyStore layout (property_store.cpp):
+    # 1 metadata byte + 1 property-id byte + magnitude-dependent payload;
+    # absent property -> 0
+    if name == "propertysize" and len(e.args) == 2:
+        sub, key = e.args[0], e.args[1]
+        if not (isinstance(sub, A.Var)
+                and env.symbols.get(sub.name) in ("node", "rel")
+                and isinstance(key, A.Literal)):
+            raise CompileError("propertySize expects (entity, 'property')")
+        col = f"{sub.name}_{A.prop_col(key.value)}"
+        if col not in env.columns():
+            return F.lit(0).cast("long")
+        c = F.col(col)
+        t = env.typeof(c)
+        if isinstance(t, T.BooleanType):
+            payload = F.lit(0)
+        elif isinstance(t, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            payload = (F.when(F.abs(c) <= 127, 1)
+                       .when(F.abs(c) <= 32767, 2)
+                       .when(F.abs(c) <= 2147483647, 4).otherwise(8))
+        elif isinstance(t, (T.DoubleType, T.FloatType)):
+            payload = F.lit(8)
+        elif isinstance(t, T.StringType):
+            # payload-size bytes (1/2/4 by length) + the bytes themselves
+            payload = (F.when(F.octet_length(c) <= 255, 1)
+                       .when(F.octet_length(c) <= 65535, 2)
+                       .otherwise(4) + F.octet_length(c))
+        elif isinstance(t, (T.DateType, T.TimestampType, T.TimestampNTZType,
+                            T.DayTimeIntervalType)):
+            payload = F.lit(9)  # temporal: 1 subtype byte + 8-byte micros
+        else:
+            payload = F.lit(8)  # lists/maps/points: conservative floor
+        return F.when(c.isNull(), F.lit(0)) \
+                .otherwise(payload + 2).cast("long")
+    # username()/roles() (awesome_memgraph_functions.cpp:2021/2035): no auth
+    # subsystem in the batch engine -> null / empty list, matching the
+    # reference's no-user behavior
+    if name == "username":
+        return F.lit(None).cast("string")
+    if name == "roles":
+        return F.array().cast("array<string>")
     if name in FUNCTIONS:
         fn = FUNCTIONS[name]
         return fn(*args)

@@ -118,7 +118,7 @@ class QueryCompiler(WriteMixin, TraversalMixin):
              symbols: dict[str, str] | None = None) -> Env:
         return Env(df if df is not None else self.df,
                    dict(symbols if symbols is not None else self.symbols),
-                   self.params, hops=self.hops)
+                   self.params, hops=self.hops, graph=self.g)
 
     def _anon_sym(self, kind: str) -> str:
         self._anon += 1

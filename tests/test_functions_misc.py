@@ -64,3 +64,58 @@ def test_temporal_format(spark):
         "RETURN temporal.format(datetime('2024-03-05 10:20:30'), "
         "'%Y/%m/%d %H:%M') AS s").collect()
     assert r[0].s == "2024/03/05 10:20"
+
+
+def test_value_type(spark):
+    """valueType (awesome_memgraph_functions.cpp:774): openCypher names."""
+    rows = _gs(spark).execute(
+        "RETURN valueType(1) AS i, valueType(1.5) AS f, valueType('x') AS s, "
+        "valueType(true) AS b, valueType([1]) AS l, valueType(null) AS n"
+    ).collect()
+    r = rows[0]
+    assert (r.i, r.f, r.s, r.b, r.l, r.n) == (
+        "INTEGER", "FLOAT", "STRING", "BOOLEAN", "LIST", "NULL")
+
+
+def test_value_type_graph_entities(spark):
+    rows = _gs(spark).execute(
+        "MATCH (n:Nation)-[e:IN_REGION]->(m) "
+        "RETURN valueType(n) AS vn, valueType(e) AS ve LIMIT 1").collect()
+    assert rows[0].vn == "NODE" and rows[0].ve == "RELATIONSHIP"
+
+
+def test_to_string_or_null(spark):
+    rows = _gs(spark).execute(
+        "RETURN toStringOrNull(42) AS i, toStringOrNull([1,2]) AS l"
+    ).collect()
+    assert rows[0].i == "42" and rows[0].l is None
+
+
+def test_property_size(spark):
+    """propertySize (awesome_memgraph_functions.cpp:547): PropertyStore-style
+    encoded size — metadata byte + id byte + magnitude-dependent payload."""
+    rows = _gs(spark).execute(
+        "MATCH (r:Region) WHERE r.key = 0 "
+        "RETURN propertySize(r, 'key') AS pk, propertySize(r, 'name') AS pn, "
+        "propertySize(r, 'nope') AS absent").collect()
+    assert rows[0].pk == 3          # key=0: 1 meta + 1 id + 1 payload
+    assert rows[0].pn == len("AFRICA") + 3
+    assert rows[0].absent == 0
+
+
+def test_username_roles(spark):
+    rows = _gs(spark).execute(
+        "RETURN username() AS u, roles() AS r").collect()
+    assert rows[0].u is None and rows[0].r == []
+
+
+def test_to_enum(spark):
+    gs = _gs(spark)
+    gs.execute("CREATE ENUM FnStatus VALUES { Good, Bad }")
+    rows = gs.execute(
+        "RETURN toEnum('FnStatus::Good') AS e1, "
+        "toEnum('FnStatus', 'Bad') AS e2").collect()
+    assert rows[0].e1 == "FnStatus::Good" and rows[0].e2 == "FnStatus::Bad"
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="[Ii]nvalid enum"):
+        gs.execute("RETURN toEnum('FnStatus::Nope')")
