@@ -70,6 +70,8 @@ class PropertyGraph:
     tables: dict[str, DataFrame] = field(default_factory=dict)
     # persisted (src,dst) adjacency, shared by all iterative traversals
     _adj_cache: dict = field(default_factory=dict, repr=False)
+    # persisted eid-carrying oriented edge tables (expand_variable & friends)
+    _eid_cache: dict = field(default_factory=dict, repr=False)
     # (id, label) rows for labels added by SET n:Label (multi-label support
     # on top of the per-label table layout)
     extra_labels: DataFrame | None = None
@@ -117,10 +119,22 @@ class PropertyGraph:
 
     def set_edge_version(self, etype: str, df: DataFrame) -> None:
         self.edges[etype] = df
-        for key, cached in list(self._adj_cache.items()):
-            if key[0] in (etype, None):
-                cached.unpersist()
-                del self._adj_cache[key]
+        for cache in (self._adj_cache, self._eid_cache):
+            for key, cached in list(cache.items()):
+                if key[0] in (etype, None):
+                    cached.unpersist()
+                    del cache[key]
+
+    def eid_edges(self, etype: str | None, direction: str) -> DataFrame:
+        """Persisted oriented edge table carrying (eid, fwd) — the shared
+        input of expand_variable/named-path traversals (built once per
+        (etype, direction), invalidated on writes, like `adjacency`)."""
+        key = (etype, direction)
+        if key not in self._eid_cache:
+            from memgraph_spark.operators.expand import _edges_with_eid
+            self._eid_cache[key] = _edges_with_eid(self, etype, direction) \
+                .persist()
+        return self._eid_cache[key]
 
     def adjacency(self, etype: str | None, direction: str = "out") -> DataFrame:
         """Deduped, persisted (src, dst) list oriented for traversal —

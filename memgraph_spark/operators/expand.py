@@ -152,9 +152,9 @@ def expand_variable(
     """
     if upper is None:
         upper = 16  # safety bound; edge-uniqueness bounds real paths anyway
-    # persist once — every round re-joins this table and must not re-derive
-    # it from the scans
-    e = _edges_with_eid(graph, etype, direction).persist()
+    # persisted once per (etype, direction) in the catalog — every round
+    # re-joins this table and must not re-derive it from the scans
+    e = graph.eid_edges(etype, direction)
     base_cols = df.columns
     cur = df.select(
         "*",
@@ -167,6 +167,12 @@ def expand_variable(
     results = []
     if lower == 0:
         results.append(cur)
+    # Shallow expansions (the common `*1..3` case) compile to ONE lazy plan —
+    # no per-round materialization, no driver round-trips; Catalyst plans the
+    # whole join chain and one job executes it. Deep/unbounded expansions and
+    # HOPS LIMIT runs keep the eager loop: per-round localCheckpoint truncates
+    # lineage and the row count drives early termination / the hops budget.
+    lazy = upper <= 3 and hops is None
     cur_rows = None
     for depth in range(1, upper + 1):
         lhs = cur if cur_rows is None else _maybe_broadcast(cur, cur_rows)
@@ -182,6 +188,11 @@ def expand_variable(
                 F.array_append("__dirs", F.col("__fwd")).alias("__dirs"),
             )
         )
+        if lazy:
+            cur = stepped
+            if depth >= lower:
+                results.append(cur)
+            continue
         stepped = stepped.localCheckpoint(eager=True)
         cur_rows = stepped.count()
         if cur_rows == 0:
@@ -198,7 +209,6 @@ def expand_variable(
             if hops["used"] >= hops["limit"]:
                 hops["reached"] = True
                 break
-    e.unpersist()
     path_cols = ([f"{path_prefix}_nids", f"{path_prefix}_eids",
                   f"{path_prefix}_dirs"] if path_prefix else [])
     if not results:
