@@ -125,6 +125,20 @@ class PropertyGraph:
                     cached.unpersist()
                     del cache[key]
 
+    def set_extra_labels(self, df: DataFrame | None) -> None:
+        self.extra_labels = df
+        self._extra_names = None
+
+    def extra_label_names(self) -> set:
+        """Distinct SET-added label names (cached per version) — lets label
+        scans keep the per-label fast path for untouched labels."""
+        if self.extra_labels is None:
+            return set()
+        if getattr(self, "_extra_names", None) is None:
+            self._extra_names = {r[0] for r in self.extra_labels
+                                 .select("label").distinct().collect()}
+        return self._extra_names
+
     def eid_edges(self, etype: str | None, direction: str) -> DataFrame:
         """Persisted oriented edge table carrying (eid, fwd) — the shared
         input of expand_variable/named-path traversals (built once per

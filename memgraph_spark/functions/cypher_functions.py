@@ -252,6 +252,17 @@ FUNCTIONS: dict[str, object] = {
                 F.concat(e["key"], (d[0] if d else F.lit(".")), i["key"])
                 .alias("key"),
                 i["value"].alias("value")))))),
+    # math_module (src/mage/cpp/math_module): round with explicit mode
+    "math.round": lambda v, *a: _math_round(v, *a),
+    # date_module magic function date.add (query_modules/date.py:122)
+    "date.add": lambda t, u, av, au: (
+        (t * _unit_us(u) + av * _unit_us(au)) / _unit_us(u)).cast("long"),
+    # convert module (query_modules/convert.cpp): JSON <-> values via the
+    # Spark 4 VariantType (schema-less parse, exactly the reference's shape)
+    "convert.str2object": F.parse_json,
+    "convert.from_json_map": lambda c: F.parse_json(c),
+    "convert.from_json_list": lambda c: F.parse_json(c),
+    "convert.to_json": F.to_json,
     # temporal.format(value, strftime_format) (src/mage/python/temporal.py:8)
     "temporal.format": lambda ts, fmt: F.call_function(
         "date_format", ts,
@@ -271,6 +282,43 @@ FUNCTIONS: dict[str, object] = {
     "__quant_none": lambda c: ~F.exists(c, lambda x: x),
     "__quant_single": lambda c: F.size(F.filter(c, lambda x: x)) == 1,
 }
+
+def _unit_us(u: Column) -> Column:
+    """Time unit name -> microseconds (query_modules/date.py to_timedelta)."""
+    lu = F.lower(u)
+    return (F.when(lu.isin("ms", "milliseconds"), F.lit(1000))
+            .when(lu.isin("s", "sec", "seconds"), F.lit(1_000_000))
+            .when(lu.isin("m", "min", "minutes"), F.lit(60_000_000))
+            .when(lu.isin("h", "hours"), F.lit(3_600_000_000))
+            .when(lu.isin("d", "days"), F.lit(86_400_000_000))
+            .otherwise(F.lit(1)))  # us
+
+
+def _math_round(v: Column, *a: Column) -> Column:
+    """math.round(value, precision=0, mode='HALF_UP')
+    (src/mage/cpp/math_module/algorithm/math.hpp): java.math.RoundingMode
+    names over a dynamic precision."""
+    precision = a[0] if len(a) >= 1 else F.lit(0)
+    mode = F.upper(a[1]) if len(a) >= 2 else F.lit("HALF_UP")
+    f = F.pow(F.lit(10.0), precision)
+    x = v * f
+    sign = F.when(v < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    ax = F.abs(x)
+    rounded = (
+        F.when(mode == "HALF_DOWN", sign * F.ceil(ax - 0.5))
+        .when(mode == "HALF_EVEN",
+              # banker's: round half to even via floor + parity check
+              F.when((ax % 1 == 0.5) & (F.floor(ax) % 2 == 0),
+                     sign * F.floor(ax))
+              .otherwise(sign * F.floor(ax + 0.5)))
+        .when(mode == "UP", sign * F.ceil(ax))
+        .when(mode == "DOWN", sign * F.floor(ax))
+        .when(mode == "CEILING", F.ceil(x))
+        .when(mode == "FLOOR", F.floor(x))
+        .otherwise(sign * F.floor(ax + 0.5))  # HALF_UP default
+    )
+    return (rounded / f).cast("double")
+
 
 # aggregate name -> fn(Column, distinct: bool) -> Column
 def _agg(fn):
@@ -297,6 +345,12 @@ AGGREGATES: dict[str, object] = {
         F.collect_set(c) if distinct else F.collect_list(c)),
     "stdev": _agg(F.stddev_samp),
     "stdevp": _agg(F.stddev_pop),
+    # percentileDisc: an actual element of the set (SQL percentile_disc);
+    # percentileCont: linear interpolation (awesome_memgraph_functions
+    # aggregates) — compiled specially in exprs.py because the percentile
+    # argument arrives as a second expression
+    "percentiledisc": None,
+    "percentilecont": None,
     # graph-value aggregations — compiled specially in plans/exprs.py
     # (PROJECT_PATH / DERIVE, aggregation.hpp:27); registered here so
     # contains_aggregate() routes the projection through groupBy

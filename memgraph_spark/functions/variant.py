@@ -1,0 +1,102 @@
+"""Variant property representation (SURVEY §1.3): when one property holds
+values of conflicting types across rows (the reference is schemaless —
+PropertyStore stores any type per object), the column falls back to a tagged
+struct `STRUCT<vb boolean, vi bigint, vd double, vs string>` with exactly one
+slot set. Comparisons keep Cypher semantics: same-category compares, numbers
+compare across int/float, cross-category yields null.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+VARIANT_FIELDS = ("vb", "vi", "vd", "vs")
+
+
+def is_variant_type(t) -> bool:
+    return isinstance(t, T.StructType) and tuple(t.names) == VARIANT_FIELDS
+
+
+def _slots(b=None, i=None, d=None, s=None) -> Column:
+    return F.struct(
+        (b if b is not None else F.lit(None).cast("boolean")).alias("vb"),
+        (i if i is not None else F.lit(None).cast("long")).alias("vi"),
+        (d if d is not None else F.lit(None).cast("double")).alias("vd"),
+        (s if s is not None else F.lit(None).cast("string")).alias("vs"),
+    )
+
+
+def to_variant(col: Column, t) -> Column:
+    """Lift a typed column into the variant struct (null value -> null
+    struct, so IS NULL / exists() keep working)."""
+    if is_variant_type(t):
+        return col
+    if isinstance(t, T.BooleanType):
+        v = _slots(b=col)
+    elif isinstance(t, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        v = _slots(i=col.cast("long"))
+    elif isinstance(t, (T.DoubleType, T.FloatType, T.DecimalType)):
+        v = _slots(d=col.cast("double"))
+    elif isinstance(t, T.StringType):
+        v = _slots(s=col)
+    else:
+        # lists/maps/temporals in conflict with scalars: JSON-encode into the
+        # string slot (observable, still groupable; ordering diverges)
+        v = _slots(s=F.to_json(col))
+    return F.when(col.isNotNull(), v)
+
+
+def variant_num(v: Column) -> Column:
+    """Numeric view of a variant (int slot widened to double)."""
+    return F.coalesce(v.getField("vi").cast("double"), v.getField("vd"))
+
+
+def variant_cmp(l: Column, lt, r: Column, rt, op: str) -> Column:
+    """Cypher comparison where at least one side is a variant struct.
+    Same category -> compare; int/double compare numerically; different
+    categories -> null (TypedValue operator< semantics, typed_value.cpp)."""
+    def apply(a: Column, b: Column) -> Column:
+        return {"=": a == b, "<>": a != b, "<": a < b, ">": a > b,
+                "<=": a <= b, ">=": a >= b}[op]
+
+    if not is_variant_type(lt):
+        l, r = r, l
+        lt, rt = rt, lt
+        op = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}.get(op, op)
+    # l is now variant
+    if not is_variant_type(rt):
+        if isinstance(rt, T.BooleanType):
+            return apply(l.getField("vb"), r)
+        if isinstance(rt, (T.LongType, T.IntegerType, T.ShortType,
+                           T.ByteType, T.DoubleType, T.FloatType,
+                           T.DecimalType)):
+            return apply(variant_num(l), r.cast("double"))
+        if isinstance(rt, T.StringType):
+            return apply(l.getField("vs"), r)
+        return F.lit(None).cast("boolean")
+    # variant vs variant: compare within the matching category
+    return (
+        F.when(l.getField("vs").isNotNull() & r.getField("vs").isNotNull(),
+               apply(l.getField("vs"), r.getField("vs")))
+        .when(variant_num(l).isNotNull() & variant_num(r).isNotNull(),
+              apply(variant_num(l), variant_num(r)))
+        .when(l.getField("vb").isNotNull() & r.getField("vb").isNotNull(),
+              apply(l.getField("vb"), r.getField("vb")))
+    )
+
+
+def variant_sort_key(v: Column) -> Column:
+    """Total-order sort key for ORDER BY over a variant column: the
+    reference's cross-type ordering groups by type (bool < int/double <
+    string), values ordered within the type."""
+    rank = (F.when(v.getField("vb").isNotNull(), 0)
+            .when(variant_num(v).isNotNull(), 1)
+            .when(v.getField("vs").isNotNull(), 2))
+    return F.struct(
+        rank.alias("r"),
+        v.getField("vb").cast("int").alias("b"),
+        variant_num(v).alias("n"),
+        v.getField("vs").alias("s"),
+    )

@@ -202,6 +202,9 @@ class PatternComprehension(Expr):
 class LabelsTest(Expr):
     subject: Expr
     labels: list[str]
+    # dynamic label expressions (`n:other.prop`, MemgraphCypher dynamic
+    # labels) — each entry an Expr evaluating to the label string per row
+    dyn_labels: list = field(default_factory=list)
 
 
 # -- patterns ---------------------------------------------------------------
@@ -211,6 +214,11 @@ class NodePattern:
     var: str | None
     labels: list[str]
     props: dict[str, Expr] = field(default_factory=dict)
+    # a `{...}` block was present (even empty) — `CREATE (bound {})` must
+    # raise VariableAlreadyBound, unlike bare `CREATE (bound)`
+    braced: bool = False
+    # dynamic label expressions (`CREATE (m:node.name)`)
+    dyn_labels: list = field(default_factory=list)
 
 
 @dataclass
@@ -220,6 +228,8 @@ class RelPattern:
     direction: str          # out | in | both
     props: dict[str, Expr] = field(default_factory=dict)
     var_length: bool = False
+    # dynamic type expressions (`CREATE ()-[:node.name]->()`)
+    dyn_types: list = field(default_factory=list)
     lo: int | None = None
     hi: int | None = None
     # memgraph traversal modes (EdgeAtom::Type, ast.hpp:1807):
@@ -313,6 +323,7 @@ class SetItem:
     value: Expr
     op: str = "="           # '=' | '+=' | 'label' (SET n:Label)
     labels: list[str] = field(default_factory=list)
+    dyn_labels: list = field(default_factory=list)
 
 
 @dataclass
@@ -325,6 +336,7 @@ class RemoveItem:
     subject: Expr
     key: str | None = None
     labels: list[str] = field(default_factory=list)
+    dyn_labels: list = field(default_factory=list)
 
 
 @dataclass

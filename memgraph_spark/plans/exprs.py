@@ -62,6 +62,9 @@ def compile_expr(e: A.Expr, env: Env) -> Column:
         if e.name not in env.params:
             raise CompileError(f"missing parameter ${e.name}")
         v = env.params[e.name]
+        if isinstance(v, dict):
+            # map parameter -> struct (same shape MapLiteral compiles to)
+            return F.struct(*[F.lit(x).alias(k) for k, x in v.items()])
         return F.array(*[F.lit(x) for x in v]) if isinstance(v, (list, tuple)) else F.lit(v)
     if isinstance(e, A.Var):
         return _compile_var(e.name, env)
@@ -92,6 +95,14 @@ def compile_expr(e: A.Expr, env: Env) -> Column:
     if isinstance(e, A.CaseExpr):
         return _compile_case(e, env)
     if isinstance(e, A.Subscript):
+        # dynamic property lookup n['prop'] on a bound node/rel symbol
+        # (FunctionsAcceptance TCK): literal keys hit the property column
+        if (isinstance(e.subject, A.Var)
+                and env.symbols.get(e.subject.name) in ("node", "rel")
+                and isinstance(e.index, A.Literal)
+                and isinstance(e.index.value, str)):
+            return _compile_property(
+                A.Property(e.subject, e.index.value), env)
         subj = compile_expr(e.subject, env)
         idx = compile_expr(e.index, env)
         t = env.typeof(subj)
@@ -99,7 +110,13 @@ def compile_expr(e: A.Expr, env: Env) -> Column:
             # Cypher list[i] is 0-based; negative wraps from the end
             i = idx.cast("int")
             return F.get(subj, F.when(i < 0, F.size(subj) + i).otherwise(i))
-        return F.try_element_at(subj, idx)  # map / struct key
+        if isinstance(t, T.StructType):
+            # struct-backed map (literal/param maps): dynamic key lookup
+            if isinstance(e.index, A.Literal) and isinstance(e.index.value,
+                                                            str):
+                return (subj.getField(e.index.value)
+                        if e.index.value in t.names else F.lit(None))
+        return F.try_element_at(subj, idx)  # map key
     if isinstance(e, A.Slice):
         subj = compile_expr(e.subject, env)
         lo = compile_expr(e.lo, env).cast("int") if e.lo is not None else F.lit(0)
@@ -257,6 +274,30 @@ def _compile_binop(e: A.BinaryOp, env: Env) -> Column:
             return l | r
         return (l & ~r) | (~l & r)
     l, r = compile_expr(e.left, env), compile_expr(e.right, env)
+    if op in ("=", "<>", "<", ">", "<=", ">="):
+        # variant-typed side (mixed-type property, SURVEY §1.3): Cypher
+        # semantics — same category compares, cross-category yields null
+        from memgraph_spark.functions.variant import (
+            is_variant_type, variant_cmp)
+        lt, rt = env.typeof(l), env.typeof(r)
+        if is_variant_type(lt) or is_variant_type(rt):
+            return variant_cmp(l, lt, r, rt, op)
+
+        # cross-category comparison yields null, never a coercion (Cypher
+        # `0 = '0'` is null; Spark would cast) — typed scalar sides only
+        def _cat(t):
+            if isinstance(t, (T.LongType, T.IntegerType, T.ShortType,
+                              T.ByteType, T.DoubleType, T.FloatType,
+                              T.DecimalType)):
+                return "num"
+            if isinstance(t, T.StringType):
+                return "str"
+            if isinstance(t, T.BooleanType):
+                return "bool"
+            return None
+        cl_, cr_ = _cat(lt), _cat(rt)
+        if cl_ and cr_ and cl_ != cr_:
+            return F.lit(None).cast("boolean")
     if op == "=":
         return l == r
     if op == "<>":
@@ -426,6 +467,12 @@ def _compile_func(e: A.FuncCall, env: Env) -> Column:
                 arg.getField("rels")))).alias("edges"))
     if name == "derive" and args:
         return _compile_derive(e, args[0], env)
+    if name in ("percentiledisc", "percentilecont") and len(args) == 2:
+        # percentile aggregates: disc returns a member of the set, cont
+        # interpolates (openCypher percentileDisc/percentileCont)
+        if name == "percentilecont":
+            return F.percentile(args[0], args[1])
+        return F.percentile_approx(args[0], args[1], F.lit(1_000_000))
     if name in AGGREGATES:
         # COLLECT_MAP (aggregation.hpp:27): collect(k, v) builds a map
         if name == "collect" and len(args) == 2:
@@ -516,6 +563,14 @@ def _compile_func(e: A.FuncCall, env: Env) -> Column:
                                      F.lit(A.prop_name(f)))
                               for f in t.names if f not in meta]),
                     lambda x: x.isNotNull())
+        if isinstance(t, T.MapType):
+            if name == "keys":
+                return F.map_keys(args[0])
+            if name == "properties":
+                return args[0]
+        if isinstance(t, T.NullType) or t is None:
+            # graph accessors propagate null (FunctionsAcceptance TCK)
+            return F.lit(None)
     # valueType(v) (awesome_memgraph_functions.cpp:774): standardized
     # openCypher type names; the frame schema resolves the type at compile
     # time, a null guard covers the runtime NULL case
@@ -625,6 +680,58 @@ def _compile_func(e: A.FuncCall, env: Env) -> Column:
             payload = F.lit(8)  # lists/maps/points: conservative floor
         return F.when(c.isNull(), F.lit(0)) \
                 .otherwise(payload + 2).cast("long")
+    # path_module magic functions (src/mage/cpp/path_module/path_module.cpp:
+    # 20-33) over the materialized path struct (nodes/rels detail arrays)
+    if name in ("path.elements", "path.combine", "path.slice") and args:
+        p = args[0]
+        t = env.typeof(p)
+        if not isinstance(t, T.StructType) or "nodes" not in t.names:
+            raise CompileError(f"{name} expects a path")
+        nodes, rels = p.getField("nodes"), p.getField("rels")
+        if name == "path.elements":
+            # alternate node/relationship; one side null per element
+            null_rel = F.when(F.lit(False), F.element_at(rels, 1))
+            pairs = F.flatten(F.zip_with(
+                F.slice(nodes, 1, F.size(rels)), rels,
+                lambda n, r: F.array(
+                    F.struct(n.alias("node"),
+                             F.when(F.lit(False), r).alias("relationship")),
+                    F.struct(F.when(F.lit(False), n).alias("node"),
+                             r.alias("relationship")))))
+            last = F.array(F.struct(
+                F.element_at(nodes, -1).alias("node"),
+                null_rel.alias("relationship")))
+            return F.concat(pairs, last)
+        if name == "path.combine":
+            q = args[1]
+            qt = env.typeof(q)
+            if not isinstance(qt, T.StructType) or "nodes" not in qt.names:
+                raise CompileError("path.combine expects two paths")
+            n2, r2 = q.getField("nodes"), q.getField("rels")
+            return F.struct(
+                F.concat(nodes, F.slice(n2, 2, F.greatest(
+                    F.size(n2) - 1, F.lit(0)))).alias("nodes"),
+                F.concat(rels, r2).alias("rels"))
+        # path.slice(p, offset=0, length=-1): length in relationships
+        off = args[1] if len(args) > 1 else F.lit(0)
+        ln = args[2] if len(args) > 2 else F.lit(-1)
+        eff = F.when(ln < 0, F.size(rels) - off).otherwise(ln)
+        return F.struct(
+            F.slice(nodes, (off + 1).cast("int"),
+                    (eff + 1).cast("int")).alias("nodes"),
+            F.slice(rels, (off + 1).cast("int"),
+                    eff.cast("int")).alias("rels"))
+    # convert.to_map (query_modules/convert.cpp): map-shaped value -> MAP
+    if name == "convert.to_map" and args:
+        t = env.typeof(args[0])
+        if isinstance(t, T.MapType):
+            return args[0]
+        if isinstance(t, T.StructType):
+            return F.map_from_arrays(
+                F.array(*[F.lit(f) for f in t.names]),
+                F.array(*[args[0].getField(f).cast("string")
+                          for f in t.names]))
+        raise CompileError("convert.to_map expects a map value")
     # username()/roles() (awesome_memgraph_functions.cpp:2021/2035): no auth
     # subsystem in the batch engine -> null / empty list, matching the
     # reference's no-user behavior
@@ -762,4 +869,42 @@ def contains_aggregate(e: A.Expr) -> bool:
         return contains_aggregate(e.subject)
     if isinstance(e, A.ListLiteral):
         return any(contains_aggregate(x) for x in e.items)
+    if isinstance(e, A.MapLiteral):
+        return any(contains_aggregate(v) for v in e.items.values())
     return False
+
+
+def non_aggregate_refs(e: A.Expr, symbols: dict[str, str]) -> list[A.Expr]:
+    """Non-aggregated bound-symbol references inside a mixed projection item
+    — the reference's implicit grouping keys (operator.cpp:6323 collects
+    every non-aggregate sub-expression of an Aggregate's named expressions).
+    `RETURN {k: n.x, c: collect(m)}` groups by n.x."""
+    import dataclasses
+    out: list[A.Expr] = []
+
+    def walk(x):
+        if isinstance(x, A.FuncCall) and x.name.lower() in AGGREGATES:
+            return  # inside an aggregate: not a grouping key
+        if isinstance(x, A.CountStar):
+            return
+        if isinstance(x, A.Property) and isinstance(x.subject, A.Var) \
+                and x.subject.name in symbols:
+            out.append(x)
+            return
+        if isinstance(x, A.Var) and x.name in symbols:
+            out.append(x)
+            return
+        if isinstance(x, dict):
+            for v in x.values():
+                walk(v)
+            return
+        if isinstance(x, (list, tuple)):
+            for v in x:
+                walk(v)
+            return
+        if dataclasses.is_dataclass(x):
+            for f in dataclasses.fields(x):
+                walk(getattr(x, f.name))
+
+    walk(e)
+    return out

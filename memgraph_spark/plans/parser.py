@@ -347,7 +347,8 @@ class Parser:
         # expr would swallow the '=' as a comparison operator
         subj = self.postfix()
         if isinstance(subj, A.LabelsTest):
-            return A.SetItem(subj.subject, A.Literal(None), "label", subj.labels)
+            return A.SetItem(subj.subject, A.Literal(None), "label",
+                             subj.labels, dyn_labels=subj.dyn_labels)
         if self.at_op("+="):
             self.next()
             return A.SetItem(subj, self.expr(), "+=")
@@ -361,13 +362,16 @@ class Parser:
             if isinstance(subj, A.Property):
                 items.append(A.RemoveItem(subj.subject, subj.key))
             elif isinstance(subj, A.Var) and self.at_op(":"):
-                labels = []
+                labels, dyn = [], []
                 while self.at_op(":"):
                     self.next()
-                    labels.append(self.name())
-                items.append(A.RemoveItem(subj, None, labels))
+                    entry = self._label_entry()
+                    (labels if isinstance(entry, str) else dyn).append(entry)
+                items.append(A.RemoveItem(subj, None, labels,
+                                          dyn_labels=dyn))
             elif isinstance(subj, A.LabelsTest):
-                items.append(A.RemoveItem(subj.subject, None, subj.labels))
+                items.append(A.RemoveItem(subj.subject, None, subj.labels,
+                                          dyn_labels=subj.dyn_labels))
             else:
                 raise SyntaxError("REMOVE expects n.prop or n:Label")
             if not self.at_op(","):
@@ -398,20 +402,37 @@ class Parser:
             chain.append((rel, node))
         return A.PatternPart(var, start, chain)
 
+    def _label_entry(self):
+        """One label after ':' — a plain name, or a dotted dynamic label
+        expression `var.prop[...]` (MemgraphCypher dynamic labels)."""
+        name = self.name()
+        if not self.at_op("."):
+            return name
+        e: A.Expr = A.Var(name)
+        while self.at_op("."):
+            self.next()
+            e = A.Property(e, self.name())
+        return e
+
     def node_pattern(self) -> A.NodePattern:
         self.eat_op("(")
         var = None
         if self.peek().kind == "NAME" and not self.at_op(")"):
             var = self.name()
-        labels = []
+        labels: list[str] = []
+        dyn: list[A.Expr] = []
         while self.at_op(":"):
             self.next()
-            labels.append(self.name())
+            entry = self._label_entry()
+            (labels if isinstance(entry, str) else dyn).append(entry)
         props: dict[str, A.Expr] = {}
+        braced = False
         if self.at_op("{"):
             props = self.map_entries()
+            braced = True
         self.eat_op(")")
-        return A.NodePattern(var, labels, props)
+        return A.NodePattern(var, labels, props, braced=braced,
+                             dyn_labels=dyn)
 
     def rel_pattern(self) -> A.RelPattern:
         direction = "both"
@@ -423,6 +444,7 @@ class Parser:
             self.eat_op("-")
         var = None
         types: list[str] = []
+        dyn_types: list[A.Expr] = []
         props: dict[str, A.Expr] = {}
         var_length = False
         lo = hi = None
@@ -433,7 +455,9 @@ class Parser:
                 var = self.name()
             if self.at_op(":"):
                 self.next()
-                types.append(self.name())
+                entry = self._label_entry()
+                (types if isinstance(entry, str)
+                 else dyn_types).append(entry)
                 while self.at_op("|"):
                     self.next()
                     if self.at_op(":"):
@@ -486,8 +510,9 @@ class Parser:
             direction = "out"
         if not var_length:
             mode = flt = weight = weight_var = None
-        return A.RelPattern(var, types, direction, props, var_length, lo, hi,
-                            mode, flt, weight, weight_var)
+        return A.RelPattern(var, types, direction, props, var_length,
+                            dyn_types=dyn_types, lo=lo, hi=hi, mode=mode,
+                            flt=flt, weight=weight, weight_var=weight_var)
 
     def traversal_lambda(self) -> tuple[list[str], A.Expr]:
         """`(e, n [, p] | expr)` — EdgeAtom::Lambda (ast.hpp:1796):
@@ -675,11 +700,12 @@ class Parser:
                 self.next()
                 e = A.EnumLiteral(e.name, self.name())
             elif self.at_op(":") and isinstance(e, (A.Var, A.Property)):
-                labels = []
+                labels, dyn = [], []
                 while self.at_op(":"):
                     self.next()
-                    labels.append(self.name())
-                e = A.LabelsTest(e, labels)
+                    entry = self._label_entry()
+                    (labels if isinstance(entry, str) else dyn).append(entry)
+                e = A.LabelsTest(e, labels, dyn_labels=dyn)
             else:
                 return e
 

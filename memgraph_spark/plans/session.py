@@ -75,6 +75,11 @@ class GraphSession:
         self.last_hops = {"limit": ast.hops_limit, "used": 0, "reached": False}
         qc = QueryCompiler(self.graph, params, hops=self.last_hops,
                            periodic=ast.periodic_commit is not None)
+        if len(set(ast.alls)) > 1:
+            # mixing UNION and UNION ALL in one query is a syntax error
+            # (CypherUnion, ast.hpp:2005; union.feature combinators)
+            raise CompileError(
+                "Invalid combination of UNION and UNION ALL")
         out = qc.compile(ast.parts[0])
         self.last_summary = {k: int(qc.counters.get(k, 0))
                              for k in WRITE_COUNTERS}
@@ -135,7 +140,9 @@ class QueryCompiler(WriteMixin, TraversalMixin):
     def _node_df(self, labels: list[str]) -> DataFrame:
         """ScanAll / ScanAllByLabel: one label -> its typed table (pushdown-
         friendly); zero or many labels -> the lazy union scan + label filter."""
-        if len(labels) == 1 and labels[0] in self.g.nodes:
+        if (len(labels) == 1 and labels[0] in self.g.nodes
+                and labels[0] not in self.g.extra_label_names()):
+            # fast path unless SET added this label to nodes in other tables
             df = self.g.node(labels[0])
             props = [c for c in df.columns if c != "id"]
             return self.g.with_extra_labels(df.select(
@@ -253,7 +260,7 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         chain = [
             (A.RelPattern(rels[i].var, rels[i].types,
                           flip[rels[i].direction], rels[i].props,
-                          rels[i].var_length, rels[i].lo, rels[i].hi),
+                          rels[i].var_length, lo=rels[i].lo, hi=rels[i].hi),
              nodes[i])
             for i in range(len(rels) - 1, -1, -1)
         ]
@@ -383,6 +390,9 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         return out
 
     def _bind_node(self, np: A.NodePattern, sym: str) -> None:
+        if np.dyn_labels:
+            raise CompileError(
+                "dynamic node labels are not allowed in MATCH")
         if sym in self.symbols:
             if self.symbols[sym] != "node":
                 raise CompileError(f"{sym} rebound as node")
@@ -453,9 +463,12 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         elif rel.direction == "in":
             e = e.withColumnRenamed("dst", "__from").withColumnRenamed("src", "__to")
         else:  # both
+            # a self-loop is ONE undirected match, not two — the reverse
+            # orientation keeps only src != dst (Counting-with-loops TCK)
             e = e.withColumnRenamed("src", "__from").withColumnRenamed("dst", "__to") \
                  .unionByName(
-                     e.withColumnRenamed("dst", "__from")
+                     e.filter(F.col("src") != F.col("dst"))
+                      .withColumnRenamed("dst", "__from")
                       .withColumnRenamed("src", "__to"))
         self.df = self.df.join(
             e, F.col(f"{from_sym}_id") == F.col("__from"), "inner")
@@ -496,6 +509,9 @@ class QueryCompiler(WriteMixin, TraversalMixin):
     def _attach_node(self, sym: str, np: A.NodePattern) -> None:
         """Fetch the target node's labels/properties: an id equi-join against
         the (label-pruned) node scan. Inner join doubles as the label filter."""
+        if np.dyn_labels:
+            raise CompileError(
+                "dynamic node labels are not allowed in MATCH")
         p = prefix_columns(self._node_df(np.labels), sym)
         self.df = self.df.join(p, on=f"{sym}_id", how="inner")
         self._prop_filters(sym, np.props)
@@ -1022,15 +1038,23 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         carried_prefix_cols: list[str] = []
         agg_cols: list[Column] = []
         env = self._env()
+        hidden_keys: list[Column] = []
         for name, kind, spec in outs:
             if kind in ("node", "rel", "path"):
                 carried_prefix_cols += [c for c in self.df.columns
                                         if c.startswith(f"{spec}_")]
             elif contains_aggregate(spec):
                 agg_cols.append(compile_expr(spec, env).alias(name))
+                # mixed items: the non-aggregated sub-expressions are
+                # implicit grouping keys (Aggregate, operator.cpp:6323)
+                from memgraph_spark.plans.exprs import non_aggregate_refs
+                for ref in non_aggregate_refs(spec, self.symbols):
+                    hidden_keys.append(
+                        compile_expr(ref, env).alias(self._anon_sym("hk")))
             else:
                 key_cols.append(compile_expr(spec, env).alias(name))
-        all_keys = [F.col(c) for c in dict.fromkeys(carried_prefix_cols)] + key_cols
+        all_keys = ([F.col(c) for c in dict.fromkeys(carried_prefix_cols)]
+                    + key_cols + hidden_keys)
         if all_keys:
             df = self.df.groupBy(*all_keys).agg(*agg_cols)
         else:
@@ -1043,10 +1067,13 @@ class QueryCompiler(WriteMixin, TraversalMixin):
 
     def _order_col(self, oi: A.OrderItem, df: DataFrame,
                    new_syms: dict[str, str], outs) -> Column:
+        # an ORDER BY expression textually equal to a projection item sorts
+        # by that output column (covers post-aggregation `ORDER BY n.prop`
+        # where n itself is no longer in scope)
+        for name, kind, spec in outs:
+            if kind == "value" and spec == oi.expr:
+                return qcol(name)
         if contains_aggregate(oi.expr):
-            for name, kind, spec in outs:
-                if kind == "value" and spec == oi.expr:
-                    return qcol(name)
             raise CompileError("ORDER BY aggregate must appear in the "
                                "projection (alias it)")
         return compile_expr(oi.expr, Env(df, new_syms, self.params))

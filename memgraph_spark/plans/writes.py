@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from memgraph_spark.catalog import KEY_BITS, LABEL_CODES, register_label
@@ -31,6 +32,27 @@ from memgraph_spark.plans.exprs import CompileError, compile_expr
 
 
 def _union_missing(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Union two table versions, reconciling per-property type conflicts
+    (SURVEY §1.3 — the reference is schemaless, so one property may hold
+    different types on different rows): numeric conflicts widen to double,
+    anything else falls back to the tagged variant struct."""
+    from memgraph_spark.functions.variant import is_variant_type, to_variant
+    lt = {f.name: f.dataType for f in left.schema.fields}
+    rt = {f.name: f.dataType for f in right.schema.fields}
+    numeric = (T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+               T.DoubleType, T.FloatType)
+    for name in set(lt) & set(rt):
+        a, b = lt[name], rt[name]
+        if a == b:
+            continue
+        if isinstance(a, numeric) and isinstance(b, numeric):
+            left = left.withColumn(name, F.col(name).cast("double"))
+            right = right.withColumn(name, F.col(name).cast("double"))
+        elif is_variant_type(a) or is_variant_type(b) or (
+                a.simpleString().split("<")[0]
+                != b.simpleString().split("<")[0]):
+            left = left.withColumn(name, to_variant(F.col(name), a))
+            right = right.withColumn(name, to_variant(F.col(name), b))
     return left.unionByName(right, allowMissingColumns=True)
 
 
@@ -41,15 +63,27 @@ class WriteMixin:
 
     # -- CREATE --------------------------------------------------------------
     def _create(self, cl: A.Create) -> None:
+        def _check_bound(np: A.NodePattern, sym: str) -> None:
+            # openCypher: a bound variable reused in CREATE must be bare —
+            # labels or a property block raise VariableAlreadyBound
+            # (LabelsAcceptance TCK; symbol_generator.cpp bound checks)
+            if np.labels or np.braced:
+                raise CompileError(
+                    f"VariableAlreadyBound: cannot add labels or properties "
+                    f"to the already bound variable '{sym}' in CREATE")
         for part in cl.patterns:
             sym = part.start.var or self._anon_sym("n")
             if sym not in self.symbols:
                 self._create_node(part.start, sym)
+            else:
+                _check_bound(part.start, sym)
             prev = sym
             for rel, node in part.chain:
                 to_sym = node.var or self._anon_sym("n")
                 if to_sym not in self.symbols:
                     self._create_node(node, to_sym)
+                else:
+                    _check_bound(node, to_sym)
                 self._create_edge(prev, rel, to_sym)
                 prev = to_sym
 
@@ -65,21 +99,29 @@ class WriteMixin:
             self.df = self._seed()
         # pattern comprehensions in property values roll up first
         np = A.NodePattern(np.var, np.labels,
-                           {k: self._lift(v) for k, v in np.props.items()})
+                           {k: self._lift(v) for k, v in np.props.items()},
+                           dyn_labels=np.dyn_labels)
         env = self._env()
         if "key" in np.props:
             key = compile_expr(np.props["key"], env).cast("long")
         else:
             existing = self.g.nodes.get(label)
             base = 0
-            if existing is not None and "key" in existing.columns:
-                row = existing.agg(F.max("key")).first()
+            if existing is not None:
+                # allocate past the label's current max key; the key is the
+                # low id bits, so this works with or without a key property
+                row = existing.agg(
+                    F.max(F.col("id") % (1 << KEY_BITS))).first()
                 base = (row[0] or 0) + 1
             rn = F.row_number().over(
                 Window.orderBy(F.monotonically_increasing_id()))
             key = (F.lit(base) + rn - 1).cast("long")
         aug = self.df.withColumn(f"{sym}_key", key).withColumn(
             f"{sym}_id", F.lit(code * (1 << KEY_BITS)) + F.col(f"{sym}_key"))
+        if "key" not in np.props:
+            # the minted key is id-derivable, NOT a user property — it must
+            # not surface in keys()/properties() (KeysAcceptance TCK)
+            aug = aug.drop(f"{sym}_key")
         for k, ve in np.props.items():
             if k != "key":
                 aug = aug.withColumn(f"{sym}_{A.prop_col(k)}",
@@ -87,7 +129,17 @@ class WriteMixin:
         aug = aug.withColumn(
             f"{sym}_labels",
             F.array(*[F.lit(x) for x in np.labels]).cast("array<string>"))
+        # dynamic labels (`CREATE (m:node.name)`): per-row label values join
+        # the labels array; membership lands in extra_labels below
+        for dx in np.dyn_labels:
+            c = compile_expr(self._lift(dx), env).cast("string")
+            aug = aug.withColumn(
+                f"{sym}_labels",
+                F.when(c.isNotNull(),
+                       F.array_union(F.col(f"{sym}_labels"), F.array(c)))
+                .otherwise(F.col(f"{sym}_labels")))
         aug = aug.localCheckpoint(eager=True)  # pin allocated ids
+        self._all_props_cache = None  # new property columns may exist now
         prop_cols = [c for c in aug.columns
                      if c.startswith(f"{sym}_") and c != f"{sym}_labels"]
         diff = aug.select(*[F.col(c).alias(c[len(sym) + 1:])
@@ -95,8 +147,17 @@ class WriteMixin:
         for lbl in np.labels[1:]:
             register_label(lbl)
             add = diff.select("id").withColumn("label", F.lit(lbl))
-            self.g.extra_labels = (add if self.g.extra_labels is None
-                                   else self.g.extra_labels.unionByName(add))
+            self.g.set_extra_labels(
+                add if self.g.extra_labels is None
+                else self.g.extra_labels.unionByName(add))
+        if np.dyn_labels:
+            extras = aug.select(F.col(f"{sym}_id").alias("id"),
+                                F.explode(f"{sym}_labels").alias("label"))
+            if np.labels:
+                extras = extras.filter(~F.col("label").isin(list(np.labels)))
+            self.g.set_extra_labels(
+                extras if self.g.extra_labels is None
+                else self.g.extra_labels.unionByName(extras))
         existing = self.g.nodes.get(label)
         self.g.set_node_version(
             label, diff if existing is None else _union_missing(existing, diff))
@@ -105,12 +166,15 @@ class WriteMixin:
         self.symbols[sym] = "node"
 
     def _create_edge(self, from_sym: str, rel: A.RelPattern, to_sym: str) -> None:
-        """CreateExpand (operator.hpp:494): append (src, dst, props) rows."""
-        if len(rel.types) != 1:
+        """CreateExpand (operator.hpp:494): append (src, dst, props) rows.
+        A dynamic type expression (`CREATE ()-[:n.prop]->()`) scatters the
+        rows across the per-type tables by its per-row value."""
+        if len(rel.types) + len(rel.dyn_types) != 1:
             raise CompileError("CREATE relationship needs exactly one type")
         if rel.direction == "both":
             raise CompileError("CREATE relationship needs a direction")
-        etype = rel.types[0]
+        dyn = rel.dyn_types[0] if rel.dyn_types else None
+        etype = rel.types[0] if rel.types else None
         src, dst = ((from_sym, to_sym) if rel.direction == "out"
                     else (to_sym, from_sym))
         rsym = rel.var or self._anon_sym("r")
@@ -122,22 +186,32 @@ class WriteMixin:
         for k, ve in rel.props.items():
             aug = aug.withColumn(f"{rsym}_{A.prop_col(k)}",
                                  compile_expr(ve, env))
-        aug = (aug.withColumn(
+        tcol = (F.lit(etype) if dyn is None
+                else compile_expr(self._lift(dyn), env).cast("string"))
+        aug = (aug.withColumn(f"{rsym}_type", tcol)
+               .withColumn(
                    f"{rsym}_eid",
-                   F.xxhash64(F.lit(etype), F.lit(self.g.next_epoch()),
+                   F.xxhash64(F.col(f"{rsym}_type"),
+                              F.lit(self.g.next_epoch()),
                               F.monotonically_increasing_id()))
-               .withColumn(f"{rsym}_type", F.lit(etype))
                .localCheckpoint(eager=True))
         cols = {f"{rsym}_src": "src", f"{rsym}_dst": "dst",
                 f"{rsym}_eid": "eid"}
         cols.update({c: c[len(rsym) + 1:] for c in aug.columns
                      if c.startswith(f"{rsym}_")
                      and c not in cols and c != f"{rsym}_type"})
-        diff = aug.select(*[F.col(c).alias(n) for c, n in cols.items()])
-        existing = self.g.edges.get(etype)
-        self.g.set_edge_version(
-            etype, diff if existing is None else _union_missing(existing, diff))
-        self.counters["relationships_created"] += diff.count()
+        etypes = ([etype] if dyn is None else
+                  [r[0] for r in aug.select(f"{rsym}_type").distinct()
+                   .collect() if r[0] is not None])
+        for et in etypes:
+            sub = aug if dyn is None else aug.filter(
+                F.col(f"{rsym}_type") == et)
+            diff = sub.select(*[F.col(c).alias(n) for c, n in cols.items()])
+            existing = self.g.edges.get(et)
+            self.g.set_edge_version(
+                et, diff if existing is None
+                else _union_missing(existing, diff))
+            self.counters["relationships_created"] += diff.count()
         self.df = aug
         self.symbols[rsym] = "rel"
 
@@ -167,51 +241,108 @@ class WriteMixin:
                 raise CompileError("unsupported SET target")
 
     def _set_labels(self, item: A.SetItem) -> None:
-        """SetLabels (operator.hpp:1590) -> rows in the extra_labels table."""
+        """SetLabels (operator.hpp:1590) -> rows in the extra_labels table.
+        Dynamic labels (`SET n:other.prop`) evaluate per row."""
         sym = item.subject.name
         ids = self.df.select(F.col(f"{sym}_id").alias("id")).dropDuplicates()
         for lbl in item.labels:
             register_label(lbl)
             add = (ids.withColumn("label", F.lit(lbl))
                    .localCheckpoint(eager=True))
-            self.g.extra_labels = (add if self.g.extra_labels is None
-                                   else self.g.extra_labels.unionByName(add)
-                                   .dropDuplicates())
+            self.g.set_extra_labels(
+                add if self.g.extra_labels is None
+                else self.g.extra_labels.unionByName(add).dropDuplicates())
             self.counters["labels_added"] += add.count()
-        self.df = self.df.withColumn(
-            f"{sym}_labels",
-            F.array_union(f"{sym}_labels",
-                          F.array(*[F.lit(x) for x in item.labels])))
+        for dx in item.dyn_labels:
+            c = compile_expr(self._lift(dx), self._env()).cast("string")
+            add = (self.df.select(F.col(f"{sym}_id").alias("id"),
+                                  c.alias("label"))
+                   .filter(F.col("label").isNotNull())
+                   .dropDuplicates().localCheckpoint(eager=True))
+            self.g.set_extra_labels(
+                add if self.g.extra_labels is None
+                else self.g.extra_labels.unionByName(add).dropDuplicates())
+            self.counters["labels_added"] += add.count()
+            self.df = self.df.withColumn(
+                f"{sym}_labels",
+                F.when(c.isNotNull(), F.array_union(
+                    F.col(f"{sym}_labels"), F.array(c)))
+                .otherwise(F.col(f"{sym}_labels")))
+        if item.labels:
+            self.df = self.df.withColumn(
+                f"{sym}_labels",
+                F.array_union(f"{sym}_labels",
+                              F.array(*[F.lit(x) for x in item.labels])))
+
+    @staticmethod
+    def _additive_delta(prop: A.Property, value: A.Expr):
+        """Detect `SET s.p = s.p + delta` / `- delta` / `delta + s.p`.
+
+        The reference evaluates SET per pulled row with immediate
+        visibility (operator.cpp:4602 Accumulate path), so a node matched k
+        times accumulates k increments. Batch-side that is exactly a
+        per-id SUM of the deltas — distributed, no sequential loop."""
+        def is_self(e):
+            return (isinstance(e, A.Property)
+                    and isinstance(e.subject, A.Var)
+                    and e.subject.name == prop.subject.name
+                    and e.key == prop.key)
+        if isinstance(value, A.BinaryOp) and value.op in ("+", "-"):
+            if is_self(value.left):
+                return value.right, (1 if value.op == "+" else -1)
+            if value.op == "+" and is_self(value.right):
+                return value.left, 1
+        return None, 0
 
     def _set_property(self, prop: A.Property, value: A.Expr) -> None:
         """SetProperty (operator.hpp:1448): join matched (id, value) pairs
         into every label table holding those ids."""
+        self._all_props_cache = None
         if not isinstance(prop.subject, A.Var):
             raise CompileError("SET target must be a bound symbol")
         sym = prop.subject.name
         kind = self.symbols.get(sym)
         skey = A.prop_col(prop.key)
-        val = compile_expr(self._lift(value), self._env())
-        if kind == "node":
-            updates = (self.df.select(F.col(f"{sym}_id").alias("id"),
-                                      val.alias("__v"))
-                       .dropDuplicates(["id"])
-                       .withColumn("__hit", F.lit(True))
-                       .localCheckpoint(eager=True))
-            self._apply_node_update(updates, skey)
-        elif kind == "rel":
-            updates = (self.df.select(F.col(f"{sym}_eid").alias("eid"),
-                                      val.alias("__v"))
-                       .dropDuplicates(["eid"])
-                       .withColumn("__hit", F.lit(True))
-                       .localCheckpoint(eager=True))
-            self._apply_edge_update(updates, skey)
-        else:
+        lifted = self._lift(value)
+        delta_ast, sign = self._additive_delta(prop, lifted)
+        env = self._env()
+        key_col = f"{sym}_id" if kind == "node" else f"{sym}_eid"
+        key_name = "id" if kind == "node" else "eid"
+        if kind not in ("node", "rel"):
             raise CompileError(f"cannot SET a property on a {kind}")
-        self.df = self.df.withColumn(f"{sym}_{skey}", val)
+        if delta_ast is not None:
+            d = compile_expr(delta_ast, env) * sign
+            updates = (self.df.select(F.col(key_col).alias(key_name),
+                                      d.alias("__v"))
+                       .groupBy(key_name).agg(F.sum("__v").alias("__v"))
+                       .withColumn("__hit", F.lit(True))
+                       .localCheckpoint(eager=True))
+            # frame columns see the accumulated final value too
+            upd = updates.select(F.col(key_name).alias("__uk"),
+                                 F.col("__v").alias("__uv"))
+            old = F.col(f"{sym}_{skey}")
+            self.df = (self.df.join(
+                upd, self.df[key_col] == upd["__uk"], "left")
+                .withColumn(f"{sym}_{skey}",
+                            F.when(F.col("__uv").isNotNull(),
+                                   old + F.col("__uv")).otherwise(old))
+                .drop("__uk", "__uv"))
+        else:
+            val = compile_expr(lifted, env)
+            updates = (self.df.select(F.col(key_col).alias(key_name),
+                                      val.alias("__v"))
+                       .dropDuplicates([key_name])
+                       .withColumn("__hit", F.lit(True))
+                       .localCheckpoint(eager=True))
+            self.df = self.df.withColumn(f"{sym}_{skey}", val)
+        if kind == "node":
+            self._apply_node_update(updates, skey, additive=delta_ast is not None)
+        else:
+            self._apply_edge_update(updates, skey, additive=delta_ast is not None)
         self.counters["properties_set"] += updates.count()
 
-    def _apply_node_update(self, updates: DataFrame, key: str) -> None:
+    def _apply_node_update(self, updates: DataFrame, key: str,
+                           additive: bool = False) -> None:
         # only touch label tables whose id range intersects the update set
         codes = {r[0] for r in updates.select(
             (F.col("id") / (1 << KEY_BITS)).cast("long")).distinct().collect()}
@@ -220,23 +351,37 @@ class WriteMixin:
                 continue
             t = self.g.node(label)
             old = F.col(key) if key in t.columns else F.lit(None)
+            new = (old + F.col("__v")) if additive else F.col("__v")
             self.g.set_node_version(label, (
                 t.join(updates, on="id", how="left")
-                .withColumn(key, F.when(F.col("__hit"), F.col("__v"))
+                .withColumn(key, F.when(F.col("__hit"), new)
                             .otherwise(old))
                 .drop("__v", "__hit")))
 
-    def _apply_edge_update(self, updates: DataFrame, key: str) -> None:
+    def _apply_edge_update(self, updates: DataFrame, key: str,
+                           additive: bool = False) -> None:
         for etype, t in list(self.g.edges.items()):
             old = F.col(key) if key in t.columns else F.lit(None)
+            new = (old + F.col("__v")) if additive else F.col("__v")
             self.g.set_edge_version(etype, (
                 t.join(updates, on="eid", how="left")
-                .withColumn(key, F.when(F.col("__hit"), F.col("__v"))
+                .withColumn(key, F.when(F.col("__hit"), new)
                             .otherwise(old))
                 .drop("__v", "__hit")))
 
     def _set_properties(self, sym: str, value: A.Expr, replace: bool) -> None:
-        """SetProperties = / += (operator.hpp:1539) from a map literal."""
+        """SetProperties = / += (operator.hpp:1539) from a map literal or
+        another bound node/rel (`SET b = a` copies a's properties)."""
+        if (isinstance(value, A.Var)
+                and self.symbols.get(value.name) in ("node", "rel")):
+            src = value.name
+            meta = {f"{src}_id", f"{src}_labels", f"{src}_eid",
+                    f"{src}_type", f"{src}_src", f"{src}_dst"}
+            keys = [c[len(src) + 1:] for c in self.df.columns
+                    if c.startswith(f"{src}_") and c not in meta]
+            value = A.MapLiteral({
+                A.prop_name(k): A.Property(A.Var(src), A.prop_name(k))
+                for k in keys})
         if not isinstance(value, A.MapLiteral):
             raise CompileError("SET n = / += needs a map literal")
         if replace:
@@ -262,18 +407,53 @@ class WriteMixin:
             if item.key is not None:
                 self._set_property(A.Property(item.subject, item.key),
                                    A.Literal(None))
-            elif item.labels:
+            elif item.labels or item.dyn_labels:
                 sym = item.subject.name
-                ids = self.df.select(F.col(f"{sym}_id").alias("id"))
+                env = self._env()
+                # (id, label) victim pairs: static labels cross all matched
+                # ids; dynamic labels evaluate per row
+                pairs = None
+                if item.labels:
+                    pairs = self.df.select(
+                        F.col(f"{sym}_id").alias("id")).crossJoin(
+                        self.g.spark.createDataFrame(
+                            [(x,) for x in item.labels], "label string"))
+                for dx in item.dyn_labels:
+                    c = compile_expr(self._lift(dx), env).cast("string")
+                    p = (self.df.select(F.col(f"{sym}_id").alias("id"),
+                                        c.alias("label"))
+                         .filter(F.col("label").isNotNull()))
+                    pairs = p if pairs is None else pairs.unionByName(p)
+                pairs = pairs.dropDuplicates().localCheckpoint(eager=True)
                 if self.g.extra_labels is not None:
-                    self.g.extra_labels = self.g.extra_labels.join(
-                        ids.crossJoin(self.g.spark.createDataFrame(
-                            [(x,) for x in item.labels], "label string")),
-                        on=["id", "label"], how="left_anti")
+                    self.g.set_extra_labels(self.g.extra_labels.join(
+                        pairs, on=["id", "label"], how="left_anti"))
+                # static per-label table membership: move evicted rows into
+                # the unlabeled table (the reference's remove-label just
+                # shrinks the vertex's label set)
+                hit_labels = [r[0] for r in
+                              pairs.select("label").distinct().collect()]
+                for lbl in hit_labels:
+                    t = self.g.nodes.get(lbl)
+                    if t is None or not lbl:
+                        continue
+                    victims = pairs.filter(F.col("label") == lbl).select("id")
+                    moved = t.join(victims, on="id", how="left_semi")
+                    if moved.isEmpty():
+                        continue
+                    self.g.set_node_version(
+                        lbl, t.join(victims, on="id", how="left_anti"))
+                    base = self.g.nodes.get("")
+                    self.g.nodes[""] = (moved if base is None
+                                        else _union_missing(base, moved))
+                rm = F.array(*[F.lit(x) for x in item.labels]) if item.labels \
+                    else F.array().cast("array<string>")
+                for dx in item.dyn_labels:
+                    c = compile_expr(self._lift(dx), env).cast("string")
+                    rm = F.when(c.isNotNull(), F.array_append(rm, c)) \
+                        .otherwise(rm)
                 self.df = self.df.withColumn(
-                    f"{sym}_labels",
-                    F.array_except(f"{sym}_labels",
-                                   F.array(*[F.lit(x) for x in item.labels])))
+                    f"{sym}_labels", F.array_except(f"{sym}_labels", rm))
 
     # -- DELETE --------------------------------------------------------------
     def _delete(self, cl: A.Delete) -> None:
@@ -281,9 +461,71 @@ class WriteMixin:
         Plain DELETE errors on still-connected vertices; DETACH also removes
         incident edges — the reference's contract."""
         node_ids = None
+
+        def _struct_kind(t) -> str | None:
+            if isinstance(t, T.StructType):
+                if "nodes" in t.names and "rels" in t.names:
+                    return "path"
+                if "eid" in t.names:
+                    return "rel"
+                if "id" in t.names:
+                    return "node"
+            return None
+
+        def _delete_eids(eids) -> None:
+            eids = eids.dropDuplicates().localCheckpoint(eager=True)
+            n = 0
+            for etype, t in list(self.g.edges.items()):
+                kept = t.join(eids, on="eid", how="left_anti")
+                n += t.count() - kept.count()
+                self.g.set_edge_version(etype, kept)
+            self.counters["relationships_deleted"] += n
+
         for e in cl.exprs:
             if not isinstance(e, A.Var):
-                raise CompileError("DELETE expects bound symbols")
+                # DELETE <expr>: node/rel/path values from lists or maps
+                # (DeleteAcceptance TCK — Delete on any TypedValue,
+                # operator.cpp:4764); the compiled type names the kind
+                col = compile_expr(e, self._env())
+                env = self._env()
+                t = env.typeof(col)
+                k = _struct_kind(t)
+                if k is None and isinstance(t, T.ArrayType):
+                    ek = _struct_kind(t.elementType)
+                    if ek == "node":
+                        ids = self.df.select(F.explode(col).alias("x")) \
+                            .select(F.col("x.id").alias("id"))
+                        node_ids = (ids if node_ids is None
+                                    else node_ids.unionByName(ids))
+                        continue
+                    if ek == "rel":
+                        _delete_eids(self.df.select(
+                            F.explode(col).alias("x"))
+                            .select(F.col("x.eid").alias("eid")))
+                        continue
+                if k == "node":
+                    ids = self.df.select(col.getField("id").alias("id")) \
+                        .filter(F.col("id").isNotNull())
+                    node_ids = (ids if node_ids is None
+                                else node_ids.unionByName(ids))
+                    continue
+                if k == "rel":
+                    _delete_eids(self.df.select(
+                        col.getField("eid").alias("eid"))
+                        .filter(F.col("eid").isNotNull()))
+                    continue
+                if k == "path":
+                    _delete_eids(self.df.select(
+                        F.explode(col.getField("rels")).alias("r"))
+                        .select(F.col("r.eid").alias("eid")))
+                    ids = self.df.select(
+                        F.explode(col.getField("nodes")).alias("n")) \
+                        .select(F.col("n.id").alias("id"))
+                    node_ids = (ids if node_ids is None
+                                else node_ids.unionByName(ids))
+                    continue
+                raise CompileError(
+                    "DELETE expects node, relationship or path values")
             sym, kind = e.name, self.symbols.get(e.name)
             if kind == "rel":
                 eids = (self.df.select(F.col(f"{sym}_eid").alias("eid"))
@@ -349,8 +591,8 @@ class WriteMixin:
             deleted += t.count() - kept.count()
             self.g.set_node_version(label, kept)
         if self.g.extra_labels is not None:
-            self.g.extra_labels = self.g.extra_labels.join(
-                node_ids, on="id", how="left_anti")
+            self.g.set_extra_labels(self.g.extra_labels.join(
+                node_ids, on="id", how="left_anti"))
         self.counters["nodes_deleted"] += deleted
 
     # -- MERGE ---------------------------------------------------------------
@@ -359,6 +601,16 @@ class WriteMixin:
         re-expressed as: left-join the pattern -> CREATE the distinct missing
         bindings -> re-join so every row binds."""
         part = cl.pattern
+        # dynamic labels/types are write-only sugar — the reference rejects
+        # them in MERGE (with.feature tests 26-27)
+        for np in [part.start] + [n for _, n in part.chain]:
+            if np.dyn_labels:
+                raise CompileError(
+                    "dynamic node labels are not allowed in MERGE")
+        for r, _ in part.chain:
+            if r.dyn_types:
+                raise CompileError(
+                    "dynamic edge types are not allowed in MERGE")
         if not part.chain:
             self._merge_node(part.start, cl)
         elif (len(part.chain) == 1

@@ -823,3 +823,7 @@ register("node_similarity.jaccard", _node_similarity)
 register("text_util.tokens", _text_tokens)
 register("text_util.quality", _text_quality)
 register("text_util.language", _text_langid)
+
+# utility-module batch 2 (path/merge/nodes/search/connectivity/
+# distance_calculator/csv_utils/date/graph_util/schema) registers itself
+from memgraph_spark import modules_ext  # noqa: E402,F401  (registration side effect)

@@ -47,6 +47,9 @@ class Scenario:
     name: str
     steps: list[Step]
     skip_reason: str | None = None
+    # Scenario Outline Examples table (header row + value rows); expanded
+    # into one concrete scenario per row by parse_feature
+    examples: list[list[str]] | None = None
 
 
 def _split_row(line: str) -> list[str]:
@@ -175,12 +178,41 @@ def parse_feature(path: str) -> list[Scenario]:
                 _, i = table(i + 1)
             else:
                 i += 1
+        elif line.startswith("Examples:"):
+            rows, i = table(i + 1)
+            if cur.examples is None:
+                cur.examples = rows
+            else:  # further Examples block: append value rows only
+                cur.examples.extend(rows[1:])
         elif line.startswith(("Given", "When", "Then", "And", "But")):
             cur.skip_reason = line  # unknown step -> out of scope
             i += 1
         else:
             i += 1
-    return scenarios
+
+    # expand Scenario Outlines: one concrete scenario per Examples row, with
+    # <placeholder> substitution in query text, tables and names
+    def _sub_text(text: str, mapping: dict[str, str]) -> str:
+        for k, v in mapping.items():
+            text = text.replace(f"<{k}>", v)
+        return text
+
+    out: list[Scenario] = []
+    for sc in scenarios:
+        if not sc.examples or len(sc.examples) < 2:
+            out.append(sc)
+            continue
+        header, *rows = sc.examples
+        for ri, row in enumerate(rows):
+            mapping = dict(zip(header, row))
+            steps = [Step(st.kind, _sub_text(st.text, mapping),
+                          [[_sub_text(c, mapping) for c in r]
+                           for r in st.table],
+                          st.ordered, st.list_unordered)
+                     for st in sc.steps]
+            out.append(Scenario(sc.feature, f"{sc.name} [{ri + 1}]",
+                                steps, sc.skip_reason))
+    return out
 
 
 # -- value canonicalization --------------------------------------------------
@@ -250,6 +282,11 @@ def canon_actual(v, list_unordered: bool = False) -> str:
 
         def _disp(k: str) -> str:  # reserved props stored as p__<name>
             return k[3:] if k.startswith("p__") else k
+        if tuple(d) == ("vb", "vi", "vd", "vs"):  # variant property struct
+            for slot in ("vb", "vi", "vd", "vs"):
+                if d[slot] is not None:
+                    return canon_actual(d[slot], lu)
+            return "null"
         if "nodes" in d and "rels" in d:  # path struct: structural walk
             nodes = d.get("nodes") or []
             rels = d.get("rels") or []
