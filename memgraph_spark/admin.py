@@ -26,7 +26,7 @@ def _norm(q: str) -> str:
     return re.sub(r"\s+", " ", q.strip().rstrip(";").strip())
 
 
-def try_admin(graph, query: str) -> DataFrame | None:
+def try_admin(graph, query: str, params: dict | None = None) -> DataFrame | None:
     """Returns a result DataFrame when `query` is an admin statement,
     else None (the caller then compiles it as Cypher)."""
     q = _norm(query)
@@ -61,45 +61,157 @@ def try_admin(graph, query: str) -> DataFrame | None:
         graph.index_registry.append((m.group(2), m.group(3), "text", m.group(1)))
         return spark.createDataFrame([], "status string")
 
-    m = re.match(r"CREATE VECTOR INDEX (\w+) ON :(\w+) ?\((\w+)\)"
-                 r"(?: WITH CONFIG .*)?$", q, re.I)
+    m = re.match(r"CREATE VECTOR (EDGE )?INDEX (\w+) ON "
+                 r"((?::[\w|:&]+)?) ?\((\w+)\)"
+                 r"(?: WITH CONFIG (.*))?$", q, re.I)
     if m:
-        graph.index_registry.append((m.group(2), m.group(3), "vector", m.group(1)))
+        from memgraph_spark import vector_admin
+        vector_admin.create_vector_index(
+            graph, m.group(2), m.group(3) or "", m.group(4), m.group(5),
+            params, on_edges=bool(m.group(1)))
+        return spark.createDataFrame([], "status string")
+
+    if u == "SHOW VECTOR INDEX INFO":
+        from memgraph_spark import vector_admin
+        return vector_admin.show_vector_index_info(graph)
+
+    if u == "FREE MEMORY":
+        # usearch/jemalloc release in the reference; no-op here
         return spark.createDataFrame([], "status string")
 
     m = re.match(r"DROP (TEXT|VECTOR) INDEX (\w+)$", q, re.I)
     if m:
+        if m.group(1).upper() == "VECTOR":
+            from memgraph_spark import vector_admin
+            vector_admin.drop_vector_index(graph, m.group(2))
         graph.index_registry = [
             e for e in graph.index_registry
             if not (len(e) == 4 and e[3] == m.group(2)
                     and e[2] == m.group(1).lower())]
         return spark.createDataFrame([], "status string")
 
-    m = re.match(r"CREATE INDEX ON :(\w+)(?: ?\((\w+)\))?$", q, re.I)
+    # edge-property indexes (EdgeIndexQuery): typed and global
+    m = re.match(r"CREATE EDGE INDEX ON :(\w+) ?\(([^)]*)\)$", q, re.I)
     if m:
-        entry = (m.group(1), m.group(2))
+        entry = (m.group(1), tuple(p.strip() for p in m.group(2).split(",")),
+                 "edge", None)
+        if entry not in graph.index_registry:
+            graph.index_registry.append(entry)
+        return spark.createDataFrame([], "status string")
+    m = re.match(r"CREATE GLOBAL EDGE INDEX ON :?\((\w+)\)$", q, re.I)
+    if m:
+        entry = (None, (m.group(1),), "edge-global", None)
         if entry not in graph.index_registry:
             graph.index_registry.append(entry)
         return spark.createDataFrame([], "status string")
 
-    m = re.match(r"DROP INDEX ON :(\w+)(?: ?\((\w+)\))?$", q, re.I)
+    m = re.match(r"CREATE INDEX ON :(\w+)(?: ?\(([^)]*)\))?"
+                 r"(?: WITH CONFIG (.*))?$", q, re.I)
     if m:
-        entry = (m.group(1), m.group(2))
-        if entry in graph.index_registry:
-            graph.index_registry.remove(entry)
+        label, props_txt, cfg_txt = m.group(1), m.group(2), m.group(3)
+        order = "ASC"
+        if cfg_txt:
+            if not props_txt:
+                raise ValueError(
+                    "CONFIG is only valid on a label+property index")
+            from memgraph_spark.vector_admin import _parse_config
+            cfg = _parse_config(cfg_txt, params)
+            if set(cfg) - {"order"}:
+                raise ValueError(
+                    f"unknown index CONFIG keys {sorted(set(cfg) - {'order'})}")
+            order = str(cfg.get("order", "ASC")).upper()
+            if order not in ("ASC", "DESC"):
+                raise ValueError(f"invalid index order {order}")
+        if props_txt:
+            props = tuple(p.strip() for p in props_txt.split(","))
+            if len(set(props)) != len(props):
+                raise ValueError("composite index has duplicate keys")
+            for x in props:     # nested-path prefix conflicts are rejected
+                for y in props:
+                    if x != y and y.startswith(x + "."):
+                        raise ValueError(
+                            f"composite index key {y} nests under {x}")
+            entry = ((label, props) if order == "ASC"
+                     else (label, props, "order", "DESC"))
+        else:
+            entry = (label, None)
+        if entry not in graph.index_registry:
+            graph.index_registry.append(entry)
+        return spark.createDataFrame([], "status string")
+
+    m = re.match(r"DROP INDEX ON :(\w+)(?: ?\(([^)]*)\))?"
+                 r"(?: WITH CONFIG (.*))?$", q, re.I)
+    if m:
+        label, props_txt, cfg_txt = m.group(1), m.group(2), m.group(3)
+        order = None
+        if cfg_txt:
+            if not props_txt:
+                raise ValueError(
+                    "CONFIG is only valid on a label+property index")
+            from memgraph_spark.vector_admin import _parse_config
+            cfg = _parse_config(cfg_txt, params)
+            if set(cfg) - {"order"}:
+                raise ValueError(
+                    f"unknown index CONFIG keys {sorted(set(cfg) - {'order'})}")
+            order = str(cfg.get("order", "ASC")).upper()
+            if order not in ("ASC", "DESC"):
+                raise ValueError(f"invalid index order {order}")
+        if props_txt:
+            props = tuple(p.strip() for p in props_txt.split(","))
+            victims = [(label, props), (label, props, "order", "DESC")]
+            if order == "ASC":
+                victims = [(label, props)]
+            elif order == "DESC":
+                victims = [(label, props, "order", "DESC")]
+        else:
+            victims = [(label, None)]
+        for v in victims:
+            if v in graph.index_registry:
+                graph.index_registry.remove(v)
         return spark.createDataFrame([], "status string")
 
     if u == "SHOW INDEX INFO":
+        def vs(sv):   # string slot of the variant property column
+            return (None, None, None, sv, None)
+
+        def va(lst):  # list slot
+            return (None, None, None, None, list(lst))
         rows = []
         for entry in graph.index_registry:
             label, prop = entry[0], entry[1]
-            kind = entry[2] if len(entry) == 4 else (
-                "label" if prop is None else "label+property")
-            n = graph.label_count(label) if label in graph.nodes else 0
-            rows.append((kind, label, prop, n))
+            tag = entry[2] if len(entry) >= 3 else None
+            n = (graph.label_count(label)
+                 if label in graph.nodes else 0)
+            if tag == "text":
+                rows.append((f"label_text (name: {entry[3]})", label,
+                             va([prop] if prop else []), n))
+            elif tag == "vector":
+                rows.append(("label+property_vector", label, vs(prop), n))
+            elif tag == "edge":
+                e = graph.edges.get(label)
+                rows.append(("edge-type+property", label, vs(prop[0]),
+                             e.count() if e is not None else 0))
+            elif tag == "edge-global":
+                total = sum(t.filter(F.col(prop[0]).isNotNull()).count()
+                            for t in graph.edges.values()
+                            if prop[0] in t.columns)
+                rows.append(("edge-property", None, vs(prop[0]), total))
+            elif tag == "order":
+                rows.append(("label+property (DESC)", label, va(prop), n))
+            elif prop is None:
+                rows.append(("label", label, None, n))
+            else:
+                props = prop if isinstance(prop, tuple) else (prop,)
+                rows.append(("label+property", label, va(props), n))
+        from memgraph_spark import vector_admin
+        for kind, lbl, p, cnt in vector_admin.show_index_rows(graph):
+            rows.append((kind, lbl, vs(p), cnt))
         return spark.createDataFrame(
-            rows or [], "index_type string, label string, property string, "
-                        "count long")
+            rows or [],
+            "index_type string, label string, "
+            "property struct<vb: boolean, vi: bigint, vd: double, "
+            "vs: string, va: array<string>>, count long") \
+            .withColumnRenamed("index_type", "index type")
 
     m = re.match(r"CREATE CONSTRAINT ON \(\w+:(\w+)\) ASSERT "
                  r"(?:EXISTS ?\(\w+\.(\w+)\)|\w+\.(\w+) IS UNIQUE)$", q, re.I)
@@ -313,26 +425,90 @@ def try_admin(graph, query: str) -> DataFrame | None:
         return spark.createDataFrame(
             rows or [], "trigger_name string, event_type string, fired long")
 
+    if u == "ANALYZE GRAPH DELETE STATISTICS":
+        analyzed = getattr(graph, "_analyzed_stats", set())
+        live = {(e[0], e[1]) for e in graph.index_registry
+                if len(e) == 2 and e[1] is not None}
+        rows = [(lbl, list(props)) for (lbl, props) in analyzed
+                if (lbl, props) in live]
+        graph._analyzed_stats = set()
+        return spark.createDataFrame(
+            rows or [], "label string, property array<string>")
+
     m = re.match(r"ANALYZE GRAPH(?: ON LABELS ((?::\w+(?:, ?)?)+))?$", q, re.I)
     if m:
         labels = ([s.strip().lstrip(":") for s in m.group(1).split(",")]
-                  if m.group(1) else list(graph.nodes))
-        rows = []
-        for lbl in labels:
-            if lbl not in graph.nodes:
-                continue
-            df = graph.nodes[lbl]
+                  if m.group(1) else None)
+
+        def _label_degree(lbl: str) -> float:
+            from memgraph_spark.catalog import KEY_BITS, LABEL_CODES
+            code = LABEL_CODES.get(lbl)
             n = graph.label_count(lbl)
-            for prop in [c for c in df.columns if c != "id"]:
-                stats = df.agg(
-                    F.count(prop).alias("nn"),
-                    F.approx_count_distinct(prop).alias("nd")).first()
-                avg_group = (stats.nn / stats.nd) if stats.nd else 0.0
-                rows.append((lbl, prop, n, int(stats.nd),
-                             round(float(avg_group), 2)))
+            if code is None or not n:
+                return 0.0
+            lo, hi = code << KEY_BITS, ((code + 1) << KEY_BITS) - 1
+            deg = 0
+            for t in graph.edges.values():
+                deg += t.filter(F.col("src").between(lo, hi)).count()
+                deg += t.filter(F.col("dst").between(lo, hi)).count()
+            return deg / n
+
+        def _prefix_stats(lbl: str, props: tuple) -> tuple:
+            """(label, [props], n, groups, avg group, chi-squared, avg deg)
+            — label_property_index_stats.hpp:21 fields."""
+            if lbl not in graph.nodes:
+                return (lbl, list(props), 0, 0, 0.0, 0.0, 0.0)
+            df = graph.nodes[lbl]
+            cols = [p for p in props if p in df.columns]
+            if len(cols) != len(props):
+                return (lbl, list(props), 0, 0, 0.0, 0.0, 0.0)
+            nn = df
+            for p in cols:
+                nn = nn.filter(F.col(p).isNotNull())
+            counts = [r[0] for r in nn.groupBy(*cols).count()
+                      .select("count").collect()]
+            n = sum(counts)
+            groups = len(counts)
+            avg = (n / groups) if groups else 0.0
+            exp = avg
+            chi = (sum((c - exp) ** 2 / exp for c in counts)
+                   if exp else 0.0)
+            return (lbl, list(props), n, groups, round(float(avg), 2),
+                    round(float(chi), 6), round(_label_degree(lbl), 2))
+
+        rows = []
+        if not hasattr(graph, "_analyzed_stats"):
+            graph._analyzed_stats = set()
+        indexed = [(e[0], e[1] if isinstance(e[1], tuple) else (e[1],))
+                   for e in graph.index_registry
+                   if len(e) == 2 and e[1] is not None
+                   and (labels is None or e[0] in labels)]
+        if indexed:
+            # stats per composite prefix (the reference stores one stats
+            # entry for every index prefix — indices.feature)
+            for lbl, props in indexed:
+                graph._analyzed_stats.add((lbl, props))
+                for plen in range(1, len(props) + 1):
+                    rows.append(_prefix_stats(lbl, props[:plen]))
+        else:
+            # no declared indexes: analyze every property of the requested
+            # labels (our extension — useful stats without DDL)
+            for lbl in (labels or list(graph.nodes)):
+                if lbl not in graph.nodes:
+                    continue
+                df = graph.nodes[lbl]
+                for prop in [c for c in df.columns if c != "id"]:
+                    rows.append(_prefix_stats(lbl, (prop,)))
         return spark.createDataFrame(
             rows or [],
-            "label string, property string, num_estimation_nodes long, "
-            "num_groups long, avg_group_size double")
+            "label string, property array<string>, "
+            "num_estimation_nodes long, num_groups long, "
+            "avg_group_size double, chi_squared double, avg_degree double") \
+            .withColumnsRenamed({
+                "num_estimation_nodes": "num estimation nodes",
+                "num_groups": "num groups",
+                "avg_group_size": "avg group size",
+                "chi_squared": "chi-squared value",
+                "avg_degree": "avg degree"})
 
     return None

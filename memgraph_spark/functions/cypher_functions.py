@@ -257,6 +257,10 @@ FUNCTIONS: dict[str, object] = {
     # date_module magic function date.add (query_modules/date.py:122)
     "date.add": lambda t, u, av, au: (
         (t * _unit_us(u) + av * _unit_us(au)) / _unit_us(u)).cast("long"),
+    # vector_search.cosine_similarity magic function
+    # (query_modules/vector_search_module.cpp) — zip_with dot product over
+    # array columns, JVM-side
+    "vector_search.cosine_similarity": lambda a, b: _cosine_sim(a, b),
     # convert module (query_modules/convert.cpp): JSON <-> values via the
     # Spark 4 VariantType (schema-less parse, exactly the reference's shape)
     "convert.str2object": F.parse_json,
@@ -282,6 +286,21 @@ FUNCTIONS: dict[str, object] = {
     "__quant_none": lambda c: ~F.exists(c, lambda x: x),
     "__quant_single": lambda c: F.size(F.filter(c, lambda x: x)) == 1,
 }
+
+def _cosine_sim(a: Column, b: Column) -> Column:
+    """vector_search.cosine_similarity (vector_search_module.cpp): dot
+    product over zip_with; dimension mismatch raises at runtime."""
+    def norm2(v: Column) -> Column:
+        return F.aggregate(v, F.lit(0.0),
+                           lambda acc, x: acc + x.cast("double")
+                           * x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    ok = F.assert_true(F.size(a) == F.size(b),
+                       "Vectors must have the same dimension")
+    return F.when(ok.isNull(), dot / (F.sqrt(norm2(a)) * F.sqrt(norm2(b))))
+
 
 def _unit_us(u: Column) -> Column:
     """Time unit name -> microseconds (query_modules/date.py to_timedelta)."""

@@ -12,19 +12,21 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-VARIANT_FIELDS = ("vb", "vi", "vd", "vs")
+VARIANT_FIELDS = ("vb", "vi", "vd", "vs", "va")
 
 
 def is_variant_type(t) -> bool:
     return isinstance(t, T.StructType) and tuple(t.names) == VARIANT_FIELDS
 
 
-def _slots(b=None, i=None, d=None, s=None) -> Column:
+def _slots(b=None, i=None, d=None, s=None, a=None) -> Column:
     return F.struct(
         (b if b is not None else F.lit(None).cast("boolean")).alias("vb"),
         (i if i is not None else F.lit(None).cast("long")).alias("vi"),
         (d if d is not None else F.lit(None).cast("double")).alias("vd"),
         (s if s is not None else F.lit(None).cast("string")).alias("vs"),
+        (a if a is not None
+         else F.lit(None).cast("array<string>")).alias("va"),
     )
 
 
@@ -41,6 +43,9 @@ def to_variant(col: Column, t) -> Column:
         v = _slots(d=col.cast("double"))
     elif isinstance(t, T.StringType):
         v = _slots(s=col)
+    elif isinstance(t, T.ArrayType) and isinstance(t.elementType,
+                                                   T.StringType):
+        v = _slots(a=col)
     else:
         # lists/maps/temporals in conflict with scalars: JSON-encode into the
         # string slot (observable, still groupable; ordering diverges)

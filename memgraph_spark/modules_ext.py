@@ -615,14 +615,25 @@ def _schema_assert(g, indices=None, unique_constraints=None,
     reg = g.index_registry
     want = {(lbl, p) for lbl, props in dict(indices or {}).items()
             for p in (props or [None])}
-    have = {e for e in reg if len(e) == 2}   # label/property entries only
+    # normalize label/property entries (single props may be stored as
+    # 1-tuples by the composite-index DDL) to (label, prop-or-None)
+    have = {}
+    for e in reg:
+        if len(e) != 2:
+            continue
+        p = e[1]
+        if isinstance(p, tuple):
+            if len(p) != 1:
+                continue  # composite indexes are not schema.assert-managed
+            p = p[0]
+        have[(e[0], p)] = e
     rows = []
-    for lbl, p in sorted(want - have, key=str):
+    for lbl, p in sorted(want - set(have), key=str):
         reg.append((lbl, p))
         rows.append(("Created", p or "", [p] if p else [], lbl, False))
     if drop_existing:
-        for lbl, p in sorted(have - want, key=str):
-            reg.remove((lbl, p))
+        for lbl, p in sorted(set(have) - want, key=str):
+            reg.remove(have[(lbl, p)])
             rows.append(("Dropped", p or "", [p] if p else [], lbl, False))
     return g.spark.createDataFrame(
         rows or [], "action string, key string, keys array<string>, "

@@ -45,6 +45,23 @@ class CompileError(Exception):
     pass
 
 
+def _fold_static(e: A.Expr, env: Env):
+    """Constant-fold literals/params/+-concatenations at compile time
+    (the reference's StrippedQuery turns literals into params anyway)."""
+    if isinstance(e, A.Literal):
+        return e.value
+    if isinstance(e, A.Param):
+        return env.params.get(e.name)
+    if isinstance(e, A.BinaryOp) and e.op == "+":
+        l, r = _fold_static(e.left, env), _fold_static(e.right, env)
+        if isinstance(l, str) and isinstance(r, str):
+            return l + r
+        if isinstance(l, (int, float)) and isinstance(r, (int, float)) \
+                and not isinstance(l, bool) and not isinstance(r, bool):
+            return l + r
+    return None
+
+
 def compile_expr(e: A.Expr, env: Env) -> Column:
     if isinstance(e, A.Literal):
         return F.lit(e.value)
@@ -95,27 +112,43 @@ def compile_expr(e: A.Expr, env: Env) -> Column:
     if isinstance(e, A.CaseExpr):
         return _compile_case(e, env)
     if isinstance(e, A.Subscript):
-        # dynamic property lookup n['prop'] on a bound node/rel symbol
-        # (FunctionsAcceptance TCK): literal keys hit the property column
+        # dynamic property lookup n[<expr>] on a bound node/rel symbol
+        # (FunctionsAcceptance/ExpressionAcceptance TCK): statically-foldable
+        # keys (literals, params, concatenations) hit the property column
+        skey = _fold_static(e.index, env)
         if (isinstance(e.subject, A.Var)
                 and env.symbols.get(e.subject.name) in ("node", "rel")
-                and isinstance(e.index, A.Literal)
-                and isinstance(e.index.value, str)):
-            return _compile_property(
-                A.Property(e.subject, e.index.value), env)
+                and isinstance(skey, str)):
+            return _compile_property(A.Property(e.subject, skey), env)
         subj = compile_expr(e.subject, env)
         idx = compile_expr(e.index, env)
         t = env.typeof(subj)
         if isinstance(t, T.ArrayType):
+            if isinstance(skey, float) or isinstance(
+                    env.typeof(idx), (T.DoubleType, T.FloatType,
+                                      T.DecimalType)):
+                raise CompileError(
+                    "list indices must be integers, not float")
             # Cypher list[i] is 0-based; negative wraps from the end
             i = idx.cast("int")
             return F.get(subj, F.when(i < 0, F.size(subj) + i).otherwise(i))
         if isinstance(t, T.StructType):
-            # struct-backed map (literal/param maps): dynamic key lookup
-            if isinstance(e.index, A.Literal) and isinstance(e.index.value,
-                                                            str):
-                return (subj.getField(e.index.value)
-                        if e.index.value in t.names else F.lit(None))
+            # struct-backed map (literal/param maps)
+            if isinstance(skey, str):
+                return (subj.getField(skey)
+                        if skey in t.names else F.lit(None))
+            # dynamic key over a struct map: lift to a real MAP when the
+            # value types agree, else null-on-miss per field
+            vt = {f.dataType.simpleString() for f in t.fields}
+            if len(vt) == 1:
+                m = F.map_from_arrays(
+                    F.array(*[F.lit(n) for n in t.names]),
+                    F.array(*[subj.getField(n) for n in t.names]))
+                return F.try_element_at(m, idx)
+            out = F.lit(None)
+            for n in t.names:
+                out = F.when(idx == n, subj.getField(n)).otherwise(out)
+            return out
         return F.try_element_at(subj, idx)  # map key
     if isinstance(e, A.Slice):
         subj = compile_expr(e.subject, env)
@@ -676,8 +709,34 @@ def _compile_func(e: A.FuncCall, env: Env) -> Column:
         elif isinstance(t, (T.DateType, T.TimestampType, T.TimestampNTZType,
                             T.DayTimeIntervalType)):
             payload = F.lit(9)  # temporal: 1 subtype byte + 8-byte micros
+        elif isinstance(t, T.ArrayType):
+            # numeric lists: f64 in the property store (4 header + 8/elem);
+            # under k covering vector indexes the storage is k f32 copies
+            # (3 header + 4*dim each side) — vector_search.feature sizes
+            k = F.lit(0)
+            labels_col = (F.col(f"{sub.name}_labels")
+                          if f"{sub.name}_labels" in env.columns()
+                          else F.array().cast("array<string>"))
+            for idx in getattr(env.graph, "vector_indexes", {}).values():
+                if idx["property"] != key.value or idx["on_edges"]:
+                    continue
+                if idx["combi"] == "wildcard":
+                    cov = F.lit(True)
+                elif idx["combi"] in ("single", "and"):
+                    cov = F.lit(True)
+                    for lb in idx["labels"]:
+                        cov = cov & F.array_contains(labels_col, lb)
+                else:  # or
+                    cov = F.lit(False)
+                    for lb in idx["labels"]:
+                        cov = cov | F.array_contains(labels_col, lb)
+                k = k + F.when(cov, 1).otherwise(0)
+            sz = F.size(c)
+            return F.when(c.isNull(), F.lit(0)).otherwise(
+                F.when(k > 0, 3 + 4 * sz * k)
+                .otherwise(4 + 8 * sz)).cast("long")
         else:
-            payload = F.lit(8)  # lists/maps/points: conservative floor
+            payload = F.lit(8)  # maps/points: conservative floor
         return F.when(c.isNull(), F.lit(0)) \
                 .otherwise(payload + 2).cast("long")
     # path_module magic functions (src/mage/cpp/path_module/path_module.cpp:

@@ -298,6 +298,9 @@ class Parser:
             self.eat_op(")")
         yields: list[tuple[str, str | None]] = []
         if self.try_kw("YIELD"):
+            if self.at_op("*"):
+                self.next()  # YIELD *: every result column joins the frame
+                return A.CallProc(".".join(parts), args, [])
             while True:
                 col = self.name()
                 alias = self.name() if self.try_kw("AS") else None

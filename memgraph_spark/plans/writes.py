@@ -158,6 +158,9 @@ class WriteMixin:
             self.g.set_extra_labels(
                 extras if self.g.extra_labels is None
                 else self.g.extra_labels.unionByName(extras))
+        if getattr(self.g, "vector_indexes", None):
+            from memgraph_spark.vector_admin import validate_dimensions
+            validate_dimensions(self.g, label, diff)
         existing = self.g.nodes.get(label)
         self.g.set_node_version(
             label, diff if existing is None else _union_missing(existing, diff))

@@ -679,6 +679,10 @@ def _vector_search(g, index_name: str, result_set_size: int, query_vector):
     (query_modules/vector_search_module.cpp — usearch HNSW replaced by the
     exact top-k scan; llm.similarity.ivf_topk/lsh_bucket_topk are the
     approximate scale paths)."""
+    if index_name in getattr(g, "vector_indexes", {}):
+        from memgraph_spark import vector_admin
+        return vector_admin.search(g, index_name, int(result_set_size),
+                                   query_vector)
     from memgraph_spark.llm.similarity import cosine_topk
     emb = g.tables["embeddings"]
     r = cosine_topk(emb, [float(v) for v in query_vector],
@@ -686,6 +690,22 @@ def _vector_search(g, index_name: str, result_set_size: int, query_vector):
     return r.select(F.col("vec_id").alias("node"),
                     (1.0 - F.col("sim")).alias("distance"),
                     F.col("sim").alias("similarity"))
+
+
+def _vector_search_edges(g, index_name: str, result_set_size: int,
+                         query_vector):
+    """vector_search.search_edges(index, k, qv) YIELD edge, distance,
+    similarity (vector_search_module.cpp)."""
+    from memgraph_spark import vector_admin
+    return vector_admin.search_edges(g, index_name, int(result_set_size),
+                                     query_vector)
+
+
+def _vector_show_index_info(g):
+    """vector_search.show_index_info() YIELD capacity, dimension, …
+    (vector_search_module.cpp)."""
+    from memgraph_spark import vector_admin
+    return vector_admin.show_vector_index_info(g)
 
 
 def _algo_astar(g, source, target, config=None):
@@ -787,6 +807,8 @@ register("algo.astar", _algo_astar)
 register("algo.cover", _algo_cover)
 register("algo.all_simple_paths", _simple_paths)
 register("vector_search.search", _vector_search)
+register("vector_search.show_index_info", _vector_show_index_info)
+register("vector_search.search_edges", _vector_search_edges)
 register("import_util.json", _import_json)
 register("text_search.search", _text_search)
 register("text_search.search_all", _text_search_indexed)

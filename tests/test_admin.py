@@ -17,9 +17,9 @@ def test_index_ddl_and_show(gs):
     gs.execute("CREATE INDEX ON :Region")
     gs.execute("CREATE INDEX ON :Part(size)")
     rows = gs.execute("SHOW INDEX INFO").collect()
-    info = {(r.index_type, r.label, r.property): r["count"] for r in rows}
-    assert info[("label", "Region", None)] == 5
-    assert ("label+property", "Part", "size") in info
+    info = {(r["index type"], r.label): r for r in rows}
+    assert info[("label", "Region")]["count"] == 5
+    assert info[("label+property", "Part")].property.va == ["size"]
     gs.execute("DROP INDEX ON :Region")
     rows = gs.execute("SHOW INDEX INFO").collect()
     assert all(r.label != "Region" for r in rows)
@@ -50,10 +50,10 @@ def test_storage_and_schema_info(gs):
 
 def test_analyze_graph(gs):
     rows = gs.execute("ANALYZE GRAPH ON LABELS :Region, :Nation").collect()
-    by = {(r.label, r.property): r for r in rows}
-    r = by[("Region", "name")]
-    assert r.num_estimation_nodes == 5 and r.num_groups >= 4
-    assert ("Nation", "name") in by
+    by = {(r.label, tuple(r.property)): r for r in rows}
+    r = by[("Region", ("name",))]
+    assert r["num estimation nodes"] == 5 and r["num groups"] >= 4
+    assert ("Nation", ("name",)) in by
 
 
 def test_text_and_vector_index_ddl(gs):
@@ -61,13 +61,14 @@ def test_text_and_vector_index_ddl(gs):
     gs.execute("CREATE VECTOR INDEX embidx ON :Document(embedding) "
                "WITH CONFIG {\"dimension\": 64}")
     rows = gs.execute("SHOW INDEX INFO").collect()
-    kinds = {(r.index_type, r.label, r.property) for r in rows}
-    assert ("text", "Document", "text") in kinds
-    assert ("vector", "Document", "embedding") in kinds
+    kinds = {(r["index type"], r.label) for r in rows}
+    assert ("label_text (name: docidx)", "Document") in kinds
+    assert ("label+property_vector", ":Document") in kinds
     gs.execute("DROP TEXT INDEX docidx")
     gs.execute("DROP VECTOR INDEX embidx")
     rows = gs.execute("SHOW INDEX INFO").collect()
-    assert all(r.index_type not in ("text", "vector") for r in rows)
+    assert all("text" not in r["index type"]
+               and "vector" not in r["index type"] for r in rows)
 
 
 def test_show_databases_and_transactions(gs):
