@@ -849,3 +849,11 @@ register("text_util.language", _text_langid)
 # utility-module batch 2 (path/merge/nodes/search/connectivity/
 # distance_calculator/csv_utils/date/graph_util/schema) registers itself
 from memgraph_spark import modules_ext  # noqa: E402,F401  (registration side effect)
+
+# nxalg.* — networkx algorithm surface (query_modules/nxalg.py parity)
+from memgraph_spark.algos import nxalg_module  # noqa: E402
+
+nxalg_module.register_all(register)
+
+# batch 3: graph_analyzer / temporal / xml_module / llm_util / llm
+from memgraph_spark import modules_ext2  # noqa: E402,F401  (registration side effect)
