@@ -857,3 +857,6 @@ nxalg_module.register_all(register)
 
 # batch 3: graph_analyzer / temporal / xml_module / llm_util / llm
 from memgraph_spark import modules_ext2  # noqa: E402,F401  (registration side effect)
+
+# refactor.* batch 2 (clone/merge/collapse/extract/categorize/…)
+from memgraph_spark import refactor_ext  # noqa: E402,F401  (registration side effect)
