@@ -1,0 +1,119 @@
+"""Utility-module batch 4: meta_util, mgps (Neo4j-compat shim),
+cross_database / elastic_search / embeddings connector gates.
+
+Reference: src/mage/python/meta_util.py, query_modules/mgps.py,
+src/mage/python/cross_database.py, elastic_search_serialization.py,
+embeddings.py. The connector modules need external drivers (neo4j, mysql,
+elasticsearch, torch) that are absent here; they register with the full
+reference signature and raise NotImplementedError naming the missing
+dependency — the exact behaviour the reference exhibits when its own
+imports fail at module load.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from memgraph_spark.procedures import register
+
+# ---------------------------------------------------------------------------
+# meta_util.schema (src/mage/python/meta_util.py:33)
+# ---------------------------------------------------------------------------
+
+_INTERNAL = {"id", "src", "dst", "eid", "labels", "type"}
+
+
+def _meta_util_schema(g, include_properties: bool = False):
+    """meta_util.schema([include_properties]) YIELD nodes, relationships —
+    label/type counts (+ per-property non-null counts), computed as one
+    aggregate per table instead of the reference's whole-graph iteration."""
+    import json
+
+    def counts(df):
+        props = [c for c in df.columns if c not in _INTERNAL]
+        aggs = [F.count(F.lit(1)).alias("__n")] + [
+            F.count(F.col(p)).alias(p) for p in props]
+        row = df.agg(*aggs).first()
+        return row["__n"], {p: row[p] for p in props if row[p]}
+
+    nodes = []
+    for label, df in sorted(g.nodes.items()):
+        n, by_prop = counts(df)
+        entry = {"labels": [label], "count": n}
+        if include_properties:
+            entry["properties_count"] = by_prop
+        nodes.append(json.dumps(entry, sort_keys=True))
+    rels = []
+    for etype, df in sorted(g.edges.items()):
+        n, by_prop = counts(df)
+        entry = {"type": etype, "count": n}
+        if include_properties:
+            entry["properties_count"] = by_prop
+        rels.append(json.dumps(entry, sort_keys=True))
+    return g.spark.createDataFrame(
+        [(nodes, rels)], "nodes array<string>, relationships array<string>")
+
+
+# ---------------------------------------------------------------------------
+# mgps.* — Neo4j-compatibility shim used by the Apache Spark Connector
+# (query_modules/mgps.py)
+# ---------------------------------------------------------------------------
+
+_VERSION = "5.9.0"
+
+
+def _mgps_components(g):
+    """mgps.components() YIELD versions, edition, name (mgps.py:5)."""
+    rows = [([_VERSION], "community", "Memgraph"),
+            ([_VERSION], "community", "Neo4j Kernel")]
+    return g.spark.createDataFrame(
+        rows, "versions array<string>, edition string, name string")
+
+
+def _mgps_await_indexes(g, seconds: int = 300):
+    """mgps.await_indexes(seconds) — no-op: index registration is
+    synchronous here too (mgps.py:15)."""
+    return g.spark.createDataFrame([], "done boolean")
+
+
+def _mgps_validate(g, predicate, message, params):
+    """mgps.validate(predicate, message, params) — raise when predicate
+    holds (mgps.py:36)."""
+    if predicate:
+        raise ValueError(str(message) % tuple(params or []))
+    return g.spark.createDataFrame([], "ok boolean")
+
+
+# ---------------------------------------------------------------------------
+# connector gates
+# ---------------------------------------------------------------------------
+
+def _gated(module: str, proc: str, dependency: str):
+    def stub(g, *args, **kwargs):
+        raise NotImplementedError(
+            f"{module}.{proc} requires the '{dependency}' package/driver, "
+            "not available in this environment (the reference gates the "
+            "same way on its import)")
+    stub.__doc__ = (f"{module}.{proc} — connector gate; needs {dependency} "
+                    f"(src/mage/python/{module}.py).")
+    return stub
+
+
+for _proc in ("bolt", "neo4j", "init_migrate_neo4j", "cleanup_migrate_neo4j"):
+    register(f"cross_database.{_proc}",
+             _gated("cross_database", _proc, "neo4j bolt driver"))
+for _proc, _dep in (("mysql", "mysql-connector-python"),
+                    ("sql_server", "pyodbc"),
+                    ("oracle_db", "oracledb")):
+    register(f"cross_database.{_proc}", _gated("cross_database", _proc, _dep))
+for _proc in ("connect", "create_index", "index_db", "index", "reindex",
+              "scan", "search"):
+    register(f"elastic_search.{_proc}",
+             _gated("elastic_search_serialization", _proc, "elasticsearch"))
+register("embeddings.compute",
+         _gated("embeddings", "compute", "torch/sentence-transformers"))
+
+register("meta_util.schema", _meta_util_schema)
+register("mgps.components", _mgps_components)
+register("mgps.await_indexes", _mgps_await_indexes)
+register("mgps.validate", _mgps_validate)

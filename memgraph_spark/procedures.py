@@ -860,3 +860,6 @@ from memgraph_spark import modules_ext2  # noqa: E402,F401  (registration side e
 
 # refactor.* batch 2 (clone/merge/collapse/extract/categorize/…)
 from memgraph_spark import refactor_ext  # noqa: E402,F401  (registration side effect)
+
+# batch 4: meta_util / mgps compat shim / connector gates
+from memgraph_spark import modules_ext3  # noqa: E402,F401  (registration side effect)
