@@ -99,6 +99,27 @@ CYPHER_QUERIES = {
     "cy_text_regex": _run(
         "CALL text_search.regex_search('vector.*stream') YIELD doc_id "
         "RETURN count(*) AS n"),
+    # temporal component accessors on a date property (temporal.hpp parity)
+    "cy_date_parts": _run(
+        "MATCH (o:Order) RETURN o.orderdate.year AS y, "
+        "o.orderdate.month AS m, count(*) AS n"),
+    # collect() into a list, then reduce() over it (Reduce ast.hpp:1322)
+    "cy_collect_reduce": _run(
+        "MATCH (o:Order)-[l:CONTAINS]->(:Part) WITH o, "
+        "collect(l.quantity) AS qs "
+        "RETURN o.key AS orderkey, size(qs) AS n_items, "
+        "reduce(acc = 0.0, q IN qs | acc + q) AS total_qty"),
+    # quantifiers all()/any() over collected lists (ast.hpp:1460-1619)
+    "cy_quantifiers": _run(
+        "MATCH (o:Order)-[l:CONTAINS]->(:Part) WITH o, "
+        "collect(l.quantity) AS qs "
+        "RETURN o.key AS orderkey, all(q IN qs WHERE q > 0) AS allpos, "
+        "any(q IN qs WHERE q >= 49) AS hasbig"),
+    # coalesce over OPTIONAL-MATCH nulls + count(DISTINCT …)
+    "cy_coalesce": _run(
+        "MATCH (n:Nation) OPTIONAL MATCH (s:Supplier)-[:BASED_IN]->(n) "
+        "RETURN n.name AS nation, "
+        "count(DISTINCT coalesce(s.name, 'none')) AS kinds"),
     # geo: haversine distance + bbox predicate as pure column expressions
     "cy_point_geo": _run(
         "UNWIND [[13.4, 52.52], [2.35, 48.86], [-0.13, 51.51]] AS c "
@@ -223,6 +244,25 @@ SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """,
     "cy_text_regex": """
 SELECT count(*) AS n FROM documents WHERE regexp_matches(text, 'vector.*stream')
+""",
+    "cy_date_parts": """
+SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS y,
+       CAST(extract(month FROM o_orderdate) AS BIGINT) AS m, count(*) AS n
+FROM orders GROUP BY 1, 2
+""",
+    "cy_collect_reduce": """
+SELECT o_orderkey AS orderkey, count(*) AS n_items,
+       sum(CAST(l_quantity AS DOUBLE)) AS total_qty
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1
+""",
+    "cy_quantifiers": """
+SELECT o_orderkey AS orderkey, bool_and(l_quantity > 0) AS allpos,
+       bool_or(l_quantity >= 49) AS hasbig
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1
+""",
+    "cy_coalesce": """
+SELECT n_name AS nation, count(DISTINCT coalesce(s_name, 'none')) AS kinds
+FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey GROUP BY 1
 """,
     "cy_point_geo": """
 SELECT round(2 * 6371009 * asin(sqrt(
