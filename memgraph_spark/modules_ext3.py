@@ -113,6 +113,19 @@ for _proc in ("connect", "create_index", "index_db", "index", "reindex",
 register("embeddings.compute",
          _gated("embeddings", "compute", "torch/sentence-transformers"))
 
+def _util_md5_proc(g, values):
+    """util_module.md5(values) YIELD result — procedure form of the util.md5
+    magic function (src/mage/cpp/util_module: Md5Procedure + Md5Function over
+    the same body). Input is a value or list; elements concatenate."""
+    import hashlib
+    vals = values if isinstance(values, (list, tuple)) else [values]
+    digest = hashlib.md5(
+        "".join(str(v) for v in vals).encode()).hexdigest()
+    return g.spark.createDataFrame([(digest,)], "result string")
+
+
+register("util_module.md5", _util_md5_proc)
+register("util.md5_proc", _util_md5_proc)
 register("meta_util.schema", _meta_util_schema)
 register("mgps.components", _mgps_components)
 register("mgps.await_indexes", _mgps_await_indexes)

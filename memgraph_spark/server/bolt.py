@@ -1,0 +1,244 @@
+"""Bolt protocol server over a GraphSession.
+
+Reference parity: the Bolt v1-v5.x session state machine in
+src/glue/SessionHL.cpp (InterpretParse :521, Pull :486-507) and the server
+loop in src/communication/bolt/. This is an independent implementation of
+the published protocol: 4-byte magic handshake + version negotiation,
+2-byte-length message chunking, PackStream-encoded request/response
+structures, and the HELLO/LOGON/RUN/PULL/RESET flow.
+
+Execution maps RUN straight onto GraphSession.execute (the same
+Interpreter::Prepare → Pull path the reference drives from Bolt), with the
+whole result materialized per RUN — the batch engine's equivalent of
+PullAll. Rows stream back as RECORD messages honoring PULL's `n`.
+"""
+
+from __future__ import annotations
+
+import socket
+import socketserver
+import struct
+import threading
+
+from memgraph_spark.server import packstream as ps
+
+# message tags (published Bolt spec; codes.hpp parity)
+HELLO, GOODBYE, RESET = 0x01, 0x02, 0x0F
+RUN, BEGIN, COMMIT, ROLLBACK = 0x10, 0x11, 0x12, 0x13
+DISCARD, PULL = 0x2F, 0x3F
+LOGON, LOGOFF = 0x6A, 0x6B
+ROUTE = 0x66
+SUCCESS, RECORD, IGNORED, FAILURE = 0x70, 0x71, 0x7E, 0x7F
+
+MAGIC = b"\x60\x60\xb0\x17"
+SERVER_AGENT = "Neo4j/5.9.0 (memgraph-spark)"
+
+
+def _read_exact(sock: socket.socket, n: int) -> bytes:
+    out = b""
+    while len(out) < n:
+        chunk = sock.recv(n - len(out))
+        if not chunk:
+            raise ConnectionError("peer closed")
+        out += chunk
+    return out
+
+
+def read_message(sock: socket.socket) -> ps.Structure:
+    payload = b""
+    while True:
+        size = struct.unpack(">H", _read_exact(sock, 2))[0]
+        if size == 0:
+            if payload:
+                return ps.unpack(payload)
+            continue  # NOOP keep-alive chunk
+        payload += _read_exact(sock, size)
+
+
+def write_message(sock: socket.socket, tag: int, *fields) -> None:
+    data = ps.pack(ps.Structure(tag, list(fields)))
+    for i in range(0, len(data), 0xFFFF):
+        chunk = data[i:i + 0xFFFF]
+        sock.sendall(struct.pack(">H", len(chunk)) + chunk)
+    sock.sendall(b"\x00\x00")
+
+
+def negotiate(sock: socket.socket) -> tuple[int, int]:
+    """Server side of the version handshake: pick the highest proposed
+    version we speak (5.x preferred, else 4.x)."""
+    if _read_exact(sock, 4) != MAGIC:
+        raise ConnectionError("bad magic preamble")
+    proposals = []
+    raw = _read_exact(sock, 16)
+    for i in range(4):
+        _, rng, minor, major = raw[i * 4:i * 4 + 4]
+        for m in range(minor, max(minor - rng, 0) - 1, -1):
+            proposals.append((major, m))
+    for major, minor in proposals:
+        if major == 5 and minor <= 9:
+            sock.sendall(bytes([0, 0, minor, major]))
+            return major, minor
+    for major, minor in proposals:
+        if major == 4:
+            sock.sendall(bytes([0, 0, minor, major]))
+            return major, minor
+    sock.sendall(bytes(4))
+    raise ConnectionError("no supported Bolt version proposed")
+
+
+def _bolt_value(v):
+    """DataFrame cell → Bolt-encodable value (Rows become maps)."""
+    try:
+        from pyspark.sql import Row
+        if isinstance(v, Row):
+            return {k: _bolt_value(x) for k, x in v.asDict().items()}
+    except ImportError:  # pragma: no cover
+        pass
+    if isinstance(v, list):
+        return [_bolt_value(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _bolt_value(x) for k, x in v.items()}
+    return v
+
+
+class _Session:
+    """Per-connection state machine (SessionHL parity)."""
+
+    def __init__(self, graph_session, sock, version):
+        self.gs = graph_session
+        self.sock = sock
+        self.version = version
+        self.authenticated = False
+        self.failed = False
+        self.fields: list[str] = []
+        self.rows: list | None = None
+        self.cursor = 0
+
+    def success(self, meta=None):
+        write_message(self.sock, SUCCESS, meta or {})
+
+    def failure(self, code: str, message: str):
+        self.failed = True
+        write_message(self.sock, FAILURE,
+                      {"code": code, "message": message})
+
+    def handle(self, msg: ps.Structure) -> bool:
+        """Returns False when the connection should close."""
+        tag = msg.tag
+        if self.failed and tag not in (RESET, GOODBYE):
+            write_message(self.sock, IGNORED)
+            return True
+        if tag == HELLO:
+            meta = {"server": SERVER_AGENT, "connection_id": "bolt-1"}
+            if self.version >= (5, 1):
+                # auth moves to LOGON in 5.1+
+                self.success(meta)
+            else:
+                self.authenticated = True
+                self.success(meta)
+            return True
+        if tag == LOGON:
+            self.authenticated = True
+            self.success({})
+            return True
+        if tag == LOGOFF:
+            self.authenticated = False
+            self.success({})
+            return True
+        if tag == GOODBYE:
+            return False
+        if tag == RESET:
+            self.failed = False
+            self.rows, self.cursor, self.fields = None, 0, []
+            self.success({})
+            return True
+        if tag == RUN:
+            query = msg.fields[0]
+            params = msg.fields[1] if len(msg.fields) > 1 else {}
+            try:
+                df = self.gs.execute(query, params or {})
+                self.fields = list(df.columns)
+                self.rows = [[_bolt_value(v) for v in row]
+                             for row in df.collect()]
+                self.cursor = 0
+                self.success({"fields": self.fields, "t_first": 0})
+            except Exception as exc:  # noqa: BLE001 - wire-level boundary
+                self.failure("Memgraph.ClientError.Statement.SyntaxError",
+                             str(exc))
+            return True
+        if tag == PULL:
+            if self.rows is None:
+                self.failure("Memgraph.ClientError.Request.Invalid",
+                             "PULL with no active result")
+                return True
+            n = -1
+            if msg.fields and isinstance(msg.fields[0], dict):
+                n = int(msg.fields[0].get("n", -1))
+            end = len(self.rows) if n < 0 else min(self.cursor + n,
+                                                   len(self.rows))
+            while self.cursor < end:
+                write_message(self.sock, RECORD, self.rows[self.cursor])
+                self.cursor += 1
+            if self.cursor >= len(self.rows):
+                self.rows = None
+                self.success({"type": "r", "t_last": 0})
+            else:
+                self.success({"has_more": True})
+            return True
+        if tag == DISCARD:
+            self.rows = None
+            self.success({"type": "r", "t_last": 0})
+            return True
+        if tag in (BEGIN, COMMIT, ROLLBACK):
+            # every RUN materializes a new table version (Accumulate
+            # semantics) — explicit tx markers are accepted as no-ops
+            self.success({})
+            return True
+        if tag == ROUTE:
+            self.success({"rt": {"ttl": 300, "servers": []}})
+            return True
+        self.failure("Memgraph.ClientError.Request.Invalid",
+                     f"unknown message tag 0x{tag:02X}")
+        return True
+
+
+class BoltServer:
+    """Threaded Bolt server bound to one PropertyGraph."""
+
+    def __init__(self, graph, host: str = "127.0.0.1", port: int = 7687):
+        from memgraph_spark.plans import GraphSession
+        self.graph = graph
+        outer = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                sock = self.request
+                try:
+                    major, minor = negotiate(sock)
+                    session = _Session(GraphSession(outer.graph), sock,
+                                       (major, minor))
+                    while session.handle(read_message(sock)):
+                        pass
+                except (ConnectionError, OSError):
+                    pass
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = Server((host, port), Handler)
+        self.host, self.port = self._server.server_address
+
+    def start(self) -> "BoltServer":
+        t = threading.Thread(target=self._server.serve_forever, daemon=True)
+        t.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+
+
+def serve(graph, host: str = "127.0.0.1", port: int = 7687) -> BoltServer:
+    """Start a Bolt endpoint for the graph; returns the running server."""
+    return BoltServer(graph, host, port).start()

@@ -1,0 +1,150 @@
+"""Bolt server conformance: handshake, HELLO/LOGON, RUN/PULL record
+streaming, failure + RESET recovery (reference src/communication/bolt/,
+glue/SessionHL.cpp). The test client speaks raw PackStream over a socket —
+the same bytes the official drivers emit."""
+
+import socket
+import struct
+
+import pytest
+
+from memgraph_spark.catalog import PropertyGraph
+from memgraph_spark.server import BoltServer
+from memgraph_spark.server import packstream as ps
+from memgraph_spark.server.bolt import (
+    FAILURE, GOODBYE, HELLO, IGNORED, LOGON, MAGIC, PULL, RECORD, RESET,
+    RUN, SUCCESS, read_message, write_message,
+)
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    g = PropertyGraph(
+        spark,
+        nodes={"P": spark.createDataFrame(
+            [(1, "ana", 30), (2, "bob", 25)], "id long, name string, age long")},
+        edges={"KNOWS": spark.createDataFrame(
+            [(1, 2, 5)], "src long, dst long, eid long")})
+    srv = BoltServer(g, port=0).start()
+    yield srv
+    srv.stop()
+
+
+def _connect(server, proposals=((5, 4, 4), (5, 0, 0), (4, 4, 3), (3, 0, 0))):
+    sock = socket.create_connection((server.host, server.port), timeout=30)
+    hs = MAGIC + b"".join(bytes([0, rng, minor, major])
+                          for major, minor, rng in proposals)
+    sock.sendall(hs)
+    ver = sock.recv(4)
+    return sock, (ver[3], ver[2])
+
+
+def _roundtrip(sock, tag, *fields):
+    write_message(sock, tag, *fields)
+    return read_message(sock)
+
+
+def _login(server):
+    sock, ver = _connect(server)
+    resp = _roundtrip(sock, HELLO, {"user_agent": "test/1.0"})
+    assert resp.tag == SUCCESS
+    assert "memgraph-spark" in resp.fields[0]["server"]
+    if ver >= (5, 1):
+        assert _roundtrip(sock, LOGON, {"scheme": "none"}).tag == SUCCESS
+    return sock
+
+
+def test_handshake_picks_highest_supported(server):
+    sock, ver = _connect(server)
+    assert ver == (5, 4)
+    sock.close()
+    sock, ver = _connect(server, proposals=((4, 4, 3), (3, 0, 0),
+                                            (0, 0, 0), (0, 0, 0)))
+    assert ver == (4, 4)
+    sock.close()
+
+
+def test_run_pull_records(server):
+    sock = _login(server)
+    resp = _roundtrip(sock, RUN,
+                      "MATCH (p:P) RETURN p.name AS name, p.age AS age "
+                      "ORDER BY age", {}, {})
+    assert resp.tag == SUCCESS and resp.fields[0]["fields"] == ["name", "age"]
+    write_message(sock, PULL, {"n": -1})
+    records = []
+    while True:
+        msg = read_message(sock)
+        if msg.tag == SUCCESS:
+            break
+        assert msg.tag == RECORD
+        records.append(msg.fields[0])
+    assert records == [["bob", 25], ["ana", 30]]
+    write_message(sock, GOODBYE)
+    sock.close()
+
+
+def test_pull_batched_has_more(server):
+    sock = _login(server)
+    _roundtrip(sock, RUN, "UNWIND [1, 2, 3] AS x RETURN x", {}, {})
+    write_message(sock, PULL, {"n": 2})
+    msgs = [read_message(sock) for _ in range(3)]
+    assert [m.tag for m in msgs] == [RECORD, RECORD, SUCCESS]
+    assert msgs[2].fields[0].get("has_more") is True
+    write_message(sock, PULL, {"n": -1})
+    msgs = [read_message(sock) for _ in range(2)]
+    assert msgs[0].fields[0] == [3]
+    assert msgs[1].tag == SUCCESS and "has_more" not in msgs[1].fields[0]
+    sock.close()
+
+
+def test_parameters_roundtrip(server):
+    sock = _login(server)
+    _roundtrip(sock, RUN, "RETURN $a + $b AS s, $name AS who",
+               {"a": 20, "b": 22, "name": "mg"}, {})
+    write_message(sock, PULL, {"n": -1})
+    rec = read_message(sock)
+    assert rec.fields[0] == [42, "mg"]
+    assert read_message(sock).tag == SUCCESS
+    sock.close()
+
+
+def test_failure_then_ignored_then_reset(server):
+    sock = _login(server)
+    resp = _roundtrip(sock, RUN, "THIS IS NOT CYPHER", {}, {})
+    assert resp.tag == FAILURE
+    assert "code" in resp.fields[0] and "message" in resp.fields[0]
+    assert _roundtrip(sock, PULL, {"n": -1}).tag == IGNORED
+    assert _roundtrip(sock, RESET).tag == SUCCESS
+    resp = _roundtrip(sock, RUN, "RETURN 1 AS one", {}, {})
+    assert resp.tag == SUCCESS
+    sock.close()
+
+
+def test_packstream_value_space():
+    vals = [None, True, False, 0, -1, 127, -17, 4242, -70000, 2 ** 40,
+            3.5, "héllo", "", b"\x00\x01", list(range(20)),
+            {"k": [1, {"n": None}]}]
+    for v in vals:
+        assert ps.unpack(ps.pack(v)) == v
+    s = ps.Structure(0x4E, [7, ["L"], {"p": 1}, "7"])
+    out = ps.unpack(ps.pack(s))
+    assert out.tag == 0x4E and out.fields == s.fields
+
+
+def test_chunked_large_message(server):
+    # a >64 KiB result forces multi-chunk RECORD framing
+    sock = _login(server)
+    _roundtrip(sock, RUN,
+               "UNWIND range(0, 99) AS i "
+               "RETURN reduce(s = '', x IN range(0, 200) | s + 'ab') AS t",
+               {}, {})
+    write_message(sock, PULL, {"n": -1})
+    n = 0
+    while True:
+        msg = read_message(sock)
+        if msg.tag == SUCCESS:
+            break
+        n += 1
+        assert len(msg.fields[0][0]) == 402
+    assert n == 100
+    sock.close()
