@@ -26,12 +26,172 @@ def _norm(q: str) -> str:
     return re.sub(r"\s+", " ", q.strip().rstrip(";").strip())
 
 
-def try_admin(graph, query: str, params: dict | None = None) -> DataFrame | None:
+# process-wide registries (the reference keeps these in the system database
+# `.mgdb`, shared across sessions: src/dbms/, src/auth/)
+_DATABASES: dict = {}       # name -> PropertyGraph
+_AUTH = {"users": {}, "roles": {}, "user_roles": {}, "grants": {}}
+
+
+def _try_multidb_auth(graph, q, u, spark, session):
+    """MultiDatabaseQuery + AuthQuery statement surface (ast.hpp
+    MultiDatabaseQuery / AuthQuery; dbms in src/dbms/dbms_handler.hpp,
+    auth in src/auth/). Registries are process-wide like the reference's
+    system database; community-edition parity = store + report (enforcement
+    is the enterprise layer)."""
+    import re as _re
+
+    def status(msg):
+        return spark.createDataFrame([(msg,)], "status string")
+
+    # ---- multi-tenancy -----------------------------------------------------
+    if "memgraph" not in _DATABASES:
+        _DATABASES["memgraph"] = None  # placeholder for the session default
+
+    m = _re.match(r"CREATE DATABASE (\w+)$", q, _re.I)
+    if m:
+        name = m.group(1)
+        if name in _DATABASES:
+            raise ValueError(f"database {name} already exists")
+        from memgraph_spark.catalog import PropertyGraph
+        _DATABASES[name] = PropertyGraph(spark)
+        return status(f"Successfully created database {name}")
+    m = _re.match(r"DROP DATABASE (\w+)$", q, _re.I)
+    if m:
+        name = m.group(1)
+        if name == "memgraph":
+            raise ValueError("cannot drop the default database")
+        if name not in _DATABASES:
+            raise ValueError(f"database {name} does not exist")
+        if session is not None and getattr(session, "db_name",
+                                           "memgraph") == name:
+            raise ValueError(f"database {name} is in use")
+        del _DATABASES[name]
+        return status(f"Successfully deleted database {name}")
+    m = _re.match(r"USE DATABASE (\w+)$", q, _re.I)
+    if m:
+        name = m.group(1)
+        if name not in _DATABASES:
+            raise ValueError(f"database {name} does not exist")
+        if session is not None:
+            if getattr(session, "db_name", "memgraph") == "memgraph":
+                _DATABASES["memgraph"] = session.graph
+            session.graph = (_DATABASES[name] if name != "memgraph"
+                             else _DATABASES["memgraph"] or session.graph)
+            session.db_name = name
+        return status(f"Using {name}")
+    if u == "SHOW DATABASE":
+        name = getattr(session, "db_name", "memgraph") if session else \
+            "memgraph"
+        return spark.createDataFrame([(name,)], "name string")
+    if u == "SHOW DATABASES":
+        current = getattr(session, "db_name", "memgraph") if session else \
+            "memgraph"
+        rows = [(n, n == current) for n in sorted(_DATABASES)]
+        return spark.createDataFrame(rows, "name string, current boolean")
+
+    # ---- auth --------------------------------------------------------------
+    m = _re.match(r"CREATE USER (\w+)(?: IDENTIFIED BY '([^']*)')?$", q, _re.I)
+    if m:
+        _AUTH["users"][m.group(1)] = m.group(2) or ""
+        return status(f"created user {m.group(1)}")
+    m = _re.match(r"DROP USER (\w+)$", q, _re.I)
+    if m:
+        _AUTH["users"].pop(m.group(1), None)
+        _AUTH["user_roles"].pop(m.group(1), None)
+        _AUTH["grants"].pop(m.group(1), None)
+        return status(f"dropped user {m.group(1)}")
+    m = _re.match(r"SET PASSWORD FOR (\w+) TO '([^']*)'$", q, _re.I)
+    if m:
+        if m.group(1) not in _AUTH["users"]:
+            raise ValueError(f"user {m.group(1)} does not exist")
+        _AUTH["users"][m.group(1)] = m.group(2)
+        return status("password updated")
+    m = _re.match(r"CREATE ROLE (\w+)$", q, _re.I)
+    if m:
+        _AUTH["roles"][m.group(1)] = True
+        return status(f"created role {m.group(1)}")
+    m = _re.match(r"DROP ROLE (\w+)$", q, _re.I)
+    if m:
+        _AUTH["roles"].pop(m.group(1), None)
+        return status(f"dropped role {m.group(1)}")
+    m = _re.match(r"SET ROLE FOR (\w+) TO (\w+)$", q, _re.I)
+    if m:
+        user, role = m.group(1), m.group(2)
+        if role not in _AUTH["roles"]:
+            raise ValueError(f"role {role} does not exist")
+        _AUTH["user_roles"][user] = role
+        return status(f"role of {user} set to {role}")
+    m = _re.match(r"CLEAR ROLE FOR (\w+)$", q, _re.I)
+    if m:
+        _AUTH["user_roles"].pop(m.group(1), None)
+        return status("role cleared")
+    m = _re.match(r"(GRANT|DENY|REVOKE) ([\w, ]+?) (?:TO|FROM) (\w+)$",
+                  q, _re.I)
+    if m and m.group(2).strip().upper() != "DATABASE":
+        verb = m.group(1).upper()
+        privs = [p.strip().upper() for p in m.group(2).split(",")]
+        unknown = [p for p in privs if p not in _PRIVILEGES]
+        if unknown:
+            return None  # not an auth statement (e.g. Cypher-ish text)
+        grants = _AUTH["grants"].setdefault(m.group(3), {})
+        for p in privs:
+            if verb == "REVOKE":
+                grants.pop(p, None)
+            else:
+                grants[p] = ("GRANT" if verb == "GRANT" else "DENY")
+        return status(f"{verb.lower()} ok")
+    if u == "SHOW USERS":
+        return spark.createDataFrame(
+            [(n,) for n in sorted(_AUTH["users"])], "user string")
+    if u == "SHOW ROLES":
+        return spark.createDataFrame(
+            [(n,) for n in sorted(_AUTH["roles"])], "role string")
+    m = _re.match(r"SHOW ROLE FOR (\w+)$", q, _re.I)
+    if m:
+        role = _AUTH["user_roles"].get(m.group(1))
+        return spark.createDataFrame(
+            [(role if role else "null",)], "role string")
+    m = _re.match(r"SHOW USERS FOR (\w+)$", q, _re.I)
+    if m:
+        users = sorted(u_ for u_, r in _AUTH["user_roles"].items()
+                       if r == m.group(1))
+        return spark.createDataFrame([(x,) for x in users], "users string")
+    m = _re.match(r"SHOW PRIVILEGES FOR (\w+)$", q, _re.I)
+    if m:
+        who = m.group(1)
+        grants = dict(_AUTH["grants"].get(who, {}))
+        role = _AUTH["user_roles"].get(who)
+        if role:
+            for p, v in _AUTH["grants"].get(role, {}).items():
+                grants.setdefault(p, v)
+        rows = [(p, v, "USER" if p in _AUTH["grants"].get(who, {})
+                 else "ROLE") for p, v in sorted(grants.items())]
+        return spark.createDataFrame(
+            rows, "privilege string, effective string, description string")
+    return None
+
+# AuthQuery privileges (ast.hpp AuthQuery::Privilege)
+_PRIVILEGES = {
+    "CREATE", "DELETE", "MATCH", "MERGE", "SET", "REMOVE", "INDEX",
+    "STATS", "AUTH", "CONSTRAINT", "DUMP", "REPLICATION", "DURABILITY",
+    "READ_FILE", "FREE_MEMORY", "TRIGGER", "CONFIG", "STREAM",
+    "MODULE_READ", "MODULE_WRITE", "WEBSOCKET", "TRANSACTION_MANAGEMENT",
+    "STORAGE_MODE", "MULTI_DATABASE_EDIT", "MULTI_DATABASE_USE",
+    "COORDINATOR", "IMPERSONATE_USER", "ALL",
+}
+
+
+def try_admin(graph, query: str, params: dict | None = None,
+              session=None) -> DataFrame | None:
     """Returns a result DataFrame when `query` is an admin statement,
     else None (the caller then compiles it as Cypher)."""
     q = _norm(query)
     u = q.upper()
     spark = graph.spark
+
+    out = _try_multidb_auth(graph, q, u, spark, session)
+    if out is not None:
+        return out
     if not hasattr(graph, "index_registry"):
         graph.index_registry = []          # [(label, prop | None)]
     if not hasattr(graph, "constraint_registry"):
@@ -256,11 +416,6 @@ def try_admin(graph, query: str, params: dict | None = None) -> DataFrame | None
                 ("edge_type_count", str(len(graph.edges))),
                 ("storage_mode", "IN_MEMORY_ANALYTICAL")]
         return spark.createDataFrame(rows, "storage_info string, value string")
-
-    if u == "SHOW DATABASES":
-        # single-database deployment (multi-tenant routing is the lake
-        # catalog's job on Spark); parity row for the reference's default db
-        return spark.createDataFrame([("memgraph",)], "name string")
 
     if u == "SHOW TRANSACTIONS":
         # IN_MEMORY_ANALYTICAL semantics: no interactive transactions — the

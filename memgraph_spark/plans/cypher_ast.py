@@ -404,3 +404,7 @@ class UnionQuery:
     # batch size; under per-batch commits, use-after-delete becomes a real
     # runtime error in the reference (deleted in batch k, touched in k+1)
     periodic_commit: int | None = None
+    # USING INDEX :Label(prop,…) hints (MemgraphCypher.g4:415-419,
+    # plan/hint_provider.cpp). Advisory here: Catalyst's pushdown plays the
+    # index role, so hints parse and record but don't alter the plan.
+    index_hints: list = field(default_factory=list)

@@ -62,28 +62,76 @@ class Parser:
     def parse(self) -> A.UnionQuery:
         hops_limit = None
         periodic_commit = None
-        if self.at_kw("USING"):   # MemgraphCypher.g4:413 query hints
+        index_hints: list = []
+        if self.at_kw("USING"):
+            # preQueryDirectives (MemgraphCypher.g4:409-423): USING
+            # directive (, directive)* with directive = HOPS LIMIT n |
+            # INDEX :L(p,…)… | PERIODIC COMMIT n | PARALLEL EXECUTION [k]
             self.next()
-            t = self.peek()
-            if t.kind == "NAME" and str(t.value).upper() == "PERIODIC":
-                # USING PERIODIC COMMIT n (PeriodicCommit, operator.hpp:3215):
-                # chunked commits; our snapshot write model applies the whole
-                # batch atomically, which subsumes the chunking
-                self.next()
-                c = self.next()
-                if not (c.kind == "NAME" and str(c.value).upper() == "COMMIT"):
-                    raise SyntaxError(f"expected COMMIT at {c}")
-                t = self.next()
-                if t.kind != "INT":
-                    raise SyntaxError(f"expected integer commit size at {t}")
-                periodic_commit = int(t.value)
-            else:
-                self.eat_kw("HOPS")
-                self.eat_kw("LIMIT")
-                t = self.next()
-                if t.kind != "INT":
-                    raise SyntaxError(f"expected integer hops limit at {t}")
-                hops_limit = int(t.value)
+            while True:
+                t = self.peek()
+                word = str(t.value).upper() if t.kind in ("NAME", "KEYWORD") \
+                    else ""
+                if word == "PERIODIC":
+                    # chunked commits; our snapshot write model applies the
+                    # whole batch atomically, which subsumes the chunking
+                    self.next()
+                    c = self.next()
+                    if not (c.kind == "NAME"
+                            and str(c.value).upper() == "COMMIT"):
+                        raise SyntaxError(f"expected COMMIT at {c}")
+                    t = self.next()
+                    if t.kind != "INT":
+                        raise SyntaxError(
+                            f"expected integer commit size at {t}")
+                    periodic_commit = int(t.value)
+                elif word == "INDEX":
+                    # advisory (hint_provider.cpp): Catalyst pushdown is the
+                    # index; parse `:Label(prop,…)` list, record, continue
+                    self.next()
+                    while True:
+                        if not self.at_op(":"):
+                            raise SyntaxError(
+                                f"expected :Label in index hint at "
+                                f"{self.peek()}")
+                        self.next()
+                        label = self.name()
+                        props = []
+                        if self.at_op("("):
+                            self.next()
+                            while not self.at_op(")"):
+                                props.append(self.name())
+                                if self.at_op(","):
+                                    self.next()
+                            self.next()
+                        index_hints.append((label, tuple(props)))
+                        # a following `, :` continues the hint list; a
+                        # following `, <word>` starts another directive
+                        if self.at_op(",") and self.peek(1).kind == "OP":
+                            self.next()
+                            continue
+                        break
+                elif word == "PARALLEL":
+                    # ScanParallel*/RewriteParallelExecution — free on Spark
+                    self.next()
+                    e = self.next()
+                    if not (e.kind in ("NAME", "KEYWORD")
+                            and str(e.value).upper() == "EXECUTION"):
+                        raise SyntaxError(f"expected EXECUTION at {e}")
+                    if self.peek().kind == "INT":
+                        self.next()
+                else:
+                    self.eat_kw("HOPS")
+                    self.eat_kw("LIMIT")
+                    t = self.next()
+                    if t.kind != "INT":
+                        raise SyntaxError(
+                            f"expected integer hops limit at {t}")
+                    hops_limit = int(t.value)
+                if self.at_op(","):
+                    self.next()
+                    continue
+                break
         parts = [self.single_query()]
         alls: list[bool] = []
         while self.at_kw("UNION"):
@@ -94,7 +142,8 @@ class Parser:
             self.next()
         if self.peek().kind != "EOF":
             raise SyntaxError(f"unexpected trailing input at {self.peek()}")
-        return A.UnionQuery(parts, alls, hops_limit, periodic_commit)
+        return A.UnionQuery(parts, alls, hops_limit, periodic_commit,
+                            index_hints)
 
     def single_query(self) -> A.SingleQuery:
         clauses: list[A.Clause] = []

@@ -65,7 +65,7 @@ class GraphSession:
         # admin statements (index/constraint DDL, ANALYZE, SHOW …) are
         # separate query types in the reference grammar too — dispatch first
         from memgraph_spark.admin import try_admin
-        admin = try_admin(self.graph, query, params)
+        admin = try_admin(self.graph, query, params, session=self)
         if admin is not None:
             return admin
         ast = parse(query)

@@ -33,3 +33,23 @@ def test_hops_limit_not_reached(spark):
                    "RETURN count(*) AS n").collect()[0].n
     assert n == 7
     assert gs.last_hops["reached"] is False and 0 < gs.last_hops["used"] <= 1000
+
+
+def test_using_directives_parse(spark):
+    """preQueryDirectives (MemgraphCypher.g4:409-423): INDEX hints and
+    PARALLEL EXECUTION parse as advisory no-ops; HOPS LIMIT still binds."""
+    from memgraph_spark.catalog import load_tpch_graph
+    from memgraph_spark.plans import GraphSession
+    from memgraph_spark.plans.parser import Parser
+    from tests.conftest import SF_SMOKE
+
+    q = Parser("USING HOPS LIMIT 5, INDEX :Part(size), :Customer(acctbal), "
+               "PARALLEL EXECUTION 4 MATCH (p:Part) RETURN p").parse()
+    assert q.hops_limit == 5
+    assert q.index_hints == [("Part", ("size",)), ("Customer", ("acctbal",))]
+
+    gs = GraphSession(load_tpch_graph(spark, SF_SMOKE))
+    [row] = gs.execute(
+        "USING INDEX :Part(size) MATCH (p:Part) WHERE p.size > 40 "
+        "RETURN count(*) AS n").collect()
+    assert row["n"] > 0
