@@ -181,6 +181,117 @@ _PRIVILEGES = {
 }
 
 
+def _try_operational(graph, q, u, spark):
+    """Operational statements: StorageModeQuery, ReplicationQuery,
+    snapshot durability (CREATE/RECOVER/SHOW SNAPSHOT[S]), transaction
+    queue, data-directory lock (ast.hpp StorageModeQuery / ReplicationQuery
+    / SnapshotQuery / TransactionQueueQuery / LockPathQuery).
+
+    Replication is a registry (WAL shipping is the lake/cluster manager's
+    job on Spark — SURVEY §1.2); snapshots are REAL: every node/edge table
+    is written to parquet under the snapshot directory and can be recovered,
+    which is exactly the reference's durability snapshot re-expressed as
+    columnar files (src/storage/v2/durability/snapshot.cpp).
+    """
+    import json
+    import os
+    import re as _re
+
+    def status(msg):
+        return spark.createDataFrame([(msg,)], "status string")
+
+    m = _re.match(r"STORAGE MODE (IN_MEMORY_ANALYTICAL|"
+                  r"IN_MEMORY_TRANSACTIONAL|ON_DISK_TRANSACTIONAL)$", q, _re.I)
+    if m:
+        graph.storage_mode = m.group(1).upper()
+        return status(f"storage mode set to {graph.storage_mode}")
+
+    m = _re.match(r"SET REPLICATION ROLE TO (MAIN|REPLICA)"
+                  r"(?: WITH PORT (\d+))?$", q, _re.I)
+    if m:
+        graph.replication_role = m.group(1).upper()
+        return status(f"replication role set to {graph.replication_role}")
+    if u == "SHOW REPLICATION ROLE":
+        return spark.createDataFrame(
+            [(getattr(graph, "replication_role", "MAIN"),)],
+            "replication_role string")
+    m = _re.match(r"REGISTER REPLICA (\w+) (SYNC|ASYNC|STRICT_SYNC) "
+                  r"TO '([^']+)'$", q, _re.I)
+    if m:
+        if not hasattr(graph, "replicas"):
+            graph.replicas = {}
+        graph.replicas[m.group(1)] = (m.group(2).upper(), m.group(3))
+        return status(f"registered replica {m.group(1)}")
+    m = _re.match(r"DROP REPLICA (\w+)$", q, _re.I)
+    if m:
+        getattr(graph, "replicas", {}).pop(m.group(1), None)
+        return status(f"dropped replica {m.group(1)}")
+    if u == "SHOW REPLICAS":
+        rows = [(n, addr, mode, "ready")
+                for n, (mode, addr) in
+                sorted(getattr(graph, "replicas", {}).items())]
+        return spark.createDataFrame(
+            rows, "name string, socket_address string, sync_mode string, "
+            "state string")
+
+    snap_root = os.environ.get("SPARK_GRAFT_SNAPSHOT_DIR",
+                               "/tmp/memgraph_spark_snapshots")
+    if u == "CREATE SNAPSHOT":
+        graph.snapshot_seq = getattr(graph, "snapshot_seq", 0) + 1
+        path = os.path.join(snap_root, f"snapshot_{id(graph)}_"
+                            f"{graph.snapshot_seq}")
+        manifest = {"nodes": [], "edges": []}
+        for label, df in graph.nodes.items():
+            df.write.mode("overwrite").parquet(
+                os.path.join(path, "nodes", label))
+            manifest["nodes"].append(label)
+        for etype, df in graph.edges.items():
+            df.write.mode("overwrite").parquet(
+                os.path.join(path, "edges", etype))
+            manifest["edges"].append(etype)
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        return spark.createDataFrame([(path,)], "path string")
+    if u == "SHOW SNAPSHOTS":
+        rows = []
+        if os.path.isdir(snap_root):
+            for name in sorted(os.listdir(snap_root)):
+                mf = os.path.join(snap_root, name, "manifest.json")
+                if os.path.exists(mf):
+                    rows.append((os.path.join(snap_root, name),))
+        return spark.createDataFrame(rows or [], "path string")
+    m = _re.match(r"RECOVER SNAPSHOT '([^']+)'(?: FORCE)?$", q, _re.I)
+    if m:
+        path = m.group(1)
+        with open(os.path.join(path, "manifest.json")) as f:
+            manifest = json.load(f)
+        graph.nodes = {lbl: spark.read.parquet(
+            os.path.join(path, "nodes", lbl)) for lbl in manifest["nodes"]}
+        graph.edges = {et: spark.read.parquet(
+            os.path.join(path, "edges", et)) for et in manifest["edges"]}
+        for cache in (graph._adj_cache, graph._eid_cache):
+            cache.clear()
+        graph._count_cache.clear()
+        return status(f"recovered from {path}")
+
+    m = _re.match(r"TERMINATE TRANSACTIONS (.+)$", q, _re.I)
+    if m:
+        return spark.createDataFrame(
+            [], "transaction_id string, killed boolean")
+    if u == "LOCK DATA DIRECTORY":
+        graph.data_dir_locked = True
+        return status("locked")
+    if u == "UNLOCK DATA DIRECTORY":
+        graph.data_dir_locked = False
+        return status("unlocked")
+    if u == "DATA DIRECTORY LOCK STATUS":
+        return spark.createDataFrame(
+            [("locked" if getattr(graph, "data_dir_locked", False)
+              else "unlocked",)], "status string")
+    return None
+
+
 def try_admin(graph, query: str, params: dict | None = None,
               session=None) -> DataFrame | None:
     """Returns a result DataFrame when `query` is an admin statement,
@@ -238,6 +349,10 @@ def try_admin(graph, query: str, params: dict | None = None,
     if u == "FREE MEMORY":
         # usearch/jemalloc release in the reference; no-op here
         return spark.createDataFrame([], "status string")
+
+    out = _try_operational(graph, q, u, spark)
+    if out is not None:
+        return out
 
     m = re.match(r"DROP (TEXT|VECTOR) INDEX (\w+)$", q, re.I)
     if m:
@@ -414,7 +529,8 @@ def try_admin(graph, query: str, params: dict | None = None,
                 ("edge_count", str(n_edges)),
                 ("label_count", str(len(graph.nodes))),
                 ("edge_type_count", str(len(graph.edges))),
-                ("storage_mode", "IN_MEMORY_ANALYTICAL")]
+                ("storage_mode", getattr(graph, "storage_mode",
+                                         "IN_MEMORY_ANALYTICAL"))]
         return spark.createDataFrame(rows, "storage_info string, value string")
 
     if u == "SHOW TRANSACTIONS":
