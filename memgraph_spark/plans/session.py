@@ -62,6 +62,31 @@ class GraphSession:
         self.graph = graph
 
     def execute(self, query: str, params: dict | None = None) -> DataFrame:
+        # EXPLAIN / PROFILE <query> (reference PrepareExplainQuery /
+        # PrepareProfileQuery, interpreter.cpp:4218; plan printer
+        # plan/pretty_print.cpp). EXPLAIN returns the optimized Spark
+        # physical plan, one row per line — the Catalyst plan IS our
+        # operator tree. PROFILE executes, then reports plan + wall time.
+        stripped = query.lstrip()
+        head = stripped[:8].upper()
+        if head.startswith("EXPLAIN") or head.startswith("PROFILE"):
+            keyword, inner = stripped.split(None, 1)
+            df = self.execute(inner, params)
+            import time as _time
+            t0 = _time.perf_counter()
+            if keyword.upper() == "PROFILE":
+                df.count()
+            wall_ms = round((_time.perf_counter() - t0) * 1000, 3)
+            import contextlib
+            import io
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            plan = buf.getvalue()
+            rows = [(line,) for line in plan.splitlines() if line.strip()]
+            if keyword.upper() == "PROFILE":
+                rows.append((f"-- total wall time: {wall_ms} ms",))
+            return self.graph.spark.createDataFrame(rows, "plan string")
         # admin statements (index/constraint DDL, ANALYZE, SHOW …) are
         # separate query types in the reference grammar too — dispatch first
         from memgraph_spark.admin import try_admin

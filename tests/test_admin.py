@@ -98,3 +98,19 @@ def test_enum_lifecycle(gs):
         gs.execute("CREATE ENUM Status VALUES { X }")
     with pytest.raises(NotImplementedError):
         gs.execute("DROP ENUM Status")
+
+
+def test_explain_profile(spark):
+    """EXPLAIN/PROFILE statements (interpreter.cpp:4218, pretty_print.cpp):
+    plan rows; PROFILE executes and appends wall time."""
+    from memgraph_spark.catalog import load_tpch_graph
+    from memgraph_spark.plans import GraphSession
+    from tests.conftest import SF_SMOKE
+    gs = GraphSession(load_tpch_graph(spark, SF_SMOKE))
+    rows = [r["plan"] for r in gs.execute(
+        "EXPLAIN MATCH (p:Part) WHERE p.size > 40 RETURN p.name").collect()]
+    assert any("Physical Plan" in x for x in rows)
+    assert any("Scan parquet" in x for x in rows)
+    rows = [r["plan"] for r in gs.execute(
+        "PROFILE MATCH (p:Part) RETURN count(*) AS n").collect()]
+    assert "wall time" in rows[-1]
