@@ -350,6 +350,13 @@ def try_admin(graph, query: str, params: dict | None = None,
         # usearch/jemalloc release in the reference; no-op here
         return spark.createDataFrame([], "status string")
 
+    if u == "DUMP DATABASE":
+        # DumpQuery (src/query/dump.cpp): the graph as a stream of Cypher
+        # statements that re-parse through our own frontend
+        from memgraph_spark.schema import dump_database
+        return spark.createDataFrame(
+            [(s,) for s in dump_database(graph)], "QUERY string")
+
     out = _try_operational(graph, q, u, spark)
     if out is not None:
         return out

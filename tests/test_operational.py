@@ -70,3 +70,16 @@ def test_data_directory_lock(spark):
         "status"] == "locked"
     gs.execute("UNLOCK DATA DIRECTORY").collect()
     assert gs.execute("TERMINATE TRANSACTIONS '1'").count() == 0
+
+
+def test_dump_database_statement(spark):
+    gs = _session(spark)
+    rows = [r["QUERY"] for r in gs.execute("DUMP DATABASE").collect()]
+    assert any("CREATE (" in s for s in rows)
+    # statements re-parse through our own frontend into a fresh graph
+    from memgraph_spark.catalog import PropertyGraph
+    fresh = GraphSession(PropertyGraph(spark))
+    for s in rows:
+        fresh.execute(s).collect()
+    assert fresh.execute("MATCH (p:P) RETURN count(*) AS n").collect()[0][
+        "n"] == 2
