@@ -130,3 +130,77 @@ register("meta_util.schema", _meta_util_schema)
 register("mgps.components", _mgps_components)
 register("mgps.await_indexes", _mgps_await_indexes)
 register("mgps.validate", _mgps_validate)
+
+
+# ---------------------------------------------------------------------------
+# cugraph.* — the reference's GPU module (src/mage/cpp/cugraph_module).
+# Same contracts; execution is our distributed CPU implementations (the
+# cluster path), except the spectral procedures which genuinely need the
+# GPU eigensolver and gate like the reference's CUDA-conditional build.
+# ---------------------------------------------------------------------------
+
+def _cugraph_hits(g, max_iterations: int = 30, tolerance: float = 1e-6):
+    """cugraph.hits.get([max_iterations, tolerance]) YIELD node, hubs,
+    authorities (algorithms/hits.cu)."""
+    from memgraph_spark.algos.hits import hits
+    r = hits(g.all_edges().select("src", "dst"),
+             max_iter=int(max_iterations), tol=float(tolerance))
+    return r.select(F.col("id").alias("node"), F.col("hub").alias("hubs"),
+                    F.col("authority").alias("authorities"))
+
+
+def _cugraph_rmat(g, scale: int = 4, num_edges: int = 100,
+                  node_labels=None, edge_type: str = "RELATIONSHIP",
+                  seed: int = 42):
+    """cugraph.generator.rmat([scale, num_edges, …]) — writes an RMAT graph
+    into the catalog (algorithms/graph_generator.cu); YIELD nodes, edges."""
+    from memgraph_spark.algos.hits import rmat
+    from memgraph_spark.catalog import node_id, register_label
+    label = (node_labels or ["RMAT"])[0]
+    e = rmat(g.spark, int(scale), int(num_edges), seed=int(seed))
+    register_label(label)
+    nodes = (e.select(F.col("src").alias("key"))
+             .unionAll(e.select(F.col("dst").alias("key")))
+             .dropDuplicates())
+    n_df = nodes.select(node_id(label, F.col("key")), F.col("key"))
+    e_df = e.select(
+        node_id(label, F.col("src")).alias("src"),
+        node_id(label, F.col("dst")).alias("dst"),
+        F.col("edge_id").alias("eid"))
+    g.set_node_version(label, n_df)
+    g.set_edge_version(edge_type, e_df)
+    return g.spark.createDataFrame(
+        [(n_df.count(), e_df.count())], "nodes long, edges long")
+
+
+def _cugraph_gate(proc):
+    def stub(g, *a, **k):
+        raise NotImplementedError(
+            f"cugraph.{proc} needs the cuGraph GPU eigensolver (the "
+            "reference builds this module only with CUDA); use "
+            "community_detection.get / kmeans.get_clusters for the CPU path")
+    return stub
+
+
+def _register_cugraph():
+    from memgraph_spark.procedures import PROCEDURES
+    aliases = {
+        "cugraph.pagerank.get": "pagerank.get",
+        "cugraph.personalized_pagerank.get": "nxalg.pagerank",
+        "cugraph.louvain.get": "louvain.get",
+        "cugraph.leiden.get": "leiden_community_detection.get",
+        "cugraph.katz_centrality.get": "katz_centrality.get",
+        "cugraph.betweenness_centrality.get": "betweenness_centrality.get",
+    }
+    for name, target in aliases.items():
+        if target in PROCEDURES:
+            register(name, PROCEDURES[target])
+    register("cugraph.hits.get", _cugraph_hits)
+    register("cugraph.generator.rmat", _cugraph_rmat)
+    register("cugraph.balanced_cut_clustering.get",
+             _cugraph_gate("balanced_cut_clustering.get"))
+    register("cugraph.spectral_clustering.get",
+             _cugraph_gate("spectral_clustering.get"))
+
+
+_register_cugraph()

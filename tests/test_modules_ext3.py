@@ -46,3 +46,29 @@ def test_connector_gates(spark):
                  "elastic_search.search", "embeddings.compute"):
         with pytest.raises(NotImplementedError):
             PROCEDURES[name](g)
+
+
+def test_cugraph_hits(spark):
+    # two hubs pointing at one authority
+    g = PropertyGraph(spark, edges={"E": spark.createDataFrame(
+        [(1, 3, 1), (2, 3, 2)], "src long, dst long, eid long")},
+        nodes={"N": spark.createDataFrame([(1,), (2,), (3,)], "id long")})
+    rows = {r["node"]: (r["hubs"], r["authorities"])
+            for r in PROCEDURES["cugraph.hits.get"](g).collect()}
+    assert rows[3][1] > 0.99           # node 3 is the authority
+    assert abs(rows[1][0] - rows[2][0]) < 1e-9 and rows[1][0] > 0.7
+    assert rows[3][0] == 0.0
+
+
+def test_cugraph_rmat_and_aliases(spark):
+    g = PropertyGraph(spark)
+    [row] = PROCEDURES["cugraph.generator.rmat"](g, 4, 50).collect()
+    assert row["edges"] == 50 and 0 < row["nodes"] <= 16 * 2
+    assert "RMAT" in g.nodes and "RELATIONSHIP" in g.edges
+    # aliases resolve to the distributed CPU implementations
+    assert PROCEDURES["cugraph.pagerank.get"] is PROCEDURES["pagerank.get"]
+    r = PROCEDURES["cugraph.pagerank.get"](g).collect()
+    assert len(r) == row["nodes"]
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        PROCEDURES["cugraph.spectral_clustering.get"](g)
