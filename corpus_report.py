@@ -60,6 +60,10 @@ def main() -> None:
                   f"({stats['fail']} fail, {stats['error']} error, "
                   f"{stats['skip']} skip, {stats['timeout']} timeout) "
                   f"[{time.time() - t0:.0f}s]", flush=True)
+            # flush incrementally so a killed run keeps its progress
+            if not pattern:
+                with open("corpus_results.json", "w") as f:
+                    json.dump(results, f, indent=1)
 
     agg = {k: sum(r[k] for r in results.values())
            for k in ("pass", "fail", "error", "skip", "timeout")}

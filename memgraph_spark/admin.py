@@ -292,6 +292,101 @@ def _try_operational(graph, q, u, spark):
     return None
 
 
+def _try_descriptions(graph, q, u, spark):
+    """Server-side descriptions (descriptions.feature): SET/DELETE
+    DESCRIPTION ON LABEL [PROPERTY] / EDGE TYPE [PROPERTY] / DATABASE /
+    PROPERTY, plus SHOW DESCRIPTIONS. The `label` result column is
+    heterogeneous (label-list vs type/db name), so it is a variant struct.
+    """
+    import re as _re
+
+    if not hasattr(graph, "descriptions"):
+        # key: (kind, subject tuple|string, property|None) -> description
+        graph.descriptions = {}
+
+    def empty():
+        return spark.createDataFrame([], "status string")
+
+    _pat = r"\(((?::\w+)+)\)-\[:(\w+)\]->\(((?::\w+)+)\)"
+    targets = (
+        ("edge type pattern property",
+         rf"EDGE TYPE PROPERTY {_pat}\((\w+)\)"),
+        ("edge type pattern", rf"EDGE TYPE {_pat}"),
+        ("label property",
+         r"LABEL PROPERTY ((?::\w+)+)\((\w+)\)"),
+        ("label", r"LABEL ((?::\w+)+)"),
+        ("edge type property",
+         r"EDGE TYPE PROPERTY :(\w+)\((\w+)\)"),
+        ("edge type", r"EDGE TYPE :(\w+)"),
+        ("database", r"DATABASE (\w+)"),
+        ("property", r"PROPERTY (\w+)"),
+    )
+    for verb in ("SET", "DELETE"):
+        pre = rf"{verb} DESCRIPTION ON "
+        suf = r' "([^"]*)"$' if verb == "SET" else r"$"
+        for kind, pat in targets:
+            m = _re.match(pre + pat + suf, q, _re.I)
+            if not m:
+                continue
+            if kind.startswith("edge type pattern"):
+                # (:A:B)-[:T]->(:C): the edge type plus endpoint label sets
+                start = tuple(m.group(1).lstrip(":").split(":"))
+                end = tuple(m.group(3).lstrip(":").split(":"))
+                subject = (m.group(2), start, end)
+                prop = m.group(4) if "property" in kind else None
+                desc = m.group(5 if prop else 4) if verb == "SET" else None
+                kind = ("edge type property" if "property" in kind
+                        else "edge type")
+            elif kind.startswith("label"):
+                subject = tuple(m.group(1).lstrip(":").split(":"))
+                prop = m.group(2) if "property" in kind else None
+                desc = m.group(3 if prop else 2) if verb == "SET" else None
+            elif kind in ("edge type property",):
+                subject, prop = m.group(1), m.group(2)
+                desc = m.group(3) if verb == "SET" else None
+            else:
+                subject, prop = m.group(1), None
+                desc = m.group(2) if verb == "SET" else None
+            if kind == "database" and subject != "memgraph":
+                raise ValueError(f"unknown database {subject}")
+            if kind == "property":
+                subject, prop = None, subject
+            key = (kind, subject, prop)
+            if verb == "SET":
+                graph.descriptions[key] = desc
+            else:
+                graph.descriptions.pop(key, None)
+            return empty()
+
+    if u == "SHOW DESCRIPTIONS":
+        rows = []
+        for (kind, subject, prop), desc in sorted(
+                graph.descriptions.items(),
+                key=lambda kv: (kv[0][0], str(kv[0][1]), str(kv[0][2]))):
+            start = end = None
+            if isinstance(subject, tuple) and len(subject) == 3 \
+                    and isinstance(subject[1], tuple):
+                # edge-type pattern: (type, start_labels, end_labels)
+                label = (None, None, None, subject[0], None, None)
+                start, end = list(subject[1]), list(subject[2])
+            elif isinstance(subject, tuple):  # label combo -> va slot
+                label = (None, None, None, None, list(subject), None)
+            elif subject is None:
+                label = None
+            else:                             # type / db name -> vs slot
+                label = (None, None, None, subject, None, None)
+            rows.append((kind, label, start, end, prop, desc))
+        return spark.createDataFrame(
+            rows,
+            "type string, "
+            "label struct<vb boolean, vi bigint, vd double, vs string, "
+            "va array<string>, vj string>, "
+            "start_node_labels array<string>, "
+            "end_node_labels array<string>, "
+            "property string, description string")
+    return None
+
+
 def try_admin(graph, query: str, params: dict | None = None,
               session=None) -> DataFrame | None:
     """Returns a result DataFrame when `query` is an admin statement,
@@ -358,6 +453,10 @@ def try_admin(graph, query: str, params: dict | None = None,
             [(s,) for s in dump_database(graph)], "QUERY string")
 
     out = _try_operational(graph, q, u, spark)
+    if out is not None:
+        return out
+
+    out = _try_descriptions(graph, q, u, spark)
     if out is not None:
         return out
 

@@ -23,9 +23,17 @@ def _last(c: Column) -> Column:
 
 
 def _range(*args: Column) -> Column:
+    # RANGE(a, b[, step]) with step defaulting to +1: an empty range when
+    # the bounds run against the step (Spark's 2-arg sequence would infer a
+    # negative step instead; range test: RANGE(1, -1) = [])
     if len(args) == 2:
-        return F.sequence(args[0], args[1])
-    return F.sequence(args[0], args[1], args[2])
+        lo, hi = args
+        return F.when(lo <= hi, F.sequence(lo, hi, F.lit(1))) \
+                .otherwise(F.array().cast("array<bigint>"))
+    lo, hi, step = args
+    return (F.when((step > 0) & (lo <= hi), F.sequence(lo, hi, step))
+            .when((step < 0) & (lo >= hi), F.sequence(lo, hi, step))
+            .otherwise(F.array().cast("array<bigint>")))
 
 
 def _to_integer(c: Column) -> Column:
@@ -80,11 +88,9 @@ FUNCTIONS: dict[str, object] = {
     "date": F.to_date,
     "datetime": F.to_timestamp,
     "localdatetime": F.to_timestamp,
-    # LocalTime as a normalized HH:MM:SS.nnnnnnnnn string — lexical order ==
-    # chronological, so min/max/comparisons work without a Spark TIME type
-    "localtime": lambda c: F.concat(
-        F.date_format(F.to_timestamp(F.concat(F.lit("1970-01-01 "), c)),
-                      "HH:mm:ss.SSSSSS"), F.lit("000")),
+    # LocalTime as Spark 4.1's native TIME type (temporal.hpp LocalTime):
+    # comparisons/min/max and component accessors are built-in
+    "localtime": lambda c: F.to_time(c),
     "log": F.log,
     "log10": F.log10,
     "sqrt": F.sqrt,

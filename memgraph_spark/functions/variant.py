@@ -12,14 +12,18 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-VARIANT_FIELDS = ("vb", "vi", "vd", "vs", "va")
+VARIANT_FIELDS = ("vb", "vi", "vd", "vs", "va", "vj")
 
 
 def is_variant_type(t) -> bool:
-    return isinstance(t, T.StructType) and tuple(t.names) == VARIANT_FIELDS
+    if not isinstance(t, T.StructType):
+        return False
+    names = tuple(t.names)
+    # current 6-slot shape plus the older 4/5-slot shapes (stored data)
+    return names in (VARIANT_FIELDS, VARIANT_FIELDS[:5], VARIANT_FIELDS[:4])
 
 
-def _slots(b=None, i=None, d=None, s=None, a=None) -> Column:
+def _slots(b=None, i=None, d=None, s=None, a=None, j=None) -> Column:
     return F.struct(
         (b if b is not None else F.lit(None).cast("boolean")).alias("vb"),
         (i if i is not None else F.lit(None).cast("long")).alias("vi"),
@@ -27,6 +31,9 @@ def _slots(b=None, i=None, d=None, s=None, a=None) -> Column:
         (s if s is not None else F.lit(None).cast("string")).alias("vs"),
         (a if a is not None
          else F.lit(None).cast("array<string>")).alias("va"),
+        # nested/mixed lists and maps: canonical JSON (one level of struct
+        # typing cannot recurse; JSON keeps equality + display exact)
+        (j if j is not None else F.lit(None).cast("string")).alias("vj"),
     )
 
 
@@ -48,8 +55,8 @@ def to_variant(col: Column, t) -> Column:
         v = _slots(a=col)
     else:
         # lists/maps/temporals in conflict with scalars: JSON-encode into the
-        # string slot (observable, still groupable; ordering diverges)
-        v = _slots(s=F.to_json(col))
+        # dedicated json slot (observable, groupable; ordering diverges)
+        v = _slots(j=F.to_json(col))
     return F.when(col.isNotNull(), v)
 
 
@@ -90,6 +97,46 @@ def variant_cmp(l: Column, lt, r: Column, rt, op: str) -> Column:
         .when(l.getField("vb").isNotNull() & r.getField("vb").isNotNull(),
               apply(l.getField("vb"), r.getField("vb")))
     )
+
+
+def variant_eq_strict(l: Column, r: Column) -> Column:
+    """Element equality for IN / membership over heterogeneous lists:
+    same-category values compare (int/double numerically); different
+    categories are simply NOT equal (false, not null) — the reference's
+    TypedValue operator== (typed_value.cpp; gql_behave In tests: `2 IN
+    [1, '2']` is false)."""
+    num_l, num_r = variant_num(l), variant_num(r)
+    return F.coalesce(
+        F.when(num_l.isNotNull() & num_r.isNotNull(), num_l == num_r)
+        .when(l.getField("vs").isNotNull() & r.getField("vs").isNotNull(),
+              l.getField("vs") == r.getField("vs"))
+        .when(l.getField("vb").isNotNull() & r.getField("vb").isNotNull(),
+              l.getField("vb") == r.getField("vb"))
+        .when(l.getField("va").isNotNull() & r.getField("va").isNotNull(),
+              l.getField("va") == r.getField("va"))
+        .when(l.getField("vj").isNotNull() & r.getField("vj").isNotNull(),
+              l.getField("vj") == r.getField("vj")),
+        F.lit(False))
+
+
+def variant_element(v: Column, idx: int) -> Column:
+    """Subscript into a list-valued variant (va string list or vj JSON
+    list): decode element `idx` back into a variant. JSON element kind is
+    recovered lexically (get_json_object strips string quotes, so a JSON
+    number and the same-looking string collapse — documented corner)."""
+    j = F.get_json_object(v.getField("vj"), f"$[{int(idx)}]")
+    from_json = (
+        F.when(j.rlike(r"^[\[{]"), _slots(j=j))
+        .when(j == "true", _slots(b=F.lit(True)))
+        .when(j == "false", _slots(b=F.lit(False)))
+        .when(j.rlike(r"^-?[0-9]+$"), _slots(i=j.cast("long")))
+        .when(j.rlike(r"^-?[0-9]*\.[0-9]+([eE][+-]?[0-9]+)?$"),
+              _slots(d=j.cast("double")))
+        .otherwise(_slots(s=j)))
+    sa = v.getField("va")
+    return (F.when(v.getField("vj").isNotNull() & j.isNotNull(), from_json)
+            .when(sa.isNotNull(),
+                  _slots(s=F.get(sa, F.lit(int(idx))))))
 
 
 def variant_sort_key(v: Column) -> Column:

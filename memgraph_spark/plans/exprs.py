@@ -62,11 +62,78 @@ def _fold_static(e: A.Expr, env: Env):
     return None
 
 
+def _type_category(t) -> str | None:
+    """Coarse Cypher type category for list-homogeneity decisions (int and
+    double share the numeric category, typed_value.cpp)."""
+    if t is None or isinstance(t, T.NullType):
+        return None
+    if isinstance(t, T.BooleanType):
+        return "n/b"
+    if isinstance(t, (T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+                      T.DoubleType, T.FloatType, T.DecimalType)):
+        return "num"
+    if isinstance(t, T.StringType):
+        return "str"
+    return "x:" + t.simpleString()
+
+
+def _compile_json_text(x: A.Expr, env: Env) -> Column:
+    """Canonical JSON text of an expression (compact separators, matching
+    Spark to_json) — the encoding used for nested lists inside variant
+    slots, built from the AST so nested heterogeneous lists stay plain
+    JSON rather than jsonized variant structs."""
+    import json as _json
+    if isinstance(x, A.Literal):
+        return F.lit(_json.dumps(x.value, separators=(",", ":")))
+    if isinstance(x, A.ListLiteral):
+        if not x.items:
+            return F.lit("[]")
+        parts = [_compile_json_text(i, env) for i in x.items]
+        joined = parts[0]
+        for p in parts[1:]:
+            joined = F.concat(joined, F.lit(","), p)
+        return F.concat(F.lit("["), joined, F.lit("]"))
+    c = compile_expr(x, env)
+    t = env.typeof(c) if env.df is not None else None
+    if isinstance(t, (T.ArrayType, T.StructType, T.MapType)):
+        return F.to_json(c)
+    if isinstance(t, T.StringType):
+        return F.concat(F.lit('"'),
+                        F.regexp_replace(c, r'(["\\])', r'\\$1'),
+                        F.lit('"'))
+    return c.cast("string")
+
+
+def _compile_list_literal(e: A.ListLiteral, env: Env) -> Column:
+    """List literal; heterogeneous element categories fall back to an array
+    of variant structs (SURVEY §1.3 — Cypher lists are dynamically typed;
+    gql_behave In/Index tests over `[1, '2', [3], 4]`)."""
+    cols = [compile_expr(x, env) for x in e.items]
+    if len(cols) > 1 and env.df is not None:
+        ts = [env.typeof(c) for c in cols]
+        cats = {c for c in (_type_category(t) for t in ts)
+                if c is not None}
+        if len(cats) > 1 and all(t is not None for t in ts):
+            from memgraph_spark.functions.variant import (
+                _slots, to_variant)
+            out = []
+            for item, c, t in zip(e.items, cols, ts):
+                if _type_category(t).startswith("x:"):
+                    # nested list/map: canonical JSON into the vj slot
+                    out.append(F.when(
+                        c.isNotNull(),
+                        _slots(j=_compile_json_text(item, env))))
+                else:
+                    out.append(to_variant(c, t))
+            return F.array(*out)
+    return F.array(*cols)
+
+
 def compile_expr(e: A.Expr, env: Env) -> Column:
     if isinstance(e, A.Literal):
         return F.lit(e.value)
     if isinstance(e, A.ListLiteral):
-        return F.array(*[compile_expr(x, env) for x in e.items])
+        return _compile_list_literal(e, env)
     if isinstance(e, A.MapLiteral):
         return F.struct(*[compile_expr(v, env).alias(k) for k, v in e.items.items()])
     if isinstance(e, A.MapProjection):
@@ -133,6 +200,14 @@ def compile_expr(e: A.Expr, env: Env) -> Column:
             i = idx.cast("int")
             return F.get(subj, F.when(i < 0, F.size(subj) + i).otherwise(i))
         if isinstance(t, T.StructType):
+            from memgraph_spark.functions.variant import (
+                is_variant_type, variant_element)
+            if is_variant_type(t):
+                # list-valued variant (vj/va slot): decode element back
+                # into a variant (static non-negative index)
+                if isinstance(skey, int) and skey >= 0:
+                    return variant_element(subj, skey)
+                return F.lit(None)
             # struct-backed map (literal/param maps)
             if isinstance(skey, str):
                 return (subj.getField(skey)
@@ -273,7 +348,8 @@ def _compile_property(e: A.Property, env: Env) -> Column:
         return F.lit(None)
     # temporal component accessors: date(...).year etc. (the reference's
     # temporal types expose components as property lookups)
-    if isinstance(t, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+    if isinstance(t, (T.DateType, T.TimestampType, T.TimestampNTZType)) or \
+            (hasattr(T, "TimeType") and isinstance(t, T.TimeType)):
         comp = {
             "year": F.year, "month": F.month, "day": F.dayofmonth,
             "hour": F.hour, "minute": F.minute, "second": F.second,
@@ -346,6 +422,16 @@ def _compile_binop(e: A.BinaryOp, env: Env) -> Column:
     if op == "+":
         # Cypher + is overloaded: numeric add, string concat, list concat
         if _array_side(e.left, env) or _array_side(e.right, env):
+            # list + NULL is null (Concatenate test3): an untyped-null side
+            # would make Spark's concat analysis fail
+            for side, col in ((e.left, l), (e.right, r)):
+                t = env.typeof(col) if env.df is not None else None
+                if (isinstance(side, A.Literal) and side.value is None) \
+                        or isinstance(t, T.NullType):
+                    other = r if col is l else l
+                    ot = env.typeof(other) if env.df is not None else None
+                    return F.lit(None).cast(ot) if ot is not None \
+                        else F.lit(None)
             return F.concat(l, r)
         if _string_side(e.left, env) or _string_side(e.right, env):
             return F.concat(l.cast("string"), r.cast("string"))
@@ -362,6 +448,17 @@ def _compile_binop(e: A.BinaryOp, env: Env) -> Column:
     if op == "^":
         return F.pow(l, r)
     if op == "IN":
+        from memgraph_spark.functions.variant import (
+            is_variant_type, to_variant, variant_eq_strict)
+        rt = env.typeof(r) if env.df is not None else None
+        if isinstance(rt, T.ArrayType) and is_variant_type(rt.elementType):
+            lt = env.typeof(l)
+            lv = l if is_variant_type(lt) else (
+                to_variant(l, lt) if lt is not None else None)
+            if lv is not None:
+                return F.coalesce(
+                    F.exists(r, lambda el: variant_eq_strict(el, lv)),
+                    F.lit(False))
         return F.array_contains(r, l)
     if op == "STARTS":
         return l.startswith(r)
@@ -391,6 +488,97 @@ def _is_float(e: A.BinaryOp, env: Env) -> bool:
 def _int_div(l: Column, r: Column) -> Column:
     # Cypher integer / integer is integer division (truncates toward zero)
     return (l / r).cast("long")
+
+
+_NUMERIC_T = (T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+              T.DoubleType, T.FloatType, T.DecimalType)
+
+
+def _conversion_kind(name: str):
+    """(kind, ornull, is_list) for the ToX conversion family, else None."""
+    base = name
+    is_list = base.endswith("list")
+    if is_list:
+        base = base[:-4]
+    ornull = base.endswith("ornull")
+    if ornull:
+        base = base[:-6]
+    if base in ("toboolean", "tointeger", "tofloat", "tostring"):
+        return base[2:], ornull or is_list, is_list
+    return None
+
+
+def _convert_variant(kind: str, c: Column) -> Column:
+    """Variant value -> converted typed value; non-matching slots null."""
+    from memgraph_spark.functions.variant import variant_num
+    if kind == "boolean":
+        return F.coalesce(c.getField("vb"),
+                          c.getField("vs").try_cast("boolean"),
+                          F.when(c.getField("vi").isNotNull(),
+                                 c.getField("vi") != 0))
+    if kind == "integer":
+        return F.coalesce(
+            c.getField("vi"), c.getField("vd").cast("long"),
+            c.getField("vs").try_cast("long"),
+            c.getField("vs").try_cast("double").cast("long"))
+    if kind == "float":
+        return F.coalesce(variant_num(c),
+                          c.getField("vs").try_cast("double"))
+    return F.coalesce(c.getField("vs"),
+                      c.getField("vi").cast("string"),
+                      c.getField("vd").cast("string"),
+                      c.getField("vb").cast("string"))
+
+
+def _convert_scalar(kind: str, c: Column, t) -> Column:
+    if kind == "boolean":
+        return c.try_cast("boolean")
+    if kind == "integer":
+        if isinstance(t, T.StringType):
+            return F.coalesce(c.try_cast("long"),
+                              c.try_cast("double").cast("long"))
+        return c.try_cast("long")
+    if kind == "float":
+        return c.try_cast("double")
+    return c.cast("string")
+
+
+def _compile_conversion(name: str, conv, c: Column, env: Env):
+    """ToX / ToXOrNull / ToXList with Cypher type rules; returns None to
+    fall through to the plain registry implementation."""
+    from memgraph_spark.functions.variant import is_variant_type
+    kind, lenient, is_list = conv
+    t = env.typeof(c) if env.df is not None else None
+    if t is None:
+        return None
+    out_t = {"boolean": "boolean", "integer": "long", "float": "double",
+             "string": "string"}[kind]
+    if is_list:
+        if not isinstance(t, T.ArrayType):
+            if lenient:
+                return F.lit(None).cast(f"array<{out_t}>")
+            raise CompileError(f"{name}() expects a list")
+        et = t.elementType
+        if is_variant_type(et):
+            return F.transform(c, lambda x: _convert_variant(kind, x))
+        return F.transform(c, lambda x: _convert_scalar(kind, x, et))
+    if is_variant_type(t):
+        return _convert_variant(kind, c)
+    if isinstance(t, (T.ArrayType, T.MapType, T.StructType)):
+        if lenient:
+            return F.lit(None).cast(out_t)
+        raise CompileError(f"{name}() cannot convert a list/map")
+    if not lenient:
+        if kind == "boolean" and isinstance(t, _NUMERIC_T):
+            raise CompileError("toBoolean() cannot convert a number")
+        if kind in ("integer", "float") and isinstance(t, T.BooleanType):
+            raise CompileError(f"{name}() cannot convert a boolean")
+    elif kind == "boolean" and isinstance(t, _NUMERIC_T):
+        return c.cast("long") != 0
+    if kind == "string":
+        # temporal/duration formatting lives in the registry impl
+        return None
+    return _convert_scalar(kind, c, t)
 
 
 def _compile_func(e: A.FuncCall, env: Env) -> Column:
@@ -507,6 +695,18 @@ def _compile_func(e: A.FuncCall, env: Env) -> Column:
             return F.percentile(args[0], args[1])
         return F.percentile_approx(args[0], args[1], F.lit(1_000_000))
     if name in AGGREGATES:
+        # numeric-aggregate input typechecks (Aggregate cursor update loop,
+        # operator.cpp:6566: non-comparable / non-numeric inputs raise):
+        # mixed-type (variant) min/max/sum/avg and duration min/max error
+        if name in ("min", "max", "sum", "avg") and args:
+            from memgraph_spark.functions.variant import is_variant_type
+            at = env.typeof(args[0]) if env.df is not None else None
+            if is_variant_type(at):
+                raise CompileError(
+                    f"{name}() over mixed-type values is not defined")
+            if isinstance(at, T.DayTimeIntervalType):
+                raise CompileError(
+                    f"{name}() over durations is not defined")
         # COLLECT_MAP (aggregation.hpp:27): collect(k, v) builds a map
         if name == "collect" and len(args) == 2:
             return F.map_from_entries(
@@ -798,9 +998,23 @@ def _compile_func(e: A.FuncCall, env: Env) -> Column:
         return F.lit(None).cast("string")
     if name == "roles":
         return F.array().cast("array<string>")
+    # type-checked conversions (awesome_memgraph_functions ToBoolean/
+    # ToInteger/ToFloat + OrNull + List variants): invalid input TYPES
+    # raise for the strict forms and null for OrNull; invalid string VALUES
+    # yield null; toInteger parses float text then truncates toward zero
+    conv = _conversion_kind(name)
+    if conv is not None and args:
+        out = _compile_conversion(name, conv, args[0], env)
+        if out is not None:
+            return out
     if name in FUNCTIONS:
         fn = FUNCTIONS[name]
         return fn(*args)
+    # nodes(x)/relationships(x) where x is a path VALUE (lambda var over
+    # collect(p), list element, …) rather than a named path symbol: the
+    # path struct carries (nodes, rels, dirs) fields
+    if name in ("nodes", "relationships") and args:
+        return args[0].getField("nodes" if name == "nodes" else "rels")
     raise CompileError(f"unknown function {e.name}")
 
 

@@ -25,7 +25,7 @@ TOKEN_RE = re.compile(
   | (?P<string>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*|`(?:[^`])*`)
   | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>::|<>|<=|>=|=~|\.\.|\+=|[-+*/%^=<>(),\[\]{}.:|;])
+  | (?P<op>::|<>|!=|<=|>=|=~|\.\.|\+=|[-+*/%^=<>(),\[\]{}.:|;])
     """,
     re.VERBOSE | re.DOTALL,
 )

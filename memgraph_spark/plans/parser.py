@@ -661,8 +661,10 @@ class Parser:
         left = self.additive()
         out = None
         while True:
-            if self.at_op("=", "<>", "<", ">", "<=", ">=", "=~"):
+            if self.at_op("=", "<>", "!=", "<", ">", "<=", ">=", "=~"):
                 op = self.next().value
+                if op == "!=":   # Cypher.g4 alternative spelling of <>
+                    op = "<>"
                 right = self.additive()
                 node = A.BinaryOp(op, left, right)
                 out = node if out is None else A.BinaryOp("AND", out, node)

@@ -629,7 +629,70 @@ class QueryCompiler(WriteMixin, TraversalMixin):
                 self._pattern_filter(conj)
             else:
                 conj = self._lift(conj)
+                conj = self._materialize_pattern_flags(conj)
                 self.df = self.df.filter(compile_expr(conj, self._env()))
+
+    def _materialize_pattern_flags(self, e: A.Expr) -> A.Expr:
+        """Pattern predicates embedded in arbitrary boolean expressions
+        (`exists(…) OR exists(…)`, `exists(…) IS NOT NULL`): each becomes a
+        boolean flag column computed by a semi-join-shaped left join, and
+        the predicate node rewrites to a plain variable over that column
+        (EvaluatePatternFilter generalized beyond top-level conjuncts)."""
+        from dataclasses import fields as _fields, is_dataclass as _isdc
+        if not any(isinstance(n, A.PatternPredicate) for n in A.walk(e)):
+            return e
+
+        def rewrite(node):
+            if isinstance(node, A.PatternPredicate):
+                flag = self._pattern_flag(node)
+                return A.Var(flag)
+            if not _isdc(node):
+                return node
+
+            def sub(v):
+                if isinstance(v, list):
+                    return [sub(x) for x in v]
+                if isinstance(v, tuple):
+                    return tuple(sub(x) for x in v)
+                if isinstance(v, dict):
+                    return {k: sub(x) for k, x in v.items()}
+                return rewrite(v) if _isdc(v) else v
+            return type(node)(**{f.name: sub(getattr(node, f.name))
+                                 for f in _fields(node)})
+        return rewrite(e)
+
+    def _pattern_flag(self, pp: A.PatternPredicate) -> str:
+        """Compute a boolean column: does the pattern match for this row?"""
+        flag = f"__pp{self._anon}"
+        shared = sorted(s for s in self._pattern_syms([pp.pattern])
+                        if s in self.symbols)
+        sub = QueryCompiler(self.g, self.params, hops=self.hops,
+                            anon_prefix=f"p{self._anon}_")
+        self._anon += 1
+        if shared:
+            keys = [f"{s}_id" for s in shared if self.symbols[s] == "node"]
+            anchor_cols = [c for c in self.df.columns
+                           if any(c == s or c.startswith(f"{s}_")
+                                  for s in shared)]
+            sub.df = self.df.select(*anchor_cols).dropDuplicates(
+                keys or anchor_cols)
+            sub.symbols = {s: self.symbols[s] for s in shared}
+            sub._pattern_part(pp.pattern)
+            matched = (sub.df.select(*(keys or anchor_cols))
+                       .dropDuplicates()
+                       .withColumn(flag, F.lit(True)))
+            self.df = self.df.join(matched, on=(keys or anchor_cols),
+                                   how="left")
+        else:
+            sub._pattern_part(pp.pattern)
+            matched = (sub.df.limit(1).select(F.lit(True).alias(flag)))
+            self.df = self.df.join(matched, F.lit(True), "left")
+        self.df = self.df.withColumn(
+            flag, F.coalesce(F.col(flag), F.lit(False)))
+        if pp.negated:
+            self.df = self.df.withColumn(flag, ~F.col(flag))
+        self.symbols[flag] = "value"
+        return flag
 
     def _conjuncts(self, e: A.Expr) -> list[A.Expr]:
         if isinstance(e, A.BinaryOp) and e.op == "AND":
@@ -729,6 +792,25 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         import dataclasses
         if isinstance(e, A.PatternComprehension):
             return self._roll_up(e)
+        # DEGREE/INDEGREE/OUTDEGREE(n) (awesome functions Degree family):
+        # the incident-edge count is exactly a pattern-comprehension length
+        if (isinstance(e, A.FuncCall)
+                and e.name.lower() in ("degree", "indegree", "outdegree")
+                and e.args and isinstance(e.args[0], A.Literal)
+                and e.args[0].value is None):
+            return A.Literal(None)
+        if (isinstance(e, A.FuncCall)
+                and e.name.lower() in ("degree", "indegree", "outdegree")
+                and e.args and isinstance(e.args[0], A.Var)
+                and self.symbols.get(e.args[0].name) == "node"):
+            direction = {"degree": "both", "indegree": "in",
+                         "outdegree": "out"}[e.name.lower()]
+            pat = A.PatternPart(None, A.NodePattern(e.args[0].name, []),
+                                [(A.RelPattern(None, [], direction),
+                                  A.NodePattern(None, []))])
+            lst = self._roll_up(
+                A.PatternComprehension(pat, None, A.Literal(1)))
+            return A.FuncCall("size", [lst])
         if isinstance(e, A.PatternPredicate) or not dataclasses.is_dataclass(e):
             return e
         changes = {}

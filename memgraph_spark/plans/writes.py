@@ -45,6 +45,14 @@ def _union_missing(left: DataFrame, right: DataFrame) -> DataFrame:
         a, b = lt[name], rt[name]
         if a == b:
             continue
+        # an all-null side ({x: null}) is typeless, not a type conflict:
+        # coerce it to the other side's type (Sum/Sqrt test 02)
+        if isinstance(a, T.NullType):
+            left = left.withColumn(name, F.col(name).cast(b))
+            continue
+        if isinstance(b, T.NullType):
+            right = right.withColumn(name, F.col(name).cast(a))
+            continue
         if isinstance(a, numeric) and isinstance(b, numeric):
             left = left.withColumn(name, F.col(name).cast("double"))
             right = right.withColumn(name, F.col(name).cast("double"))

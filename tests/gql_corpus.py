@@ -265,6 +265,11 @@ def parse_feature(path: str) -> list[Scenario]:
 # -- value canonicalization --------------------------------------------------
 
 def _canon_float(f: float) -> str:
+    import math
+    if math.isnan(f):
+        return "nan"
+    if math.isinf(f):
+        return "inf" if f > 0 else "-inf"
     r = round(f, 9)
     if r == int(r) and abs(r) < 1e15:
         return f"{int(r)}.0"
@@ -330,7 +335,11 @@ def canon_actual(v, list_unordered: bool = False) -> str:
         def _disp(k: str) -> str:  # reserved props stored as p__<name>
             return k[3:] if k.startswith("p__") else k
         if tuple(d) in (("vb", "vi", "vd", "vs"),
-                        ("vb", "vi", "vd", "vs", "va")):  # variant struct
+                        ("vb", "vi", "vd", "vs", "va"),
+                        ("vb", "vi", "vd", "vs", "va", "vj")):  # variant
+            if d.get("vj") is not None:  # nested/mixed list or map as JSON
+                import json as _json
+                return canon_actual(_json.loads(d["vj"]), lu)
             for slot in ("vb", "vi", "vd", "vs", "va"):
                 if slot not in d:
                     continue
