@@ -86,11 +86,17 @@ FUNCTIONS: dict[str, object] = {
     "exp": F.exp,
     # temporal constructors (awesome_memgraph_functions.cpp DATE/DATETIME/...)
     "date": F.to_date,
-    "datetime": F.to_timestamp,
+    # ZonedDateTime text may carry a trailing [Zone/Id] (temporal.hpp);
+    # normalize before parsing — offsets (+02:00) parse natively
+    "datetime": lambda c: F.to_timestamp(
+        F.regexp_replace(c.cast("string"), r"\[[^\]]*\]$", "")),
     "localdatetime": F.to_timestamp,
-    # LocalTime as Spark 4.1's native TIME type (temporal.hpp LocalTime):
-    # comparisons/min/max and component accessors are built-in
-    "localtime": lambda c: F.to_time(c),
+    # LocalTime as a normalized HH:MM:SS.nnnnnnnnn string — lexical order ==
+    # chronological, so min/max/comparisons work without a Spark TIME type
+    # (TIME exists in 4.1 but this build rejects it: UNSUPPORTED_TIME_TYPE)
+    "localtime": lambda c: F.concat(
+        F.date_format(F.to_timestamp(F.concat(F.lit("1970-01-01 "), c)),
+                      "HH:mm:ss.SSSSSS"), F.lit("000")),
     "log": F.log,
     "log10": F.log10,
     "sqrt": F.sqrt,

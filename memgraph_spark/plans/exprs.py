@@ -26,6 +26,9 @@ class Env:
     symbols: dict[str, str] = field(default_factory=dict)  # name -> node|rel|value|path
     params: dict[str, object] = field(default_factory=dict)
     lambda_vars: dict[str, Column] = field(default_factory=dict)
+    # static element types for lambda variables (the frame probe cannot
+    # resolve them; comparisons need the variant-ness of list elements)
+    lambda_types: dict = field(default_factory=dict)
     hops: dict | None = None   # USING HOPS LIMIT counter (hops_limit.hpp)
     graph: object = None       # catalog access (toEnum validation, degrees)
 
@@ -236,19 +239,25 @@ def compile_expr(e: A.Expr, env: Env) -> Column:
     if isinstance(e, A.ReduceExpr):
         src = compile_expr(e.source, env)
         init = compile_expr(e.init, env)
+        _st = env.typeof(src)
+        _et = _st.elementType if isinstance(_st, T.ArrayType) else None
 
         def step(acc: Column, x: Column) -> Column:
             inner = Env(env.df, env.symbols, env.params,
-                        {**env.lambda_vars, e.acc: acc, e.var: x}, env.hops)
+                        {**env.lambda_vars, e.acc: acc, e.var: x},
+                        {**env.lambda_types, e.var: _et}, env.hops)
             return compile_expr(e.body, inner)
 
         return F.aggregate(src, init, step)
     if isinstance(e, A.ListComprehension):
         src = compile_expr(e.source, env)
+        _st = env.typeof(src)
+        _et = _st.elementType if isinstance(_st, T.ArrayType) else None
 
         def body(x: Column) -> Column:
             inner = Env(env.df, env.symbols, env.params,
-                        {**env.lambda_vars, e.var: x})
+                        {**env.lambda_vars, e.var: x},
+                        {**env.lambda_types, e.var: _et})
             return inner
 
         filtered = src
@@ -389,6 +398,10 @@ def _compile_binop(e: A.BinaryOp, env: Env) -> Column:
         from memgraph_spark.functions.variant import (
             is_variant_type, variant_cmp)
         lt, rt = env.typeof(l), env.typeof(r)
+        if lt is None and isinstance(e.left, A.Var):
+            lt = env.lambda_types.get(e.left.name)
+        if rt is None and isinstance(e.right, A.Var):
+            rt = env.lambda_types.get(e.right.name)
         if is_variant_type(lt) or is_variant_type(rt):
             return variant_cmp(l, lt, r, rt, op)
 
@@ -588,10 +601,13 @@ def _compile_func(e: A.FuncCall, env: Env) -> Column:
     if name.startswith("__quant_") and isinstance(e.args[0], A.ListComprehension):
         lc = e.args[0]
         src = compile_expr(lc.source, env)
+        st = env.typeof(src)
+        et = st.elementType if isinstance(st, T.ArrayType) else None
 
         def pred(x: Column) -> Column:
             inner = Env(env.df, env.symbols, env.params,
-                        {**env.lambda_vars, lc.var: x})
+                        {**env.lambda_vars, lc.var: x},
+                        {**env.lambda_types, lc.var: et})
             return compile_expr(lc.where, inner)
 
         kind = name[len("__quant_"):]
@@ -610,10 +626,12 @@ def _compile_func(e: A.FuncCall, env: Env) -> Column:
         if kind == "none":
             return F.when(n_true > 0, F.lit(False)) \
                 .when(n_null > 0, F.lit(None)).otherwise(F.lit(True))
-        # single: exactly one true; null wins only if it could change that
+        # single: >1 true is definite false, exactly 1 true is definite
+        # true (nulls don't override it — Single test 05), else nulls
+        # leave the answer open
         return F.when(n_true > 1, F.lit(False)) \
-            .when(n_null > 0, F.lit(None)) \
-            .otherwise(n_true == 1)
+            .when(n_true == 1, F.lit(True)) \
+            .when(n_null > 0, F.lit(None)).otherwise(F.lit(False))
     # length(p) on a named path -> its hop-count column
     if (name == "length" and e.args and isinstance(e.args[0], A.Var)
             and env.symbols.get(e.args[0].name) == "path"):
@@ -674,12 +692,34 @@ def _compile_func(e: A.FuncCall, env: Env) -> Column:
     # a Graph/VirtualGraph value = struct(nodes: [...], edges: [...])
     if name == "project" and args:
         if len(args) >= 2:
-            # PROJECT_LISTS: project(nodes_list, rels_list); nulls dropped
+            # PROJECT_LISTS: project(nodes_list, rels_list); null (unmatched
+            # OPTIONAL) entries dropped; wrong element kinds are compile
+            # errors and dangling edge endpoints raise at runtime
+            # (aggregation.hpp PROJECT_LISTS, operator.cpp:6297 dedup)
+            for i, (want, forbid) in enumerate((("id", "eid"),
+                                                ("eid", None))):
+                at = env.typeof(args[i]) if env.df is not None else None
+                if isinstance(at, T.ArrayType) and \
+                        isinstance(at.elementType, T.StructType):
+                    names = at.elementType.names
+                    if want not in names or (forbid and forbid in names):
+                        raise CompileError(
+                            "project() expects (list of nodes, "
+                            "list of relationships)")
+            nodes_a = F.array_distinct(F.flatten(F.collect_list(F.filter(
+                args[0], lambda x: x.getField("id").isNotNull()))))
+            edges_a = F.array_distinct(F.flatten(F.collect_list(F.filter(
+                args[1], lambda x: x.getField("eid").isNotNull()))))
+            ids = F.transform(nodes_a, lambda n: n.getField("id"))
+            ok = F.assert_true(
+                F.forall(edges_a, lambda r:
+                         F.array_contains(ids, r.getField("src"))
+                         & F.array_contains(ids, r.getField("dst"))),
+                F.lit("project(): an edge endpoint is missing from the "
+                      "projected node list"))
             return F.struct(
-                F.array_distinct(F.flatten(F.collect_list(F.filter(
-                    args[0], lambda x: x.isNotNull())))).alias("nodes"),
-                F.array_distinct(F.flatten(F.collect_list(F.filter(
-                    args[1], lambda x: x.isNotNull())))).alias("edges"))
+                nodes_a.alias("nodes"),
+                F.when(ok.isNull(), edges_a).alias("edges"))
         arg = args[0]
         return F.struct(
             F.array_distinct(F.flatten(F.collect_list(
@@ -1007,6 +1047,30 @@ def _compile_func(e: A.FuncCall, env: Env) -> Column:
         out = _compile_conversion(name, conv, args[0], env)
         if out is not None:
             return out
+    # math functions typecheck: non-numeric input raises (eval.hpp coercion
+    # errors; Abs/Exp test 02), a typed-null argument propagates null
+    if name in ("abs", "exp", "log", "log10", "sqrt", "sin", "cos", "tan",
+                "asin", "acos", "atan", "sign", "floor", "ceil") and args:
+        _t = env.typeof(args[0]) if env.df is not None else None
+        if isinstance(_t, (T.StringType, T.BooleanType, T.ArrayType,
+                           T.MapType, T.StructType)):
+            raise CompileError(f"{name}() expects a number")
+        if _t is not None and isinstance(_t, T.NullType):
+            return F.lit(None).cast("double")
+        if name in ("log", "log10") and _t is not None:
+            # log of a negative is NaN (not Spark's null) — Log test 03
+            c = args[0].cast("double")
+            fn = F.log if name == "log" else F.log10
+            return F.when(c < 0, F.lit(float("nan")))                     .when(c.isNotNull(), F.coalesce(fn(c),
+                                                    F.lit(float("-inf"))))
+        if name == "sqrt" and _t is not None:
+            c = args[0].cast("double")
+            return F.when(c < 0, F.lit(float("nan")))                     .otherwise(F.sqrt(c))
+    # null-typed argument propagates for the plain list accessors
+    if name in ("head", "last", "tail", "reverse") and args:
+        _t = env.typeof(args[0]) if env.df is not None else None
+        if isinstance(_t, T.NullType):
+            return F.lit(None)
     if name in FUNCTIONS:
         fn = FUNCTIONS[name]
         return fn(*args)

