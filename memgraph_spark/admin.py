@@ -422,9 +422,13 @@ def try_admin(graph, query: str, params: dict | None = None,
     # text / vector index DDL (ast.hpp TextIndexQuery :2320 /
     # VectorIndexQuery :2386) — named indexes over a label's text/embedding
     # column; the physical "index" is the tokenized/embedding table layout
-    m = re.match(r"CREATE TEXT INDEX (\w+) ON :(\w+)(?: ?\((\w+)\))?$", q, re.I)
+    m = re.match(r"CREATE TEXT (EDGE )?INDEX (\w+) ON :(\w+)"
+                 r"(?: ?\(([^)]*)\))?$", q, re.I)
     if m:
-        graph.index_registry.append((m.group(2), m.group(3), "text", m.group(1)))
+        props = tuple(p.strip() for p in m.group(4).split(",")) \
+            if m.group(4) else None
+        tag = "text-edge" if m.group(1) else "text"
+        graph.index_registry.append((m.group(3), props, tag, m.group(2)))
         return spark.createDataFrame([], "status string")
 
     m = re.match(r"CREATE VECTOR (EDGE )?INDEX (\w+) ON "
@@ -563,9 +567,15 @@ def try_admin(graph, query: str, params: dict | None = None,
             tag = entry[2] if len(entry) >= 3 else None
             n = (graph.label_count(label)
                  if label in graph.nodes else 0)
-            if tag == "text":
-                rows.append((f"label_text (name: {entry[3]})", label,
-                             va([prop] if prop else []), n))
+            if tag in ("text", "text-edge"):
+                props = list(prop) if isinstance(prop, (tuple, list)) \
+                    else ([prop] if prop else [])
+                kind = ("label_text" if tag == "text" else "edge-type_text")
+                if tag == "text-edge":
+                    e = graph.edges.get(label)
+                    n = e.count() if e is not None else 0
+                rows.append((f"{kind} (name: {entry[3]})", label,
+                             va(props), n))
             elif tag == "vector":
                 rows.append(("label+property_vector", label, vs(prop), n))
             elif tag == "edge":

@@ -209,8 +209,16 @@ class PropertyGraph:
         """Merge SET-added labels into a (id, labels, ...) frame."""
         if self.extra_labels is None:
             return df
-        extras = self.extra_labels.groupBy("id").agg(
-            F.collect_set("label").alias("__extra"))
+        el = self.extra_labels
+        if "ord" not in el.columns:
+            el = el.withColumn("ord", F.lit(0))
+        else:
+            el = el.withColumn("ord", F.coalesce("ord", F.lit(0)))
+        # keep label addition order: sort by (ord) then dedup via array_union
+        extras = el.groupBy("id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ord", "label"))),
+                lambda x: x.getField("label")).alias("__extra"))
         return df.join(extras, "id", "left").withColumn(
             "labels",
             F.array_union("labels", F.coalesce(

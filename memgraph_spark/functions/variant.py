@@ -55,8 +55,10 @@ def to_variant(col: Column, t) -> Column:
         v = _slots(a=col)
     else:
         # lists/maps/temporals in conflict with scalars: JSON-encode into the
-        # dedicated json slot (observable, groupable; ordering diverges)
-        v = _slots(j=F.to_json(col))
+        # dedicated json slot (observable, groupable; ordering diverges).
+        # Cypher maps keep explicit null entries ({age: null} after a nested
+        # SET to null), so null fields must survive the encoding.
+        v = _slots(j=F.to_json(col, {"ignoreNullFields": "false"}))
     return F.when(col.isNotNull(), v)
 
 

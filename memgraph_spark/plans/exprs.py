@@ -31,6 +31,8 @@ class Env:
     lambda_types: dict = field(default_factory=dict)
     hops: dict | None = None   # USING HOPS LIMIT counter (hops_limit.hpp)
     graph: object = None       # catalog access (toEnum validation, degrees)
+    # rel symbol -> (from_sym, to_sym) pattern endpoints (startNode/endNode)
+    rel_ends: dict = field(default_factory=dict)
 
     def columns(self) -> set[str]:
         return set(self.df.columns) if self.df is not None else set()
@@ -268,14 +270,27 @@ def compile_expr(e: A.Expr, env: Env) -> Column:
         return filtered
     if isinstance(e, A.LabelsTest):
         subj = e.subject
+        labels_col = None
         if isinstance(subj, A.Var) and env.symbols.get(subj.name) == "node":
             labels_col = F.col(f"{subj.name}_labels")
-            cond = None
-            for lbl in e.labels:
-                c = F.array_contains(labels_col, lbl)
-                cond = c if cond is None else (cond & c)
-            return cond
-        raise CompileError("labels test on non-node")
+        else:
+            # label test over a computed node value (endNode(r):y, x:Label
+            # on a lambda/list element): the node struct carries `labels`
+            sc = compile_expr(subj, env)
+            t = env.typeof(sc)
+            if isinstance(t, T.StructType) and "labels" in t.names:
+                labels_col = sc.getField("labels")
+        if labels_col is None:
+            raise CompileError("labels test on non-node")
+        cond = None
+        for lbl in e.labels:
+            c = F.array_contains(labels_col, lbl)
+            cond = c if cond is None else (cond & c)
+        for dx in e.dyn_labels:
+            c = F.array_contains(labels_col,
+                                 compile_expr(dx, env).cast("string"))
+            cond = c if cond is None else (cond & c)
+        return cond
     if isinstance(e, A.PatternPredicate):
         raise CompileError("pattern predicate must be handled by the clause compiler")
     raise CompileError(f"cannot compile {type(e).__name__}")
@@ -301,6 +316,124 @@ def _compile_var(name: str, env: Env) -> Column:
     if env.df is not None and name in env.df.columns:
         return F.col(name)
     raise CompileError(f"unbound variable {name}")
+
+
+def _compile_point(ml: A.MapLiteral, env: Env) -> Column:
+    """point(map) construction (awesome_memgraph_functions.cpp Point)."""
+    from memgraph_spark.functions.spatial import (
+        CRS_NAMES, SRID_CARTESIAN, SRID_CARTESIAN_3D, SRID_TO_CRS,
+        SRID_WGS84, SRID_WGS84_3D, make_point)
+    m = ml.items
+    vals = {k: compile_expr(v, env) for k, v in m.items()}
+
+    def pick(a: str, b: str):
+        if a in m:
+            return vals[a], False
+        if b in m:
+            return vals[b], True
+        return None, False
+
+    xc, from_lon = pick("x", "longitude")
+    yc, from_lat = pick("y", "latitude")
+    zc, _from_h = pick("z", "height")
+    if xc is None or yc is None:
+        raise CompileError("point(): argument longitude/x is missing")
+    if from_lon != from_lat:
+        raise CompileError(
+            "point(): use either x, y, z or longitude, latitude, height")
+    if "crs" in m and "srid" in m:
+        raise CompileError("point(): cannot specify both CRS and SRID")
+    srid = None
+    if "crs" in m:
+        cv = m["crs"]
+        if not (isinstance(cv, A.Literal) and cv.value in CRS_NAMES):
+            raise CompileError("point(): invalid CRS")
+        srid = CRS_NAMES[cv.value]
+    elif "srid" in m:
+        sv = m["srid"]
+        if not (isinstance(sv, A.Literal) and sv.value in SRID_TO_CRS):
+            raise CompileError("point(): invalid SRID")
+        srid = sv.value
+    inferred_wgs = from_lon or from_lat
+    if srid in (SRID_CARTESIAN, SRID_CARTESIAN_3D) and inferred_wgs:
+        raise CompileError(
+            "point(): cartesian points must be constructed with x, y, z "
+            "not longitude, latitude, height")
+    if srid is None:
+        if zc is None:
+            srid = SRID_WGS84 if inferred_wgs else SRID_CARTESIAN
+        else:
+            srid = SRID_WGS84_3D if inferred_wgs else SRID_CARTESIAN_3D
+    if zc is None and srid in (SRID_WGS84_3D, SRID_CARTESIAN_3D):
+        raise CompileError(
+            "point(): concluded point type is 2D but CRS/SRID says 3D")
+    if zc is not None and srid in (SRID_WGS84, SRID_CARTESIAN):
+        raise CompileError(
+            "point(): concluded point type is 3D but CRS/SRID says 2D")
+    # non-coordinate keys don't error as long as their value is null — and
+    # any null value (coordinate or not) nulls the whole point
+    extra = [k for k in m
+             if k not in ("x", "y", "z", "longitude", "latitude", "height",
+                          "srid", "crs")]
+    any_null = None
+    for c in list(vals.values()):
+        cond = c.isNull()
+        any_null = cond if any_null is None else (any_null | cond)
+    for k in extra:
+        if isinstance(m[k], A.Literal) and m[k].value is not None:
+            raise CompileError(f"point(): unknown key {k!r}")
+    p = make_point(xc, yc, srid, z=zc)
+    if srid in (SRID_WGS84, SRID_WGS84_3D):
+        in_range = (xc.cast("double").between(-180.0, 180.0)
+                    & yc.cast("double").between(-90.0, 90.0))
+        p = F.when(in_range, p).otherwise(F.raise_error(F.lit(
+            "point(): longitude/x in [-180, 180] and latitude/y in "
+            "[-90, 90] required for WGS point types")))
+    if any_null is not None:
+        p = F.when(~any_null, p)
+    return p
+
+
+def _endpoint_struct(a: str, b: str, tgt: Column, env: Env) -> Column:
+    """Node struct for whichever of two bound node symbols matches the
+    target id (startNode/endNode over an undirected or reversed match).
+    Field set is the union of both symbols' columns, nulls fill gaps so the
+    two branches share one struct type."""
+    fields = sorted({c[len(a) + 1:] for c in env.columns()
+                     if c.startswith(f"{a}_")}
+                    | {c[len(b) + 1:] for c in env.columns()
+                       if c.startswith(f"{b}_")})
+
+    def side(sym: str) -> Column:
+        cols = []
+        for f in fields:
+            cn = f"{sym}_{f}"
+            if cn in env.columns():
+                cols.append(F.col(cn).alias(f))
+            else:
+                other = f"{(b if sym == a else a)}_{f}"
+                t = env.typeof(F.col(other))
+                cols.append(F.lit(None).cast(t).alias(f)
+                            if t is not None else F.lit(None).alias(f))
+        return F.struct(*cols)
+    return F.when(tgt == F.col(f"{a}_id"), side(a)).otherwise(side(b))
+
+
+def _props_as_map(pairs: list, env: Env):
+    """properties(n) -> map with null-valued slots dropped per row (a null
+    property is an absent property; PropertyStore never stores nulls).
+    Values are lifted to the variant struct so mixed types share one map."""
+    from memgraph_spark.functions.variant import to_variant
+    typed = [(k, c, env.typeof(c)) for k, c in pairs]
+    # an untyped-null column is an always-absent property: drop statically
+    typed = [(k, c, t) for k, c, t in typed
+             if t is not None and not isinstance(t, T.NullType)]
+    if not typed:
+        return F.create_map().cast("map<string,string>")
+    keys = [F.lit(k) for k, _, _ in typed]
+    vals = [to_variant(c, t) for _, c, t in typed]
+    m = F.map_from_arrays(F.array(*keys), F.array(*vals))
+    return F.map_filter(m, lambda k, v: v.isNotNull())
 
 
 def _prop_cols(sym: str, env: Env) -> list[str]:
@@ -349,6 +482,42 @@ def _compile_property(e: A.Property, env: Env) -> Column:
             return F.try_element_at(env.lambda_vars[nm], F.lit(e.key))
     subj = compile_expr(e.subject, env)
     t = env.typeof(subj)
+    if isinstance(t, T.StructType) and set(t.names) == {"x", "y", "z",
+                                                        "srid"}:
+        # point accessors (point.hpp): x/y/srid always valid; longitude/
+        # latitude only on WGS84 points, z only on 3d, height only on
+        # WGS84-3d; crs renders the srid name. Invalid accessors raise at
+        # runtime like the reference's PropertyLookup on Point.
+        from memgraph_spark.functions.spatial import (
+            SRID_CARTESIAN_3D, SRID_WGS84_3D, WGS_SRIDS, crs_name)
+        key = e.key.lower()
+        s = subj.getField("srid")
+
+        def guarded(valid, value, what):
+            return (F.when(subj.isNull(), F.lit(None))
+                    .when(valid, value)
+                    .otherwise(F.raise_error(F.lit(
+                        f"point has no {what} component for its CRS"))))
+        if key == "x":
+            return subj.getField("x")
+        if key == "y":
+            return subj.getField("y")
+        if key == "srid":
+            return s
+        if key == "crs":
+            return crs_name(subj)
+        if key == "longitude":
+            return guarded(s.isin(*WGS_SRIDS), subj.getField("x"),
+                           "longitude")
+        if key == "latitude":
+            return guarded(s.isin(*WGS_SRIDS), subj.getField("y"),
+                           "latitude")
+        if key == "z":
+            return guarded(s.isin(SRID_WGS84_3D, SRID_CARTESIAN_3D),
+                           subj.getField("z"), "z")
+        if key == "height":
+            return guarded(s == SRID_WGS84_3D, subj.getField("z"), "height")
+        return F.lit(None)
     if isinstance(t, T.StructType):
         if A.prop_col(e.key) in t.names:
             return subj.getField(A.prop_col(e.key))
@@ -419,6 +588,13 @@ def _compile_binop(e: A.BinaryOp, env: Env) -> Column:
             return None
         cl_, cr_ = _cat(lt), _cat(rt)
         if cl_ and cr_ and cl_ != cr_:
+            # typed_value.cpp operator==: different non-numeric types are
+            # simply NOT equal (false, not null); ordering comparisons on
+            # mismatched categories yield null (operator< "return {}")
+            if op in ("=", "<>"):
+                null_in = l.isNull() | r.isNull()
+                return F.when(null_in, F.lit(None).cast("boolean")) \
+                        .otherwise(F.lit(op == "<>"))
             return F.lit(None).cast("boolean")
     if op == "=":
         return l == r
@@ -676,18 +852,36 @@ def _compile_func(e: A.FuncCall, env: Env) -> Column:
     if name == "round" and len(e.args) == 2 and isinstance(e.args[1], A.Literal):
         return F.round(compile_expr(e.args[0], env), e.args[1].value)
     # point({x:…, y:…}) / point({longitude:…, latitude:…}) -> typed struct
+    # (awesome_memgraph_functions.cpp Point: name-family consistency, crs
+    # xor srid, dimension agreement, WGS84 coordinate ranges; a null value
+    # for ANY key nulls the whole point)
     if name == "point" and e.args and isinstance(e.args[0], A.MapLiteral):
-        from memgraph_spark.functions.spatial import (
-            SRID_CARTESIAN, SRID_WGS84, make_point)
-        m = e.args[0].items
-        if "longitude" in m and "latitude" in m:
-            return make_point(compile_expr(m["longitude"], env),
-                              compile_expr(m["latitude"], env), SRID_WGS84)
-        if "x" in m and "y" in m:
-            return make_point(compile_expr(m["x"], env),
-                              compile_expr(m["y"], env), SRID_CARTESIAN)
-        raise CompileError("point() needs x/y or longitude/latitude")
+        return _compile_point(e.args[0], env)
     args = [compile_expr(a, env) for a in e.args]
+    # assert(expr[, message]) (awesome_memgraph_functions.cpp Assert):
+    # true passes through, false raises with the evaluated message
+    if name == "assert" and args:
+        msg = (args[1].cast("string") if len(args) > 1
+               else F.lit("Assertion failed"))
+        return F.when(F.coalesce(args[0].cast("boolean"), F.lit(False)),
+                      F.lit(True)).otherwise(F.raise_error(msg))
+    # counter(name, initial[, step]) (awesome_memgraph_functions.cpp
+    # Counter): a per-name sequence advanced once per evaluated row. The
+    # row_number window is inherently sequential — counter is a test/debug
+    # utility, not a scale path.
+    if name == "counter":
+        if not e.args or not isinstance(e.args[0], A.Literal):
+            raise CompileError("counter() needs a literal name")
+        init = (e.args[1].value
+                if len(e.args) > 1 and isinstance(e.args[1], A.Literal)
+                else 0)
+        step = (e.args[2].value
+                if len(e.args) > 2 and isinstance(e.args[2], A.Literal)
+                else 1)
+        from pyspark.sql.window import Window
+        w = Window.orderBy(F.monotonically_increasing_id())
+        return (F.lit(init)
+                + F.lit(step) * (F.row_number().over(w) - 1)).cast("long")
     # PROJECT_PATH / DERIVE graph-value aggregations (aggregation.hpp:27):
     # a Graph/VirtualGraph value = struct(nodes: [...], edges: [...])
     if name == "project" and args:
@@ -772,18 +966,27 @@ def _compile_func(e: A.FuncCall, env: Env) -> Column:
         return F.col(f"{e.args[0].name}_labels")
     if name == "type" and _is_graph_sym(e.args[0]):
         return F.col(f"{e.args[0].name}_type")
-    if name == "startnode" and _is_graph_sym(e.args[0]):
-        return F.col(f"{e.args[0].name}_src")
-    if name == "endnode" and _is_graph_sym(e.args[0]):
-        return F.col(f"{e.args[0].name}_dst")
-    if name == "properties" and isinstance(e.args[0], A.Var):
+    if name in ("startnode", "endnode") and _is_graph_sym(e.args[0]):
+        rsym = e.args[0].name
+        tgt = F.col(f"{rsym}_src" if name == "startnode" else f"{rsym}_dst")
+        ends = env.rel_ends.get(rsym)
+        if ends:
+            a, b = ends
+            if {f"{a}_id", f"{b}_id"} <= env.columns():
+                # rebuild the full node struct from the endpoint symbols
+                # already bound in the frame (unified field set; no join)
+                return _endpoint_struct(a, b, tgt, env)
+        return tgt
+    if name == "properties" and isinstance(e.args[0], A.Var) \
+            and env.symbols.get(e.args[0].name) in ("node", "rel"):
         sym = e.args[0].name
         cols = [c for c in env.columns()
                 if c.startswith(f"{sym}_") and c not in
                 (f"{sym}_id", f"{sym}_labels", f"{sym}_eid", f"{sym}_type",
                  f"{sym}_src", f"{sym}_dst")]
-        return F.struct(*[F.col(c).alias(A.prop_name(c[len(sym) + 1:]))
-                          for c in sorted(cols)])
+        return _props_as_map(
+            [(A.prop_name(c[len(sym) + 1:]), F.col(c)) for c in sorted(cols)],
+            env)
     if name == "keys" and isinstance(e.args[0], A.Var):
         sym = e.args[0].name
         cols = [c[len(sym) + 1:] for c in sorted(env.columns())
@@ -827,9 +1030,11 @@ def _compile_func(e: A.FuncCall, env: Env) -> Column:
             if name == "endnode" and "dst" in t.names:
                 return args[0].getField("dst")
             if name == "properties":
-                return F.struct(*[args[0].getField(f)
-                                  .alias(A.prop_name(f))
-                                  for f in t.names if f not in meta])
+                if not any(f in t.names for f in meta):
+                    return args[0]  # map-as-struct subject: identity
+                return _props_as_map(
+                    [(A.prop_name(f), args[0].getField(f))
+                     for f in t.names if f not in meta], env)
             if name == "keys":
                 return F.filter(
                     F.array(*[F.when(args[0].getField(f).isNotNull(),
@@ -1066,6 +1271,11 @@ def _compile_func(e: A.FuncCall, env: Env) -> Column:
         if name == "sqrt" and _t is not None:
             c = args[0].cast("double")
             return F.when(c < 0, F.lit(float("nan")))                     .otherwise(F.sqrt(c))
+    # spatial functions: a null-literal point argument propagates null
+    if name in ("point.distance", "point.withinbbox") and args:
+        ts = [env.typeof(a) if env.df is not None else None for a in args]
+        if any(isinstance(t, T.NullType) for t in ts):
+            return F.lit(None)
     # null-typed argument propagates for the plain list accessors
     if name in ("head", "last", "tail", "reverse") and args:
         _t = env.typeof(args[0]) if env.df is not None else None

@@ -753,7 +753,8 @@ class Parser:
             elif self.at_op("::") and isinstance(e, A.Var):
                 self.next()
                 e = A.EnumLiteral(e.name, self.name())
-            elif self.at_op(":") and isinstance(e, (A.Var, A.Property)):
+            elif self.at_op(":") and isinstance(
+                    e, (A.Var, A.Property, A.FuncCall, A.Subscript)):
                 labels, dyn = [], []
                 while self.at_op(":"):
                     self.next()

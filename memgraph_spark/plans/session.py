@@ -133,6 +133,10 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         self.periodic = periodic
         self.df: DataFrame | None = None
         self.symbols: dict[str, str] = {}
+        # rel symbol -> (from_sym, to_sym) of its MATCH pattern: lets
+        # startNode()/endNode() rebuild the full node struct from columns
+        # already in the frame (no extra join)
+        self.rel_ends: dict[str, tuple[str, str]] = {}
         # symbols consumed by DELETE: later property access / SET / REMOVE
         # on them is an error (reference: use-after-delete raises)
         self.deleted: set[str] = set()
@@ -148,7 +152,8 @@ class QueryCompiler(WriteMixin, TraversalMixin):
              symbols: dict[str, str] | None = None) -> Env:
         return Env(df if df is not None else self.df,
                    dict(symbols if symbols is not None else self.symbols),
-                   self.params, hops=self.hops, graph=self.g)
+                   self.params, hops=self.hops, graph=self.g,
+                   rel_ends=dict(self.rel_ends))
 
     def _anon_sym(self, kind: str) -> str:
         self._anon += 1
@@ -517,6 +522,7 @@ class QueryCompiler(WriteMixin, TraversalMixin):
                     raise CompileError(
                         "Hops limit exceeded and partial results disabled")
         self.symbols[rsym] = "rel"
+        self.rel_ends[rsym] = (from_sym, to_sym)
         self._prop_filters(rsym, rel.props)
         if to_sym in self.symbols:
             # expand-into: both endpoints bound (operator.cpp:1904 existing-
@@ -646,6 +652,12 @@ class QueryCompiler(WriteMixin, TraversalMixin):
             if isinstance(node, A.PatternPredicate):
                 flag = self._pattern_flag(node)
                 return A.Var(flag)
+            if isinstance(node, A.ReduceExpr) and any(
+                    isinstance(n, A.PatternPredicate) for n in A.walk(node)):
+                # symbol_generator.cpp: exists(...) is forbidden inside
+                # reduce — the accumulator frame cannot host a subquery
+                raise CompileError(
+                    "exists(...) is not allowed inside reduce()")
             if not _isdc(node):
                 return node
 

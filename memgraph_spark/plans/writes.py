@@ -31,6 +31,115 @@ from memgraph_spark.plans import cypher_ast as A
 from memgraph_spark.plans.exprs import CompileError, compile_expr
 
 
+def _next_label_ord(g) -> int:
+    """Monotone sequence for extra-label insertion order (labels() returns
+    labels in the order they were added, vertex_accessor.cpp AddLabel)."""
+    seq = getattr(g, "_label_ord_seq", 0) + 1000
+    g._label_ord_seq = seq
+    return seq
+
+
+def _reconcile_update(t: DataFrame, updates: DataFrame, key: str,
+                      additive: bool):
+    """(old, new) columns for a SET update join, reconciling a type change
+    (e.g. map property overwritten with an int): numeric conflicts widen to
+    double, anything else lifts both sides to the variant struct — the same
+    schemaless rule as _union_missing."""
+    from memgraph_spark.functions.variant import to_variant
+    old_t = t.schema[key].dataType if key in t.columns else None
+    new_t = updates.schema["__v"].dataType
+    old = F.col(key) if key in t.columns else F.lit(None).cast(new_t)
+    new = (old + F.col("__v")) if additive else F.col("__v")
+    if additive or old_t is None or isinstance(old_t, T.NullType) \
+            or old_t == new_t:
+        return old, new
+    numeric = (T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+               T.DoubleType, T.FloatType)
+    if isinstance(old_t, numeric) and isinstance(new_t, numeric):
+        return old.cast("double"), new.cast("double")
+    if isinstance(new_t, T.NullType):
+        return old, new.cast(old_t)
+    return to_variant(old, old_t), to_variant(new, new_t)
+
+
+def _struct_merge(old: "F.Column", oldt, new: "F.Column", newt):
+    """Map-as-struct merge for `+=`: new entries win on key collision; a
+    null/absent old map takes the new map wholesale; a primitive old value
+    is an error (nested_property_update.feature append-to-primitive)."""
+    if not isinstance(newt, T.StructType):
+        raise CompileError("SET ... += expects a map value")
+    if oldt is None or isinstance(oldt, T.NullType):
+        return new
+    if not isinstance(oldt, T.StructType):
+        raise CompileError("cannot append a map to a non-map property")
+    keep = [f for f in oldt.names if f not in newt.names]
+    merged = F.struct(*([old.getField(f).alias(f) for f in keep]
+                        + [new.getField(f).alias(f) for f in newt.names]))
+    made = F.struct(*([F.lit(None).cast(oldt[f].dataType).alias(f)
+                       for f in keep]
+                      + [new.getField(f).alias(f) for f in newt.names]))
+    return F.when(old.isNull(), made).otherwise(merged)
+
+
+def _nested_value(old: "F.Column", oldt, path: list[str],
+                  val: "F.Column", vt, op: str):
+    """Rebuild a map property with `path` set/merged to `val`. Missing
+    intermediates are created for `=`; a primitive intermediate (or a
+    primitive `+=` payload) raises like the reference."""
+    if not path:
+        if op == "+=":
+            return _struct_merge(old, oldt, val, vt)
+        return val
+    key = path[0]
+    if isinstance(oldt, T.StructType) and key in oldt.names:
+        sub, subt = old.getField(key), oldt[key].dataType
+    elif oldt is None or isinstance(oldt, T.NullType) \
+            or isinstance(oldt, T.StructType):
+        sub, subt = F.lit(None), T.NullType()
+    else:
+        raise CompileError(
+            "cannot set a nested property through a non-map value")
+    if path[1:] and not isinstance(subt, (T.StructType, T.NullType)):
+        raise CompileError(
+            "cannot set a nested property through a non-map value")
+    if op == "+=" and len(path) == 1 and not isinstance(
+            subt, (T.StructType, T.NullType)):
+        raise CompileError("cannot append a map to a non-map property")
+    inner = _nested_value(sub, subt, path[1:], val, vt, op)
+    if isinstance(oldt, T.StructType):
+        others = [f for f in oldt.names if f != key]
+        rebuilt = F.struct(*([old.getField(f).alias(f) for f in others]
+                             + [inner.alias(key)]))
+        made = F.struct(*([F.lit(None).cast(oldt[f].dataType).alias(f)
+                           for f in others] + [inner.alias(key)]))
+        return F.when(old.isNull(), made).otherwise(rebuilt)
+    return F.struct(inner.alias(key))
+
+
+def _nested_remove(old: "F.Column", oldt, path: list[str]):
+    """REMOVE n.a.b: drop the key from the stored map. A missing
+    intermediate map raises (nested_property_update.feature); a missing
+    final key is a no-op; removing the last key leaves an empty map."""
+    if not isinstance(oldt, T.StructType):
+        raise CompileError(
+            "cannot REMOVE a nested property through a non-map value")
+    key = path[0]
+    if key not in oldt.names:
+        if len(path) == 1:
+            return old
+        raise CompileError(
+            "cannot REMOVE a nested property through a non-map value")
+    if len(path) == 1:
+        others = [f for f in oldt.names if f != key]
+        if not others:
+            return F.create_map().cast("map<string,string>")
+        return F.struct(*[old.getField(f).alias(f) for f in others])
+    inner = _nested_remove(old.getField(key), oldt[key].dataType, path[1:])
+    return F.struct(*([old.getField(f).alias(f)
+                       for f in oldt.names if f != key]
+                      + [inner.alias(key)]))
+
+
 def _union_missing(left: DataFrame, right: DataFrame) -> DataFrame:
     """Union two table versions, reconciling per-property type conflicts
     (SURVEY §1.3 — the reference is schemaless, so one property may hold
@@ -154,18 +263,24 @@ class WriteMixin:
                             for c in prop_cols])
         for lbl in np.labels[1:]:
             register_label(lbl)
-            add = diff.select("id").withColumn("label", F.lit(lbl))
+            add = (diff.select("id").withColumn("label", F.lit(lbl))
+                   .withColumn("ord", F.lit(_next_label_ord(self.g))))
             self.g.set_extra_labels(
                 add if self.g.extra_labels is None
-                else self.g.extra_labels.unionByName(add))
+                else self.g.extra_labels.unionByName(
+                    add, allowMissingColumns=True))
         if np.dyn_labels:
-            extras = aug.select(F.col(f"{sym}_id").alias("id"),
-                                F.explode(f"{sym}_labels").alias("label"))
+            extras = aug.select(
+                F.col(f"{sym}_id").alias("id"),
+                F.posexplode(f"{sym}_labels").alias("ord", "label")) \
+                .withColumn("ord", F.col("ord") + _next_label_ord(self.g))
             if np.labels:
                 extras = extras.filter(~F.col("label").isin(list(np.labels)))
+            extras = extras.select("id", "label", "ord")
             self.g.set_extra_labels(
                 extras if self.g.extra_labels is None
-                else self.g.extra_labels.unionByName(extras))
+                else self.g.extra_labels.unionByName(
+                    extras, allowMissingColumns=True))
         if getattr(self.g, "vector_indexes", None):
             from memgraph_spark.vector_admin import validate_dimensions
             validate_dimensions(self.g, label, diff)
@@ -199,13 +314,18 @@ class WriteMixin:
                                  compile_expr(ve, env))
         tcol = (F.lit(etype) if dyn is None
                 else compile_expr(self._lift(dyn), env).cast("string"))
+        # sequential edge ids in creation order (storage assigns edge gids
+        # from a counter, storage.hpp edge_id_) — small ints keep id(e)
+        # arithmetic exact; the per-batch window is the id-allocator step,
+        # everything downstream stays partitioned
+        base = getattr(self.g, "_eid_seq", 0)
         aug = (aug.withColumn(f"{rsym}_type", tcol)
                .withColumn(
                    f"{rsym}_eid",
-                   F.xxhash64(F.col(f"{rsym}_type"),
-                              F.lit(self.g.next_epoch()),
-                              F.monotonically_increasing_id()))
+                   F.lit(base) - 1 + F.row_number().over(
+                       Window.orderBy(F.monotonically_increasing_id())))
                .localCheckpoint(eager=True))
+        self.g._eid_seq = base + aug.count()
         cols = {f"{rsym}_src": "src", f"{rsym}_dst": "dst",
                 f"{rsym}_eid": "eid"}
         cols.update({c: c[len(rsym) + 1:] for c in aug.columns
@@ -244,7 +364,7 @@ class WriteMixin:
             if item.op == "label":
                 self._set_labels(item)
             elif isinstance(item.subject, A.Property):
-                self._set_property(item.subject, item.value)
+                self._set_property(item.subject, item.value, op=item.op)
             elif isinstance(item.subject, A.Var):
                 self._set_properties(item.subject.name, item.value,
                                      replace=(item.op == "="))
@@ -259,20 +379,27 @@ class WriteMixin:
         for lbl in item.labels:
             register_label(lbl)
             add = (ids.withColumn("label", F.lit(lbl))
+                   .withColumn("ord", F.lit(_next_label_ord(self.g)))
                    .localCheckpoint(eager=True))
             self.g.set_extra_labels(
                 add if self.g.extra_labels is None
-                else self.g.extra_labels.unionByName(add).dropDuplicates())
+                else self.g.extra_labels.unionByName(
+                    add, allowMissingColumns=True)
+                .dropDuplicates(["id", "label"]))
             self.counters["labels_added"] += add.count()
         for dx in item.dyn_labels:
             c = compile_expr(self._lift(dx), self._env()).cast("string")
             add = (self.df.select(F.col(f"{sym}_id").alias("id"),
                                   c.alias("label"))
                    .filter(F.col("label").isNotNull())
-                   .dropDuplicates().localCheckpoint(eager=True))
+                   .dropDuplicates()
+                   .withColumn("ord", F.lit(_next_label_ord(self.g)))
+                   .localCheckpoint(eager=True))
             self.g.set_extra_labels(
                 add if self.g.extra_labels is None
-                else self.g.extra_labels.unionByName(add).dropDuplicates())
+                else self.g.extra_labels.unionByName(
+                    add, allowMissingColumns=True)
+                .dropDuplicates(["id", "label"]))
             self.counters["labels_added"] += add.count()
             self.df = self.df.withColumn(
                 f"{sym}_labels",
@@ -305,15 +432,29 @@ class WriteMixin:
                 return value.left, 1
         return None, 0
 
-    def _set_property(self, prop: A.Property, value: A.Expr) -> None:
+    def _set_property(self, prop: A.Property, value: A.Expr,
+                      op: str = "=") -> None:
         """SetProperty (operator.hpp:1448): join matched (id, value) pairs
-        into every label table holding those ids."""
+        into every label table holding those ids. Nested paths
+        (`SET n.a.b.c = v`, nested_property_update.feature) rewrite to a
+        top-level set of the outer property with a struct-surgery value;
+        `+=` on a map property merges key-value pairs."""
         self._all_props_cache = None
-        if not isinstance(prop.subject, A.Var):
+        path: list[str] = []
+        node = prop
+        while isinstance(node, A.Property):
+            path.insert(0, node.key)
+            node = node.subject
+        if not isinstance(node, A.Var):
             raise CompileError("SET target must be a bound symbol")
-        sym = prop.subject.name
+        sym = node.name
         kind = self.symbols.get(sym)
-        skey = A.prop_col(prop.key)
+        skey = A.prop_col(path[0])
+        rest = path[1:]
+        if rest or op in ("+=", "remove"):
+            return self._set_property_nested(sym, kind, skey, rest,
+                                             value, op)
+        prop = A.Property(node, path[0])
         lifted = self._lift(value)
         delta_ast, sign = self._additive_delta(prop, lifted)
         env = self._env()
@@ -352,6 +493,39 @@ class WriteMixin:
             self._apply_edge_update(updates, skey, additive=delta_ast is not None)
         self.counters["properties_set"] += updates.count()
 
+    def _set_property_nested(self, sym: str, kind: str, skey: str,
+                             rest: list[str], value: A.Expr,
+                             op: str) -> None:
+        """Nested map-property SET (`n.a.b = v`, `n.a += {..}`) — struct
+        surgery on the stored map value (storage PropertyStore nested
+        update, nested_property_update.feature)."""
+        if kind not in ("node", "rel"):
+            raise CompileError(f"cannot SET a property on a {kind}")
+        env = self._env()
+        key_col = f"{sym}_id" if kind == "node" else f"{sym}_eid"
+        key_name = "id" if kind == "node" else "eid"
+        col_name = f"{sym}_{skey}"
+        old = (F.col(col_name) if col_name in self.df.columns
+               else F.lit(None))
+        oldt = env.typeof(old)
+        if op == "remove":
+            val = _nested_remove(old, oldt, rest)
+        else:
+            val_c = compile_expr(self._lift(value), env)
+            vt = env.typeof(val_c)
+            val = _nested_value(old, oldt, rest, val_c, vt, op)
+        updates = (self.df.select(F.col(key_col).alias(key_name),
+                                  val.alias("__v"))
+                   .dropDuplicates([key_name])
+                   .withColumn("__hit", F.lit(True))
+                   .localCheckpoint(eager=True))
+        self.df = self.df.withColumn(col_name, val)
+        if kind == "node":
+            self._apply_node_update(updates, skey)
+        else:
+            self._apply_edge_update(updates, skey)
+        self.counters["properties_set"] += updates.count()
+
     def _apply_node_update(self, updates: DataFrame, key: str,
                            additive: bool = False) -> None:
         # only touch label tables whose id range intersects the update set
@@ -361,8 +535,7 @@ class WriteMixin:
             if code not in codes or label not in self.g.nodes:
                 continue
             t = self.g.node(label)
-            old = F.col(key) if key in t.columns else F.lit(None)
-            new = (old + F.col("__v")) if additive else F.col("__v")
+            old, new = _reconcile_update(t, updates, key, additive)
             self.g.set_node_version(label, (
                 t.join(updates, on="id", how="left")
                 .withColumn(key, F.when(F.col("__hit"), new)
@@ -372,8 +545,7 @@ class WriteMixin:
     def _apply_edge_update(self, updates: DataFrame, key: str,
                            additive: bool = False) -> None:
         for etype, t in list(self.g.edges.items()):
-            old = F.col(key) if key in t.columns else F.lit(None)
-            new = (old + F.col("__v")) if additive else F.col("__v")
+            old, new = _reconcile_update(t, updates, key, additive)
             self.g.set_edge_version(etype, (
                 t.join(updates, on="eid", how="left")
                 .withColumn(key, F.when(F.col("__hit"), new)
@@ -416,8 +588,11 @@ class WriteMixin:
                         f"`{item.subject.name}`")
                 continue  # no-op on deleted, like SET
             if item.key is not None:
+                # nested REMOVE (n.a.b) drops the key from the stored map;
+                # top-level REMOVE erases the property (null == absent)
+                op = "remove" if isinstance(item.subject, A.Property) else "="
                 self._set_property(A.Property(item.subject, item.key),
-                                   A.Literal(None))
+                                   A.Literal(None), op=op)
             elif item.labels or item.dyn_labels:
                 sym = item.subject.name
                 env = self._env()

@@ -117,16 +117,33 @@ def _text_langid(g):
 
 # -- text search module (query_modules/text_search_module.cpp:23-31) --------
 
+def _is_text_index(g, name) -> bool:
+    return isinstance(name, str) and any(
+        len(e) == 4 and e[2] in ("text", "text-edge") and e[3] == name
+        for e in getattr(g, "index_registry", []))
+
+
 def _text_search(g, query: str, k: int = 10):
-    """text_search.search(query, k) YIELD doc_id, score (BM25)."""
+    """text_search.search: over a named graph index
+    (text_search_module `search(index, query) YIELD node`) when the first
+    argument names one; else BM25 over the documents corpus
+    (`search(query, k) YIELD doc_id, score`)."""
+    if _is_text_index(g, query):
+        from memgraph_spark.search import graph_text
+        return graph_text.search(g, query, str(k))
     from memgraph_spark.search import bm25_search
     idx, stats = g.text_index("documents")
     return bm25_search(g.tables["documents"], query, k=int(k),
                        index=idx, stats=stats)
 
 
-def _text_regex(g, pattern: str):
-    """text_search.regex_search(pattern) YIELD doc_id."""
+def _text_regex(g, pattern: str, graph_pattern: str | None = None):
+    """text_search.regex_search: graph-index form
+    `regex_search(index, pattern) YIELD node`, or corpus form
+    `regex_search(pattern) YIELD doc_id`."""
+    if graph_pattern is not None:
+        from memgraph_spark.search import graph_text
+        return graph_text.regex_search(g, pattern, graph_pattern)
     from memgraph_spark.search import regex_search
     return regex_search(g.tables["documents"], pattern)
 
@@ -661,9 +678,41 @@ def _import_json(g, path: str):
 
 def _text_search_indexed(g, index_name: str, search_query: str, k: int = 10):
     """text_search.search_all(index_name, search_query) parity
-    (query_modules/text_search_module.cpp:28) — the index name maps to the
-    indexed table; `documents` is the built-in corpus."""
+    (query_modules/text_search_module.cpp:28) — match the term in ANY
+    property of the indexed label; `documents` is the built-in corpus."""
+    if _is_text_index(g, index_name):
+        from memgraph_spark.search import graph_text
+        return graph_text.search_all(g, index_name, search_query)
     return _text_search(g, search_query, k)
+
+
+def _text_aggregate(g, index_name: str, search_query: str, aggs_json: str):
+    """text_search.aggregate(index, query, aggregations_json) YIELD
+    aggregation (text_search_module.cpp)."""
+    from memgraph_spark.search import graph_text
+    return graph_text.aggregate(g, index_name, search_query, aggs_json)
+
+
+def _text_search_edges(g, index_name: str, search_query: str):
+    from memgraph_spark.search import graph_text
+    return graph_text.search(g, index_name, search_query, edges=True)
+
+
+def _text_search_all_edges(g, index_name: str, term: str):
+    from memgraph_spark.search import graph_text
+    return graph_text.search_all(g, index_name, term, edges=True)
+
+
+def _text_regex_edges(g, index_name: str, pattern: str):
+    from memgraph_spark.search import graph_text
+    return graph_text.regex_search(g, index_name, pattern, edges=True)
+
+
+def _text_aggregate_edges(g, index_name: str, search_query: str,
+                          aggs_json: str):
+    from memgraph_spark.search import graph_text
+    return graph_text.aggregate(g, index_name, search_query, aggs_json,
+                                edges=True)
 
 
 def _text_fuzzy_indexed(g, index_name: str, search_query: str,
@@ -815,6 +864,11 @@ register("text_search.search_all", _text_search_indexed)
 register("text_search.regex_search", _text_regex)
 register("text_search.fuzzy_search", _text_fuzzy)
 register("text_search.fuzzy_phrase_search", _text_fuzzy_indexed)
+register("text_search.aggregate", _text_aggregate)
+register("text_search.search_edges", _text_search_edges)
+register("text_search.search_all_edges", _text_search_all_edges)
+register("text_search.regex_search_edges", _text_regex_edges)
+register("text_search.aggregate_edges", _text_aggregate_edges)
 register("pagerank.get", _pagerank)
 register("weakly_connected_components.get", _wcc)
 register("wcc.get", _wcc)

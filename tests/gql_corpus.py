@@ -642,23 +642,13 @@ def _collect_with_timeout(spark, df, seconds: float):
     return out["rows"]
 
 
-def _exec_with_typo_retry(spark, gs, stmt, params, timeout):
-    """Execute a setup statement, peeling up to two stray trailing `)`/`,`
-    characters (several corpus setups carry them, e.g. functions.feature
-    "CREATE (b{x: true}))")."""
-    text = stmt
-    for _ in range(3):
-        try:
-            return _collect_with_timeout(
-                spark, gs.execute(text, params or None), timeout)
-        except SyntaxError:
-            t2 = text.rstrip()
-            if t2 and t2[-1] in "),":
-                text = t2[:-1]
-                continue
-            raise
+def _exec_setup(spark, gs, stmt, params, timeout):
+    """Execute a setup statement. Typo'd setups in the corpus (stray
+    trailing `)`/`,`, e.g. functions.feature "CREATE (b{x: true}))") are
+    rejected by the reference parser too — every such scenario expects
+    "an error should be raised", so the SyntaxError must propagate."""
     return _collect_with_timeout(
-        spark, gs.execute(text, params or None), timeout)
+        spark, gs.execute(stmt, params or None), timeout)
 
 
 def run_scenario(spark, sc: Scenario, graphs_dir: str,
@@ -689,8 +679,7 @@ def run_scenario(spark, sc: Scenario, graphs_dir: str,
                 for stmt in [s.strip() for s in step.text.split(";")
                              if s.strip()]:
                     try:
-                        _exec_with_typo_retry(spark, gs, stmt, params,
-                                              timeout)
+                        _exec_setup(spark, gs, stmt, params, timeout)
                     except TimeoutError:
                         raise
                     except Exception as e:  # noqa: BLE001 — sticky setup
@@ -706,22 +695,7 @@ def run_scenario(spark, sc: Scenario, graphs_dir: str,
                 prev_err = last["err"]
                 last = {"rows": None, "cols": None, "err": None}
                 try:
-                    text = step.text
-                    df = None
-                    for _ in range(3):
-                        try:
-                            df = gs.execute(text, params or None)
-                            break
-                        except SyntaxError:
-                            # stray trailing `)`/`,` typos exist in the
-                            # corpus; peel one character and retry
-                            t2 = text.rstrip()
-                            if t2 and t2[-1] in "),":
-                                text = t2[:-1]
-                                continue
-                            raise
-                    if df is None:
-                        df = gs.execute(text, params or None)
+                    df = gs.execute(step.text, params or None)
                     last["cols"] = df.columns
                     last["rows"] = _collect_with_timeout(spark, df, timeout)
                     # a failed setup is sticky for error expectations even
