@@ -387,6 +387,77 @@ def _try_descriptions(graph, q, u, spark):
     return None
 
 
+# server-side parameters (ast.hpp ParameterQuery / SHOW PARAMETERS,
+# server_side_parameters.feature): global scope + per-database scope;
+# query $params resolve global < database < client
+_SERVER_PARAMS: dict = {"global": {}, "db": {}}
+
+
+def reset_global_state() -> None:
+    """Forget cross-session server state (databases, auth, server-side
+    parameters) — what a fresh server start would do. The corpus runner
+    calls this per scenario ('Given an empty graph' implies a clean
+    instance in the reference's behave harness)."""
+    _DATABASES.clear()
+    for k in _AUTH:
+        _AUTH[k].clear()
+    _SERVER_PARAMS["global"].clear()
+    _SERVER_PARAMS["db"].clear()
+
+
+def server_params(db_name: str = "memgraph") -> dict:
+    out = dict(_SERVER_PARAMS["global"])
+    out.update(_SERVER_PARAMS["db"].get(db_name or "memgraph", {}))
+    return out
+
+
+def _eval_param_literal(e, params: dict):
+    from memgraph_spark.plans import cypher_ast as A
+    if isinstance(e, A.Literal):
+        return e.value
+    if isinstance(e, A.Param):
+        return (params or {})[e.name]
+    if isinstance(e, A.ListLiteral):
+        return [_eval_param_literal(x, params) for x in e.items]
+    if isinstance(e, A.MapLiteral):
+        return {k: _eval_param_literal(v, params)
+                for k, v in e.items.items()}
+    if isinstance(e, A.UnaryOp) and e.op == "-":
+        return -_eval_param_literal(e.operand, params)
+    raise ValueError("parameter value must be a literal expression")
+
+
+def _try_server_params(q: str, u: str, spark, params, session):
+    import json as _json
+
+    db = getattr(session, "db_name", "memgraph") if session else "memgraph"
+    m = re.match(r"SET (GLOBAL )?PARAMETER (\w+) *= *(.+)$", q,
+                 re.I | re.S)
+    if m:
+        from memgraph_spark.plans.parser import Parser
+        val = _eval_param_literal(Parser(m.group(3).strip()).expr(), params)
+        if m.group(1):
+            _SERVER_PARAMS["global"][m.group(2)] = val
+        else:
+            _SERVER_PARAMS["db"].setdefault(db, {})[m.group(2)] = val
+        return spark.createDataFrame([], "status string")
+    m = re.match(r"UNSET (GLOBAL )?PARAMETER (\w+)$", q, re.I)
+    if m:
+        scope = (_SERVER_PARAMS["global"] if m.group(1)
+                 else _SERVER_PARAMS["db"].get(db, {}))
+        scope.pop(m.group(2), None)
+        return spark.createDataFrame([], "status string")
+    if u == "SHOW PARAMETERS":
+        rows = [(k, _json.dumps(v, separators=(",", ":")), "global")
+                for k, v in sorted(_SERVER_PARAMS["global"].items())]
+        rows += [(k, _json.dumps(v, separators=(",", ":")), "database")
+                 for k, v in sorted(_SERVER_PARAMS["db"]
+                                    .get(db, {}).items())]
+        return spark.createDataFrame(
+            rows or [], "name string, value string, scope string")
+    return None
+
+
 def try_admin(graph, query: str, params: dict | None = None,
               session=None) -> DataFrame | None:
     """Returns a result DataFrame when `query` is an admin statement,
@@ -403,6 +474,10 @@ def try_admin(graph, query: str, params: dict | None = None,
     if not hasattr(graph, "constraint_registry"):
         from memgraph_spark.schema import ConstraintSet
         graph.constraint_registry = ConstraintSet(graph)
+
+    out = _try_server_params(q, u, spark, params, session)
+    if out is not None:
+        return out
 
     # SET DATABASE SETTING 'k' TO 'v' (SettingQuery, ast.hpp) — runtime
     # settings registry; traversal reads hops_limit_partial_results

@@ -190,6 +190,16 @@ class PatternPredicate(Expr):
 
 
 @dataclass
+class ExistsSubquery(Expr):
+    """EXISTS { MATCH ... [WHERE ...] [RETURN ...] [UNION ...] }
+    (ast.hpp ExistsSubquery; memgraph_exists.feature): true when the
+    correlated subquery yields at least one row."""
+    parts: list             # list[SingleQuery]
+    alls: list              # UNION [ALL] flags (existence ignores them)
+    negated: bool = False
+
+
+@dataclass
 class PatternComprehension(Expr):
     """[(n)-[:T]->(m) WHERE pred | projection] — RollUpApply
     (operator.hpp:3185): a list of projections per pattern match."""
@@ -361,8 +371,13 @@ class Foreach(Clause):
 @dataclass
 class CallSubquery(Clause):
     """CALL { ... } (Apply, operator.hpp:3061): correlated via a leading
-    WITH import, uncorrelated otherwise."""
+    WITH import, uncorrelated otherwise. Scoped form CALL (x, y) { ... }
+    declares imports up front (`scope`; ["*"] imports everything); UNION
+    branches live in `extra_parts`/`alls`."""
     query: "SingleQuery"
+    scope: list | None = None
+    extra_parts: list = field(default_factory=list)
+    alls: list = field(default_factory=list)
 
 
 @dataclass

@@ -184,11 +184,33 @@ class Parser:
                 clauses.append(A.SetClause(self.set_items()))
             elif self.at_kw("CALL"):
                 self.next()
+                scope = None
+                if self.at_op("("):
+                    # scoped CALL (x, y) { … } / (*) { … } / () { … }
+                    self.next()
+                    scope = []
+                    if self.at_op("*"):
+                        self.next()
+                        scope = ["*"]
+                    elif not self.at_op(")"):
+                        scope.append(self.name())
+                        while self.at_op(","):
+                            self.next()
+                            scope.append(self.name())
+                    self.eat_op(")")
                 if self.at_op("{"):
                     self.next()
                     inner = self.single_query()
+                    extra, alls = [], []
+                    while self.at_kw("UNION"):
+                        self.next()
+                        alls.append(self.try_kw("ALL"))
+                        extra.append(self.single_query())
                     self.eat_op("}")
-                    clauses.append(A.CallSubquery(inner))
+                    clauses.append(A.CallSubquery(inner, scope, extra,
+                                                  alls))
+                elif scope is not None:
+                    raise SyntaxError("scoped CALL needs a { … } body")
                 else:
                     clauses.append(self.call_clause())
             elif self.at_kw("FOREACH"):
@@ -651,7 +673,7 @@ class Parser:
             self.next()
             # NOT (pattern) — pattern predicate
             operand = self.not_expr()
-            if isinstance(operand, A.PatternPredicate):
+            if isinstance(operand, (A.PatternPredicate, A.ExistsSubquery)):
                 operand.negated = not operand.negated
                 return operand
             return A.UnaryOp("NOT", operand)
@@ -794,6 +816,22 @@ class Parser:
                 return self.case_expr()
             if t.value == "EXISTS":
                 self.next()
+                if self.at_op("{"):
+                    # EXISTS { ... } subquery (memgraph_exists.feature):
+                    # bare-pattern body or a full query with UNION branches
+                    self.next()
+                    if self.at_op("("):
+                        pat = self.pattern_part()
+                        self.eat_op("}")
+                        return A.PatternPredicate(pat)
+                    parts = [self.single_query()]
+                    alls: list[bool] = []
+                    while self.at_kw("UNION"):
+                        self.next()
+                        alls.append(self.try_kw("ALL"))
+                        parts.append(self.single_query())
+                    self.eat_op("}")
+                    return A.ExistsSubquery(parts, alls)
                 self.eat_op("(")
                 if self.at_op("("):
                     pat = self.pattern_part()
@@ -882,6 +920,27 @@ class Parser:
                     pat = self.pattern_part()
                     if not pat.chain:
                         raise SyntaxError("not a pattern comprehension")
+                    where = self.expr() if self.try_kw("WHERE") else None
+                    self.eat_op("|")
+                    proj = self.expr()
+                    self.eat_op("]")
+                    return A.PatternComprehension(pat, where, proj)
+                except SyntaxError:
+                    self.i = save
+            # named-path pattern comprehension:
+            # [p = (n)-->(m) WHERE pred | size(nodes(p))]
+            if (self.peek().kind == "NAME" and self.peek(1).kind == "OP"
+                    and self.peek(1).value == "="
+                    and self.peek(2).kind == "OP"
+                    and self.peek(2).value == "("):
+                save = self.i
+                try:
+                    pv = self.name()
+                    self.eat_op("=")
+                    pat = self.pattern_part()
+                    if not pat.chain:
+                        raise SyntaxError("not a pattern comprehension")
+                    pat.var = pv
                     where = self.expr() if self.try_kw("WHERE") else None
                     self.eat_op("|")
                     proj = self.expr()

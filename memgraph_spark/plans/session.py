@@ -89,10 +89,15 @@ class GraphSession:
             return self.graph.spark.createDataFrame(rows, "plan string")
         # admin statements (index/constraint DDL, ANALYZE, SHOW …) are
         # separate query types in the reference grammar too — dispatch first
-        from memgraph_spark.admin import try_admin
+        from memgraph_spark.admin import server_params, try_admin
         admin = try_admin(self.graph, query, params, session=self)
         if admin is not None:
             return admin
+        # server-side parameters (SET [GLOBAL] PARAMETER,
+        # server_side_parameters.feature): global < database < client
+        sp = server_params(getattr(self, "db_name", "memgraph"))
+        if sp:
+            params = {**sp, **(params or {})}
         ast = parse(query)
         # USING HOPS LIMIT n (src/query/hops_limit.hpp): shared quota on
         # expanded edges; partial results on exhaustion (the reference's
@@ -633,6 +638,8 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         for conj in self._conjuncts(e):
             if isinstance(conj, A.PatternPredicate):
                 self._pattern_filter(conj)
+            elif isinstance(conj, A.ExistsSubquery):
+                self._exists_filter(conj)
             else:
                 conj = self._lift(conj)
                 conj = self._materialize_pattern_flags(conj)
@@ -645,12 +652,16 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         the predicate node rewrites to a plain variable over that column
         (EvaluatePatternFilter generalized beyond top-level conjuncts)."""
         from dataclasses import fields as _fields, is_dataclass as _isdc
-        if not any(isinstance(n, A.PatternPredicate) for n in A.walk(e)):
+        if not any(isinstance(n, (A.PatternPredicate, A.ExistsSubquery))
+                   for n in A.walk(e)):
             return e
 
         def rewrite(node):
             if isinstance(node, A.PatternPredicate):
                 flag = self._pattern_flag(node)
+                return A.Var(flag)
+            if isinstance(node, A.ExistsSubquery):
+                flag = self._exists_flag(node)
                 return A.Var(flag)
             if isinstance(node, A.ReduceExpr) and any(
                     isinstance(n, A.PatternPredicate) for n in A.walk(node)):
@@ -702,6 +713,119 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         self.df = self.df.withColumn(
             flag, F.coalesce(F.col(flag), F.lit(False)))
         if pp.negated:
+            self.df = self.df.withColumn(flag, ~F.col(flag))
+        self.symbols[flag] = "value"
+        return flag
+
+    def _exists_matched(self, ex: A.ExistsSubquery):
+        """Anchor-key rows for which an EXISTS {} subquery yields ≥1 row.
+
+        Correlation is by anchor columns copied under hidden names
+        (__exk<i>) so a subquery WITH that shadows an outer symbol (WITH
+        'Ozzy' AS name) can't clobber the join keys. Decorrelated by
+        construction: one distinct-anchor scan per UNION branch, then a
+        key-set union — never a per-row re-run."""
+        outer = set(self.symbols)
+        used: set[str] = set()
+        for p in ex.parts:
+            for nd in A.walk(p):
+                if isinstance(nd, A.Var):
+                    used.add(nd.name)
+                elif isinstance(nd, A.NodePattern) and nd.var:
+                    used.add(nd.var)
+                elif isinstance(nd, A.RelPattern) and nd.var:
+                    used.add(nd.var)
+        shared = sorted(used & outer)
+
+        def key_cols(s: str) -> list[str]:
+            kind = self.symbols[s]
+            cand = {"node": [f"{s}_id"], "rel": [f"{s}_eid"],
+                    "value": [s]}.get(kind, [])
+            return [c for c in cand if c in self.df.columns]
+
+        keys = [c for s in shared for c in key_cols(s)]
+        anchor_cols = [c for c in self.df.columns
+                       if any(c == s or c.startswith(f"{s}_")
+                              for s in shared)]
+        hid = {c: f"__exk{i}" for i, c in enumerate(keys)}
+        matched = None
+        for part in ex.parts:
+            sub = QueryCompiler(self.g, self.params, hops=self.hops,
+                                anon_prefix=f"ex{self._anon}_")
+            self._anon += 1
+            sub.counters = self.counters
+            if shared:
+                sub.df = self.df.select(
+                    *anchor_cols,
+                    *[F.col(c).alias(h) for c, h in hid.items()]) \
+                    .dropDuplicates(list(hid.values()) or anchor_cols)
+                sub.symbols = {s: self.symbols[s] for s in shared}
+            for cl in self._exists_clauses(part, list(hid.values())):
+                sub.compile_clause(cl)
+            if sub.df is None:
+                continue
+            if hid:
+                m = sub.df.select(*hid.values()).dropDuplicates()
+            else:
+                m = sub.df.limit(1).select(F.lit(True).alias("__exhit"))
+            matched = m if matched is None else matched.unionByName(m) \
+                .dropDuplicates()
+        return matched, hid
+
+    def _exists_clauses(self, part: A.SingleQuery, hidden: list[str]):
+        """Subquery clauses adjusted for existence checking: a trailing
+        RETURN is irrelevant (only row existence matters) and WITH
+        projections must carry the hidden anchor keys through."""
+        out = []
+        for cl in part.clauses:
+            if isinstance(cl, A.Return):
+                continue
+            if isinstance(cl, A.With) and hidden and not cl.star:
+                items = list(cl.items) + [
+                    A.ReturnItem(A.Var(h), None, h) for h in hidden]
+                cl = A.With(items, cl.star, cl.distinct, cl.order,
+                            cl.skip, cl.limit, cl.where)
+            out.append(cl)
+        return out
+
+    def _exists_filter(self, ex: A.ExistsSubquery) -> None:
+        matched, hid = self._exists_matched(ex)
+        how = "left_anti" if ex.negated else "left_semi"
+        if matched is None:
+            if not ex.negated:
+                self.df = self.df.limit(0)
+            return
+        if hid:
+            cond = None
+            for c, h in hid.items():
+                e = self.df[c].eqNullSafe(matched[h])
+                cond = e if cond is None else (cond & e)
+            self.df = self.df.join(matched, cond, how)
+        else:
+            self.df = self.df.join(matched, F.lit(True), how)
+
+    def _exists_flag(self, ex: A.ExistsSubquery) -> str:
+        flag = f"__ex{self._anon}"
+        self._anon += 1
+        matched, hid = self._exists_matched(ex)
+        if matched is None:
+            self.df = self.df.withColumn(flag, F.lit(bool(ex.negated)))
+            self.symbols[flag] = "value"
+            return flag
+        if hid:
+            matched = matched.withColumn(flag, F.lit(True))
+            cond = None
+            for c, h in hid.items():
+                e = self.df[c].eqNullSafe(matched[h])
+                cond = e if cond is None else (cond & e)
+            self.df = (self.df.join(matched, cond, "left")
+                       .drop(*hid.values()))
+        else:
+            matched = matched.withColumnRenamed("__exhit", flag)
+            self.df = self.df.join(matched, F.lit(True), "left")
+        self.df = self.df.withColumn(
+            flag, F.coalesce(F.col(flag), F.lit(False)))
+        if ex.negated:
             self.df = self.df.withColumn(flag, ~F.col(flag))
         self.symbols[flag] = "value"
         return flag
@@ -929,50 +1053,91 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         """Apply (operator.hpp:3061): CALL { [WITH imports] ... RETURN ... }.
         Correlated subqueries anchor on the imported symbols' distinct rows
         and join back — decorrelation by construction, no per-row re-run."""
-        clauses = list(cl.query.clauses)
-        imports: list[str] = []
-        if (clauses and isinstance(clauses[0], A.With)
-                and not clauses[0].star
-                and all(isinstance(it.expr, A.Var) and it.alias is None
-                        for it in clauses[0].items)):
-            imports = [it.expr.name for it in clauses[0].items]
-            clauses = clauses[1:]
-        sub = QueryCompiler(self.g, self.params, hops=self.hops,
-                            anon_prefix=f"cs{self._anon}_")
-        self._anon += 1
-        sub.counters = self.counters
-        keys: list[str] = []
-        if imports and self.df is not None:
-            unknown = [s for s in imports if s not in self.symbols]
-            if unknown:
-                raise CompileError(f"CALL {{}} imports unbound {unknown}")
-            keys = [f"{s}_id" for s in imports
-                    if self.symbols[s] == "node"] or \
-                   [s for s in imports if self.symbols[s] == "value"]
-            anchor_cols = [c for c in self.df.columns
-                           if any(c == s or c.startswith(f"{s}_")
-                                  for s in imports)]
-            sub.df = self.df.select(*anchor_cols).dropDuplicates(keys)
-            sub.symbols = {s: self.symbols[s] for s in imports}
-        returned = False
-        for c in clauses:
-            if isinstance(c, A.Return):
-                # keep frame form: compile RETURN as WITH so the outer query
-                # can keep operating on the columns; carry the imported
-                # symbols so a correlated aggregate groups per anchor row
-                items = list(c.items)
-                names = {it.alias or it.text for it in items}
-                items = [A.ReturnItem(A.Var(s), None, s)
-                         for s in imports
-                         if s in sub.symbols and s not in names] + items
-                sub._project(A.With(items, c.star, c.distinct, c.order,
-                                    c.skip, c.limit, None),
-                             is_return=False)
-                returned = True
-            else:
-                sub.compile_clause(c)
-        if sub.wrote:
-            self.wrote = True
+        def part_clauses(part: A.SingleQuery,
+                         scope: list | None) -> tuple[list, list[str]]:
+            clauses = list(part.clauses)
+            if scope is not None:
+                imports = (sorted(self.symbols) if scope == ["*"]
+                           else list(scope))
+                return clauses, imports
+            if (clauses and isinstance(clauses[0], A.With)
+                    and not clauses[0].star
+                    and all(isinstance(it.expr, A.Var) and it.alias is None
+                            for it in clauses[0].items)):
+                return clauses[1:], [it.expr.name
+                                     for it in clauses[0].items]
+            return clauses, []
+
+        def run_part(part: A.SingleQuery):
+            clauses, imports = part_clauses(part, cl.scope)
+            sub = QueryCompiler(self.g, self.params, hops=self.hops,
+                                anon_prefix=f"cs{self._anon}_")
+            self._anon += 1
+            sub.counters = self.counters
+            keys: list[str] = []
+            if imports and self.df is not None:
+                unknown = [s for s in imports if s not in self.symbols]
+                if unknown:
+                    raise CompileError(
+                        f"CALL {{}} imports unbound {unknown}")
+                keys = [f"{s}_id" for s in imports
+                        if self.symbols[s] == "node"] or \
+                       [s for s in imports if self.symbols[s] == "value"]
+                anchor_cols = [c for c in self.df.columns
+                               if any(c == s or c.startswith(f"{s}_")
+                                      for s in imports)]
+                sub.df = self.df.select(*anchor_cols).dropDuplicates(keys)
+                sub.symbols = {s: self.symbols[s] for s in imports}
+            returned = False
+            for c in clauses:
+                if isinstance(c, A.Return):
+                    # RETURN inside CALL {}: every non-variable expression
+                    # must carry an alias, and the exported name must be
+                    # fresh in the outer scope (symbol_generator.cpp
+                    # subquery rules)
+                    items = list(c.items)
+                    if not c.star:
+                        for it in items:
+                            if it.alias is None \
+                                    and not isinstance(it.expr, A.Var):
+                                raise CompileError(
+                                    "expression in CALL {} RETURN must be "
+                                    "aliased")
+                            out_name = it.alias or (
+                                it.expr.name
+                                if isinstance(it.expr, A.Var) else it.text)
+                            if out_name in self.symbols \
+                                    and out_name not in imports:
+                                raise CompileError(
+                                    f"variable `{out_name}` already "
+                                    f"declared in outer scope")
+                    # keep frame form: compile RETURN as WITH so the outer
+                    # query can keep operating on the columns; carry the
+                    # imported symbols so a correlated aggregate groups per
+                    # anchor row
+                    names = {it.alias or it.text for it in items}
+                    items = [A.ReturnItem(A.Var(s), None, s)
+                             for s in imports
+                             if s in sub.symbols and s not in names] + items
+                    sub._project(A.With(items, c.star, c.distinct, c.order,
+                                        c.skip, c.limit, None),
+                                 is_return=False)
+                    returned = True
+                else:
+                    sub.compile_clause(c)
+            if sub.wrote:
+                self.wrote = True
+            return sub, keys, returned
+
+        sub, keys, returned = run_part(cl.query)
+        for extra in cl.extra_parts:
+            sub2, _, ret2 = run_part(extra)
+            if returned and ret2:
+                sub.df = sub.df.unionByName(
+                    sub2.df.select(*sub.df.columns))
+            returned = returned or ret2
+        if cl.extra_parts and returned and not all(cl.alls):
+            sub.df = sub.df.dropDuplicates()
         if not returned:
             return  # unit subquery (writes only): frame unchanged
         branch = sub.df
@@ -1071,8 +1236,6 @@ class QueryCompiler(WriteMixin, TraversalMixin):
                          for oi in order]
             df, new_syms = self.df, self.symbols
             self.df, self.symbols = saved_df, saved_syms
-        if where is not None:
-            df = df.filter(compile_expr(where, Env(df, new_syms, self.params)))
         if order:
             df = df.orderBy(*[
                 (self._order_col(oi, df, new_syms, outs).asc_nulls_first()
@@ -1083,6 +1246,11 @@ class QueryCompiler(WriteMixin, TraversalMixin):
             df = df.offset(self._static_int(cl.skip, "SKIP"))
         if cl.limit is not None:
             df = df.limit(self._static_int(cl.limit, "LIMIT"))
+        if where is not None:
+            # WITH … ORDER BY … LIMIT n WHERE pred: the predicate filters
+            # AFTER the limit (openCypher WITH sub-clause order)
+            df = df.filter(compile_expr(where, Env(df, new_syms,
+                                                   self.params)))
 
         if is_return:
             final = []

@@ -667,6 +667,8 @@ def run_scenario(spark, sc: Scenario, graphs_dir: str,
     for step in sc.steps:
         try:
             if step.kind == "empty":
+                from memgraph_spark import admin as _admin
+                _admin.reset_global_state()
                 gs = GraphSession(PropertyGraph(spark))
                 params = {}
             elif step.kind == "named_graph":
@@ -759,9 +761,13 @@ def _compare(last: dict, step: Step) -> str | None:
         return None
     idx = [act_cols.index(c) for c in exp_cols]
     lu = step.list_unordered
-    actual = [tuple(canon_actual(row[j], lu) for j in idx)
+    # the reference's behave harness strips ALL spaces from both sides
+    # before comparing (steps/query.py replace(" ", "")) — several feature
+    # tables rely on it ('TheMatrix' vs 'The Matrix')
+    actual = [tuple(canon_actual(row[j], lu).replace(" ", "") for j in idx)
               for row in (last["rows"] or [])]
-    expected = [tuple(canon_expected(c, lu) for c in row) for row in body]
+    expected = [tuple(canon_expected(c, lu).replace(" ", "") for c in row)
+                for row in body]
     if step.ordered:
         if actual != expected:
             return _diff(actual, expected)
