@@ -42,6 +42,8 @@ def main() -> None:
             if pattern and pattern not in fname:
                 continue
             scenarios = parse_feature(path)
+            from gql_corpus import reset_persistent
+            reset_persistent()  # enums persist across scenarios, not files
             stats = {"pass": 0, "fail": 0, "error": 0, "skip": 0,
                      "timeout": 0, "failures": []}
             for sc in scenarios:

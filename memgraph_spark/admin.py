@@ -771,13 +771,36 @@ def try_admin(graph, query: str, params: dict | None = None,
         if new in vals:
             raise ValueError(f"enum value {name}::{new} already exists")
         vals[vals.index(old)] = new
-        # rewrite stored property values to the renamed constant
+        # rewrite stored property values to the renamed constant (enum
+        # values are STRUCT<__type,__value> columns)
         old_s, new_s = f"{name}::{old}", f"{name}::{new}"
+        from pyspark.sql import types as _T
+
+        def _rewrite(df):
+            changed = False
+            for f in df.schema.fields:
+                if isinstance(f.dataType, _T.StructType) \
+                        and set(f.dataType.names) == {"__type", "__value"}:
+                    v = F.col(f.name).getField("__value")
+                    df = df.withColumn(f.name, F.when(
+                        v == old_s,
+                        F.struct(F.lit("mg_enum").alias("__type"),
+                                 F.lit(new_s).alias("__value")))
+                        .otherwise(F.col(f.name)))
+                    changed = True
+                elif isinstance(f.dataType, _T.StringType):
+                    df = df.replace(old_s, new_s, subset=[f.name])
+                    changed = True
+            return df if changed else None
+
         for lbl, df in list(graph.nodes.items()):
-            str_cols = [c for c, t in df.dtypes if t == "string"]
-            if str_cols:
-                graph.set_node_version(lbl, df.replace(old_s, new_s,
-                                                       subset=str_cols))
+            out = _rewrite(df)
+            if out is not None:
+                graph.set_node_version(lbl, out)
+        for et, df in list(graph.edges.items()):
+            out = _rewrite(df)
+            if out is not None:
+                graph.set_edge_version(et, out)
         return spark.createDataFrame([], "status string")
 
     if re.match(r"ALTER ENUM (\w+) REMOVE VALUE (\w+)$", q, re.I) \

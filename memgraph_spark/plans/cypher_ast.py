@@ -229,6 +229,8 @@ class NodePattern:
     braced: bool = False
     # dynamic label expressions (`CREATE (m:node.name)`)
     dyn_labels: list = field(default_factory=list)
+    # :L1|L2 label disjunction (match any label instead of all)
+    labels_or: bool = False
 
 
 @dataclass

@@ -144,9 +144,16 @@ def compile_expr(e: A.Expr, env: Env) -> Column:
     if isinstance(e, A.MapProjection):
         return _compile_map_projection(e, env)
     if isinstance(e, A.EnumLiteral):
-        # enum values intern to `Type::Value` strings (SURVEY §1.3); equality,
-        # grouping and ordering then work with plain string semantics
-        return F.lit(f"{e.typ}::{e.value}")
+        # enum value = STRUCT<__type:'mg_enum', __value:'Type::Value'> —
+        # the reference's Bolt/display shape (typed_value Enum; memgraph.
+        # feature shows {__type:'mg_enum', __value:'Status::Good'});
+        # equality/grouping work via struct semantics
+        registry = getattr(env.graph, "enum_registry", None)
+        if registry is not None and (
+                e.typ not in registry
+                or e.value not in registry.get(e.typ, [])):
+            raise CompileError(f"unknown enum value {e.typ}::{e.value}")
+        return _enum_value(f"{e.typ}::{e.value}")
     if isinstance(e, A.Param):
         if e.name not in env.params:
             raise CompileError(f"missing parameter ${e.name}")
@@ -284,6 +291,8 @@ def compile_expr(e: A.Expr, env: Env) -> Column:
             raise CompileError("labels test on non-node")
         cond = None
         for lbl in e.labels:
+            if isinstance(lbl, A.Param):
+                lbl = str(env.params.get(lbl.name, ""))
             c = F.array_contains(labels_col, lbl)
             cond = c if cond is None else (cond & c)
         for dx in e.dyn_labels:
@@ -417,6 +426,17 @@ def _endpoint_struct(a: str, b: str, tgt: Column, env: Env) -> Column:
                             if t is not None else F.lit(None).alias(f))
         return F.struct(*cols)
     return F.when(tgt == F.col(f"{a}_id"), side(a)).otherwise(side(b))
+
+
+def _enum_value(s) -> Column:
+    """Enum value struct: {__type: 'mg_enum', __value: 'Type::Value'}."""
+    v = F.lit(s) if isinstance(s, str) else s
+    return F.struct(F.lit("mg_enum").alias("__type"), v.alias("__value"))
+
+
+def _is_enum_type(t) -> bool:
+    return isinstance(t, T.StructType) and set(t.names) == {"__type",
+                                                            "__value"}
 
 
 def _props_as_map(pairs: list, env: Env):
@@ -586,6 +606,20 @@ def _compile_binop(e: A.BinaryOp, env: Env) -> Column:
             if isinstance(t, T.BooleanType):
                 return "bool"
             return None
+        # enums: equality compares the interned Type::Value; ordering is
+        # illegal (typed_value.cpp operator< throws on Enum); an enum never
+        # equals a non-enum
+        if _is_enum_type(lt) or _is_enum_type(rt):
+            if op in ("<", ">", "<=", ">="):
+                raise CompileError(
+                    "enum values do not support ordering comparisons")
+            if _is_enum_type(lt) and _is_enum_type(rt):
+                lv, rv = l.getField("__value"), r.getField("__value")
+                return (lv == rv) if op == "=" else (lv != rv)
+            if op in ("=", "<>"):
+                null_in = l.isNull() | r.isNull()
+                return F.when(null_in, F.lit(None).cast("boolean")) \
+                        .otherwise(F.lit(op == "<>"))
         cl_, cr_ = _cat(lt), _cat(rt)
         if cl_ and cr_ and cl_ != cr_:
             # typed_value.cpp operator==: different non-numeric types are
@@ -1116,13 +1150,14 @@ def _compile_func(e: A.FuncCall, env: Env) -> Column:
             typ, _, val = s.partition("::")
             if registry and val not in registry.get(typ, []):
                 raise CompileError(f"Invalid enum '{s}'")
-            return F.lit(s)
+            return _enum_value(s)
         candidate = (args[0] if len(args) == 1
                      else F.concat(args[0], F.lit("::"), args[1]))
         if registry:
             valid = [f"{t_}::{v}" for t_, vs in registry.items() for v in vs]
-            return F.when(candidate.isin(valid), candidate)
-        return candidate
+            candidate = F.when(candidate.isin(valid), candidate)
+        return F.struct(F.lit("mg_enum").alias("__type"),
+                        candidate.alias("__value"))
     # propertySize(entity, 'prop') (awesome_memgraph_functions.cpp:547):
     # encoded byte size per the PropertyStore layout (property_store.cpp):
     # 1 metadata byte + 1 property-id byte + magnitude-dependent payload;

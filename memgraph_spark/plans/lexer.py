@@ -23,8 +23,8 @@ TOKEN_RE = re.compile(
   | (?P<float>\d+\.\d+(e[+-]?\d+)?|\d+e[+-]?\d+)
   | (?P<int>0x[0-9a-fA-F]+|\d+)
   | (?P<string>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
-  | (?P<name>[A-Za-z_][A-Za-z0-9_]*|`(?:[^`])*`)
-  | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<name>[A-Za-z_][A-Za-z0-9_]*|`(?:[^`]|``)*`)
+  | (?P<param>\$(?:[A-Za-z_][A-Za-z0-9_]*|\d+|`(?:[^`]|``)*`))
   | (?P<op>::|<>|!=|<=|>=|=~|\.\.|\+=|[-+*/%^=<>(),\[\]{}.:|;])
     """,
     re.VERBOSE | re.DOTALL,
@@ -74,13 +74,17 @@ def tokenize(text: str) -> list[Token]:
             tokens.append(Token("STRING", _unescape(val[1:-1]), m.start()))
         elif kind == "name":
             if val.startswith("`"):
-                tokens.append(Token("NAME", val[1:-1], m.start()))
+                tokens.append(Token("NAME", val[1:-1].replace("``", "`"),
+                                    m.start()))
             elif val.upper() in KEYWORDS:
                 tokens.append(Token("KEYWORD", val.upper(), m.start(), val))
             else:
                 tokens.append(Token("NAME", val, m.start()))
         elif kind == "param":
-            tokens.append(Token("PARAM", val[1:], m.start()))
+            pv = val[1:]
+            if pv.startswith("`"):
+                pv = pv[1:-1].replace("``", "`")
+            tokens.append(Token("PARAM", pv, m.start()))
         else:
             tokens.append(Token("OP", val, m.start()))
     tokens.append(Token("EOF", "", len(text)))

@@ -207,6 +207,29 @@ class Parser:
                         alls.append(self.try_kw("ALL"))
                         extra.append(self.single_query())
                     self.eat_op("}")
+                    if self.at_kw("IN"):
+                        # CALL { … } IN TRANSACTIONS [OF n ROWS]
+                        # (periodic_commit.feature): batch-commit execution
+                        # detail — results identical to the unbatched run
+                        self.next()
+                        t = self.next()
+                        if (t.kind != "NAME"
+                                or t.value.upper() != "TRANSACTIONS"):
+                            raise SyntaxError(
+                                f"expected TRANSACTIONS at {t}")
+                        if self.at_kw("OF") or (
+                                self.peek().kind == "NAME"
+                                and self.peek().value.upper() == "OF"):
+                            self.next()
+                            n = self.next()
+                            if n.kind != "INT":
+                                raise SyntaxError(
+                                    f"expected batch size at {n}")
+                            r = self.next()
+                            if (r.kind != "NAME"
+                                    or r.value.upper() not in ("ROWS",
+                                                               "ROW")):
+                                raise SyntaxError(f"expected ROWS at {r}")
                     clauses.append(A.CallSubquery(inner, scope, extra,
                                                   alls))
                 elif scope is not None:
@@ -477,8 +500,12 @@ class Parser:
         return A.PatternPart(var, start, chain)
 
     def _label_entry(self):
-        """One label after ':' — a plain name, or a dotted dynamic label
-        expression `var.prop[...]` (MemgraphCypher dynamic labels)."""
+        """One label after ':' — a plain name, a `$param` label, or a dotted
+        dynamic label expression `var.prop[...]` (MemgraphCypher dynamic
+        labels)."""
+        if self.peek().kind == "PARAM":
+            t = self.next()
+            return A.Param(t.value)
         name = self.name()
         if not self.at_op("."):
             return name
@@ -493,12 +520,22 @@ class Parser:
         var = None
         if self.peek().kind == "NAME" and not self.at_op(")"):
             var = self.name()
-        labels: list[str] = []
+        labels: list = []
         dyn: list[A.Expr] = []
+        labels_or = False
         while self.at_op(":"):
             self.next()
             entry = self._label_entry()
-            (labels if isinstance(entry, str) else dyn).append(entry)
+            if isinstance(entry, (str, A.Param)) and self.at_op("|"):
+                # label disjunction :L1|L2 (MemgraphCypher label expression)
+                labels_or = True
+                labels.append(entry)
+                while self.at_op("|"):
+                    self.next()
+                    labels.append(self._label_entry())
+                continue
+            (labels if isinstance(entry, (str, A.Param))
+             else dyn).append(entry)
         props: dict[str, A.Expr] = {}
         braced = False
         if self.at_op("{"):
@@ -506,7 +543,7 @@ class Parser:
             braced = True
         self.eat_op(")")
         return A.NodePattern(var, labels, props, braced=braced,
-                             dyn_labels=dyn)
+                             dyn_labels=dyn, labels_or=labels_or)
 
     def rel_pattern(self) -> A.RelPattern:
         direction = "both"

@@ -69,6 +69,15 @@ class GraphSession:
         # operator tree. PROFILE executes, then reports plan + wall time.
         stripped = query.lstrip()
         head = stripped[:8].upper()
+        if head.startswith("EXPLAIN"):
+            # EXPLAIN mirrors the reference's logical plan print
+            # (plan/pretty_print.cpp): one ` * Operator` row per operator,
+            # column QUERY PLAN. The Spark physical plan stays available
+            # via PROFILE / GraphSession.explain().
+            _, inner = stripped.split(None, 1)
+            rows = [(line,) for line in _memgraph_plan_lines(parse(inner))]
+            return self.graph.spark.createDataFrame(
+                rows, "`QUERY PLAN` string")
         if head.startswith("EXPLAIN") or head.startswith("PROFILE"):
             keyword, inner = stripped.split(None, 1)
             df = self.execute(inner, params)
@@ -125,6 +134,60 @@ class GraphSession:
         self.execute(query, params).explain("formatted")
 
 
+def _memgraph_plan_lines(ast) -> list[str]:
+    """Reference-style logical plan rows (plan/pretty_print.cpp): operators
+    top-down, ` * Name` per row, `Once` as the leaf."""
+    ops: list[str] = []
+    sq = ast.parts[0]
+    for cl in sq.clauses:
+        if isinstance(cl, A.Match):
+            for part in cl.patterns:
+                ops.append("ScanAllByLabel" if part.start.labels
+                           else "ScanAll")
+                for _, node in part.chain:
+                    ops.append("Expand")
+                    if node.labels or node.props:
+                        ops.append("Filter")
+            if cl.where is not None:
+                ops.append("Filter")
+            if cl.optional:
+                ops.append("Optional")
+        elif isinstance(cl, A.Unwind):
+            ops.append("Unwind")
+        elif isinstance(cl, A.Create):
+            for part in cl.patterns:
+                ops.append("CreateNode")
+                ops.extend("CreateExpand" for _ in part.chain)
+        elif isinstance(cl, A.Merge):
+            ops.append("Merge")
+        elif isinstance(cl, (A.SetClause, A.RemoveClause)):
+            ops.append("SetProperty")
+        elif isinstance(cl, A.Delete):
+            ops.append("Delete")
+        elif isinstance(cl, (A.With, A.Return)):
+            names = []
+            for i, it in enumerate(cl.items):
+                if it.alias:
+                    names.append(it.alias)
+                elif isinstance(it.expr, A.Var):
+                    names.append(it.expr.name)
+                else:
+                    names.append(str(i))
+            agg = any(contains_aggregate(it.expr) for it in cl.items)
+            if agg:
+                ops.append("Aggregate")
+            if cl.order:
+                ops.append("OrderBy")
+            if cl.skip is not None:
+                ops.append("Skip")
+            if cl.limit is not None:
+                ops.append("Limit")
+            if cl.distinct:
+                ops.append("Distinct")
+            ops.append("Produce {" + ", ".join(names) + "}")
+    return [f" * {op}" for op in reversed(["Once"] + ops)]
+
+
 class QueryCompiler(WriteMixin, TraversalMixin):
     """One SingleQuery -> one DataFrame. Mirrors the reference planner's
     clause walk (plan/rule_based_planner.cpp) at DataFrame granularity."""
@@ -172,9 +235,30 @@ class QueryCompiler(WriteMixin, TraversalMixin):
             self._all_props_cache = sorted(names)
         return self._all_props_cache
 
-    def _node_df(self, labels: list[str]) -> DataFrame:
+    def _labels(self, labels: list) -> list[str]:
+        """Resolve `$param` labels to their string values (parameters.feature
+        label parameters — labels are compile-time in the reference too)."""
+        out = []
+        for l in labels:
+            if isinstance(l, A.Param):
+                if l.name not in self.params:
+                    raise CompileError(f"missing parameter ${l.name}")
+                out.append(str(self.params[l.name]))
+            else:
+                out.append(l)
+        return out
+
+    def _node_df(self, labels: list[str], any_of: bool = False) -> DataFrame:
         """ScanAll / ScanAllByLabel: one label -> its typed table (pushdown-
-        friendly); zero or many labels -> the lazy union scan + label filter."""
+        friendly); zero or many labels -> the lazy union scan + label filter.
+        any_of: :L1|L2 disjunction — union scan with an OR filter."""
+        if any_of and len(labels) > 1:
+            base = self.g.all_nodes(self._all_props())
+            cond = None
+            for lbl in labels:
+                c = F.array_contains(F.col("labels"), lbl)
+                cond = c if cond is None else (cond | c)
+            return base.filter(cond)
         if (len(labels) == 1 and labels[0] in self.g.nodes
                 and labels[0] not in self.g.extra_label_names()):
             # fast path unless SET added this label to nodes in other tables
@@ -255,8 +339,20 @@ class QueryCompiler(WriteMixin, TraversalMixin):
             self._optional_match(m)
             return
         clause_rels: list[str] = []
+        self._deferred_props = []
         for part in m.patterns:
             clause_rels += self._pattern_part(part)
+        # property-map filters that cross-reference symbols bound later in
+        # the pattern ((n {x: m.y})-[]-(m {y: n.x})) apply once everything
+        # is bound — the reference plans them as post-expand Filters
+        for sym, k, ve in self._deferred_props:
+            col = f"{sym}_{A.prop_col(k)}"
+            if col not in self.df.columns:
+                self.df = self.df.filter(F.lit(False))
+                break
+            self.df = self.df.filter(
+                F.col(col) == compile_expr(ve, self._env()))
+        self._deferred_props = []
         # EdgeUniquenessFilter (operator.hpp:1768): Cypher edge-isomorphism —
         # no edge may repeat within one MATCH. Pairwise across single-hop rels
         # (variable-length paths enforce it internally per path).
@@ -428,14 +524,26 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         if np.dyn_labels:
             raise CompileError(
                 "dynamic node labels are not allowed in MATCH")
+        labels = self._labels(np.labels)
         if sym in self.symbols:
+            if sym in self.deleted:
+                raise CompileError(
+                    f"cannot MATCH on deleted node `{sym}`")
             if self.symbols[sym] != "node":
                 raise CompileError(f"{sym} rebound as node")
-            for lbl in np.labels:
-                self.df = self.df.filter(
-                    F.array_contains(F.col(f"{sym}_labels"), lbl))
+            if np.labels_or and len(labels) > 1:
+                cond = None
+                for lbl in labels:
+                    c = F.array_contains(F.col(f"{sym}_labels"), lbl)
+                    cond = c if cond is None else (cond | c)
+                self.df = self.df.filter(cond)
+            else:
+                for lbl in labels:
+                    self.df = self.df.filter(
+                        F.array_contains(F.col(f"{sym}_labels"), lbl))
         else:
-            p = prefix_columns(self._node_df(np.labels), sym)
+            p = prefix_columns(self._node_df(labels, any_of=np.labels_or),
+                               sym)
             self.df = p if self.df is None else self.df.crossJoin(p)
             self.symbols[sym] = "node"
         self._prop_filters(sym, np.props)
@@ -446,8 +554,18 @@ class QueryCompiler(WriteMixin, TraversalMixin):
             if self.df is not None and col not in self.df.columns:
                 self.df = self.df.filter(F.lit(False))
                 return
-            self.df = self.df.filter(
-                F.col(col) == compile_expr(ve, self._env()))
+            try:
+                self.df = self.df.filter(
+                    F.col(col) == compile_expr(ve, self._env()))
+            except CompileError as err:
+                # forward reference to a not-yet-bound pattern symbol:
+                # defer to the end of the MATCH (cross-referencing maps)
+                if ("unbound variable" in str(err)
+                        and getattr(self, "_deferred_props", None)
+                        is not None):
+                    self._deferred_props.append((sym, k, ve))
+                else:
+                    raise
 
     def _edge_table(self, types: list[str], rsym: str, want_props: bool) -> DataFrame:
         """Typed edge scan(s) unioned on a common schema, columns prefixed to
@@ -548,7 +666,8 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         if np.dyn_labels:
             raise CompileError(
                 "dynamic node labels are not allowed in MATCH")
-        p = prefix_columns(self._node_df(np.labels), sym)
+        p = prefix_columns(self._node_df(self._labels(np.labels),
+                                         any_of=np.labels_or), sym)
         self.df = self.df.join(p, on=f"{sym}_id", how="inner")
         self._prop_filters(sym, np.props)
 
@@ -561,7 +680,7 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         modes (*bfs/*wShortest/*allShortest), lambdas, bound edge-list
         symbols, and multi-type unions take the featureful loop in
         traversal.py."""
-        if (rel.mode or rel.var or rel.flt or rel.weight
+        if (rel.mode or rel.var or rel.flt or rel.weight or rel.props
                 or len(rel.types) > 1
                 or (self.hops is not None and self.hops.get("limit"))):
             return self._expand_traversal(from_sym, rel, np, to_sym,
@@ -684,8 +803,19 @@ class QueryCompiler(WriteMixin, TraversalMixin):
                                  for f in _fields(node)})
         return rewrite(e)
 
+    def _check_pattern_new_vars(self, pp: A.PatternPredicate) -> None:
+        """A pattern expression may not introduce new symbols
+        (symbol_generator.cpp: 'Unbounded variables are not allowed in
+        pattern expressions'; patterns.feature new-variable errors)."""
+        fresh = [s for s in self._pattern_syms([pp.pattern])
+                 if s not in self.symbols]
+        if fresh:
+            raise CompileError(
+                f"pattern expression introduces new variables {fresh}")
+
     def _pattern_flag(self, pp: A.PatternPredicate) -> str:
         """Compute a boolean column: does the pattern match for this row?"""
+        self._check_pattern_new_vars(pp)
         flag = f"__pp{self._anon}"
         shared = sorted(s for s in self._pattern_syms([pp.pattern])
                         if s in self.symbols)
@@ -838,6 +968,7 @@ class QueryCompiler(WriteMixin, TraversalMixin):
     def _pattern_filter(self, pp: A.PatternPredicate) -> None:
         """EvaluatePatternFilter (operator.hpp:2427): WHERE (n)-[:T]->(m) /
         exists(...) -> left-semi join; NOT ... -> left-anti."""
+        self._check_pattern_new_vars(pp)
         shared = sorted(s for s in self._pattern_syms([pp.pattern])
                         if s in self.symbols)
         sub = QueryCompiler(self.g, self.params, hops=self.hops,
@@ -1192,6 +1323,13 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         if self.df is not None:
             items = [A.ReturnItem(self._lift(it.expr), it.alias, it.text)
                      for it in items]
+        for it in items:
+            for nd in A.walk(it.expr):
+                if isinstance(nd, A.CaseExpr) and contains_aggregate(nd):
+                    # symbol_generator.cpp: aggregations are not allowed
+                    # inside CASE expressions
+                    raise CompileError(
+                        "aggregation inside CASE is not allowed")
 
         # classify: carried graph symbols vs computed value columns
         outs: list[tuple[str, str, object]] = []  # (name, kind, sym|expr)

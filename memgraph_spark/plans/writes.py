@@ -203,6 +203,13 @@ class WriteMixin:
                     _check_bound(node, to_sym)
                 self._create_edge(prev, rel, to_sym)
                 prev = to_sym
+            if part.var:
+                # named path over a CREATE pattern: bind at least the
+                # length so size(p)/length(p) work downstream (match.feature
+                # path identifier from CREATE in MERGE)
+                self.df = self.df.withColumn(f"{part.var}_length",
+                                             F.lit(len(part.chain)))
+                self.symbols[part.var] = "path"
 
     def _create_node(self, np: A.NodePattern, sym: str) -> None:
         """CreateNode (operator.hpp:411): one node per input row. Ids are
@@ -210,12 +217,13 @@ class WriteMixin:
         property if given, else is allocated past the label's current max."""
         # unlabeled nodes live in the reserved "" table with an empty label
         # set (the reference's vertices may carry zero labels, vertex.hpp:41)
-        label = np.labels[0] if np.labels else ""
+        labels = self._labels(np.labels)
+        label = labels[0] if labels else ""
         code = register_label(label)
         if self.df is None:
             self.df = self._seed()
         # pattern comprehensions in property values roll up first
-        np = A.NodePattern(np.var, np.labels,
+        np = A.NodePattern(np.var, labels,
                            {k: self._lift(v) for k, v in np.props.items()},
                            dyn_labels=np.dyn_labels)
         env = self._env()
@@ -376,7 +384,7 @@ class WriteMixin:
         Dynamic labels (`SET n:other.prop`) evaluate per row."""
         sym = item.subject.name
         ids = self.df.select(F.col(f"{sym}_id").alias("id")).dropDuplicates()
-        for lbl in item.labels:
+        for lbl in self._labels(item.labels):
             register_label(lbl)
             add = (ids.withColumn("label", F.lit(lbl))
                    .withColumn("ord", F.lit(_next_label_ord(self.g)))
@@ -596,14 +604,15 @@ class WriteMixin:
             elif item.labels or item.dyn_labels:
                 sym = item.subject.name
                 env = self._env()
+                st_labels = self._labels(item.labels)
                 # (id, label) victim pairs: static labels cross all matched
                 # ids; dynamic labels evaluate per row
                 pairs = None
-                if item.labels:
+                if st_labels:
                     pairs = self.df.select(
                         F.col(f"{sym}_id").alias("id")).crossJoin(
                         self.g.spark.createDataFrame(
-                            [(x,) for x in item.labels], "label string"))
+                            [(x,) for x in st_labels], "label string"))
                 for dx in item.dyn_labels:
                     c = compile_expr(self._lift(dx), env).cast("string")
                     p = (self.df.select(F.col(f"{sym}_id").alias("id"),
@@ -632,8 +641,8 @@ class WriteMixin:
                     base = self.g.nodes.get("")
                     self.g.nodes[""] = (moved if base is None
                                         else _union_missing(base, moved))
-                rm = F.array(*[F.lit(x) for x in item.labels]) if item.labels \
-                    else F.array().cast("array<string>")
+                rm = (F.array(*[F.lit(x) for x in st_labels]) if st_labels
+                      else F.array().cast("array<string>"))
                 for dx in item.dyn_labels:
                     c = compile_expr(self._lift(dx), env).cast("string")
                     rm = F.when(c.isNotNull(), F.array_append(rm, c)) \

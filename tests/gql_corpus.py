@@ -651,28 +651,70 @@ def _exec_setup(spark, gs, stmt, params, timeout):
         spark, gs.execute(stmt, params or None), timeout)
 
 
+# server-level metadata that survives 'Given an empty graph' in the
+# reference's one-server-per-suite behave run: user-defined enums
+# (memgraph.feature 'Show enums' reads the previous scenario's enum).
+# corpus_report resets this per feature file via reset_persistent().
+PERSISTENT: dict = {"enums": {}}
+
+
+def reset_persistent() -> None:
+    PERSISTENT["enums"] = {}
+
+
+def _fresh_graph(spark):
+    from memgraph_spark.catalog import PropertyGraph
+    g = PropertyGraph(spark)
+    if PERSISTENT["enums"]:
+        g.enum_registry = {k: list(v)
+                           for k, v in PERSISTENT["enums"].items()}
+    return g
+
+
 def run_scenario(spark, sc: Scenario, graphs_dir: str,
                  timeout: float = 60.0) -> ScenarioResult:
-    from memgraph_spark.catalog import PropertyGraph
     from memgraph_spark.plans.session import GraphSession
 
     if sc.skip_reason:
         return ScenarioResult("skip", sc.skip_reason)
 
-    gs = GraphSession(PropertyGraph(spark))
+    gs = GraphSession(_fresh_graph(spark))
     params: dict = {}
     last: dict = {"rows": None, "cols": None, "err": None}
     checked = False
+
+    cell = {"gs": gs}
+    try:
+        return _run_steps(spark, gs, sc, graphs_dir, timeout, params, last,
+                          checked, cell)
+    finally:
+        reg = getattr(cell["gs"].graph, "enum_registry", None)
+        if reg is not None:
+            PERSISTENT["enums"] = {k: list(v) for k, v in reg.items()}
+
+
+def _run_steps(spark, gs, sc, graphs_dir, timeout, params, last, checked,
+               cell):
+    from memgraph_spark.plans.session import GraphSession
 
     for step in sc.steps:
         try:
             if step.kind == "empty":
                 from memgraph_spark import admin as _admin
                 _admin.reset_global_state()
-                gs = GraphSession(PropertyGraph(spark))
+                old_g = getattr(gs, "graph", None)
+                gs = GraphSession(_fresh_graph(spark))
+                # the reference's 'Given an empty graph' wipes data, not
+                # server metadata: user-defined enums survive (memgraph.
+                # feature 'Show enums' uses the previous scenario's enum)
+                if old_g is not None and getattr(old_g, "enum_registry",
+                                                 None):
+                    gs.graph.enum_registry = dict(old_g.enum_registry)
+                cell["gs"] = gs
                 params = {}
             elif step.kind == "named_graph":
-                gs = GraphSession(PropertyGraph(spark))
+                gs = GraphSession(_fresh_graph(spark))
+                cell["gs"] = gs
                 path = os.path.join(graphs_dir, step.text + ".cypher")
                 text = open(path).read()
                 for stmt in [s.strip() for s in text.split(";") if s.strip()]:

@@ -90,7 +90,8 @@ def test_enum_lifecycle(gs):
     gs.execute("ALTER ENUM Status UPDATE VALUE Good TO Great")
     got = gs.execute("MATCH (t:Task) WHERE t.status = Status::Great "
                      "RETURN t.tag AS tag, t.status AS st").collect()
-    assert [(r.tag, r.st) for r in got] == [("a", "Status::Great")]
+    assert [(r.tag, r.st["__value"]) for r in got] == \
+        [("a", "Status::Great")]
     gs.execute("ALTER ENUM Status ADD VALUE Excellent")
     rows = gs.execute("SHOW ENUMS").collect()
     assert list(rows[0]["Enum Values"]) == ["Great", "Okay", "Bad", "Excellent"]
@@ -107,10 +108,13 @@ def test_explain_profile(spark):
     from memgraph_spark.plans import GraphSession
     from tests.conftest import SF_SMOKE
     gs = GraphSession(load_tpch_graph(spark, SF_SMOKE))
-    rows = [r["plan"] for r in gs.execute(
+    # EXPLAIN mirrors the reference's logical plan shape (QUERY PLAN rows);
+    # the Spark physical plan remains under PROFILE / GraphSession.explain()
+    rows = [r["QUERY PLAN"] for r in gs.execute(
         "EXPLAIN MATCH (p:Part) WHERE p.size > 40 RETURN p.name").collect()]
-    assert any("Physical Plan" in x for x in rows)
-    assert any("Scan parquet" in x for x in rows)
+    assert rows[0].startswith(" * Produce")
+    assert any("ScanAllByLabel" in x for x in rows)
+    assert rows[-1] == " * Once"
     rows = [r["plan"] for r in gs.execute(
         "PROFILE MATCH (p:Part) RETURN count(*) AS n").collect()]
     assert "wall time" in rows[-1]
