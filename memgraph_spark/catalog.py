@@ -114,16 +114,60 @@ class PropertyGraph:
 
     # -- versioned writes (SURVEY §1.2: batch-append snapshot semantics; the
     # -- reference's MVCC delta chains become immutable table versions) ------
-    def set_node_version(self, label: str, df: DataFrame) -> None:
-        self.nodes[label] = df
+    def set_node_version(self, label: str, df: DataFrame,
+                         keys_allocated: bool = False) -> None:
+        self.nodes[label] = self._maybe_consolidate(
+            "_node_vers", label, df)
+        if not keys_allocated:
+            # an external table swap may introduce arbitrary keys — the
+            # in-memory allocator must re-derive its base from the data
+            getattr(self, "_key_seq", {}).pop(label, None)
+
+    def alloc_node_keys(self, label: str, n: int) -> int:
+        """Allocate n consecutive node keys for a label from an in-memory
+        counter (storage NameIdMapper-style). Seeded once from the table's
+        max key; avoids a per-CREATE aggregate over an ever-deeper union
+        chain (one CREATE-heavy statement runs hundreds of allocations)."""
+        if not hasattr(self, "_key_seq"):
+            self._key_seq = {}
+        seq = self._key_seq.get(label)
+        if seq is None:
+            existing = self.nodes.get(label)
+            if existing is None:
+                seq = 0
+            else:
+                row = existing.agg(
+                    F.max(F.col("id") % (1 << KEY_BITS))).first()
+                seq = (row[0] if row[0] is not None else -1) + 1
+        self._key_seq[label] = seq + n
+        return seq
 
     def set_edge_version(self, etype: str, df: DataFrame) -> None:
-        self.edges[etype] = df
+        self.edges[etype] = self._maybe_consolidate(
+            "_edge_vers", etype, df)
         for cache in (self._adj_cache, self._eid_cache):
             for key, cached in list(cache.items()):
                 if key[0] in (etype, None):
                     cached.unpersist()
                     del cache[key]
+
+    def _maybe_consolidate(self, attr: str, key: str,
+                           df: DataFrame) -> DataFrame:
+        """Bound the union-chain depth of versioned tables: every 12th
+        version localCheckpoints the table, so a statement with hundreds of
+        CREATE clauses keeps O(1)-deep plans instead of an O(N) union (the
+        same flat-lineage rule the iterative operators follow)."""
+        if not hasattr(self, "_ver_counts"):
+            self._ver_counts = {}
+        k = (attr, key)
+        c = self._ver_counts.get(k, 0) + 1
+        self._ver_counts[k] = c
+        if c % 12 == 0:
+            try:
+                return df.localCheckpoint(eager=True)
+            except Exception:  # noqa: BLE001 — keep the lazy plan on failure
+                return df
+        return df
 
     def set_extra_labels(self, df: DataFrame | None) -> None:
         self.extra_labels = df

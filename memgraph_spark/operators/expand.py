@@ -223,6 +223,11 @@ def expand_variable(
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
+    # rebound the additive rounds×P partition count (see traversal.py
+    # _traversal_results) — same rows, far fewer tasks downstream
+    p = int(out.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if len(results) > 1 and out.rdd.getNumPartitions() > p:
+        out = out.coalesce(p)
     keep = base_cols + [f"{to_sym}_id"] + ([depth_col] if depth_col else []) \
         + path_cols
     out = out.withColumnRenamed("__node", f"{to_sym}_id")

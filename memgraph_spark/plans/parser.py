@@ -616,9 +616,9 @@ class Parser:
             self.next()
         if self.at_op(">"):
             self.next()
-            if direction == "in":
-                raise SyntaxError("relationship cannot be both <- and ->")
-            direction = "out"
+            # `<-[..]->` means either direction in the reference's grammar
+            # (patterns.feature 'reverse arrow')
+            direction = "both" if direction == "in" else "out"
         if not var_length:
             mode = flt = weight = weight_var = None
         return A.RelPattern(var, types, direction, props, var_length,

@@ -300,6 +300,11 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         return result
 
     def compile_clause(self, cl: A.Clause) -> None:
+        # frame-row-count hint: CREATE clauses preserve row count, so a
+        # CREATE-chain statement reuses one known count instead of a Spark
+        # job per clause; any other clause may change it
+        if not isinstance(cl, (A.Create, A.SetClause, A.RemoveClause)):
+            self._rows_hint = None
         if isinstance(cl, A.Match):
             self._match(cl)
         elif isinstance(cl, A.Unwind):
@@ -1396,9 +1401,16 @@ class QueryCompiler(WriteMixin, TraversalMixin):
                 if kind in ("node", "rel"):
                     cols = sorted(c for c in df.columns
                                   if c.startswith(f"{spec}_"))
-                    final.append(F.struct(
-                        *[F.col(c).alias(c[len(spec) + 1:]) for c in cols]
-                    ).alias(name))
+                    st = F.struct(*[F.col(c).alias(c[len(spec) + 1:])
+                                    for c in cols])
+                    # an unmatched OPTIONAL symbol is null, not an empty
+                    # entity (patterns.feature 'Optional match with
+                    # expressions')
+                    idc = (f"{spec}_id" if kind == "node"
+                           else f"{spec}_eid")
+                    if idc in df.columns:
+                        st = F.when(F.col(idc).isNotNull(), st)
+                    final.append(st.alias(name))
                 elif kind == "path":
                     if f"{spec}_nodes" in df.columns:
                         final.append(F.struct(

@@ -347,6 +347,13 @@ class TraversalMixin:
         out = pieces[0]
         for r in pieces[1:]:
             out = out.unionByName(r)
+        # the union's partition count is additive over rounds (rounds × P);
+        # rebound it so downstream joins don't fan out one task per round
+        # (at depth 10 that's 10× the tasks for the same rows)
+        p = int(out.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                          "32"))
+        if len(pieces) > 1 and out.rdd.getNumPartitions() > p:
+            out = out.coalesce(p)
         if mode in ("wshortest", "allshortest"):
             # keep only paths achieving the final minimum per (row, node)
             bj = best.withColumnRenamed("__best", "__b")

@@ -222,25 +222,31 @@ class WriteMixin:
         code = register_label(label)
         if self.df is None:
             self.df = self._seed()
+            self._rows_hint = 1
         # pattern comprehensions in property values roll up first
         np = A.NodePattern(np.var, labels,
                            {k: self._lift(v) for k, v in np.props.items()},
                            dyn_labels=np.dyn_labels)
         env = self._env()
+        n_rows = getattr(self, "_rows_hint", None)
+        if n_rows is None:
+            n_rows = self.df.count()
+            self._rows_hint = n_rows
         if "key" in np.props:
             key = compile_expr(np.props["key"], env).cast("long")
+            # explicit keys may exceed the allocator's view — re-derive
+            getattr(self.g, "_key_seq", {}).pop(label, None)
         else:
-            existing = self.g.nodes.get(label)
-            base = 0
-            if existing is not None:
-                # allocate past the label's current max key; the key is the
-                # low id bits, so this works with or without a key property
-                row = existing.agg(
-                    F.max(F.col("id") % (1 << KEY_BITS))).first()
-                base = (row[0] or 0) + 1
-            rn = F.row_number().over(
-                Window.orderBy(F.monotonically_increasing_id()))
-            key = (F.lit(base) + rn - 1).cast("long")
+            # in-memory key allocator (catalog.alloc_node_keys): one count
+            # of the (checkpointed) frame instead of a max-aggregate over
+            # the label table's union chain per CREATE clause
+            base = self.g.alloc_node_keys(label, n_rows)
+            if n_rows == 1:
+                key = F.lit(base).cast("long")
+            else:
+                rn = F.row_number().over(
+                    Window.orderBy(F.monotonically_increasing_id()))
+                key = (F.lit(base) + rn - 1).cast("long")
         aug = self.df.withColumn(f"{sym}_key", key).withColumn(
             f"{sym}_id", F.lit(code * (1 << KEY_BITS)) + F.col(f"{sym}_key"))
         if "key" not in np.props:
@@ -263,7 +269,13 @@ class WriteMixin:
                 F.when(c.isNotNull(),
                        F.array_union(F.col(f"{sym}_labels"), F.array(c)))
                 .otherwise(F.col(f"{sym}_labels")))
-        aug = aug.localCheckpoint(eager=True)  # pin allocated ids
+        # pin allocated ids. A single-row frame with literal keys is
+        # deterministic, so a giant CREATE-chain statement (LargeCreateQuery:
+        # hundreds of clauses) only checkpoints every 8th clause — plan
+        # depth stays bounded without a full-width materialization per node
+        self._create_ctr = getattr(self, "_create_ctr", 0) + 1
+        if n_rows != 1 or self._create_ctr % 8 == 0:
+            aug = aug.localCheckpoint(eager=True)
         self._all_props_cache = None  # new property columns may exist now
         prop_cols = [c for c in aug.columns
                      if c.startswith(f"{sym}_") and c != f"{sym}_labels"]
@@ -294,8 +306,10 @@ class WriteMixin:
             validate_dimensions(self.g, label, diff)
         existing = self.g.nodes.get(label)
         self.g.set_node_version(
-            label, diff if existing is None else _union_missing(existing, diff))
-        self.counters["nodes_created"] += diff.count()
+            label, diff if existing is None else _union_missing(existing,
+                                                                diff),
+            keys_allocated=True)
+        self.counters["nodes_created"] += n_rows
         self.df = aug
         self.symbols[sym] = "node"
 
@@ -327,13 +341,19 @@ class WriteMixin:
         # arithmetic exact; the per-batch window is the id-allocator step,
         # everything downstream stays partitioned
         base = getattr(self.g, "_eid_seq", 0)
-        aug = (aug.withColumn(f"{rsym}_type", tcol)
-               .withColumn(
-                   f"{rsym}_eid",
-                   F.lit(base) - 1 + F.row_number().over(
+        n_rows = getattr(self, "_rows_hint", None)
+        if n_rows is None:
+            n_rows = self.df.count()
+            self._rows_hint = n_rows
+        eid_col = (F.lit(base).cast("long") if n_rows == 1
+                   else F.lit(base) - 1 + F.row_number().over(
                        Window.orderBy(F.monotonically_increasing_id())))
-               .localCheckpoint(eager=True))
-        self.g._eid_seq = base + aug.count()
+        aug = (aug.withColumn(f"{rsym}_type", tcol)
+               .withColumn(f"{rsym}_eid", eid_col))
+        self._create_ctr = getattr(self, "_create_ctr", 0) + 1
+        if n_rows != 1 or self._create_ctr % 8 == 0:
+            aug = aug.localCheckpoint(eager=True)
+        self.g._eid_seq = base + n_rows
         cols = {f"{rsym}_src": "src", f"{rsym}_dst": "dst",
                 f"{rsym}_eid": "eid"}
         cols.update({c: c[len(rsym) + 1:] for c in aug.columns
@@ -350,7 +370,8 @@ class WriteMixin:
             self.g.set_edge_version(
                 et, diff if existing is None
                 else _union_missing(existing, diff))
-            self.counters["relationships_created"] += diff.count()
+            self.counters["relationships_created"] += (
+                n_rows if dyn is None else diff.count())
         self.df = aug
         self.symbols[rsym] = "rel"
 
@@ -677,10 +698,12 @@ class WriteMixin:
             self.counters["relationships_deleted"] += n
 
         for e in cl.exprs:
-            if not isinstance(e, A.Var):
-                # DELETE <expr>: node/rel/path values from lists or maps
-                # (DeleteAcceptance TCK — Delete on any TypedValue,
-                # operator.cpp:4764); the compiled type names the kind
+            if not isinstance(e, A.Var) or \
+                    self.symbols.get(e.name) not in ("node", "rel", "path"):
+                # DELETE <expr>: node/rel/path VALUES — list elements,
+                # UNWIND-bound structs, map members (DeleteAcceptance TCK —
+                # Delete on any TypedValue, operator.cpp:4764); the
+                # compiled type names the kind
                 col = compile_expr(e, self._env())
                 env = self._env()
                 t = env.typeof(col)

@@ -264,12 +264,22 @@ FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1
 SELECT n_name AS nation, count(DISTINCT coalesce(s_name, 'none')) AS kinds
 FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey GROUP BY 1
 """,
+    # Andoyer geodesic on the WGS84 spheroid against (0, 0) — the same
+    # closed form the engine compiles (boost::geometry's default strategy)
     "cy_point_geo": """
-SELECT round(2 * 6371009 * asin(sqrt(
-         sin(radians((0 - lat) / 2)) ^ 2
-         + cos(radians(lat)) * cos(radians(0))
-           * sin(radians((0 - lon) / 2)) ^ 2)) / 1000, 1) AS dist_km,
+WITH pts(lon, lat) AS (VALUES (13.4, 52.52), (2.35, 48.86), (-0.13, 51.51)),
+c1 AS (SELECT lon, lat, radians(lat) / 2 AS f, radians(lat) / 2 AS g,
+              radians(lon) / 2 AS l FROM pts),
+c2 AS (SELECT lon, lat, f, g, l,
+              sin(g)^2 * cos(l)^2 + cos(f)^2 * sin(l)^2 AS s,
+              cos(g)^2 * cos(l)^2 + sin(f)^2 * sin(l)^2 AS c FROM c1),
+c3 AS (SELECT *, atan(sqrt(s / c)) AS w FROM c2),
+c4 AS (SELECT *, sqrt(s * c) / w AS r, 2 * w * 6378137 AS d FROM c3)
+SELECT round(d * (1 + (1 / 298.257223563) *
+             (((3 * r - 1) / (2 * c)) * sin(f)^2 * cos(g)^2
+              - ((3 * r + 1) / (2 * s)) * cos(f)^2 * sin(g)^2)) / 1000,
+             1) AS dist_km,
        (lon BETWEEN -1.0 AND 5.0) AND (lat BETWEEN 45.0 AND 55.0) AS in_box
-FROM (VALUES (13.4, 52.52), (2.35, 48.86), (-0.13, 51.51)) t(lon, lat)
+FROM c4
 """,
 }
