@@ -8,15 +8,24 @@ Reference parity: each query shape maps to gql_behave corpus features
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from memgraph_spark.catalog import graph_for
 from memgraph_spark.plans import GraphSession
 
 
-def _run(cypher: str, params: dict | None = None):
+def _run(cypher: str, params: dict | None = None, json_cols: tuple = ()):
+    """Execute Cypher text through the full frontend.
+
+    json_cols: columns holding list/map values that the driver's pandas
+    canonicalizer cannot hash — re-emit them as canonical JSON text
+    (the oracle SQL does the same, so values still compare exactly).
+    """
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return GraphSession(graph_for(spark, sf_dir)).execute(cypher, params)
+        out = GraphSession(graph_for(spark, sf_dir)).execute(cypher, params)
+        for c in json_cols:
+            out = out.withColumn(c, F.to_json(F.col(c)))
+        return out
     q.__doc__ = cypher
     return q
 
@@ -42,9 +51,11 @@ CYPHER_QUERIES = {
         "RETURN p.brand AS brand, count(*) AS heavy_lines, "
         "round(sum(l.extendedprice), 2) AS volume"),
     # OPTIONAL MATCH (left-outer) + count(expr) null-skipping
+    # + coalesce over the null side + per-aggregate DISTINCT
     "cy_optional": _run(
         "MATCH (n:Nation) OPTIONAL MATCH (c:Customer)-[:FROM_NATION]->(n) "
-        "RETURN n.name AS nation, count(c.key) AS customers"),
+        "RETURN n.name AS nation, count(c.key) AS customers, "
+        "count(DISTINCT coalesce(c.mktsegment, 'none')) AS kinds"),
     # pattern predicate -> semi join
     "cy_exists": _run(
         "MATCH (s:Supplier) WHERE (s)-[:BASED_IN]->(:Nation {name: 'NATION_3'}) "
@@ -76,12 +87,15 @@ CYPHER_QUERIES = {
         "MATCH (p:Part) RETURN DISTINCT "
         "CASE WHEN p.size > 25 THEN 'big' ELSE 'small' END AS bucket, "
         "p.brand AS brand"),
-    # quantifiers + list comprehension (pure expression layer)
+    # quantifiers + list comprehension (pure expression layer); the list
+    # column is emitted as canonical JSON so the driver's pandas-based
+    # canonicalizer can hash it (lists are unhashable in pandas sort).
     "cy_list_exprs": _run(
         "UNWIND [1, 2, 3, 4, 5, 6] AS x "
         "WITH x WHERE x % 2 = 0 "
         "RETURN x AS x, [y IN range(0, x) WHERE y % 2 = 0 | y * y] AS squares, "
-        "all(y IN range(1, x) WHERE y > 0) AS allpos"),
+        "all(y IN range(1, x) WHERE y > 0) AS allpos",
+        json_cols=("squares",)),
     # string predicates
     "cy_strings": _run(
         "MATCH (c:Customer) WHERE c.name ENDS WITH '1' AND c.name CONTAINS '0' "
@@ -103,23 +117,15 @@ CYPHER_QUERIES = {
     "cy_date_parts": _run(
         "MATCH (o:Order) RETURN o.orderdate.year AS y, "
         "o.orderdate.month AS m, count(*) AS n"),
-    # collect() into a list, then reduce() over it (Reduce ast.hpp:1322)
+    # collect() into a list, reduce() over it (Reduce ast.hpp:1322),
+    # plus all()/any() quantifiers over the same list (ast.hpp:1460-1619)
     "cy_collect_reduce": _run(
         "MATCH (o:Order)-[l:CONTAINS]->(:Part) WITH o, "
         "collect(l.quantity) AS qs "
         "RETURN o.key AS orderkey, size(qs) AS n_items, "
-        "reduce(acc = 0.0, q IN qs | acc + q) AS total_qty"),
-    # quantifiers all()/any() over collected lists (ast.hpp:1460-1619)
-    "cy_quantifiers": _run(
-        "MATCH (o:Order)-[l:CONTAINS]->(:Part) WITH o, "
-        "collect(l.quantity) AS qs "
-        "RETURN o.key AS orderkey, all(q IN qs WHERE q > 0) AS allpos, "
+        "reduce(acc = 0.0, q IN qs | acc + q) AS total_qty, "
+        "all(q IN qs WHERE q > 0) AS allpos, "
         "any(q IN qs WHERE q >= 49) AS hasbig"),
-    # coalesce over OPTIONAL-MATCH nulls + count(DISTINCT …)
-    "cy_coalesce": _run(
-        "MATCH (n:Nation) OPTIONAL MATCH (s:Supplier)-[:BASED_IN]->(n) "
-        "RETURN n.name AS nation, "
-        "count(DISTINCT coalesce(s.name, 'none')) AS kinds"),
     # geo: haversine distance + bbox predicate as pure column expressions
     "cy_point_geo": _run(
         "UNWIND [[13.4, 52.52], [2.35, 48.86], [-0.13, 51.51]] AS c "
@@ -157,7 +163,8 @@ WHERE l_quantity >= 45
 GROUP BY p_brand
 """,
     "cy_optional": """
-SELECT n_name AS nation, count(c_custkey) AS customers
+SELECT n_name AS nation, count(c_custkey) AS customers,
+       count(DISTINCT coalesce(c_mktsegment, 'none')) AS kinds
 FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
 GROUP BY n_name
 """,
@@ -200,8 +207,9 @@ FROM part
 """,
     "cy_list_exprs": """
 SELECT x,
-       list_transform(list_filter(range(0, x + 1), y -> y % 2 = 0),
-                      y -> y * y) AS squares,
+       CAST(to_json(list_transform(list_filter(range(0, x + 1),
+                                               y -> y % 2 = 0),
+                    y -> y * y)) AS VARCHAR) AS squares,
        len(list_filter(range(1, x + 1), y -> y > 0)) = x AS allpos
 FROM (VALUES (2), (4), (6)) t(x)
 """,
@@ -252,17 +260,10 @@ FROM orders GROUP BY 1, 2
 """,
     "cy_collect_reduce": """
 SELECT o_orderkey AS orderkey, count(*) AS n_items,
-       sum(CAST(l_quantity AS DOUBLE)) AS total_qty
-FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1
-""",
-    "cy_quantifiers": """
-SELECT o_orderkey AS orderkey, bool_and(l_quantity > 0) AS allpos,
+       sum(CAST(l_quantity AS DOUBLE)) AS total_qty,
+       bool_and(l_quantity > 0) AS allpos,
        bool_or(l_quantity >= 49) AS hasbig
 FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1
-""",
-    "cy_coalesce": """
-SELECT n_name AS nation, count(DISTINCT coalesce(s_name, 'none')) AS kinds
-FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey GROUP BY 1
 """,
     # Andoyer geodesic on the WGS84 spheroid against (0, 0) — the same
     # closed form the engine compiles (boost::geometry's default strategy)
