@@ -270,6 +270,11 @@ def _try_operational(graph, q, u, spark):
             os.path.join(path, "nodes", lbl)) for lbl in manifest["nodes"]}
         graph.edges = {et: spark.read.parquet(
             os.path.join(path, "edges", et)) for et in manifest["edges"]}
+        # recovered tables carry arbitrary ids — the in-memory allocators
+        # must re-derive their bases from the data, or subsequent CREATE
+        # would mint duplicate node keys / edge ids
+        graph._key_seq = {}
+        graph._eid_seq = None
         for cache in (graph._adj_cache, graph._eid_cache):
             cache.clear()
         graph._count_cache.clear()

@@ -142,14 +142,38 @@ class PropertyGraph:
         self._key_seq[label] = seq + n
         return seq
 
-    def set_edge_version(self, etype: str, df: DataFrame) -> None:
+    def set_edge_version(self, etype: str, df: DataFrame,
+                         ids_allocated: bool = False) -> None:
         self.edges[etype] = self._maybe_consolidate(
             "_edge_vers", etype, df)
+        if not ids_allocated:
+            # an external table swap may introduce arbitrary eids — the
+            # in-memory eid allocator must re-derive its base from the data
+            self._eid_seq = None
         for cache in (self._adj_cache, self._eid_cache):
             for key, cached in list(cache.items()):
                 if key[0] in (etype, None):
                     cached.unpersist()
                     del cache[key]
+
+    def alloc_edge_ids(self, n: int) -> int:
+        """Allocate n consecutive edge ids from an in-memory counter
+        (storage edge-gid counter parity, storage.hpp edge_id_). Seeded
+        from max(eid) across ALL edge tables: user-supplied edge
+        DataFrames carry arbitrary eids, and eid is the global join key
+        for edge SET/DELETE — starting at 0 would silently update or
+        delete unrelated edges on collision."""
+        if getattr(self, "_eid_seq", None) is None:
+            mx = -1
+            for df in self.edges.values():
+                if "eid" in df.columns:
+                    row = df.agg(F.max("eid")).first()
+                    if row[0] is not None:
+                        mx = max(mx, int(row[0]))
+            self._eid_seq = mx + 1
+        base = self._eid_seq
+        self._eid_seq = base + n
+        return base
 
     def _maybe_consolidate(self, attr: str, key: str,
                            df: DataFrame) -> DataFrame:

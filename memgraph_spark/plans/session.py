@@ -895,10 +895,37 @@ class QueryCompiler(WriteMixin, TraversalMixin):
                     *[F.col(c).alias(h) for c, h in hid.items()]) \
                     .dropDuplicates(list(hid.values()) or anchor_cols)
                 sub.symbols = {s: self.symbols[s] for s in shared}
-            for cl in self._exists_clauses(part, list(hid.values())):
+            clauses, r_skip, r_limit = self._exists_clauses(
+                part, list(hid.values()))
+            for cl in clauses:
                 sub.compile_clause(cl)
             if sub.df is None:
                 continue
+            if r_skip is not None or r_limit is not None:
+                # the subquery RETURN's SKIP/LIMIT change its row count, so
+                # they apply before the existence check — per anchor key
+                # for a correlated EXISTS (each outer row sees its own
+                # subquery result), globally for an uncorrelated one
+                lo = (self._static_int(r_skip, "SKIP")
+                      if r_skip is not None else 0)
+                hi = (lo + self._static_int(r_limit, "LIMIT")
+                      if r_limit is not None else None)
+                if hid:
+                    from pyspark.sql.window import Window
+                    w = Window.partitionBy(*hid.values()) \
+                        .orderBy(F.monotonically_increasing_id())
+                    rn = F.row_number().over(w)
+                    cond = F.col("__exrn") > lo
+                    if hi is not None:
+                        cond = cond & (F.col("__exrn") <= hi)
+                    sub.df = sub.df.withColumn("__exrn", rn) \
+                        .filter(cond).drop("__exrn")
+                else:
+                    if lo:
+                        sub.df = sub.df.offset(lo)
+                    if r_limit is not None:
+                        sub.df = sub.df.limit(
+                            self._static_int(r_limit, "LIMIT"))
             if hid:
                 m = sub.df.select(*hid.values()).dropDuplicates()
             else:
@@ -911,9 +938,13 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         """Subquery clauses adjusted for existence checking: a trailing
         RETURN is irrelevant (only row existence matters) and WITH
         projections must carry the hidden anchor keys through."""
-        out = []
+        out, r_skip, r_limit = [], None, None
         for cl in part.clauses:
             if isinstance(cl, A.Return):
+                # projection itself is irrelevant (only row existence
+                # matters) but its SKIP/LIMIT are row-count modifiers the
+                # caller must still apply before the existence check
+                r_skip, r_limit = cl.skip, cl.limit
                 continue
             if isinstance(cl, A.With) and hidden and not cl.star:
                 items = list(cl.items) + [
@@ -921,7 +952,7 @@ class QueryCompiler(WriteMixin, TraversalMixin):
                 cl = A.With(items, cl.star, cl.distinct, cl.order,
                             cl.skip, cl.limit, cl.where)
             out.append(cl)
-        return out
+        return out, r_skip, r_limit
 
     def _exists_filter(self, ex: A.ExistsSubquery) -> None:
         matched, hid = self._exists_matched(ex)

@@ -340,11 +340,11 @@ class WriteMixin:
         # from a counter, storage.hpp edge_id_) — small ints keep id(e)
         # arithmetic exact; the per-batch window is the id-allocator step,
         # everything downstream stays partitioned
-        base = getattr(self.g, "_eid_seq", 0)
         n_rows = getattr(self, "_rows_hint", None)
         if n_rows is None:
             n_rows = self.df.count()
             self._rows_hint = n_rows
+        base = self.g.alloc_edge_ids(n_rows)
         eid_col = (F.lit(base).cast("long") if n_rows == 1
                    else F.lit(base) - 1 + F.row_number().over(
                        Window.orderBy(F.monotonically_increasing_id())))
@@ -353,7 +353,6 @@ class WriteMixin:
         self._create_ctr = getattr(self, "_create_ctr", 0) + 1
         if n_rows != 1 or self._create_ctr % 8 == 0:
             aug = aug.localCheckpoint(eager=True)
-        self.g._eid_seq = base + n_rows
         cols = {f"{rsym}_src": "src", f"{rsym}_dst": "dst",
                 f"{rsym}_eid": "eid"}
         cols.update({c: c[len(rsym) + 1:] for c in aug.columns
@@ -369,7 +368,7 @@ class WriteMixin:
             existing = self.g.edges.get(et)
             self.g.set_edge_version(
                 et, diff if existing is None
-                else _union_missing(existing, diff))
+                else _union_missing(existing, diff), ids_allocated=True)
             self.counters["relationships_created"] += (
                 n_rows if dyn is None else diff.count())
         self.df = aug
@@ -579,7 +578,7 @@ class WriteMixin:
                 t.join(updates, on="eid", how="left")
                 .withColumn(key, F.when(F.col("__hit"), new)
                             .otherwise(old))
-                .drop("__v", "__hit")))
+                .drop("__v", "__hit")), ids_allocated=True)
 
     def _set_properties(self, sym: str, value: A.Expr, replace: bool) -> None:
         """SetProperties = / += (operator.hpp:1539) from a map literal or
@@ -694,7 +693,7 @@ class WriteMixin:
             for etype, t in list(self.g.edges.items()):
                 kept = t.join(eids, on="eid", how="left_anti")
                 n += t.count() - kept.count()
-                self.g.set_edge_version(etype, kept)
+                self.g.set_edge_version(etype, kept, ids_allocated=True)
             self.counters["relationships_deleted"] += n
 
         for e in cl.exprs:
@@ -752,7 +751,7 @@ class WriteMixin:
                 for etype, t in list(self.g.edges.items()):
                     kept = t.join(eids, on="eid", how="left_anti")
                     n += t.count() - kept.count()
-                    self.g.set_edge_version(etype, kept)
+                    self.g.set_edge_version(etype, kept, ids_allocated=True)
                 self.counters["relationships_deleted"] += n
                 self.deleted.add(sym)
             elif kind == "node":
@@ -775,7 +774,7 @@ class WriteMixin:
                 for etype, t in list(self.g.edges.items()):
                     kept = t.join(eids, on="eid", how="left_anti")
                     n += t.count() - kept.count()
-                    self.g.set_edge_version(etype, kept)
+                    self.g.set_edge_version(etype, kept, ids_allocated=True)
                 self.counters["relationships_deleted"] += n
                 ids = self.df.select(
                     F.explode(F.col(f"{sym}_nids")).alias("id"))
@@ -801,7 +800,7 @@ class WriteMixin:
                         .join(node_ids.withColumnRenamed("id", "dst"),
                               on="dst", how="left_anti"))
                 incident += t.count() - kept.count()
-                self.g.set_edge_version(etype, kept)
+                self.g.set_edge_version(etype, kept, ids_allocated=True)
         self.counters["relationships_deleted"] += incident
         deleted = 0
         for label, t in list(self.g.nodes.items()):

@@ -101,6 +101,26 @@ def _bolt_value(v):
     return v
 
 
+def _credentials_ok(meta) -> bool:
+    """Validate HELLO/LOGON auth tokens against the admin user registry.
+
+    Reference parity: community-edition basic auth (SessionHL::Authenticate)
+    — when no users are defined access is open; once CREATE USER has run,
+    only scheme=basic with a matching principal/credentials pair passes.
+    """
+    from memgraph_spark import admin
+    users = admin._AUTH["users"]
+    if not users:
+        return True
+    if not isinstance(meta, dict):
+        return False
+    scheme = meta.get("scheme")
+    principal = meta.get("principal")
+    credentials = meta.get("credentials", "")
+    return (scheme == "basic" and principal in users
+            and users[principal] == credentials)
+
+
 class _Session:
     """Per-connection state machine (SessionHL parity)."""
 
@@ -133,13 +153,20 @@ class _Session:
             if self.version >= (5, 1):
                 # auth moves to LOGON in 5.1+
                 self.success(meta)
-            else:
+            elif _credentials_ok(msg.fields[0] if msg.fields else {}):
                 self.authenticated = True
                 self.success(meta)
+            else:
+                self.failure("Memgraph.ClientError.Security.Unauthenticated",
+                             "Authentication failure")
             return True
         if tag == LOGON:
-            self.authenticated = True
-            self.success({})
+            if _credentials_ok(msg.fields[0] if msg.fields else {}):
+                self.authenticated = True
+                self.success({})
+            else:
+                self.failure("Memgraph.ClientError.Security.Unauthenticated",
+                             "Authentication failure")
             return True
         if tag == LOGOFF:
             self.authenticated = False
@@ -151,6 +178,11 @@ class _Session:
             self.failed = False
             self.rows, self.cursor, self.fields = None, 0, []
             self.success({})
+            return True
+        if tag in (RUN, PULL, DISCARD, BEGIN, COMMIT, ROLLBACK) \
+                and not self.authenticated:
+            self.failure("Memgraph.ClientError.Security.Unauthenticated",
+                         "Authentication required before running queries")
             return True
         if tag == RUN:
             query = msg.fields[0]

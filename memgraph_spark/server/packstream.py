@@ -87,9 +87,19 @@ class Packer:
             for f in value.fields:
                 self.pack(f)
         elif isinstance(value, _dt.datetime):
-            # LocalDateTime 'd': epoch seconds + nanos
-            epoch = int(value.replace(tzinfo=_dt.timezone.utc).timestamp())
-            self.pack(Structure(0x64, [epoch, value.microsecond * 1000]))
+            if value.tzinfo is not None:
+                # DateTime 'I': local-epoch seconds + nanos + utc offset
+                # (aware values keep their instant AND their zone offset;
+                # replace(tzinfo=utc) would shift the instant by the offset)
+                offset = int(value.utcoffset().total_seconds())
+                epoch = int(value.timestamp()) + offset
+                self.pack(Structure(0x49, [epoch, value.microsecond * 1000,
+                                           offset]))
+            else:
+                # LocalDateTime 'd': epoch seconds + nanos
+                epoch = int(
+                    value.replace(tzinfo=_dt.timezone.utc).timestamp())
+                self.pack(Structure(0x64, [epoch, value.microsecond * 1000]))
         elif isinstance(value, _dt.date):
             days = (value - _dt.date(1970, 1, 1)).days
             self.pack(Structure(0x44, [days]))
