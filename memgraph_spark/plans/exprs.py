@@ -79,7 +79,43 @@ def _type_category(t) -> str | None:
         return "num"
     if isinstance(t, T.StringType):
         return "str"
+    if isinstance(t, T.StructType):
+        names = set(t.names)
+        # graph values share a category regardless of their property
+        # columns: [r1, r2] with different edge types is a list of rels,
+        # not a heterogeneous list (project() over OPTIONAL-matched rels)
+        if "eid" in names and "src" in names:
+            return "g:rel"
+        if "id" in names and "labels" in names:
+            return "g:node"
     return "x:" + t.simpleString()
+
+
+def _unify_graph_structs(cols: list[Column], ts: list) -> Column:
+    """Array of node/rel structs whose property fields differ: widen every
+    element to the field-union struct (missing fields null) so the list
+    keeps its graph-struct element type instead of a variant fallback."""
+    fields: dict[str, object] = {}
+    for t in ts:
+        if isinstance(t, T.StructType):
+            for f in t.fields:
+                cur = fields.get(f.name)
+                if cur is None or isinstance(cur, T.NullType):
+                    fields[f.name] = f.dataType
+    names = sorted(fields)
+    target = T.StructType(
+        [T.StructField(n, fields[n]) for n in names])
+    out = []
+    for c, t in zip(cols, ts):
+        if t is None or isinstance(t, T.NullType):
+            out.append(F.lit(None).cast(target))
+            continue
+        have = set(t.names)
+        out.append(F.when(c.isNotNull(), F.struct(*[
+            (c.getField(n) if n in have
+             else F.lit(None).cast(fields[n])).alias(n)
+            for n in names])))
+    return F.array(*out)
 
 
 def _compile_json_text(x: A.Expr, env: Env) -> Column:
@@ -118,6 +154,11 @@ def _compile_list_literal(e: A.ListLiteral, env: Env) -> Column:
         ts = [env.typeof(c) for c in cols]
         cats = {c for c in (_type_category(t) for t in ts)
                 if c is not None}
+        if cats in ({"g:rel"}, {"g:node"}) and (
+                len({t.simpleString() for t in ts
+                     if isinstance(t, T.StructType)}) > 1
+                or any(t is None or isinstance(t, T.NullType) for t in ts)):
+            return _unify_graph_structs(cols, ts)
         if len(cats) > 1 and all(t is not None for t in ts):
             from memgraph_spark.functions.variant import (
                 _slots, to_variant)
@@ -683,11 +724,16 @@ def _compile_binop(e: A.BinaryOp, env: Env) -> Column:
                     F.exists(r, lambda el: variant_eq_strict(el, lv)),
                     F.lit(False))
         return F.array_contains(r, l)
-    if op == "STARTS":
-        return l.startswith(r)
-    if op == "ENDS":
-        return l.endswith(r)
-    if op == "CONTAINS":
+    if op in ("STARTS", "ENDS", "CONTAINS"):
+        # TypedValue string operators throw on non-string operands
+        # (src/query/typed_value.cpp operator semantics;
+        # string_operators.feature "an error should be raised")
+        l = _string_operand(l, e.left, env, op)
+        r = _string_operand(r, e.right, env, op)
+        if op == "STARTS":
+            return l.startswith(r)
+        if op == "ENDS":
+            return l.endswith(r)
         return l.contains(r)
     if op == "=~":
         # Cypher =~ is a FULL-string regex match (rlike is substring search)
@@ -696,6 +742,58 @@ def _compile_binop(e: A.BinaryOp, env: Env) -> Column:
         return F.regexp_like(
             l, F.concat(F.lit("^(?:"), r.cast("string"), F.lit(")$")))
     raise CompileError(f"unknown operator {op}")
+
+
+def _parse_zoned_literal(s: str):
+    """(utc epoch seconds, nanos, utc offset seconds) for a datetime text
+    with explicit zone info; None for zoneless text (stays a timestamp)."""
+    import datetime as dt
+    import re as _re
+    m = _re.match(r"^(.*)\[([^\]]+)\]$", s)
+    try:
+        if m:
+            from zoneinfo import ZoneInfo
+            local = dt.datetime.fromisoformat(m.group(1))
+            if local.tzinfo is None:
+                local = local.replace(tzinfo=ZoneInfo(m.group(2)))
+        else:
+            local = dt.datetime.fromisoformat(s)
+            if local.tzinfo is None:
+                return None
+    except (ValueError, KeyError):
+        return None
+    off = int(local.utcoffset().total_seconds())
+    return int(local.timestamp()), local.microsecond * 1000, off
+
+
+_STR_OP_NAMES = {"STARTS": "STARTS WITH", "ENDS": "ENDS WITH",
+                 "CONTAINS": "CONTAINS"}
+
+
+def _string_operand(c: Column, ast_side, env: Env, op: str) -> Column:
+    """Coerce an operand of STARTS WITH / ENDS WITH / CONTAINS, raising on
+    definitively non-string types (TypedValue strictness) — statically for
+    plain columns/literals, at runtime for mixed-type variant slots."""
+    name = _STR_OP_NAMES.get(op, op)
+    if isinstance(ast_side, A.Literal):
+        v = ast_side.value
+        if v is not None and not isinstance(v, str):
+            raise CompileError(
+                f"{name} expects string operands, got {type(v).__name__}")
+        return c
+    t = env.typeof(c) if env.df is not None else None
+    if t is None or isinstance(t, (T.StringType, T.NullType)):
+        return c
+    from memgraph_spark.functions.variant import is_variant_type
+    if is_variant_type(t):
+        bad = (c.getField("vb").isNotNull() | c.getField("vi").isNotNull()
+               | c.getField("vd").isNotNull() | c.getField("va").isNotNull()
+               | c.getField("vj").isNotNull())
+        return (F.when(bad, F.raise_error(F.lit(
+                    f"{name} expects string operands")).cast("string"))
+                .otherwise(c.getField("vs")))
+    raise CompileError(f"{name} expects string operands, "
+                       f"got {t.simpleString()}")
 
 
 def _is_float(e: A.BinaryOp, env: Env) -> bool:
@@ -806,6 +904,20 @@ def _compile_conversion(name: str, conv, c: Column, env: Env):
 
 def _compile_func(e: A.FuncCall, env: Env) -> Column:
     name = e.name.lower()
+    # ZonedDateTime literals (temporal.hpp): datetime() text carrying an
+    # explicit [Zone/Id] or ±HH:MM offset becomes an orderable struct
+    # (utc epoch, nanos, offset) — struct comparison orders by instant
+    # first, then offset, exactly the reference's min/max tie-break
+    if name == "datetime" and e.args \
+            and isinstance(e.args[0], A.Literal) \
+            and isinstance(e.args[0].value, str):
+        z = _parse_zoned_literal(e.args[0].value)
+        if z is not None:
+            epoch, nanos, off = z
+            return F.struct(
+                F.lit(epoch).cast("long").alias("zdt_epoch"),
+                F.lit(nanos).cast("int").alias("zdt_nanos"),
+                F.lit(off).cast("int").alias("zdt_off"))
     # quantifiers all/any/none/single(x IN list WHERE pred): the parser wraps
     # the predicate in a ListComprehension; compile it as a boolean lambda
     if name.startswith("__quant_") and isinstance(e.args[0], A.ListComprehension):
@@ -980,11 +1092,16 @@ def _compile_func(e: A.FuncCall, env: Env) -> Column:
             return F.map_from_entries(
                 F.collect_list(F.struct(args[0].alias("k"),
                                         args[1].alias("v"))))
-        # sum(null) is integer 0 (typed long, not the double Spark infers)
-        if (name == "sum" and isinstance(e.args[0], A.Literal)
-                and e.args[0].value is None):
-            return F.coalesce(F.max(F.lit(0).cast("long")),
-                              F.lit(0).cast("long"))
+        # sum over null/absent values is integer 0 (typed long, not the
+        # double Spark infers for a NullType input) — CompactAggregationValue
+        # initializes the sum slot to int 0
+        if name == "sum":
+            null_lit = (isinstance(e.args[0], A.Literal)
+                        and e.args[0].value is None)
+            at = env.typeof(args[0]) if env.df is not None else None
+            if null_lit or isinstance(at, T.NullType):
+                return F.coalesce(F.sum(args[0].cast("long")),
+                                  F.lit(0).cast("long"))
         return AGGREGATES[name](args[0], e.distinct)
     # graph accessors need symbol context
     if name == "id" and isinstance(e.args[0], A.Var):

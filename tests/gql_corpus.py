@@ -73,15 +73,21 @@ def _split_row(line: str) -> list[str]:
         elif ch in "'\"":
             quote = ch
             buf.append(ch)
-        # path arrows -> and <- are not brackets
-        elif ch == "<" and i + 1 < len(body) and body[i + 1] == "-":
+        # a '<' only opens a path value when immediately followed by '('
+        # (paths print as <(...)...>); '<-' arrows and bare comparison
+        # operators like 'count(n) < n.property' are literal text
+        elif ch == "<":
+            if i + 1 < len(body) and body[i + 1] == "(":
+                depth += 1
             buf.append(ch)
-        elif ch == ">" and i > 0 and body[i - 1] == "-":
+        elif ch == ">":
+            if depth > 0 and i > 0 and body[i - 1] in ")]":
+                depth -= 1
             buf.append(ch)
-        elif ch in "([{<":
+        elif ch in "([{":
             depth += 1
             buf.append(ch)
-        elif ch in ")]}>":
+        elif ch in ")]}":
             depth -= 1
             buf.append(ch)
         elif ch == "|" and depth == 0:
@@ -339,6 +345,16 @@ def canon_actual(v, list_unordered: bool = False) -> str:
 
         def _disp(k: str) -> str:  # reserved props stored as p__<name>
             return k[3:] if k.startswith("p__") else k
+        if tuple(d) == ("zdt_epoch", "zdt_nanos", "zdt_off"):
+            # ZonedDateTime struct: print local wall time with ±HH:MM
+            off = d["zdt_off"]
+            t = datetime.datetime.fromtimestamp(
+                d["zdt_epoch"] + off, datetime.timezone.utc)
+            sign = "+" if off >= 0 else "-"
+            return (t.strftime("%Y-%m-%dT%H:%M:%S")
+                    + f".{d['zdt_nanos']:09d}"
+                    + f"{sign}{abs(off) // 3600:02d}:"
+                    + f"{(abs(off) % 3600) // 60:02d}")
         if tuple(d) in (("vb", "vi", "vd", "vs"),
                         ("vb", "vi", "vd", "vs", "va"),
                         ("vb", "vi", "vd", "vs", "va", "vj")):  # variant
@@ -427,13 +443,25 @@ class _P:
     def string(self, q: str) -> str:
         self.i += 1
         buf = []
-        while self.s[self.i] != q:
-            if self.s[self.i] == "\\":
+        while True:
+            c = self.s[self.i]
+            if c == "\\":
                 self.i += 1
-            buf.append(self.s[self.i])
+                buf.append(self.s[self.i])
+                self.i += 1
+                continue
+            if c == q:
+                # a quote only closes the string when followed by a
+                # delimiter or end-of-text; otherwise it's an embedded
+                # literal quote ('ai'M'e' is the single value ai'M'e)
+                j = self.i + 1
+                while j < len(self.s) and self.s[j] in " \t":
+                    j += 1
+                if j >= len(self.s) or self.s[j] in ",]})|":
+                    self.i += 1
+                    return "'" + "".join(buf) + "'"
+            buf.append(c)
             self.i += 1
-        self.i += 1
-        return "'" + "".join(buf) + "'"
 
     def scalar(self) -> str:
         m = re.match(r"[^,\]\})\|]+", self.s[self.i:])

@@ -115,7 +115,10 @@ def test_to_enum(spark):
     rows = gs.execute(
         "RETURN toEnum('FnStatus::Good') AS e1, "
         "toEnum('FnStatus', 'Bad') AS e2").collect()
-    assert rows[0].e1 == "FnStatus::Good" and rows[0].e2 == "FnStatus::Bad"
+    # enum values are typed structs since the enum-struct change (they
+    # print as Type::Member at the display layer)
+    assert rows[0].e1["__value"] == "FnStatus::Good"
+    assert rows[0].e2["__value"] == "FnStatus::Bad"
     import pytest as _pytest
     with _pytest.raises(Exception, match="[Ii]nvalid enum"):
         gs.execute("RETURN toEnum('FnStatus::Nope')")
