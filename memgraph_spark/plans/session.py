@@ -111,7 +111,12 @@ class GraphSession:
         # USING HOPS LIMIT n (src/query/hops_limit.hpp): shared quota on
         # expanded edges; partial results on exhaustion (the reference's
         # hops_limit_partial_results=true default). Inspect via last_hops.
-        self.last_hops = {"limit": ast.hops_limit, "used": 0, "reached": False}
+        # the counter is live even without a limit (hops_limit.feature
+        # "without limit set is also active") — but only track when the
+        # query actually reads it, so normal queries pay no extra count()
+        self.last_hops = {"limit": ast.hops_limit, "used": 0,
+                          "reached": False,
+                          "track": "gethopscounter" in query.lower()}
         qc = QueryCompiler(self.graph, params, hops=self.last_hops,
                            periodic=ast.periodic_commit is not None)
         if len(set(ast.alls)) > 1:
@@ -642,13 +647,23 @@ class QueryCompiler(WriteMixin, TraversalMixin):
             total = ranked.count()
             self.df = (ranked.filter(F.col("__hrn") <= remaining)
                        .drop("__hrn").localCheckpoint(eager=True))
-            self.hops["used"] += min(total, remaining)
+            consumed = min(total, remaining)
+            self.hops["used"] += consumed
+            # a downstream LIMIT may refund part of this (lazy pull: only
+            # the rows actually pulled cost a retrieval)
+            self.hops["lazy"] = consumed
             if total > remaining:
                 self.hops["reached"] = True
                 if getattr(self.g, "settings", {}).get(
                         "hops_limit_partial_results") == "false":
                     raise CompileError(
                         "Hops limit exceeded and partial results disabled")
+        elif self.hops is not None and self.hops.get("track"):
+            # no limit set, but getHopsCounter() is read: count retrievals
+            # without truncating (hops_limit.feature counter tests)
+            total = self.df.count()
+            self.hops["used"] += total
+            self.hops["lazy"] = total
         self.symbols[rsym] = "rel"
         self.rel_ends[rsym] = (from_sym, to_sym)
         self._prop_filters(rsym, rel.props)
@@ -1416,10 +1431,22 @@ class QueryCompiler(WriteMixin, TraversalMixin):
                  if oi.ascending else
                  self._order_col(oi, df, new_syms, outs).desc_nulls_last())
                 for oi in order])
+            # sorting consumes the whole input: any lazy hops refund is gone
+            if self.hops is not None:
+                self.hops.pop("lazy", None)
         if cl.skip is not None:
             df = df.offset(self._static_int(cl.skip, "SKIP"))
         if cl.limit is not None:
-            df = df.limit(self._static_int(cl.limit, "LIMIT"))
+            k = self._static_int(cl.limit, "LIMIT")
+            df = df.limit(k)
+            # lazy hops accounting: LIMIT k only pulls k rows through the
+            # expand, so retrievals beyond k never happen (hops_limit.hpp
+            # counter semantics — getHopsCounter() == 50 after LIMIT 50)
+            if self.hops is not None and self.hops.get("lazy") is not None:
+                lazy = self.hops["lazy"]
+                if cl.skip is None and k < lazy:
+                    self.hops["used"] -= lazy - k
+                self.hops.pop("lazy", None)
         if where is not None:
             # WITH … ORDER BY … LIMIT n WHERE pred: the predicate filters
             # AFTER the limit (openCypher WITH sub-clause order)

@@ -307,12 +307,31 @@ class TraversalMixin:
 
         out = self._traversal_results(mode, results, arrived, best, init)
         if hops is not None and mode in (None, "bfs"):
-            # truncate to the reference cursor's enumeration order: DFS =
-            # preorder (lexicographic node-id walk); BFS = per level, most
-            # recently discovered parent first (operator.cpp:2199/:2726)
+            out = self._hops_partial_filter(out, E, ep, mode, rel, np, to_sym,
+                                            lower, upper, hops, init)
+        return self._traversal_bind(out, rel, np, to_sym, depth_col,
+                                    path_prefix, base_cols)
+
+    # -- USING HOPS LIMIT partial results -------------------------------------
+
+    def _hops_partial_filter(self, out, E, ep, mode, rel, np, to_sym,
+                             lower, upper, hops, init) -> DataFrame:
+        """Exact hops-limit partial-result accounting (hops_limit.hpp).
+
+        The reference charges the quota when a vertex's adjacency LIST is
+        retrieved (per edge, truncated at the remaining quota), and paths
+        already reachable from retrieved lists still stream out after the
+        limit hits. That enumeration is inherently sequential, so we replay
+        it driver-side over the (tiny, size-fenced) edge set to compute the
+        accepted path signatures, then filter the distributed traversal's
+        output to that set. This is a debugging/cost-cap feature — the
+        replay is NOT the 100 TB path and falls back to a distributed
+        enumeration-order truncation above the fence."""
+        accepted = self._hops_replay(E, ep, mode, rel, np, to_sym,
+                                     lower, upper, hops, init)
+        if accepted is None:
+            # fence fallback: distributed preorder truncation (approximate)
             remaining = max(0, hops["limit"] - hops["used"])
-            # starts are consumed sequentially in pull order (__rid), then
-            # within one start in the cursor's enumeration order
             if mode is None:
                 w = Window.orderBy("__rid", "__nids")
             else:
@@ -325,16 +344,245 @@ class TraversalMixin:
             total = ranked.count()
             kept = (ranked.filter(F.col("__hrn") <= remaining).drop("__hrn")
                     .unionByName(out.filter(F.col("__depth") == 0)))
-            out = kept.localCheckpoint(eager=True)
             hops["used"] += min(total, remaining)
             if total > remaining:
                 hops["reached"] = True
-                if getattr(self.g, "settings", {}).get(
-                        "hops_limit_partial_results") == "false":
-                    raise CompileError(
-                        "Hops limit exceeded and partial results disabled")
-        return self._traversal_bind(out, rel, np, to_sym, depth_col,
-                                    path_prefix, base_cols)
+        else:
+            sigs = ["%d|%s" % (rid, ",".join(map(str, eids)))
+                    for rid, eids in accepted]
+            sig = F.concat_ws(
+                "|", F.col("__rid").cast("string"),
+                F.array_join(F.transform(F.col("__eids"),
+                                         lambda x: x.cast("string")), ","))
+            kept = (out.filter(F.col("__depth") > 0)
+                    .filter(sig.isin(sigs) if sigs else F.lit(False))
+                    .unionByName(out.filter(F.col("__depth") == 0)))
+        if hops.get("reached") and getattr(self.g, "settings", {}).get(
+                "hops_limit_partial_results") == "false":
+            raise CompileError(
+                "Hops limit exceeded and partial results disabled")
+        return kept.localCheckpoint(eager=True)
+
+    def _hops_replay(self, E, ep, mode, rel, np, to_sym, lower, upper,
+                     hops, init):
+        """Driver-side replay of the reference cursors' quota accounting.
+
+        Returns the set of accepted (rid, eid-tuple) path signatures, or
+        None above the size fence. Mutates hops['used'] / hops['reached'].
+        Models (operator.cpp):
+        - ExpandVariableCursor (DFS): adjacency retrieved per visit, IN
+          list then OUT list, recursion in retrieval order (:2199).
+        - SingleSourceShortestPathCursor (BFS): expansion at pop time from
+          the back of the current level, OUT then IN, one visit per vertex
+          (:2726).
+        - STShortestPathCursor (BFS with a bound/filtered target):
+          bidirectional search alternating source/sink levels (:2458).
+        - Once the quota is exhausted, later input rows produce nothing
+          (Pull returns false), but paths over already-retrieved lists
+          still stream out.
+        """
+        HOPS_SIM_MAX_EDGES, HOPS_SIM_MAX_STARTS = 50_000, 5_000
+        try:
+            if E.count() > HOPS_SIM_MAX_EDGES:
+                return None
+            sel = ["__rid", "__node"]
+            bound_sink = to_sym in self.symbols
+            if bound_sink:
+                sel.append(f"{to_sym}_id")
+            starts = init.select(*sel).orderBy("__rid").collect()
+            if len(starts) > HOPS_SIM_MAX_STARTS:
+                return None
+            erows = E.select("__from", "__to",
+                             F.col(f"{ep}_eid").alias("eid"),
+                             "__fwd").collect()
+        except Exception:  # noqa: BLE001 — any failure falls back
+            return None
+        # canonical edges + per-vertex IN/OUT lists in eid (creation) order
+        out_l, in_l = {}, {}
+        seen = set()
+        for r in erows:
+            eid, fwd = r["eid"], r["__fwd"]
+            src, dst = (r["__from"], r["__to"]) if fwd \
+                else (r["__to"], r["__from"])
+            if eid in seen:
+                continue
+            seen.add(eid)
+            out_l.setdefault(src, []).append((eid, dst))
+            in_l.setdefault(dst, []).append((eid, src))
+        for d in (out_l, in_l):
+            for v in d:
+                d[v].sort()
+        direction = rel.direction  # 'out' | 'in' | None/both
+        state = {"q": max(0, hops["limit"] - hops["used"]), "used": 0}
+
+        def clip(lst):
+            take = []
+            for e in lst:
+                if state["q"] <= 0:
+                    hops["reached"] = True  # truncated retrieval
+                    break
+                state["q"] -= 1
+                state["used"] += 1
+                take.append(e)
+            return take
+
+        def retrieve(v, in_first, reverse=False):
+            """One adjacency retrieval: (eid, neighbour) pairs, clipped."""
+            d = direction
+            if reverse:  # ST sink side sees the pattern reversed
+                d = {"out": "in", "in": "out"}.get(d)
+            lists = []
+            srcs = []
+            if d != "out":
+                srcs.append(in_l)
+            if d != "in":
+                srcs.append(out_l)
+            if not in_first:
+                srcs.reverse()
+            for adj in srcs:
+                lists.extend(clip(adj.get(v, [])))
+            return lists
+
+        accepted: list = []
+
+        def run_dfs(rid, v0):
+            def rec(v, path):
+                if len(path) >= upper or state["q"] <= 0:
+                    return
+                for eid, other in retrieve(v, in_first=True):
+                    if eid in path:
+                        continue
+                    newp = path + (eid,)
+                    if len(newp) >= lower:
+                        accepted.append((rid, newp))
+                    rec(other, newp)
+            rec(v0, ())
+
+        def run_bfs(rid, v0):
+            processed = {v0}
+            cur, nxt = [], []
+
+            def expand(v, path):
+                for eid, other in retrieve(v, in_first=False):
+                    if other in processed:
+                        continue
+                    processed.add(other)
+                    nxt.append((other, path + (eid,)))
+            expand(v0, ())
+            while True:
+                if not cur:
+                    cur, nxt = nxt, []
+                    if not cur:
+                        return
+                other, path = cur.pop()
+                if len(path) < upper and state["q"] > 0:
+                    expand(other, path)
+                if len(path) >= lower:
+                    accepted.append((rid, path))
+
+        def run_st(rid, v0, sink):
+            """Bidirectional s-t BFS; accepts at most one path."""
+            if v0 == sink:
+                return
+            in_edge, out_edge = {v0: None}, {sink: None}
+            sfront, tfront = [v0], [sink]
+            length = 0
+
+            def rebuild(mid):
+                left = []
+                v = mid
+                while in_edge.get(v) is not None:
+                    eid, prev = in_edge[v]
+                    left.append(eid)
+                    v = prev
+                left.reverse()
+                v = mid
+                while out_edge.get(v) is not None:
+                    eid, nxt_v = out_edge[v]
+                    left.append(eid)
+                    v = nxt_v
+                return tuple(left)
+
+            while True:
+                length += 1
+                if length > upper:
+                    return
+                snext = []
+                for v in sfront:
+                    if state["q"] <= 0:
+                        break
+                    for eid, other in retrieve(v, in_first=False):
+                        if other in in_edge:
+                            continue
+                        in_edge[other] = (eid, v)
+                        if other in out_edge:
+                            if length >= lower:
+                                accepted.append((rid, rebuild(other)))
+                            return
+                        snext.append(other)
+                if not snext:
+                    return
+                sfront = snext
+                length += 1
+                if length > upper:
+                    return
+                tnext = []
+                for v in tfront:
+                    if state["q"] <= 0:
+                        break
+                    for eid, other in retrieve(v, in_first=False,
+                                               reverse=True):
+                        if other in out_edge:
+                            continue
+                        out_edge[other] = (eid, v)
+                        if other in in_edge:
+                            if length >= lower:
+                                accepted.append((rid, rebuild(other)))
+                            return
+                        tnext.append(other)
+                if not tnext:
+                    return
+                tfront = tnext
+
+        # ST applies when the target is already bound, or when a BFS
+        # target carries literal property filters the reference planner
+        # would have bound through an index scan first
+        st_sinks = None
+        if mode == "bfs" and not bound_sink and np.props \
+                and all(isinstance(v, A.Literal) for v in np.props.values()):
+            try:
+                p = self._node_df(self._labels(np.labels))
+                for k, ve in np.props.items():
+                    col = A.prop_col(k)
+                    if col not in p.columns:
+                        p = p.filter(F.lit(False))
+                        break
+                    p = p.filter(F.col(col) == F.lit(ve.value))
+                st_sinks = sorted(r[0] for r in p.select("id").collect())
+            except Exception:  # noqa: BLE001
+                st_sinks = None
+
+        for row in starts:
+            if state["q"] <= 0:
+                hops["reached"] = True
+                break  # Pull returns false once the limit is reached
+            rid, v0 = row["__rid"], row["__node"]
+            if mode == "bfs":
+                if bound_sink:
+                    run_st(rid, v0, row[f"{to_sym}_id"])
+                elif st_sinks is not None:
+                    for sink in st_sinks:
+                        if state["q"] <= 0:
+                            break
+                        run_st(rid, v0, sink)
+                else:
+                    run_bfs(rid, v0)
+            else:
+                run_dfs(rid, v0)
+        hops["used"] += state["used"]
+        if state["q"] <= 0 and hops["limit"]:
+            hops["reached"] = hops.get("reached", False) or True
+        return set(accepted)
 
     # -- result assembly -----------------------------------------------------
 
