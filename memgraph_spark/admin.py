@@ -549,10 +549,12 @@ def try_admin(graph, query: str, params: dict | None = None,
         if m.group(1).upper() == "VECTOR":
             from memgraph_spark import vector_admin
             vector_admin.drop_vector_index(graph, m.group(2))
+        # DROP TEXT INDEX drops node AND edge text indexes by name
+        tags = ({"text", "text-edge"} if m.group(1).upper() == "TEXT"
+                else {m.group(1).lower()})
         graph.index_registry = [
             e for e in graph.index_registry
-            if not (len(e) == 4 and e[3] == m.group(2)
-                    and e[2] == m.group(1).lower())]
+            if not (len(e) == 4 and e[3] == m.group(2) and e[2] in tags)]
         return spark.createDataFrame([], "status string")
 
     # edge-property indexes (EdgeIndexQuery): typed and global

@@ -389,6 +389,7 @@ class CallProc(Clause):
     name: str                       # dotted module.proc
     args: list[Expr]
     yields: list[tuple[str, str | None]]  # (column, alias)
+    where: Expr | None = None       # CALL … YIELD … WHERE pred
 
 
 @dataclass

@@ -394,7 +394,8 @@ class Parser:
         if self.try_kw("YIELD"):
             if self.at_op("*"):
                 self.next()  # YIELD *: every result column joins the frame
-                return A.CallProc(".".join(parts), args, [])
+                where = self.expr() if self.try_kw("WHERE") else None
+                return A.CallProc(".".join(parts), args, [], where)
             while True:
                 col = self.name()
                 alias = self.name() if self.try_kw("AS") else None
@@ -402,7 +403,10 @@ class Parser:
                 if not self.at_op(","):
                     break
                 self.next()
-        return A.CallProc(".".join(parts), args, yields)
+        # CALL … YIELD … WHERE pred (procedure_call.feature): filters the
+        # yielded rows before the next clause
+        where = (self.expr() if yields and self.try_kw("WHERE") else None)
+        return A.CallProc(".".join(parts), args, yields, where)
 
     def load_clause(self) -> A.LoadFile:
         kind = self.eat_kw("CSV", "PARQUET", "JSONL").lower()

@@ -1076,6 +1076,10 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         self.df = result if self.df is None else self.df.crossJoin(result)
         if self.df is not None and "__once" in self.df.columns:
             self.df = self.df.drop("__once")
+        if cl.where is not None:
+            # CALL … YIELD … WHERE pred filters yielded rows in place
+            self.df = self.df.filter(
+                compile_expr(cl.where, self._env()))
 
     def _load(self, cl: A.LoadFile) -> None:
         """LoadCsv/LoadParquet/LoadJsonl (operator.hpp:2935-3000): file rows

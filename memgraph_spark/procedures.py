@@ -123,27 +123,30 @@ def _is_text_index(g, name) -> bool:
         for e in getattr(g, "index_registry", []))
 
 
-def _text_search(g, query: str, k: int = 10):
-    """text_search.search: over a named graph index
-    (text_search_module `search(index, query) YIELD node`) when the first
-    argument names one; else BM25 over the documents corpus
-    (`search(query, k) YIELD doc_id, score`)."""
-    if _is_text_index(g, query):
+def _text_search(g, a, b=10, config=None):
+    """text_search.search — two published shapes:
+    graph form `search(index, query[, config]) YIELD node, score`
+    (text_search_module.cpp) when the first argument names a text index;
+    corpus form `search(query, k) YIELD doc_id, score` (BM25 over the
+    built-in documents table) otherwise."""
+    if _is_text_index(g, a):
         from memgraph_spark.search import graph_text
-        return graph_text.search(g, query, str(k))
+        return graph_text.search(g, a, str(b), config=config)
     from memgraph_spark.search import bm25_search
     idx, stats = g.text_index("documents")
-    return bm25_search(g.tables["documents"], query, k=int(k),
+    return bm25_search(g.tables["documents"], a, k=int(b),
                        index=idx, stats=stats)
 
 
-def _text_regex(g, pattern: str, graph_pattern: str | None = None):
+def _text_regex(g, pattern: str, graph_pattern: str | None = None,
+                config=None):
     """text_search.regex_search: graph-index form
-    `regex_search(index, pattern) YIELD node`, or corpus form
-    `regex_search(pattern) YIELD doc_id`."""
+    `regex_search(index, pattern[, config]) YIELD node` (fuzzy options
+    rejected), or corpus form `regex_search(pattern) YIELD doc_id`."""
     if graph_pattern is not None:
         from memgraph_spark.search import graph_text
-        return graph_text.regex_search(g, pattern, graph_pattern)
+        return graph_text.regex_search(g, pattern, graph_pattern,
+                                       config=config)
     from memgraph_spark.search import regex_search
     return regex_search(g.tables["documents"], pattern)
 
@@ -676,13 +679,15 @@ def _import_json(g, path: str):
     return g.spark.createDataFrame(rows or [], "label string, rows long")
 
 
-def _text_search_indexed(g, index_name: str, search_query: str, k: int = 10):
-    """text_search.search_all(index_name, search_query) parity
+def _text_search_indexed(g, index_name: str, search_query: str, k=10):
+    """text_search.search_all(index_name, search_query[, config]) parity
     (query_modules/text_search_module.cpp:28) — match the term in ANY
     property of the indexed label; `documents` is the built-in corpus."""
     if _is_text_index(g, index_name):
         from memgraph_spark.search import graph_text
-        return graph_text.search_all(g, index_name, search_query)
+        config = k if isinstance(k, dict) else None
+        return graph_text.search_all(g, index_name, search_query,
+                                     config=config)
     return _text_search(g, search_query, k)
 
 
@@ -693,9 +698,17 @@ def _text_aggregate(g, index_name: str, search_query: str, aggs_json: str):
     return graph_text.aggregate(g, index_name, search_query, aggs_json)
 
 
-def _text_search_edges(g, index_name: str, search_query: str):
+def _text_search_edges(g, index_name: str, search_query: str, config=None):
     from memgraph_spark.search import graph_text
-    return graph_text.search(g, index_name, search_query, edges=True)
+    return graph_text.search(g, index_name, search_query, config=config,
+                             edges=True)
+
+
+def _text_fuzzy_phrase_edges(g, index_name: str, search_query: str,
+                             config=None):
+    from memgraph_spark.search import graph_text
+    return graph_text.fuzzy_phrase_search(g, index_name, search_query,
+                                          config=config, edges=True)
 
 
 def _text_search_all_edges(g, index_name: str, term: str):
@@ -716,10 +729,17 @@ def _text_aggregate_edges(g, index_name: str, search_query: str,
 
 
 def _text_fuzzy_indexed(g, index_name: str, search_query: str,
-                        max_edits: int = 1):
-    """text_search.fuzzy_phrase_search(index_name, query) parity
-    (text_search_module.cpp:24)."""
-    return _text_fuzzy(g, search_query, max_edits)
+                        config=None):
+    """text_search.fuzzy_phrase_search(index_name, query[, config])
+    (text_search_module.cpp:24): ordered adjacent words with a shared
+    fuzzy budget over a named index; corpus fallback when the first
+    argument is not an index name."""
+    if _is_text_index(g, index_name):
+        from memgraph_spark.search import graph_text
+        return graph_text.fuzzy_phrase_search(g, index_name, search_query,
+                                              config=config)
+    return _text_fuzzy(g, search_query,
+                       config if isinstance(config, int) else 1)
 
 
 def _vector_search(g, index_name: str, result_set_size: int, query_vector):
@@ -868,6 +888,7 @@ register("text_search.aggregate", _text_aggregate)
 register("text_search.search_edges", _text_search_edges)
 register("text_search.search_all_edges", _text_search_all_edges)
 register("text_search.regex_search_edges", _text_regex_edges)
+register("text_search.fuzzy_phrase_search_edges", _text_fuzzy_phrase_edges)
 register("text_search.aggregate_edges", _text_aggregate_edges)
 register("pagerank.get", _pagerank)
 register("weakly_connected_components.get", _wcc)
@@ -917,3 +938,26 @@ from memgraph_spark import refactor_ext  # noqa: E402,F401  (registration side e
 
 # batch 4: meta_util / mgps compat shim / connector gates
 from memgraph_spark import modules_ext3  # noqa: E402,F401  (registration side effect)
+
+
+# mg.* introspection (src/query/procedure/module.cpp built-in module:
+# mg.procedures/mg.functions enumerate the loaded registries)
+def _mg_procedures(g):
+    rows = [(name, f"{name}() :: ()", False, "builtin", False)
+            for name in sorted(PROCEDURES)]
+    return g.spark.createDataFrame(
+        rows, "name string, signature string, is_write boolean, "
+              "path string, is_editable boolean")
+
+
+def _mg_functions(g):
+    from memgraph_spark.functions import FUNCTIONS
+    rows = [(name, f"{name}() :: (ANY)", "builtin", False)
+            for name in sorted(FUNCTIONS)]
+    return g.spark.createDataFrame(
+        rows, "name string, signature string, path string, "
+              "is_editable boolean")
+
+
+register("mg.procedures", _mg_procedures)
+register("mg.functions", _mg_functions)
