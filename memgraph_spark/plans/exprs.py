@@ -540,6 +540,16 @@ def _compile_property(e: A.Property, env: Env) -> Column:
                 return F.col(col)
             return F.lit(None)
         if nm in env.lambda_vars:
+            lt = env.lambda_types.get(nm)
+            if isinstance(lt, T.StructType):
+                # node/rel struct elements: property lookup is a struct
+                # field (reserved names stored as p__<name>)
+                subj = env.lambda_vars[nm]
+                if A.prop_col(e.key) in lt.names:
+                    return subj.getField(A.prop_col(e.key))
+                if e.key in lt.names:
+                    return subj.getField(e.key)
+                return F.lit(None)
             return F.try_element_at(env.lambda_vars[nm], F.lit(e.key))
     subj = compile_expr(e.subject, env)
     t = env.typeof(subj)

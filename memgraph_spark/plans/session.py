@@ -1157,19 +1157,60 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         return dataclasses.replace(e, **changes) if changes else e
 
     def _roll_up(self, pc: A.PatternComprehension) -> A.Expr:
+        ren = getattr(self, "_lift_renames", None) or {}
         shared = sorted(s for s in self._pattern_syms([pc.pattern])
                         if s in self.symbols)
-        keys = [f"{s}_id" for s in shared if self.symbols[s] == "node"]
+        # symbol_generator parity: a comprehension may not reuse a bound
+        # relationship variable, and a variable-length comprehension may
+        # not traverse from a node its own query part created
+        var_length = False
+        for rel, _np in getattr(pc.pattern, "chain", []):
+            if rel.var is not None and self.symbols.get(rel.var) == "rel":
+                raise CompileError(
+                    f"relationship variable {rel.var!r} is already bound")
+            if rel.var_length or rel.lo is not None or rel.hi is not None \
+                    or rel.mode is not None:
+                var_length = True
+        if var_length:
+            created = getattr(self, "created_syms", set())
+            for s in shared:
+                if s in created:
+                    raise CompileError(
+                        "variable-length pattern comprehension over a "
+                        f"node created in this query part ({s!r})")
+        node_shared = [s for s in shared if self.symbols[s] == "node"]
+        keys = [f"{s}_id" for s in node_shared]
+        # free value variables (e.g. a FOREACH loop variable) anchor the
+        # roll-up per distinct value
+        refs = []
+        if pc.where is not None:
+            refs += list(A.walk(pc.where))
+        if pc.projection is not None:
+            refs += list(A.walk(pc.projection))
+        pat_syms = set(self._pattern_syms([pc.pattern]))
+        val_keys = sorted({n.name for n in refs
+                           if isinstance(n, A.Var)
+                           and n.name not in pat_syms
+                           and self.symbols.get(n.name) == "value"
+                           and self.df is not None
+                           and n.name in self.df.columns})
+        keys = keys + val_keys
         sub = QueryCompiler(self.g, self.params, hops=self.hops,
                             anon_prefix=f"rc{self._anon}_")
         self._anon += 1
         out = self._anon_sym("pc")
         if keys:
-            anchor_cols = [c for c in self.df.columns
-                           if any(c == s or c.startswith(f"{s}_")
-                                  for s in shared)]
+            anchor_cols = []
+            for s in shared:
+                src = ren.get(s, s)
+                for c in self.df.columns:
+                    if c == src or c.startswith(f"{src}_"):
+                        tgt = s if c == src else f"{s}_{c[len(src) + 1:]}"
+                        anchor_cols.append(F.col(c).alias(tgt))
+            anchor_cols += [F.col(v) for v in val_keys]
             sub.df = self.df.select(*anchor_cols).dropDuplicates(keys)
-            sub.symbols = {s: self.symbols[s] for s in shared}
+            sub.symbols = {s: self.symbols[s] for s in shared} | {
+                v: "value" for v in val_keys}
         sub._pattern_part(pc.pattern)
         if pc.where is not None:
             sub._where(pc.where)
@@ -1177,7 +1218,24 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         if keys:
             rolled = (sub.df.select(*keys, proj.alias("__proj"))
                       .groupBy(*keys).agg(F.collect_list("__proj").alias(out)))
-            self.df = self.df.join(rolled, on=keys, how="left")
+            if all(ren.get(s, s) == s for s in node_shared):
+                self.df = self.df.join(rolled, on=keys, how="left")
+            else:
+                # frame still carries the source columns (p_id) while the
+                # comprehension anchors on the alias (q_id): condition join
+                cond = None
+                for s in node_shared:
+                    e = (self.df[f"{ren.get(s, s)}_id"]
+                         == rolled[f"{s}_id"])
+                    cond = e if cond is None else cond & e
+                for v in val_keys:
+                    e = self.df[v].eqNullSafe(rolled[v])
+                    cond = e if cond is None else cond & e
+                self.df = self.df.join(rolled, cond, "left")
+                for s in node_shared:
+                    self.df = self.df.drop(rolled[f"{s}_id"])
+                for v in val_keys:
+                    self.df = self.df.drop(rolled[v])
         else:
             # unanchored comprehension: one global list, cross-joined in
             rolled = (sub.df.select(proj.alias("__proj"))
@@ -1218,22 +1276,51 @@ class QueryCompiler(WriteMixin, TraversalMixin):
                                            F.col(f"{cl.var}.{f_}"))
             sub.df = sub.df.drop(cl.var)
         sub.symbols = dict(self.symbols) | {cl.var: kind}
+        wrote = False
         for upd in cl.updates:
             if isinstance(upd, A.SetClause):
                 sub._set(upd.items)
+                wrote = True
             elif isinstance(upd, A.RemoveClause):
                 sub._remove(upd)
+                wrote = True
             elif isinstance(upd, A.Create):
                 sub._create(upd)
             elif isinstance(upd, A.Merge):
                 sub._merge(upd)
             elif isinstance(upd, A.Delete):
                 sub._delete(upd)
+                wrote = True
             elif isinstance(upd, A.Foreach):
                 sub._foreach(upd)
+                wrote = True
             else:
                 raise CompileError(
                     f"FOREACH cannot contain {type(upd).__name__}")
+        if wrote:
+            # the outer frame's bound node columns were captured before
+            # the per-element updates — re-read them from the updated
+            # tables so a following RETURN n.prop sees the writes
+            self._refresh_bound_nodes()
+
+    def _refresh_bound_nodes(self) -> None:
+        if self.df is None:
+            return
+        self._all_props_cache = None  # the writes may have added properties
+        for s, kind in list(self.symbols.items()):
+            if kind != "node" or f"{s}_id" not in self.df.columns:
+                continue
+            p = prefix_columns(self._node_df([]), s)
+            stale = [c for c in self.df.columns
+                     if c.startswith(f"{s}_") and c != f"{s}_id"
+                     and c in p.columns]
+            fresh_cols = [c for c in p.columns
+                          if c != f"{s}_id"
+                          and (c in stale or c not in self.df.columns)]
+            if not fresh_cols:
+                continue
+            self.df = self.df.drop(*stale).join(
+                p.select(f"{s}_id", *fresh_cols), on=f"{s}_id", how="left")
 
     def _call_subquery(self, cl: A.CallSubquery) -> None:
         """Apply (operator.hpp:3061): CALL { [WITH imports] ... RETURN ... }.
@@ -1416,17 +1503,42 @@ class QueryCompiler(WriteMixin, TraversalMixin):
 
         where = getattr(cl, "where", None)
         order = cl.order
+        added_alias_cols: list[str] = []
+        if where is not None or order:
+            # WITH p AS q: its WHERE/ORDER BY may reference BOTH names
+            # (scoping keeps the source visible until the scope switch) —
+            # expose the alias's columns alongside the source's
+            for _name, _kind, _spec in outs:
+                if _kind in ("node", "rel", "path") \
+                        and isinstance(_spec, str) and _spec != _name:
+                    for c in list(df.columns):
+                        if c == _spec or c.startswith(f"{_spec}_"):
+                            tgt = (_name if c == _spec
+                                   else f"{_name}_{c[len(_spec) + 1:]}")
+                            if tgt not in df.columns:
+                                df = df.withColumn(tgt, F.col(c))
+                                added_alias_cols.append(tgt)
         if where is not None or order:
             # pattern comprehensions in WHERE / ORDER BY roll up against the
             # post-projection frame (RollUpApply above the Produce)
             import dataclasses as _dc
             saved_df, saved_syms = self.df, self.symbols
             self.df, self.symbols = df, dict(new_syms)
-            if where is not None:
-                where = self._lift(where)
-            if order:
-                order = [_dc.replace(oi, expr=self._lift(oi.expr))
-                         for oi in order]
+            # WITH renames (p AS q) are applied to the frame's columns only
+            # at scope switch — record alias -> source so roll-ups can
+            # resolve q's columns while the frame still carries p_*
+            self._lift_renames = {
+                name: spec for name, kind, spec in outs
+                if kind in ("node", "rel", "path")
+                and isinstance(spec, str) and spec != name}
+            try:
+                if where is not None:
+                    where = self._lift(where)
+                if order:
+                    order = [_dc.replace(oi, expr=self._lift(oi.expr))
+                             for oi in order]
+            finally:
+                self._lift_renames = {}
             df, new_syms = self.df, self.symbols
             self.df, self.symbols = saved_df, saved_syms
         if order:
@@ -1456,6 +1568,8 @@ class QueryCompiler(WriteMixin, TraversalMixin):
             # AFTER the limit (openCypher WITH sub-clause order)
             df = df.filter(compile_expr(where, Env(df, new_syms,
                                                    self.params)))
+        if added_alias_cols:
+            df = df.drop(*added_alias_cols)
 
         if is_return:
             final = []
@@ -1486,6 +1600,9 @@ class QueryCompiler(WriteMixin, TraversalMixin):
                     final.append(qcol(name))
             return df.select(*final)
 
+        # WITH starts a new query part: the created-in-this-part symbol
+        # set resets (variable-length comprehensions become legal again)
+        self.created_syms = set()
         # WITH: the projected frame becomes the new scope
         keep: list[str] = []
         renames: dict[str, str] = {}

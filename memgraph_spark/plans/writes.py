@@ -312,6 +312,11 @@ class WriteMixin:
         self.counters["nodes_created"] += n_rows
         self.df = aug
         self.symbols[sym] = "node"
+        # symbols created by this query part — variable-length pattern
+        # comprehensions over them are rejected (symbol_generator parity)
+        if not hasattr(self, "created_syms"):
+            self.created_syms = set()
+        self.created_syms.add(sym)
 
     def _create_edge(self, from_sym: str, rel: A.RelPattern, to_sym: str) -> None:
         """CreateExpand (operator.hpp:494): append (src, dst, props) rows.
@@ -934,6 +939,12 @@ class WriteMixin:
             raise CompileError(f"MERGE on already-bound symbol {sym}")
         if self.df is None:
             self.df = self._seed()
+        if np.props:
+            # pattern comprehensions in MERGE properties roll up against
+            # the incoming frame first (RollUpApply below the Merge)
+            import dataclasses as _dc
+            np = _dc.replace(np, props={k: self._lift(ve)
+                                        for k, ve in np.props.items()})
         frame = self.df.localCheckpoint(eager=True)
         if np.props:
             env0 = self._env(frame)
