@@ -39,6 +39,11 @@ HEADLINE = [
     "cy_two_hop",
     "cy_with_having",
     "cy_text_bm25",
+    # iterative / algorithm operators (round-over-round tail tracking)
+    "algo_wcc",
+    "algo_knn",
+    "algo_topo_layers",
+    "algo_katz",
 ]
 
 

@@ -7,8 +7,25 @@ generation shuffles on band hashes (O(n) per band), never all-pairs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# exact all-pairs operators are O(n²) candidate fallbacks: refuse inputs
+# past this row count and point at the bucketed variant instead of
+# silently launching a cross join that cannot finish at corpus scale
+ALL_PAIRS_MAX_ROWS = int(os.environ.get("SPARK_GRAFT_ALL_PAIRS_MAX",
+                                        "100000"))
+
+
+def _guard_all_pairs(df: DataFrame, op: str, scale_alt: str) -> None:
+    n = df.count()
+    if n > ALL_PAIRS_MAX_ROWS:
+        raise ValueError(
+            f"{op} is an exact all-pairs (O(n²)) fallback and the input "
+            f"has {n} rows (> {ALL_PAIRS_MAX_ROWS}); use {scale_alt} for "
+            "large corpora, or raise SPARK_GRAFT_ALL_PAIRS_MAX explicitly")
 
 
 # -- exact ------------------------------------------------------------------
@@ -226,6 +243,7 @@ def ngram_jaccard_pairs(
     At very large n this operator is the exact fallback; minhash_lsh_pairs
     is the scale path.
     """
+    _guard_all_pairs(df, "ngram_jaccard_pairs", "minhash_lsh_pairs")
     docs = df.select(F.col(id_col).alias("id"),
                      word_ngrams(F.col(text_col), n).alias("ng")) \
              .withColumn("sz", F.size("ng")).filter(F.col("sz") > 0) \

@@ -60,6 +60,8 @@ def cosine_pairs(
 ) -> DataFrame:
     """Embedding near-duplicate pairs: all (a < b) with cosine >= threshold.
     Exact all-pairs — use lsh_bucket_topk's banding for the 100 TB path."""
+    from memgraph_spark.llm.dedup import _guard_all_pairs
+    _guard_all_pairs(df, "cosine_pairs", "lsh_bucket_topk / ivf_topk")
     v = df.select(F.col(id_col).alias("id"),
                   F.col(vec_col).cast("array<double>").alias("v"))
     a = v.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
@@ -94,6 +96,41 @@ def lsh_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
         h = F.array(*[F.lit(v) for v in _hyperplane(dim, i + 1)])
         sig = sig + F.when(dot(vec, h) > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
     return sig
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Bucketed near-duplicate candidates: pairs sharing >= 1 signature
+    band (bands x (n_planes/bands)-bit chunks). The O(n x bands)
+    bucket self-join that replaces exact all-pairs at corpus scale;
+    callers re-rank candidates with the exact metric."""
+    first = df.select(vec_col).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long")
+    dim = len(first[0])
+    rows = n_planes // bands
+    mask = (1 << rows) - 1
+    v = df.select(F.col(id_col).alias("id"),
+                  F.col(vec_col).cast("array<double>").alias("v"))
+    v = v.withColumn("sig", lsh_signature(F.col("v"), dim, n_planes))
+    bandrows = None
+    for b in range(bands):
+        piece = v.select(
+            "id", F.lit(b).alias("band"),
+            F.shiftrightunsigned("sig", b * rows)
+            .bitwiseAND(F.lit(mask)).alias("bucket"))
+        bandrows = piece if bandrows is None else bandrows.unionByName(piece)
+    a = bandrows.select("band", "bucket", F.col("id").alias("id_a"))
+    b_ = bandrows.select("band", "bucket", F.col("id").alias("id_b"))
+    return (a.join(b_, on=["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").dropDuplicates())
 
 
 def lsh_bucket_topk(

@@ -36,16 +36,31 @@ dedup_edges AS (SELECT DISTINCT src, dst FROM edges)
 
 def q_algo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-1 cosine neighbour per embedding (knn module parity;
-    src/mage/cpp/knn_module). All-pairs + per-node TakeOrdered."""
+    src/mage/cpp/knn_module). All-pairs + per-node TakeOrdered below the
+    all-pairs fence; past it the candidate set comes from the LSH band
+    join (llm/similarity.py) — the scale path — with exact re-ranking."""
+    from memgraph_spark.llm.dedup import ALL_PAIRS_MAX_ROWS
     from memgraph_spark.llm.similarity import cosine
     emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
            .select(F.col("vec_id"), F.col("embedding").cast("array<double>")
                    .alias("v")))
     a = emb.select(F.col("vec_id").alias("node"), F.col("v").alias("va"))
     b = emb.select(F.col("vec_id").alias("neighbour"), F.col("v").alias("vb"))
-    pairs = (a.crossJoin(b).filter(F.col("node") != F.col("neighbour"))
-             .withColumn("similarity",
-                         F.round(cosine(F.col("va"), F.col("vb")), 4)))
+    if emb.count() > ALL_PAIRS_MAX_ROWS:
+        from memgraph_spark.llm.similarity import lsh_candidate_pairs
+        cand = lsh_candidate_pairs(
+            emb.select(F.col("vec_id"), F.col("v").alias("embedding")),
+            id_col="vec_id", vec_col="embedding")
+        pairs = (cand.selectExpr("id_a AS node", "id_b AS neighbour")
+                 .unionByName(cand.selectExpr("id_b AS node",
+                                              "id_a AS neighbour"))
+                 .join(a, on="node").join(b, on="neighbour")
+                 .withColumn("similarity",
+                             F.round(cosine(F.col("va"), F.col("vb")), 4)))
+    else:
+        pairs = (a.crossJoin(b).filter(F.col("node") != F.col("neighbour"))
+                 .withColumn("similarity",
+                             F.round(cosine(F.col("va"), F.col("vb")), 4)))
     w = W.partitionBy("node").orderBy(F.desc("similarity"), F.asc("neighbour"))
     return (pairs.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)

@@ -132,6 +132,25 @@ class Streams:
 TRANSFORMATIONS: dict[str, Transformation] = {}
 
 
+KAFKA_WIRE_SCHEMA = ("key binary, value binary, topic string, "
+                     "partition int, offset long, timestamp timestamp, "
+                     "timestampType int")
+
+
+def kafka_source(spark, bootstrap_servers: str, topic: str,
+                 starting_offsets: str = "earliest") -> DataFrame:
+    """The Kafka readStream a CREATE KAFKA STREAM maps onto (Streams::Create
+    consumer config, src/query/stream/streams.cpp). Requires the
+    spark-sql-kafka connector on the classpath and a reachable broker —
+    neither ships in this environment, so tests drive the identical
+    wire-schema contract (KAFKA_WIRE_SCHEMA) through a file source."""
+    return (spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .load())
+
+
 def register_transformation(name: str, fn: Transformation) -> None:
     """mgp.transformation parity: statements reference transforms by name
     (CREATE ... STREAM ... TRANSFORM module.name)."""
