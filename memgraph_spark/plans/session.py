@@ -193,6 +193,17 @@ def _memgraph_plan_lines(ast) -> list[str]:
     return [f" * {op}" for op in reversed(["Once"] + ops)]
 
 
+def _apply_edge_uniqueness(qc, rels: list) -> list:
+    """Pairwise EdgeUniquenessFilter over single-hop rel symbols — the same
+    no-edge-repeats rule MATCH applies, enforced for sub-pattern matching
+    in predicates, exists() and comprehensions too."""
+    for i in range(len(rels)):
+        for j in range(i + 1, len(rels)):
+            qc.df = qc.df.filter(
+                F.col(f"{rels[i]}_eid") != F.col(f"{rels[j]}_eid"))
+    return rels
+
+
 class QueryCompiler(WriteMixin, TraversalMixin):
     """One SingleQuery -> one DataFrame. Mirrors the reference planner's
     clause walk (plan/rule_based_planner.cpp) at DataFrame granularity."""
@@ -850,14 +861,14 @@ class QueryCompiler(WriteMixin, TraversalMixin):
             sub.df = self.df.select(*anchor_cols).dropDuplicates(
                 keys or anchor_cols)
             sub.symbols = {s: self.symbols[s] for s in shared}
-            sub._pattern_part(pp.pattern)
+            _apply_edge_uniqueness(sub, sub._pattern_part(pp.pattern))
             matched = (sub.df.select(*(keys or anchor_cols))
                        .dropDuplicates()
                        .withColumn(flag, F.lit(True)))
             self.df = self.df.join(matched, on=(keys or anchor_cols),
                                    how="left")
         else:
-            sub._pattern_part(pp.pattern)
+            _apply_edge_uniqueness(sub, sub._pattern_part(pp.pattern))
             matched = (sub.df.limit(1).select(F.lit(True).alias(flag)))
             self.df = self.df.join(matched, F.lit(True), "left")
         self.df = self.df.withColumn(
@@ -911,7 +922,7 @@ class QueryCompiler(WriteMixin, TraversalMixin):
                     .dropDuplicates(list(hid.values()) or anchor_cols)
                 sub.symbols = {s: self.symbols[s] for s in shared}
             clauses, r_skip, r_limit = self._exists_clauses(
-                part, list(hid.values()))
+                part, list(hid.values()), shared)
             for cl in clauses:
                 sub.compile_clause(cl)
             if sub.df is None:
@@ -949,20 +960,36 @@ class QueryCompiler(WriteMixin, TraversalMixin):
                 .dropDuplicates()
         return matched, hid
 
-    def _exists_clauses(self, part: A.SingleQuery, hidden: list[str]):
+    def _exists_clauses(self, part: A.SingleQuery, hidden: list[str],
+                        shared: list[str] | None = None):
         """Subquery clauses adjusted for existence checking: a trailing
         RETURN is irrelevant (only row existence matters) and WITH
         projections must carry the hidden anchor keys through."""
         out, r_skip, r_limit = [], None, None
+        shared = shared or []
         for cl in part.clauses:
+            if isinstance(cl, (A.Create, A.Merge, A.Delete, A.SetClause,
+                               A.RemoveClause, A.Foreach)):
+                # EXISTS subqueries are read-only (memgraph_exists.feature:
+                # SET/CREATE/DELETE/REMOVE inside EXISTS raise)
+                raise CompileError(
+                    f"{type(cl).__name__} is not allowed inside an "
+                    "EXISTS subquery")
             if isinstance(cl, A.Return):
                 # projection itself is irrelevant (only row existence
                 # matters) but its SKIP/LIMIT are row-count modifiers the
                 # caller must still apply before the existence check
                 r_skip, r_limit = cl.skip, cl.limit
                 continue
-            if isinstance(cl, A.With) and hidden and not cl.star:
+            if isinstance(cl, A.With) and not cl.star \
+                    and (hidden or shared):
+                # outer correlated symbols stay visible past intermediate
+                # WITH projections (EXISTS { WITH 'x' AS v MATCH (outer)…}
+                # still correlates on outer), as do the hidden anchor keys
+                names = {it.alias or it.text for it in cl.items}
                 items = list(cl.items) + [
+                    A.ReturnItem(A.Var(s), None, s)
+                    for s in shared if s not in names] + [
                     A.ReturnItem(A.Var(h), None, h) for h in hidden]
                 cl = A.With(items, cl.star, cl.distinct, cl.order,
                             cl.skip, cl.limit, cl.where)
@@ -1032,11 +1059,11 @@ class QueryCompiler(WriteMixin, TraversalMixin):
                            if any(c == s or c.startswith(f"{s}_") for s in shared)]
             sub.df = self.df.select(*anchor_cols).dropDuplicates(keys or anchor_cols)
             sub.symbols = {s: self.symbols[s] for s in shared}
-            sub._pattern_part(pp.pattern)
+            _apply_edge_uniqueness(sub, sub._pattern_part(pp.pattern))
             self.df = self.df.join(sub.df.select(*(keys or anchor_cols)),
                                    on=(keys or anchor_cols), how=how)
         else:
-            sub._pattern_part(pp.pattern)
+            _apply_edge_uniqueness(sub, sub._pattern_part(pp.pattern))
             self.df = self.df.join(sub.df.limit(1), F.lit(True), how)
 
     # -- CALL / LOAD -----------------------------------------------------------
@@ -1211,7 +1238,7 @@ class QueryCompiler(WriteMixin, TraversalMixin):
             sub.df = self.df.select(*anchor_cols).dropDuplicates(keys)
             sub.symbols = {s: self.symbols[s] for s in shared} | {
                 v: "value" for v in val_keys}
-        sub._pattern_part(pc.pattern)
+        _apply_edge_uniqueness(sub, sub._pattern_part(pc.pattern))
         if pc.where is not None:
             sub._where(pc.where)
         proj = compile_expr(sub._lift(pc.projection), sub._env())
@@ -1341,26 +1368,54 @@ class QueryCompiler(WriteMixin, TraversalMixin):
                                      for it in clauses[0].items]
             return clauses, []
 
-        def run_part(part: A.SingleQuery):
+        def run_part(part: A.SingleQuery, row_tag: str | None = None):
             clauses, imports = part_clauses(part, cl.scope)
+            if len(imports) != len(set(imports)):
+                raise CompileError(
+                    "duplicate variable in CALL () import scope")
+            unknown = [s for s in imports if s not in self.symbols]
+            if unknown:
+                raise CompileError(
+                    f"CALL {{}} imports unbound {unknown}")
+            # imported symbols stay visible through the subquery's own
+            # WITH projections (subqueries.feature: WITH … then SET on the
+            # imported node), mirroring the EXISTS-subquery scoping
+            fixed = []
+            for c in clauses:
+                if isinstance(c, A.With) and not c.star \
+                        and (imports or row_tag):
+                    names = {it.alias or it.text for it in c.items}
+                    carry = [A.ReturnItem(A.Var(s), None, s)
+                             for s in imports if s not in names]
+                    if row_tag is not None and row_tag not in names:
+                        carry.append(A.ReturnItem(A.Var(row_tag), None,
+                                                  row_tag))
+                    c = A.With(list(c.items) + carry,
+                               c.star, c.distinct, c.order, c.skip,
+                               c.limit, c.where)
+                fixed.append(c)
+            clauses = fixed
             sub = QueryCompiler(self.g, self.params, hops=self.hops,
                                 anon_prefix=f"cs{self._anon}_")
             self._anon += 1
             sub.counters = self.counters
             keys: list[str] = []
-            if imports and self.df is not None:
-                unknown = [s for s in imports if s not in self.symbols]
-                if unknown:
-                    raise CompileError(
-                        f"CALL {{}} imports unbound {unknown}")
+            if (imports or row_tag) and self.df is not None:
                 keys = [f"{s}_id" for s in imports
                         if self.symbols[s] == "node"] or \
                        [s for s in imports if self.symbols[s] == "value"]
                 anchor_cols = [c for c in self.df.columns
                                if any(c == s or c.startswith(f"{s}_")
                                       for s in imports)]
+                if row_tag is not None:
+                    # sequential mode: one outer row per run — the row tag
+                    # is the only anchor key needed
+                    anchor_cols.append(row_tag)
+                    keys = [row_tag]
                 sub.df = self.df.select(*anchor_cols).dropDuplicates(keys)
                 sub.symbols = {s: self.symbols[s] for s in imports}
+                if row_tag is not None:
+                    sub.symbols[row_tag] = "value"
             returned = False
             for c in clauses:
                 if isinstance(c, A.Return):
@@ -1391,10 +1446,32 @@ class QueryCompiler(WriteMixin, TraversalMixin):
                     names = {it.alias or it.text for it in items}
                     items = [A.ReturnItem(A.Var(s), None, s)
                              for s in imports
-                             if s in sub.symbols and s not in names] + items
+                             if s in sub.symbols and s not in names] + \
+                            ([A.ReturnItem(A.Var(row_tag), None, row_tag)]
+                             if row_tag is not None else []) + items
+                    if keys and any(
+                            isinstance(n, A.FuncCall)
+                            and n.name.lower() == "collect"
+                            for it in c.items for n in A.walk(it.expr)):
+                        # collect() inside a correlated subquery streams
+                        # rows in the reference's scan (id) order — pin it:
+                        # one partition per anchor group, id-sorted within
+                        sort_cols = [c_ for c_ in sub.df.columns
+                                     if c_.endswith("_id")]
+                        if sort_cols:
+                            sub.df = (sub.df.repartition(*keys)
+                                      .sortWithinPartitions(*sort_cols))
                     sub._project(A.With(items, c.star, c.distinct, c.order,
                                         c.skip, c.limit, None),
                                  is_return=False)
+                    if c.order:
+                        # keep the subquery's row order observable: a rank
+                        # column lets the caller re-sort within anchor
+                        # groups so a downstream collect() preserves it
+                        # (monotonically_increasing_id is monotone with the
+                        # just-applied global sort)
+                        sub.df = sub.df.withColumn(
+                            "__sq_ord", F.monotonically_increasing_id())
                     returned = True
                 else:
                     sub.compile_clause(c)
@@ -1402,6 +1479,73 @@ class QueryCompiler(WriteMixin, TraversalMixin):
                 self.wrote = True
             return sub, keys, returned
 
+        def subquery_writes() -> bool:
+            for part in [cl.query, *cl.extra_parts]:
+                for c in part.clauses:
+                    if isinstance(c, (A.Create, A.Merge, A.Delete,
+                                      A.SetClause, A.RemoveClause,
+                                      A.Foreach)):
+                        return True
+            return False
+
+        SEQ_SUBQUERY_MAX = 1000
+        seq = subquery_writes() and self.df is not None
+        if seq:
+            # Apply semantics (operator.hpp:3061): a subquery with writes
+            # (or stateful counter()) runs once per outer row, each run
+            # seeing the previous runs' effects. Inherently sequential —
+            # fenced; at scale, write-subqueries batch through the normal
+            # decorrelated path when per-row visibility isn't required.
+            tagged = self.df.withColumn(
+                "__cs_row", F.monotonically_increasing_id()) \
+                .localCheckpoint(eager=True)
+            rids = [r[0] for r in tagged.select("__cs_row").collect()]
+            if len(rids) > SEQ_SUBQUERY_MAX:
+                raise CompileError(
+                    f"write subquery over {len(rids)} rows exceeds the "
+                    f"sequential-apply fence ({SEQ_SUBQUERY_MAX})")
+            if len(rids) <= 1:
+                seq = False
+                self.df = tagged.drop("__cs_row")
+            else:
+                pieces, sub_syms, returned = [], {}, False
+                wrote_any = False
+                saved = self.df
+                for rid in rids:
+                    self.df = tagged.filter(F.col("__cs_row") == rid)
+                    sub, _, ret = run_part(cl.query, row_tag="__cs_row")
+                    for extra in cl.extra_parts:
+                        sub2, _, ret2 = run_part(extra,
+                                                 row_tag="__cs_row")
+                        if ret and ret2:
+                            sub.df = sub.df.unionByName(
+                                sub2.df.select(*sub.df.columns))
+                        ret = ret or ret2
+                    wrote_any = wrote_any or sub.wrote or bool(
+                        self.counters.get("properties_set"))
+                    if ret:
+                        returned = True
+                        pieces.append(sub.df.localCheckpoint(eager=True))
+                        sub_syms = sub.symbols
+                self.df = saved
+                self._all_props_cache = None
+                if returned:
+                    branch = pieces[0].drop("__sq_ord")
+                    for p in pieces[1:]:
+                        branch = branch.unionByName(
+                            p.drop("__sq_ord").select(*branch.columns))
+                    drop = [c for c in branch.columns
+                            if c != "__cs_row" and c in tagged.columns]
+                    self.df = tagged.join(branch.drop(*drop),
+                                          on="__cs_row", how="inner")
+                else:
+                    self.df = tagged
+                self._refresh_bound_nodes()
+                self.df = self.df.drop("__cs_row")
+                for s, k in sub_syms.items():
+                    if s not in self.symbols and s != "__cs_row":
+                        self.symbols[s] = k
+                return
         sub, keys, returned = run_part(cl.query)
         for extra in cl.extra_parts:
             sub2, _, ret2 = run_part(extra)
@@ -1411,6 +1555,11 @@ class QueryCompiler(WriteMixin, TraversalMixin):
             returned = returned or ret2
         if cl.extra_parts and returned and not all(cl.alls):
             sub.df = sub.df.dropDuplicates()
+        if sub.wrote or subquery_writes():
+            # a write subquery ran: bound node columns captured before it
+            # are stale (CALL (*) { SET … } then RETURN p.prop)
+            self._all_props_cache = None
+            self._refresh_bound_nodes()
         if not returned:
             return  # unit subquery (writes only): frame unchanged
         branch = sub.df
@@ -1419,7 +1568,17 @@ class QueryCompiler(WriteMixin, TraversalMixin):
                     if c not in keys and c in self.df.columns]
             branch = branch.drop(*drop) if drop else branch
             self.df = self.df.join(branch, on=keys, how="inner")
+            if "__sq_ord" in self.df.columns:
+                # co-locate each anchor group and restore the subquery's
+                # ORDER BY within it, so collect_list aggregation sees the
+                # rows in that order (the reference's Apply streams them
+                # ordered); partial aggregation preserves partition order
+                self.df = (self.df.repartition(*keys)
+                           .sortWithinPartitions(*keys, "__sq_ord")
+                           .drop("__sq_ord"))
         else:
+            if "__sq_ord" in branch.columns:
+                branch = branch.orderBy("__sq_ord").drop("__sq_ord")
             self.df = (branch if self.df is None
                        else self.df.crossJoin(branch))
         for s, k in sub.symbols.items():
