@@ -67,6 +67,16 @@ def _fold_static(e: A.Expr, env: Env):
     return None
 
 
+def _param_literal(v) -> Column:
+    """Parameter value -> Column, recursively (nested maps become nested
+    structs — the same shape MapLiteral compiles to)."""
+    if isinstance(v, dict):
+        return F.struct(*[_param_literal(x).alias(k) for k, x in v.items()])
+    if isinstance(v, (list, tuple)):
+        return F.array(*[_param_literal(x) for x in v])
+    return F.lit(v)
+
+
 def _type_category(t) -> str | None:
     """Coarse Cypher type category for list-homogeneity decisions (int and
     double share the numeric category, typed_value.cpp)."""
@@ -198,11 +208,7 @@ def compile_expr(e: A.Expr, env: Env) -> Column:
     if isinstance(e, A.Param):
         if e.name not in env.params:
             raise CompileError(f"missing parameter ${e.name}")
-        v = env.params[e.name]
-        if isinstance(v, dict):
-            # map parameter -> struct (same shape MapLiteral compiles to)
-            return F.struct(*[F.lit(x).alias(k) for k, x in v.items()])
-        return F.array(*[F.lit(x) for x in v]) if isinstance(v, (list, tuple)) else F.lit(v)
+        return _param_literal(env.params[e.name])
     if isinstance(e, A.Var):
         return _compile_var(e.name, env)
     if isinstance(e, A.Property):
@@ -507,17 +513,27 @@ def _prop_cols(sym: str, env: Env) -> list[str]:
 
 def _compile_map_projection(e: A.MapProjection, env: Env) -> Column:
     """MapProjectionLiteral (ast.hpp:1005): build a map-as-struct from a
-    node/rel/map subject. Later entries win on key collision."""
+    node/rel/map subject. Later entries win on key collision; a null
+    subject projects to null (map_projection.feature)."""
     fields: dict[str, Column] = {}
     sym = e.subject.name if isinstance(e.subject, A.Var) else None
     on_graph = sym is not None and env.symbols.get(sym) in ("node", "rel")
+    subjc = None if on_graph else compile_expr(e.subject, env)
+    subj_t = env.typeof(subjc) if subjc is not None else None
     for it in e.items:
         if it[0] == "all":
             if on_graph:
                 for c in _prop_cols(sym, env):
                     fields[A.prop_name(c[len(sym) + 1:])] = F.col(c)
+            elif isinstance(subj_t, T.StructType):
+                # map value subject: .* copies every entry
+                for fname in subj_t.names:
+                    fields[fname] = subjc.getField(fname)
+            elif isinstance(subj_t, T.NullType) or subj_t is None:
+                pass  # null subject: the whole projection is null below
             else:
-                raise CompileError(".* projection needs a bound node or rel")
+                raise CompileError(
+                    ".* projection needs a node, relationship or map")
         elif it[0] == "prop":
             fields[it[1]] = _compile_property(
                 A.Property(e.subject, it[1]), env)
@@ -526,8 +542,23 @@ def _compile_map_projection(e: A.MapProjection, env: Env) -> Column:
         else:  # bare variable entry: key = var name
             fields[it[1]] = compile_expr(A.Var(it[1]), env)
     if not fields:
-        return F.create_map().cast("map<string,string>")  # `n {}` = empty map
-    return F.struct(*[v.alias(k) for k, v in fields.items()])
+        out = F.create_map().cast("map<string,string>")  # `n {}` = empty map
+    else:
+        out = F.struct(*[v.alias(k) for k, v in fields.items()])
+    # null-subject propagation: n {...} over an unmatched OPTIONAL node
+    # (or a null map) is null, whatever the items
+    if on_graph:
+        idc = f"{sym}_id" if env.symbols.get(sym) == "node" else f"{sym}_eid"
+        if idc in env.columns():
+            return F.when(F.col(idc).isNotNull(), out)
+        return out
+    if subjc is not None and subj_t is not None \
+            and not isinstance(subj_t, T.NullType):
+        return F.when(subjc.isNotNull(), out)
+    if subjc is not None and (subj_t is None
+                              or isinstance(subj_t, T.NullType)):
+        return F.lit(None)
+    return out
 
 
 def _compile_property(e: A.Property, env: Env) -> Column:
@@ -727,8 +758,17 @@ def _compile_binop(e: A.BinaryOp, env: Env) -> Column:
         rt = env.typeof(r) if env.df is not None else None
         if isinstance(rt, T.ArrayType) and is_variant_type(rt.elementType):
             lt = env.typeof(l)
-            lv = l if is_variant_type(lt) else (
-                to_variant(l, lt) if lt is not None else None)
+            if isinstance(lt, (T.ArrayType, T.MapType)) or isinstance(
+                    e.left, (A.ListLiteral, A.MapLiteral)):
+                # nested list/map needle vs a variant haystack: both sides
+                # compare through the canonical-JSON slot
+                # ([[2,3],4] IN [1, [[2,3],4]] — list_operations In test6)
+                from memgraph_spark.functions.variant import _slots
+                lv = _slots(j=_compile_json_text(e.left, env))
+            elif is_variant_type(lt):
+                lv = l
+            else:
+                lv = to_variant(l, lt) if lt is not None else None
             if lv is not None:
                 return F.coalesce(
                     F.exists(r, lambda el: variant_eq_strict(el, lv)),
@@ -1580,6 +1620,17 @@ def contains_aggregate(e: A.Expr) -> bool:
         return any(contains_aggregate(x) for x in e.items)
     if isinstance(e, A.MapLiteral):
         return any(contains_aggregate(v) for v in e.items.values())
+    if isinstance(e, (A.ExistsSubquery, A.PatternComprehension)):
+        return False  # their aggregates live in their own scope
+    if isinstance(e, A.ListComprehension):
+        # [x IN collect(p) | …] is an aggregated projection item
+        return (contains_aggregate(e.source)
+                or (e.where is not None and contains_aggregate(e.where))
+                or (e.projection is not None
+                    and contains_aggregate(e.projection)))
+    if isinstance(e, A.ReduceExpr):
+        return (contains_aggregate(e.source) or contains_aggregate(e.init)
+                or contains_aggregate(e.body))
     return False
 
 

@@ -648,7 +648,12 @@ class Parser:
         out: dict[str, A.Expr] = {}
         if not self.at_op("}"):
             while True:
-                k = self.name()
+                # keys may be identifiers, backticked, or string literals
+                # ({'k1': 'v1', "k2": 2} — server_side_parameters.feature)
+                if self.peek().kind == "STRING":
+                    k = self.next().value
+                else:
+                    k = self.name()
                 self.eat_op(":")
                 out[k] = self.expr()
                 if not self.at_op(","):

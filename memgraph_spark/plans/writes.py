@@ -218,6 +218,9 @@ class WriteMixin:
         # unlabeled nodes live in the reserved "" table with an empty label
         # set (the reference's vertices may carry zero labels, vertex.hpp:41)
         labels = self._labels(np.labels)
+        if labels != np.labels:
+            import dataclasses as _dc
+            np = _dc.replace(np, labels=labels)  # $param labels resolved
         label = labels[0] if labels else ""
         code = register_label(label)
         if self.df is None:
@@ -937,6 +940,10 @@ class WriteMixin:
         sym = np.var or self._anon_sym("n")
         if sym in self.symbols:
             raise CompileError(f"MERGE on already-bound symbol {sym}")
+        labels = self._labels(np.labels)
+        if labels != np.labels:
+            import dataclasses as _dc
+            np = _dc.replace(np, labels=labels)  # $param labels resolved
         if self.df is None:
             self.df = self._seed()
         if np.props:

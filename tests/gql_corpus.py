@@ -397,9 +397,34 @@ def canon_actual(v, list_unordered: bool = False) -> str:
     return repr(v)
 
 
-def _props_str(props: dict, lu: bool) -> str:
+def _quoted_key_map(v, lu: bool) -> str:
+    """Map VALUES stored inside node/rel properties print with quoted keys
+    (PropertyValue map printing vs TypedValue's bare keys — memgraph.feature
+    enum-property scenarios)."""
+    if hasattr(v, "asDict"):
+        v = v.asDict(recursive=False)
+    if not isinstance(v, dict):
+        return canon_actual(v, lu)
     return ("{" + ", ".join(
-        f"{k}: {canon_actual(props[k], lu)}" for k in sorted(props)) + "}")
+        f"'{k}': {_quoted_key_map(v[k], lu)}" for k in sorted(v)) + "}")
+
+
+def _props_str(props: dict, lu: bool) -> str:
+    def one(v):
+        if isinstance(v, dict) or hasattr(v, "asDict"):
+            d = v.asDict(recursive=False) if hasattr(v, "asDict") else v
+            # graph-value structs (paths/nodes/rels/variants) keep their
+            # structural printing; plain map values get quoted keys
+            keys = set(d)
+            if not ({"id", "labels"} <= keys or {"eid", "type"} <= keys
+                    or {"nodes", "rels"} <= keys
+                    or tuple(d) in (("vb", "vi", "vd", "vs"),
+                                    ("vb", "vi", "vd", "vs", "va"),
+                                    ("vb", "vi", "vd", "vs", "va", "vj"))):
+                return _quoted_key_map(d, lu)
+        return canon_actual(v, lu)
+    return ("{" + ", ".join(
+        f"{k}: {one(props[k])}" for k in sorted(props)) + "}")
 
 
 class _P:
@@ -508,14 +533,18 @@ class _P:
             return "{}"
         while True:
             self.ws()
-            m = re.match(r"`([^`]*)`|([A-Za-z_][A-Za-z0-9_]*)",
+            m = re.match(r"`([^`]*)`|'([^']*)'|\"([^\"]*)\""
+                         r"|([A-Za-z_][A-Za-z0-9_]*)",
                          self.s[self.i:])
-            key = m.group(1) if m.group(1) is not None else m.group(2)
+            quoted = m.group(2) is not None or m.group(3) is not None
+            key = next(g for g in m.groups() if g is not None)
             self.i += m.end()
             self.ws()
             assert self.s[self.i] == ":"
             self.i += 1
-            items[key] = self.value()
+            # quoted keys (PropertyValue map printing) keep their quotes
+            # so actual/expected canonical forms line up
+            items[f"'{key}'" if quoted else key] = self.value()
             self.ws()
             if self.s[self.i] == ",":
                 self.i += 1
@@ -630,9 +659,12 @@ def parse_param_value(cell: str):
     if cell.startswith("{"):
         import json
         try:
-            return json.loads(
-                re.sub(r"([A-Za-z_][A-Za-z0-9_]*)\s*:", r'"\1":',
-                       cell).replace("'", '"'))
+            # quote only KEYS (after '{' or ','), never ident-like text
+            # inside string values ('Location::Zagreb' must survive)
+            txt = cell.replace("'", '"')
+            txt = re.sub(r"([{,]\s*)([A-Za-z_][A-Za-z0-9_]*)\s*:",
+                         r'\1"\2":', txt)
+            return json.loads(txt)
         except Exception:
             return cell
     return cell
