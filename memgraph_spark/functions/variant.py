@@ -53,6 +53,11 @@ def to_variant(col: Column, t) -> Column:
     elif isinstance(t, T.ArrayType) and isinstance(t.elementType,
                                                    T.StringType):
         v = _slots(a=col)
+    elif isinstance(t, T.DayTimeIntervalType):
+        # durations in conflict with scalars: tag the interval's string
+        # rendering into the json slot (to_json rejects interval input)
+        v = _slots(j=F.concat(F.lit('{"__mg_dur":"'),
+                              col.cast("string"), F.lit('"}')))
     else:
         # lists/maps/temporals in conflict with scalars: JSON-encode into the
         # dedicated json slot (observable, groupable; ordering diverges).

@@ -742,6 +742,20 @@ def _compile_binop(e: A.BinaryOp, env: Env) -> Column:
             return F.concat(l.cast("string"), r.cast("string"))
         return l + r
     if op == "-":
+        lt_ = env.typeof(l) if env.df is not None else None
+        rt_ = env.typeof(r) if env.df is not None else None
+        if isinstance(lt_, T.StringType) and isinstance(rt_, T.StringType):
+            # LocalTime values are normalized HH:MM:SS strings — their
+            # difference is a Duration (temporal.hpp operator-); any other
+            # string subtraction is a TypedValue error
+            lp = F.to_timestamp(F.concat(F.lit("1970-01-01 "), l))
+            rp = F.to_timestamp(F.concat(F.lit("1970-01-01 "), r))
+            return (F.when(l.isNull() | r.isNull(),
+                           F.lit(None).cast("interval day to second"))
+                    .when(lp.isNotNull() & rp.isNotNull(), lp - rp)
+                    .otherwise(F.raise_error(F.lit(
+                        "cannot subtract strings"))
+                        .cast("interval day to second")))
         return l - r
     if op == "*":
         return l * r
@@ -1040,10 +1054,20 @@ def _compile_func(e: A.FuncCall, env: Env) -> Column:
                 seconds=float(m.group(5) or 0))
             return F.lit(td)
         if isinstance(a, A.MapLiteral):
-            parts = {k: compile_expr(v, env) for k, v in a.items.items()}
+            parts = {k.lower(): compile_expr(v, env)
+                     for k, v in a.items.items()}
+
+            def part(*names):
+                for n in names:  # singular and plural forms both accepted
+                    if n in parts:
+                        return parts[n]
+                return F.lit(0)
+            sec = part("second", "seconds").cast("double") \
+                + part("millisecond", "milliseconds").cast("double") / 1e3 \
+                + part("microsecond", "microseconds").cast("double") / 1e6
             return F.make_dt_interval(
-                parts.get("day", F.lit(0)), parts.get("hour", F.lit(0)),
-                parts.get("minute", F.lit(0)), parts.get("second", F.lit(0)))
+                part("day", "days"), part("hour", "hours"),
+                part("minute", "minutes"), sec)
     # round(x, d): the scale must be a literal int (Spark round signature)
     if name == "round" and len(e.args) == 2 and isinstance(e.args[1], A.Literal):
         return F.round(compile_expr(e.args[0], env), e.args[1].value)

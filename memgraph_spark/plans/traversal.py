@@ -213,6 +213,14 @@ class TraversalMixin:
             if mode in ("wshortest", "allshortest"):
                 wcol = (compile_expr(weight, Env(step, env_syms, self.params))
                         if weight is not None else F.lit(1.0))
+                from memgraph_spark.functions.variant import is_variant_type
+                wt = Env(step, env_syms, self.params).typeof(wcol)
+                if is_variant_type(wt):
+                    # mixed numeric/duration weights across edges
+                    # (TotalWeightOperator type checks, operator.cpp)
+                    raise CompileError(
+                        "shortest-path weights must be all numeric or "
+                        "all durations")
                 # ValidateWeight (operator.cpp:2983): negative weights are a
                 # runtime error; wcol - wcol is a type-agnostic zero
                 wcol = F.when(

@@ -208,8 +208,8 @@ def search_edges(graph, index_name: str, k: int, query_vector) -> DataFrame:
     qv = [float(v) for v in query_vector]
     props: set[str] = set()
     for t in graph.edges.values():
-        props.update(c for c in t.columns
-                     if c not in ("src", "dst", "eid"))
+        # keep eid: it is the tie-break (usearch recency) in the top-k sort
+        props.update(c for c in t.columns if c not in ("src", "dst"))
     prop = idx["property"]
     e = graph.all_edges(sorted(props))
     cond = F.col(prop).isNotNull()
@@ -224,14 +224,15 @@ def search_edges(graph, index_name: str, k: int, query_vector) -> DataFrame:
              if idx["scalar_kind"] == "f32" else F.col(prop)}
     pc = [c for c in e.columns if c not in ("src", "dst", "type")]
     edge = F.struct(
-        F.xxhash64("src", "dst", "type").alias("eid"), F.col("type"),
-        F.col("src"), F.col("dst"),
+        (F.col("eid") if "eid" in e.columns
+         else F.xxhash64("src", "dst", "type")).alias("eid"),
+        F.col("type"), F.col("src"), F.col("dst"),
         *[quant.get(c, F.col(c)).alias(c) for c in pc if c != "eid"])
     return (e.select(edge.alias("edge"), dist.alias("distance"),
                      sim.alias("similarity"))
-            # ties: usearch returns the most-recently-inserted first
-            .orderBy(F.col("distance"), F.col("edge.src").desc(),
-                     F.col("edge.dst").desc())
+            # ties: usearch returns the most-recently-inserted first —
+            # edge ids are allocated sequentially, so highest eid wins
+            .orderBy(F.col("distance"), F.col("edge.eid").desc())
             .limit(int(k)))
 
 

@@ -631,6 +631,14 @@ def canon_expected(cell: str, list_unordered: bool = False) -> str:
     try:
         return _P(cell, list_unordered).value()
     except Exception:
+        # the reference's parser is lenient about corpus typos like
+        # "({a:3))" (merge.feature) — a brace closed by a paren; retry
+        # with the obvious repair before falling back to raw text
+        if cell.endswith("))") and cell.count("{") == cell.count("}") + 1:
+            try:
+                return _P(cell[:-2] + "})", list_unordered).value()
+            except Exception:
+                return cell
         return cell
 
 
@@ -783,7 +791,13 @@ def _run_steps(spark, gs, sc, graphs_dir, timeout, params, last, checked,
                 for stmt in [s.strip() for s in step.text.split(";")
                              if s.strip()]:
                     try:
-                        _exec_setup(spark, gs, stmt, params, timeout)
+                        df = gs.execute(stmt, params or None)
+                        rows = _collect_with_timeout(spark, df, timeout)
+                        # a Then with no When compares the last executed
+                        # statement's result (periodic_commit.feature:
+                        # "having executed … Then the result should be")
+                        last = {"rows": rows, "cols": df.columns,
+                                "err": None}
                     except TimeoutError:
                         raise
                     except Exception as e:  # noqa: BLE001 — sticky setup
