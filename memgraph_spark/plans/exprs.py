@@ -174,8 +174,13 @@ def _compile_list_literal(e: A.ListLiteral, env: Env) -> Column:
                 _slots, to_variant)
             out = []
             for item, c, t in zip(e.items, cols, ts):
-                if _type_category(t).startswith("x:"):
-                    # nested list/map: canonical JSON into the vj slot
+                cat = _type_category(t)
+                if cat is None:
+                    # null element: a null variant struct
+                    out.append(F.when(F.lit(False), _slots()))
+                elif cat.startswith("x:") or cat.startswith("g:"):
+                    # nested list/map/graph value: canonical JSON into the
+                    # vj slot
                     out.append(F.when(
                         c.isNotNull(),
                         _slots(j=_compile_json_text(item, env))))
@@ -1156,6 +1161,10 @@ def _compile_func(e: A.FuncCall, env: Env) -> Column:
             from memgraph_spark.functions.variant import is_variant_type
             at = env.typeof(args[0]) if env.df is not None else None
             if is_variant_type(at):
+                # the reference deviates from openCypher orderability here:
+                # min/max over mixed-type values raise (aggregations.feature
+                # Min/Max test 01 expect the error; the M09 Aggregation
+                # mixed-value scenarios are known-divergent)
                 raise CompileError(
                     f"{name}() over mixed-type values is not defined")
             if isinstance(at, T.DayTimeIntervalType):
@@ -1240,6 +1249,35 @@ def _compile_func(e: A.FuncCall, env: Env) -> Column:
     if name in ("type", "id", "labels", "startnode", "endnode",
                 "properties", "keys") and len(args) == 1:
         t = env.typeof(args[0])
+        if t is None and isinstance(e.args[0], A.Var) \
+                and e.args[0].name in env.lambda_types:
+            t = env.lambda_types[e.args[0].name]
+        from memgraph_spark.functions.variant import is_variant_type
+        if is_variant_type(t):
+            # graph accessor on a mixed-list element: the graph value
+            # lives in the vj slot; any other slot holding a value is a
+            # runtime TypeError (FunctionsAcceptance InvalidArgumentValue)
+            v = args[0]
+            vj = v.getField("vj")
+            bad = (v.getField("vb").isNotNull() | v.getField("vi").isNotNull()
+                   | v.getField("vd").isNotNull()
+                   | v.getField("vs").isNotNull()
+                   | v.getField("va").isNotNull())
+            if name == "type":
+                val = F.get_json_object(vj, "$.type")
+            elif name == "labels":
+                val = F.from_json(F.get_json_object(vj, "$.labels"),
+                                  "array<string>")
+            elif name == "id":
+                val = F.coalesce(F.get_json_object(vj, "$.eid"),
+                                 F.get_json_object(vj, "$.id")).cast("long")
+            else:
+                val = F.lit(None)
+            return (F.when(v.isNull(), F.lit(None))
+                    .when(bad | val.isNull(), F.raise_error(F.lit(
+                        f"InvalidArgumentValue: {name}() expects a graph "
+                        "element")))
+                    .otherwise(val))
         if isinstance(t, T.StructType):
             meta = ("id", "eid", "labels", "type", "src", "dst")
             if name == "type" and "type" in t.names:

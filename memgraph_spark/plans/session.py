@@ -551,7 +551,18 @@ class QueryCompiler(WriteMixin, TraversalMixin):
                 raise CompileError(
                     f"cannot MATCH on deleted node `{sym}`")
             if self.symbols[sym] != "node":
-                raise CompileError(f"{sym} rebound as node")
+                t = (self._env().typeof(F.col(sym))
+                     if self.symbols[sym] == "value"
+                     and sym in self.df.columns else False)
+                if t is None or isinstance(t, T.NullType):
+                    # a null value in a node position is a node-typed null
+                    # (WITH null AS a OPTIONAL MATCH (a)-[r]->() — the
+                    # pattern just never matches, FunctionsAcceptance)
+                    self.df = self.df.withColumn(f"{sym}_id",
+                                                 F.lit(None).cast("long"))
+                    self.symbols[sym] = "node"
+                else:
+                    raise CompileError(f"{sym} rebound as node")
             if np.labels_or and len(labels) > 1:
                 cond = None
                 for lbl in labels:

@@ -94,7 +94,9 @@ class TraversalMixin:
                  .withColumn("__fwd", F.lit(True)))
         in_e = (e.withColumnRenamed("dst", "__from")
                 .withColumnRenamed("src", "__to")
-                .withColumn("__fwd", F.lit(False)))
+                # a self-loop traversed "backwards" still prints forward
+                # (path rendering in match.feature DFS IN-edge tests)
+                .withColumn("__fwd", F.col("__from") == F.col("__to")))
         E = {"out": out_e, "in": in_e}.get(
             rel.direction, out_e.unionByName(in_e))
         # literal edge-property filter `{w: 1}` applies to every step edge

@@ -195,26 +195,45 @@ class WriteMixin:
             else:
                 _check_bound(part.start, sym)
             prev = sym
+            nid_parts = [F.array(F.col(f"{sym}_id"))]
+            eid_parts, dir_parts = [], []
             for rel, node in part.chain:
                 to_sym = node.var or self._anon_sym("n")
                 if to_sym not in self.symbols:
                     self._create_node(node, to_sym)
                 else:
                     _check_bound(node, to_sym)
-                self._create_edge(prev, rel, to_sym)
+                rsym = self._create_edge(prev, rel, to_sym)
+                nid_parts.append(F.array(F.col(f"{to_sym}_id")))
+                eid_parts.append(F.array(F.col(f"{rsym}_eid")))
+                dir_parts.append(F.array(F.lit(rel.direction != "in")))
                 prev = to_sym
             if part.var:
-                # named path over a CREATE pattern: bind at least the
-                # length so size(p)/length(p) work downstream (match.feature
-                # path identifier from CREATE in MERGE)
-                self.df = self.df.withColumn(f"{part.var}_length",
-                                             F.lit(len(part.chain)))
+                # named path over a CREATE pattern: same id-array shape as
+                # MATCH paths, then the shared materializer builds
+                # nodes/rels structs (match.feature: path identifier from
+                # CREATE used in a later MERGE/RETURN)
+                self.df = (self.df
+                           .withColumn(f"{part.var}_length",
+                                       F.lit(len(part.chain)).cast("long"))
+                           .withColumn(f"{part.var}_nids",
+                                       F.concat(*nid_parts))
+                           .withColumn(f"{part.var}_eids",
+                                       F.concat(*eid_parts) if eid_parts
+                                       else F.array().cast("array<long>"))
+                           .withColumn(f"{part.var}_dirs",
+                                       F.concat(*dir_parts) if dir_parts
+                                       else F.array().cast("array<boolean>")))
+                self._materialize_path(part.var)
                 self.symbols[part.var] = "path"
 
     def _create_node(self, np: A.NodePattern, sym: str) -> None:
         """CreateNode (operator.hpp:411): one node per input row. Ids are
         (label_code << KEY_BITS) + key; key comes from the pattern's `key`
         property if given, else is allocated past the label's current max."""
+        if np.labels_or:
+            raise CompileError(
+                "label disjunction (:A|B) is not allowed in CREATE/MERGE")
         # unlabeled nodes live in the reserved "" table with an empty label
         # set (the reference's vertices may carry zero labels, vertex.hpp:41)
         labels = self._labels(np.labels)
@@ -381,6 +400,7 @@ class WriteMixin:
                 n_rows if dyn is None else diff.count())
         self.df = aug
         self.symbols[rsym] = "rel"
+        return rsym
 
     # -- SET / REMOVE --------------------------------------------------------
     def _set(self, items: list[A.SetItem]) -> None:
@@ -940,6 +960,9 @@ class WriteMixin:
         sym = np.var or self._anon_sym("n")
         if sym in self.symbols:
             raise CompileError(f"MERGE on already-bound symbol {sym}")
+        if np.labels_or:
+            raise CompileError(
+                "label disjunction (:A|B) is not allowed in CREATE/MERGE")
         labels = self._labels(np.labels)
         if labels != np.labels:
             import dataclasses as _dc
