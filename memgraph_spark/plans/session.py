@@ -561,6 +561,16 @@ class QueryCompiler(WriteMixin, TraversalMixin):
                     self.df = self.df.withColumn(f"{sym}_id",
                                                  F.lit(None).cast("long"))
                     self.symbols[sym] = "node"
+                elif isinstance(t, T.StructType) and "id" in t.names \
+                        and "labels" in t.names:
+                    # a node VALUE (coalesce(b, c), list element …) used in
+                    # a pattern re-binds as a node symbol: unpack the
+                    # struct into the node's column group
+                    for f in t.names:
+                        self.df = self.df.withColumn(
+                            f"{sym}_{f}", F.col(sym).getField(f))
+                    self.df = self.df.drop(sym)
+                    self.symbols[sym] = "node"
                 else:
                     raise CompileError(f"{sym} rebound as node")
             if np.labels_or and len(labels) > 1:
@@ -755,18 +765,25 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         bound anchor rows, then left-outer join it back — fully distributed,
         no per-row re-execution."""
         if self.df is None:
-            # leading OPTIONAL MATCH == plain MATCH (or one null row)
-            self._match(A.Match(m.patterns, m.where, False))
-            return
-        shared = sorted(s for s in self._pattern_syms(m.patterns)
-                        if s in self.symbols)
+            # leading OPTIONAL MATCH: the input is the implicit Once row —
+            # an empty match still yields ONE all-null row
+            self.df = self._seed()
+        where_refs = {n.name for n in (A.walk(m.where)
+                                       if m.where is not None else [])
+                      if isinstance(n, A.Var) and n.name in self.symbols
+                      and self.symbols[n.name] in ("node", "rel", "value")}
+        shared = sorted({s for s in self._pattern_syms(m.patterns)
+                         if s in self.symbols} | where_refs)
         sub = QueryCompiler(self.g, self.params, hops=self.hops,
                             anon_prefix=f"o{self._anon}_")
         if shared:
             anchor_cols = [c for c in self.df.columns
                            if any(c == s or c.startswith(f"{s}_") for s in shared)]
-            keys = [f"{s}_id" for s in shared
-                    if self.symbols[s] == "node"] or anchor_cols
+            keys = ([f"{s}_id" for s in shared
+                     if self.symbols[s] == "node"]
+                    + [f"{s}_eid" for s in shared
+                       if self.symbols[s] == "rel"
+                       and f"{s}_eid" in self.df.columns]) or anchor_cols
             sub.df = self.df.select(*anchor_cols).dropDuplicates(keys)
             sub.symbols = {s: self.symbols[s] for s in shared}
             sub._match(A.Match(m.patterns, m.where, False))
@@ -1759,11 +1776,15 @@ class QueryCompiler(WriteMixin, TraversalMixin):
                     final.append(st.alias(name))
                 elif kind == "path":
                     if f"{spec}_nodes" in df.columns:
-                        final.append(F.struct(
-                            F.col(f"{spec}_nodes").alias("nodes"),
-                            F.col(f"{spec}_rels").alias("rels"),
-                            F.col(f"{spec}_dirs").alias("dirs"),
-                        ).alias(name))
+                        # a failed OPTIONAL MATCH leaves the path null —
+                        # not an empty path (OptionalMatchAcceptance)
+                        final.append(
+                            F.when(F.col(f"{spec}_nodes").isNotNull(),
+                                   F.struct(
+                                       F.col(f"{spec}_nodes").alias("nodes"),
+                                       F.col(f"{spec}_rels").alias("rels"),
+                                       F.col(f"{spec}_dirs").alias("dirs"),
+                                   )).alias(name))
                     else:
                         final.append(F.col(f"{spec}_length").alias(name))
                 else:

@@ -555,6 +555,39 @@ class WriteMixin:
         """Nested map-property SET (`n.a.b = v`, `n.a += {..}`) — struct
         surgery on the stored map value (storage PropertyStore nested
         update, nested_property_update.feature)."""
+        if kind == "value" and len(rest) == 1 and op == "=":
+            # SET map.vertex.prop = v where the map value holds a node:
+            # the write goes to the actual vertex, and the frame's struct
+            # copy reflects it ("Vertex inside map base property update")
+            env = self._env()
+            col = F.col(sym)
+            t = env.typeof(col)
+            if isinstance(t, T.StructType) and skey in t.names:
+                member = col.getField(skey)
+                mt = t[skey].dataType
+                if isinstance(mt, T.StructType) and "id" in mt.names \
+                        and "labels" in mt.names:
+                    pcol = A.prop_col(rest[0])
+                    val_c = compile_expr(self._lift(value), env)
+                    updates = (self.df.select(
+                        member.getField("id").alias("id"),
+                        val_c.alias("__v"))
+                        .dropDuplicates(["id"])
+                        .withColumn("__hit", F.lit(True))
+                        .localCheckpoint(eager=True))
+                    self._all_props_cache = None
+                    self._apply_node_update(updates, pcol)
+                    fields = [
+                        (val_c if f == pcol else member.getField(f)).alias(f)
+                        for f in mt.names]
+                    if pcol not in mt.names:
+                        fields.append(val_c.alias(pcol))
+                    new_member = F.struct(*fields)
+                    self.df = self.df.withColumn(sym, F.struct(*[
+                        (new_member if f == skey
+                         else col.getField(f)).alias(f) for f in t.names]))
+                    self.counters["properties_set"] += updates.count()
+                    return
         if kind not in ("node", "rel"):
             raise CompileError(f"cannot SET a property on a {kind}")
         env = self._env()
