@@ -511,6 +511,22 @@ def try_admin(graph, query: str, params: dict | None = None,
         graph.index_registry.append((m.group(3), props, tag, m.group(2)))
         return spark.createDataFrame([], "status string")
 
+    # point index DDL (PointIndexQuery — the physical "index" is the
+    # pruning-friendly struct column layout; functions/spatial.py)
+    m = re.match(r"CREATE POINT INDEX ON :(\w+) ?\((\w+)\)$", q, re.I)
+    if m:
+        entry = (m.group(1), (m.group(2),), "point", None)
+        if entry not in graph.index_registry:
+            graph.index_registry.append(entry)
+        return spark.createDataFrame([], "status string")
+    m = re.match(r"DROP POINT INDEX ON :(\w+) ?\((\w+)\)$", q, re.I)
+    if m:
+        graph.index_registry = [
+            e for e in graph.index_registry
+            if not (len(e) >= 3 and e[2] == "point" and e[0] == m.group(1)
+                    and tuple(e[1] or ()) == (m.group(2),))]
+        return spark.createDataFrame([], "status string")
+
     m = re.match(r"CREATE VECTOR (EDGE )?INDEX (\w+) ON "
                  r"((?::[\w|:&]+)?) ?\((\w+)\)"
                  r"(?: WITH CONFIG (.*))?$", q, re.I)
@@ -669,6 +685,12 @@ def try_admin(graph, query: str, params: dict | None = None,
                             for t in graph.edges.values()
                             if prop[0] in t.columns)
                 rows.append(("edge-property", None, vs(prop[0]), total))
+            elif tag == "point":
+                t = graph.nodes.get(label)
+                pcol = prop[0]
+                n = (t.filter(F.col(pcol).isNotNull()).count()
+                     if t is not None and pcol in t.columns else 0)
+                rows.append(("point", label, vs(pcol), n))
             elif tag == "order":
                 rows.append(("label+property (DESC)", label, va(prop), n))
             elif prop is None:

@@ -45,9 +45,13 @@ def is_point_type(t) -> bool:
 
 
 def crs_name(p: Column) -> Column:
-    """point.crs accessor string for the srid slot."""
+    """point.crs accessor string for the srid slot. The -3d names are
+    constructor-input aliases only; the accessor prints the base CRS
+    ('wgs-84' for srid 4979 — spatial.feature Point3d lookups)."""
+    base = {SRID_WGS84: "wgs-84", SRID_WGS84_3D: "wgs-84",
+            SRID_CARTESIAN: "cartesian", SRID_CARTESIAN_3D: "cartesian"}
     out = None
-    for srid, name in SRID_TO_CRS.items():
+    for srid, name in base.items():
         c = F.when(p["srid"] == srid, F.lit(name))
         out = c if out is None else out.when(p["srid"] == srid, F.lit(name))
     return out

@@ -248,9 +248,22 @@ def compile_expr(e: A.Expr, env: Env) -> Column:
         # keys (literals, params, concatenations) hit the property column
         skey = _fold_static(e.index, env)
         if (isinstance(e.subject, A.Var)
-                and env.symbols.get(e.subject.name) in ("node", "rel")
-                and isinstance(skey, str)):
-            return _compile_property(A.Property(e.subject, skey), env)
+                and env.symbols.get(e.subject.name) in ("node", "rel")):
+            if isinstance(skey, str):
+                return _compile_property(A.Property(e.subject, skey), env)
+            if skey is None and not isinstance(e.index, A.Literal):
+                # runtime key (r[key] with key from keys(r)): dispatch over
+                # the symbol's property columns, never a list index
+                sym = e.subject.name
+                idx = compile_expr(e.index, env).cast("string")
+                meta = {f"{sym}_id", f"{sym}_labels", f"{sym}_eid",
+                        f"{sym}_type", f"{sym}_src", f"{sym}_dst"}
+                out = F.lit(None)
+                for c in env.columns():
+                    if c.startswith(f"{sym}_") and c not in meta:
+                        pname = A.prop_name(c[len(sym) + 1:])
+                        out = F.when(idx == pname, F.col(c)).otherwise(out)
+                return out
         subj = compile_expr(e.subject, env)
         idx = compile_expr(e.index, env)
         t = env.typeof(subj)
@@ -647,6 +660,10 @@ def _compile_property(e: A.Property, env: Env) -> Column:
 def _string_side(x: A.Expr, env: Env) -> bool:
     if isinstance(x, A.Literal) and isinstance(x.value, str):
         return True
+    if isinstance(x, A.BinaryOp) and x.op == "+":
+        # a concat chain seeded by a string literal is a string even when
+        # the frame probe can't type it (lambda-var expressions)
+        return _string_side(x.left, env) or _string_side(x.right, env)
     c_t = env.typeof(compile_expr(x, env)) if env.df is not None else None
     return isinstance(c_t, T.StringType)
 

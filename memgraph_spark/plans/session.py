@@ -424,6 +424,7 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         if not part.var:
             part = self._maybe_reverse(part)  # keep written order for paths
         rels: list[str] = []
+        segs: list[str] = []
         start_sym = part.start.var or self._anon_sym("n")
         self._bind_node(part.start, start_sym)
         prev = start_sym
@@ -433,14 +434,20 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         nid_parts = [F.array(F.col(f"{start_sym}_id"))]
         eid_parts: list[Column] = []
         dir_parts: list[Column] = []
+        # segment eids are tracked whenever edge-uniqueness needs them:
+        # a pattern mixing several rel elements must not reuse edges
+        # across its variable-length segments (VarLengthAcceptance2)
+        need_seg = part.var is not None or len(part.chain) > 1
         for rel, node in part.chain:
             to_sym = node.var or self._anon_sym("n")
             if rel.var_length:
-                seg = self._anon_sym("seg") if part.var else None
+                seg = self._anon_sym("seg") if need_seg else None
                 depth_col = self._expand_var_length(prev, rel, node, to_sym,
                                                     path_prefix=seg)
                 path_len = (depth_col if path_len is None
                             else path_len + depth_col)
+                if seg is not None:
+                    segs.append(seg)
                 if part.var:
                     nid_parts.append(F.col(f"{seg}_nids"))
                     eid_parts.append(F.col(f"{seg}_eids"))
@@ -455,6 +462,19 @@ class QueryCompiler(WriteMixin, TraversalMixin):
                     dir_parts.append(F.array(
                         F.col(f"{prev}_id") == F.col(f"{rsym}_src")))
             prev = to_sym
+        # edge-uniqueness across this part's variable-length segments and
+        # between segments and its single-hop rels (EdgeUniquenessFilter
+        # covers every rel element of the pattern, operator.cpp)
+        for i in range(len(segs)):
+            for j in range(i + 1, len(segs)):
+                self.df = self.df.filter(~F.coalesce(
+                    F.arrays_overlap(F.col(f"{segs[i]}_eids"),
+                                     F.col(f"{segs[j]}_eids")),
+                    F.lit(False)))
+            for r_ in rels:
+                self.df = self.df.filter(~F.coalesce(
+                    F.array_contains(F.col(f"{segs[i]}_eids"),
+                                     F.col(f"{r_}_eid")), F.lit(False)))
         if part.var:
             self.df = (self.df.withColumn(
                 f"{part.var}_length",
@@ -651,6 +671,12 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         """Expand (operator.hpp:1063): one hop = one equi-join on the edge
         table; BOTH direction = union of the two orientations."""
         rsym = rel.var or self._anon_sym("r")
+        rebound = rel.var is not None and self.symbols.get(rsym) == "rel"
+        if rebound:
+            # an already-bound rel reused in a pattern is an equality
+            # constraint (expand-into on the edge): match under a fresh
+            # symbol, then require the same edge id
+            rsym = self._anon_sym("r")
         e = self._edge_table(rel.types, rsym, want_props=rel.var is not None
                              or bool(rel.props))
         if rel.direction == "out":
@@ -698,6 +724,9 @@ class QueryCompiler(WriteMixin, TraversalMixin):
             self.hops["lazy"] = total
         self.symbols[rsym] = "rel"
         self.rel_ends[rsym] = (from_sym, to_sym)
+        if rebound:
+            self.df = self.df.filter(
+                F.col(f"{rsym}_eid") == F.col(f"{rel.var}_eid"))
         self._prop_filters(rsym, rel.props)
         if to_sym in self.symbols:
             # expand-into: both endpoints bound (operator.cpp:1904 existing-

@@ -24,7 +24,7 @@ IGNORED = ("And no side effects", "And the side effects should be")
 
 # steps that make a scenario out-of-scope for this engine (skip, not fail)
 UNSUPPORTED_MARKERS = (
-    "with new point index", "there exists a procedure",
+    "there exists a procedure",
 )
 
 
@@ -208,6 +208,11 @@ def parse_feature(path: str) -> list[Scenario]:
                 f":{m.group(2)}({m.group(3)}) WITH CONFIG "
                 f'{{"dimension": {m.group(4)}, "capacity": {m.group(5)}}}')))
             i += 1
+        elif "with new point index" in line:
+            m = re.match(r".*with new point index :(\w+)\((\w+)\)", line)
+            cur.steps.append(Step(
+                "exec",
+                f"CREATE POINT INDEX ON :{m.group(1)}({m.group(2)})"))
         elif "with new edge index :(" in line:
             m = re.match(r".*with new edge index :\((\w+)\)", line)
             cur.steps.append(Step(
