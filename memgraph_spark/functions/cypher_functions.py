@@ -31,13 +31,19 @@ def _range(*args: Column) -> Column:
         return F.when(lo <= hi, F.sequence(lo, hi, F.lit(1))) \
                 .otherwise(F.array().cast("array<bigint>"))
     lo, hi, step = args
-    return (F.when((step > 0) & (lo <= hi), F.sequence(lo, hi, step))
+    return (F.when(step == 0, F.raise_error(F.lit(
+                "range() step must not be zero"))
+                .cast("array<bigint>"))
+            .when((step > 0) & (lo <= hi), F.sequence(lo, hi, step))
             .when((step < 0) & (lo >= hi), F.sequence(lo, hi, step))
             .otherwise(F.array().cast("array<bigint>")))
 
 
 def _to_integer(c: Column) -> Column:
-    return c.try_cast("long")
+    # '2.9' parses via double then truncates toward zero (TCK: toInteger
+    # on a list of strings)
+    return F.coalesce(c.try_cast("long"),
+                      c.try_cast("double").cast("long"))
 
 
 def _to_float(c: Column) -> Column:

@@ -602,6 +602,31 @@ def _compile_property(e: A.Property, env: Env) -> Column:
             return F.try_element_at(env.lambda_vars[nm], F.lit(e.key))
     subj = compile_expr(e.subject, env)
     t = env.typeof(subj)
+    from memgraph_spark.functions.variant import is_variant_type as _ivt
+    if _ivt(t):
+        # property access on a mixed-list (Any) element: maps/nodes live in
+        # the vj JSON slot; access on a scalar slot is a runtime TypeError
+        # (SemanticErrorAcceptance PropertyAccessOnNonMap)
+        from memgraph_spark.functions.variant import _slots
+        vj = subj.getField("vj")
+        raw = F.get_json_object(vj, f"$.{e.key}")
+        bad = (subj.getField("vb").isNotNull()
+               | subj.getField("vi").isNotNull()
+               | subj.getField("vd").isNotNull()
+               | subj.getField("vs").isNotNull()
+               | subj.getField("va").isNotNull())
+        decoded = (
+            F.when(raw.rlike(r"^-?\d+$"), _slots(i=raw.cast("long")))
+            .when(raw.rlike(r"^-?\d*\.\d+([eE][+-]?\d+)?$"),
+                  _slots(d=raw.cast("double")))
+            .when(raw.isin("true", "false"),
+                  _slots(b=raw == "true"))
+            .when(raw.isNotNull(), _slots(s=raw)))
+        return (F.when(subj.isNull(), F.lit(None))
+                .when(bad, F.raise_error(F.lit(
+                    "PropertyAccessOnNonMap: property access on a "
+                    "non-map value")))
+                .otherwise(decoded))
     if isinstance(t, T.StructType) and set(t.names) == {"x", "y", "z",
                                                         "srid"}:
         # point accessors (point.hpp): x/y/srid always valid; longitude/
@@ -990,6 +1015,13 @@ def _compile_conversion(name: str, conv, c: Column, env: Env):
 
 def _compile_func(e: A.FuncCall, env: Env) -> Column:
     name = e.name.lower()
+    if name == "exists" and len(e.args) == 1 \
+            and not isinstance(e.args[0], (A.Property, A.Subscript)):
+        # exists() takes a property access or a pattern — anything else is
+        # InvalidArgumentExpression (SemanticErrorAcceptance; patterns are
+        # parsed into PatternPredicate before reaching here)
+        raise CompileError(
+            "exists() expects a property access or a pattern")
     # ZonedDateTime literals (temporal.hpp): datetime() text carrying an
     # explicit [Zone/Id] or ±HH:MM offset becomes an orderable struct
     # (utc epoch, nanos, offset) — struct comparison orders by instant
@@ -1263,6 +1295,45 @@ def _compile_func(e: A.FuncCall, env: Env) -> Column:
         return F.length(args[0])
     # graph accessors over computed node/rel detail structs (path elements:
     # nodes(p)[i], relationships(p)[-1], last(nodes(p)) …)
+    if name in ("tointeger", "tofloat", "toboolean", "tostring") \
+            and len(args) == 1:
+        ct = env.typeof(args[0])
+        if ct is None and isinstance(e.args[0], A.Var) \
+                and e.args[0].name in env.lambda_types:
+            ct = env.lambda_types[e.args[0].name]
+        from memgraph_spark.functions.variant import is_variant_type
+        if is_variant_type(ct):
+            # conversions over mixed-list (Any) elements: valid slots
+            # convert, invalid ones raise InvalidArgumentValue at runtime
+            # (TypeConversionFunctions TCK)
+            v = args[0]
+            vb, vi, vd, vs = (v.getField(f) for f in ("vb", "vi",
+                                                      "vd", "vs"))
+            va, vj = v.getField("va"), v.getField("vj")
+            if name == "toboolean":
+                ok = F.coalesce(
+                    vb, F.when(F.lower(vs) == "true", F.lit(True))
+                    .when(F.lower(vs) == "false", F.lit(False)))
+                bad = (vi.isNotNull() | vd.isNotNull()
+                       | va.isNotNull() | vj.isNotNull())
+            elif name == "tointeger":
+                ok = F.coalesce(vi, vd.cast("long"),
+                                vs.try_cast("double").cast("long"))
+                bad = vb.isNotNull() | va.isNotNull() | vj.isNotNull()
+            elif name == "tofloat":
+                ok = F.coalesce(vd, vi.cast("double"),
+                                vs.try_cast("double"))
+                bad = vb.isNotNull() | va.isNotNull() | vj.isNotNull()
+            else:
+                ok = F.coalesce(
+                    vs, vi.cast("string"), vd.cast("string"),
+                    F.when(vb, F.lit("true")).when(~vb, F.lit("false")))
+                bad = va.isNotNull() | vj.isNotNull()
+            return (F.when(v.isNull(), F.lit(None))
+                    .when(bad, F.raise_error(F.lit(
+                        f"InvalidArgumentValue: {name}() on a "
+                        "non-convertible value")))
+                    .otherwise(ok))
     if name in ("type", "id", "labels", "startnode", "endnode",
                 "properties", "keys") and len(args) == 1:
         t = env.typeof(args[0])

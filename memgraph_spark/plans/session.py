@@ -358,7 +358,14 @@ class QueryCompiler(WriteMixin, TraversalMixin):
     def _match(self, m: A.Match) -> None:
         if m.optional:
             self._optional_match(m)
+            self._after_optional = True
             return
+        if getattr(self, "_after_optional", False):
+            # InvalidClauseComposition: a MATCH may not follow an
+            # OPTIONAL MATCH in the same query part (openCypher; WITH
+            # starts a new part and makes it legal again)
+            raise CompileError(
+                "MATCH cannot follow OPTIONAL MATCH (use WITH)")
         clause_rels: list[str] = []
         self._deferred_props = []
         for part in m.patterns:
@@ -425,6 +432,7 @@ class QueryCompiler(WriteMixin, TraversalMixin):
             part = self._maybe_reverse(part)  # keep written order for paths
         rels: list[str] = []
         segs: list[str] = []
+        self._part_rel_seen = set()
         start_sym = part.start.var or self._anon_sym("n")
         self._bind_node(part.start, start_sym)
         prev = start_sym
@@ -671,6 +679,19 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         """Expand (operator.hpp:1063): one hop = one equi-join on the edge
         table; BOTH direction = union of the two orientations."""
         rsym = rel.var or self._anon_sym("r")
+        if rel.var is not None:
+            seen = getattr(self, "_part_rel_seen", set())
+            if rel.var in seen:
+                # RelationshipUniquenessViolation: the same rel variable
+                # may not appear twice in one pattern
+                raise CompileError(
+                    f"cannot use the same relationship variable "
+                    f"{rel.var!r} twice in one pattern")
+            seen.add(rel.var)
+            if self.symbols.get(rel.var) not in (None, "rel"):
+                raise CompileError(
+                    f"VariableTypeConflict: {rel.var} is bound as a "
+                    f"{self.symbols[rel.var]}, not a relationship")
         rebound = rel.var is not None and self.symbols.get(rsym) == "rel"
         if rebound:
             # an already-bound rel reused in a pattern is an equality
@@ -1821,8 +1842,10 @@ class QueryCompiler(WriteMixin, TraversalMixin):
             return df.select(*final)
 
         # WITH starts a new query part: the created-in-this-part symbol
-        # set resets (variable-length comprehensions become legal again)
+        # set resets (variable-length comprehensions become legal again),
+        # and MATCH becomes legal again after OPTIONAL MATCH
         self.created_syms = set()
+        self._after_optional = False
         # WITH: the projected frame becomes the new scope
         keep: list[str] = []
         renames: dict[str, str] = {}

@@ -190,6 +190,18 @@ class WriteMixin:
                     f"to the already bound variable '{sym}' in CREATE")
         for part in cl.patterns:
             sym = part.start.var or self._anon_sym("n")
+            if (not part.chain and part.start.var
+                    and part.start.var in self.symbols):
+                # CREATE (a) with a already bound is VariableAlreadyBound
+                # even without labels/props; endpoints of a chain may
+                # legally reuse bound nodes (SemanticErrorAcceptance)
+                raise CompileError(
+                    f"VariableAlreadyBound: {part.start.var} in CREATE")
+            for r_, _n in part.chain:
+                if r_.var_length or r_.lo is not None or r_.hi is not None:
+                    raise CompileError(
+                        "CreatingVarLength: variable-length relationships "
+                        "cannot be used in CREATE")
             if sym not in self.symbols:
                 self._create_node(part.start, sym)
             else:
@@ -889,6 +901,23 @@ class WriteMixin:
             if r.dyn_types:
                 raise CompileError(
                     "dynamic edge types are not allowed in MERGE")
+            if r.var_length or r.lo is not None or r.hi is not None:
+                raise CompileError(
+                    "CreatingVarLength: variable-length relationships "
+                    "cannot be used in MERGE")
+        # ON MATCH / ON CREATE SET targets must be bound (UndefinedVariable
+        # at compile time, SemanticErrorAcceptance)
+        bound = set(self.symbols) | {
+            np.var for np in [part.start] + [n for _, n in part.chain]
+            if np.var} | {r.var for r, _ in part.chain if r.var}
+        for item in list(cl.on_match or []) + list(cl.on_create or []):
+            subj = item.subject
+            while isinstance(subj, A.Property):
+                subj = subj.subject
+            if isinstance(subj, A.Var) and subj.name not in bound:
+                raise CompileError(
+                    f"UndefinedVariable: {subj.name} in "
+                    "ON MATCH/ON CREATE")
         if not part.chain:
             self._merge_node(part.start, cl)
         elif (len(part.chain) == 1
