@@ -816,6 +816,13 @@ def _compile_binop(e: A.BinaryOp, env: Env) -> Column:
     if op == "IN":
         from memgraph_spark.functions.variant import (
             is_variant_type, to_variant, variant_eq_strict)
+        lt0 = env.typeof(l) if env.df is not None else None
+        if (isinstance(e.left, A.Literal) and e.left.value is None) \
+                or isinstance(lt0, T.NullType):
+            # null IN list: false for an empty list, else null (ternary
+            # logic — TernaryLogicAcceptance)
+            return F.when(F.size(r) == 0, F.lit(False)) \
+                    .otherwise(F.lit(None).cast("boolean"))
         rt = env.typeof(r) if env.df is not None else None
         if isinstance(rt, T.ArrayType) and is_variant_type(rt.elementType):
             lt = env.typeof(l)
@@ -897,12 +904,10 @@ def _string_operand(c: Column, ast_side, env: Env, op: str) -> Column:
         return c
     from memgraph_spark.functions.variant import is_variant_type
     if is_variant_type(t):
-        bad = (c.getField("vb").isNotNull() | c.getField("vi").isNotNull()
-               | c.getField("vd").isNotNull() | c.getField("va").isNotNull()
-               | c.getField("vj").isNotNull())
-        return (F.when(bad, F.raise_error(F.lit(
-                    f"{name} expects string operands")).cast("string"))
-                .otherwise(c.getField("vs")))
+        # runtime Any operands: non-string values make the predicate null
+        # (StartsWithAcceptance); only STATIC non-string types are the
+        # compile-time TypedValue error (string_operators.feature)
+        return c.getField("vs")
     raise CompileError(f"{name} expects string operands, "
                        f"got {t.simpleString()}")
 

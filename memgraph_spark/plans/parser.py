@@ -847,6 +847,12 @@ class Parser:
             if t.value == "NULL":
                 self.next()
                 return A.Literal(None)
+            if t.value == "COUNT" and not (self.peek(1).kind == "OP"
+                                           and self.peek(1).value == "("):
+                # `count` used as a plain variable (WITH count(*) AS count
+                # RETURN count > 0 — SkipLimitAcceptance)
+                self.next()
+                return A.Var(t.raw or "count")
             if t.value == "COUNT":
                 self.next()
                 self.eat_op("(")

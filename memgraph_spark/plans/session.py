@@ -295,6 +295,17 @@ class QueryCompiler(WriteMixin, TraversalMixin):
             return e.value
         if isinstance(e, A.Param):
             return int(self.params[e.name])
+        if not any(isinstance(n, A.Var) for n in A.walk(e)):
+            # constant expressions (LIMIT toInteger(ceil(1.7))) evaluate
+            # once on a one-row frame (SkipLimitAcceptance)
+            try:
+                v = self._seed().select(
+                    compile_expr(e, Env(self._seed(), {}, self.params))
+                    .alias("v")).first()[0]
+                if v is not None:
+                    return int(v)
+            except Exception:  # noqa: BLE001 — fall through to the error
+                pass
         raise CompileError(f"{what} must be a literal/parameter integer")
 
     # -- entry --------------------------------------------------------------
@@ -1668,9 +1679,29 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         if self.df is None:
             self.df = self._seed()
         col = compile_expr(self._lift(cl.expr), self._env())
+        t = self._env().typeof(col)
+        if t is None or isinstance(t, T.NullType):
+            # UNWIND null produces zero rows (UnwindAcceptance)
+            self.df = self.df.withColumn(cl.var, F.lit(None)).limit(0)
+            self.symbols[cl.var] = "value"
+            return
         self.df = self.df.withColumn(cl.var, F.explode(col))
         if "__once" in self.df.columns:
             self.df = self.df.drop("__once")
+        et = t.elementType if isinstance(t, T.ArrayType) else None
+        if isinstance(et, T.StructType) and (
+                ({"id", "labels"} <= set(et.names))
+                or "eid" in et.names):
+            # node/rel elements (UNWIND collect(n) / nodes(p)) re-bind as
+            # full symbols so later patterns can use them
+            # (UnwindAcceptance "does not remove variables from scope")
+            kind = "node" if "labels" in et.names else "rel"
+            for f_ in et.names:
+                self.df = self.df.withColumn(f"{cl.var}_{f_}",
+                                             F.col(f"{cl.var}.{f_}"))
+            self.df = self.df.drop(cl.var)
+            self.symbols[cl.var] = kind
+            return
         self.symbols[cl.var] = "value"
 
     # -- WITH / RETURN ---------------------------------------------------------
@@ -1685,6 +1716,16 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         for e in exprs:
             for node in A.walk(e):
                 if isinstance(node, A.Var) and node.name in self.deleted:
+                    # DELETE of a null binding deletes nothing — returning
+                    # the null is fine (NullAcceptance "Ignore null when
+                    # deleting"); only actual deleted objects raise
+                    sym = node.name
+                    idc = (f"{sym}_id" if self.symbols.get(sym) == "node"
+                           else f"{sym}_eid")
+                    if self.df is not None and idc in self.df.columns \
+                            and self.df.filter(
+                                F.col(idc).isNotNull()).isEmpty():
+                        continue
                     raise CompileError(
                         f"cannot return deleted object `{node.name}`")
 
@@ -1727,7 +1768,19 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         else:
             df, new_syms = self._project_plain(outs)
 
+        where_consumed = False
         if cl.distinct:
+            w = getattr(cl, "where", None)
+            if w is not None:
+                out_names = {name for name, _, _ in outs}
+                refs = {n.name for n in A.walk(w) if isinstance(n, A.Var)}
+                if refs - out_names:
+                    # WHERE after WITH DISTINCT referencing pre-projection
+                    # symbols filters BEFORE the dedup (WithAcceptance
+                    # "WHERE on a DISTINCT column")
+                    df = df.filter(compile_expr(
+                        self._lift(w), Env(df, new_syms, self.params)))
+                    where_consumed = True
             # DISTINCT is over the output columns only; ORDER BY afterwards
             # may legally only reference them (Cypher scoping rule)
             df = df.select(*[qcol(c) for c in self._keep_cols(outs, df)])
@@ -1738,7 +1791,7 @@ class QueryCompiler(WriteMixin, TraversalMixin):
                 if kind in ("node", "rel", "path"):
                     new_syms[spec] = kind
 
-        where = getattr(cl, "where", None)
+        where = None if where_consumed else getattr(cl, "where", None)
         order = cl.order
         added_alias_cols: list[str] = []
         if where is not None or order:
@@ -1861,9 +1914,10 @@ class QueryCompiler(WriteMixin, TraversalMixin):
             else:
                 keep.append(name)
                 self.symbols[name] = "value"
-        df = df.select(*[qcol(c) for c in dict.fromkeys(keep)])
-        for old, new in renames.items():
-            df = df.withColumnRenamed(old, new)
+        # one atomic select: sequential withColumnRenamed would collide on
+        # symbol swaps (WITH a AS b, b AS tmp — WithAcceptance)
+        df = df.select(*[qcol(c).alias(renames.get(c, c))
+                         for c in dict.fromkeys(keep)])
         self.df = df
         return df
 

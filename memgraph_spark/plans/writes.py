@@ -531,7 +531,17 @@ class WriteMixin:
         if kind not in ("node", "rel"):
             raise CompileError(f"cannot SET a property on a {kind}")
         if delta_ast is not None:
-            d = compile_expr(delta_ast, env) * sign
+            d0 = compile_expr(delta_ast, env)
+            dt = env.typeof(d0)
+            if not isinstance(dt, (T.LongType, T.IntegerType, T.ShortType,
+                                   T.ByteType, T.DoubleType, T.FloatType,
+                                   T.DecimalType)):
+                # list/string concat onto a property is not a summable
+                # delta — take the plain-assignment path (SetAcceptance
+                # "Concatenate elements onto a list property")
+                delta_ast = None
+        if delta_ast is not None:
+            d = d0 * sign
             updates = (self.df.select(F.col(key_col).alias(key_name),
                                       d.alias("__v"))
                        .groupBy(key_name).agg(F.sum("__v").alias("__v"))
@@ -540,7 +550,9 @@ class WriteMixin:
             # frame columns see the accumulated final value too
             upd = updates.select(F.col(key_name).alias("__uk"),
                                  F.col("__v").alias("__uv"))
-            old = F.col(f"{sym}_{skey}")
+            old = (F.col(f"{sym}_{skey}")
+                   if f"{sym}_{skey}" in self.df.columns
+                   else F.lit(None).cast(dt))
             self.df = (self.df.join(
                 upd, self.df[key_col] == upd["__uk"], "left")
                 .withColumn(f"{sym}_{skey}",

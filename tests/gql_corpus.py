@@ -388,7 +388,7 @@ def canon_actual(v, list_unordered: bool = False) -> str:
         if "labels" in d and "id" in d:  # node struct
             labels = sorted(d.get("labels") or [])
             props = {_disp(k): x for k, x in d.items()
-                     if k not in ("id", "key", "labels") and x is not None}
+                     if k not in ("id", "labels") and x is not None}
             return ("(" + "".join(f":{l}" for l in labels)
                     + (" " if labels and props else "")
                     + (_props_str(props, lu) if props else "") + ")")
@@ -477,7 +477,8 @@ class _P:
             c = self.s[self.i]
             if c == "\\":
                 self.i += 1
-                buf.append(self.s[self.i])
+                nxt = self.s[self.i]
+                buf.append({"n": "\n", "t": "\t", "r": "\r"}.get(nxt, nxt))
                 self.i += 1
                 continue
             if c == q:
@@ -666,7 +667,10 @@ def parse_param_value(cell: str):
     if cell.startswith("["):
         import json
         try:
-            return json.loads(cell.replace("'", '"'))
+            txt = cell.replace("'", '"')
+            txt = re.sub(r"([{,]\s*)([A-Za-z_][A-Za-z0-9_]*)\s*:",
+                         r'\1"\2":', txt)
+            return json.loads(txt)
         except Exception:
             return cell
     if cell.startswith("{"):
