@@ -784,6 +784,16 @@ def _compile_binop(e: A.BinaryOp, env: Env) -> Column:
                     ot = env.typeof(other) if env.df is not None else None
                     return F.lit(None).cast(ot) if ot is not None \
                         else F.lit(None)
+            # list + scalar appends the element ([false, true] + false —
+            # ReturnAcceptance2 "Appending lists of same type")
+            lt2 = env.typeof(l) if env.df is not None else None
+            rt2 = env.typeof(r) if env.df is not None else None
+            if isinstance(lt2, T.ArrayType) \
+                    and not isinstance(rt2, T.ArrayType):
+                r = F.array(r)
+            elif isinstance(rt2, T.ArrayType) \
+                    and not isinstance(lt2, T.ArrayType):
+                l = F.array(l)
             return F.concat(l, r)
         if _string_side(e.left, env) or _string_side(e.right, env):
             return F.concat(l.cast("string"), r.cast("string"))

@@ -46,7 +46,21 @@ def _unescape(s: str) -> str:
     while i < len(s):
         c = s[i]
         if c == "\\" and i + 1 < len(s):
-            out.append(ESCAPES.get(s[i + 1], s[i + 1]))
+            nxt = s[i + 1]
+            if nxt in ("u", "U"):
+                # \uXXXX / \UXXXXXXXX unicode escapes; a malformed one is
+                # a SyntaxError (MiscellaneousErrorAcceptance)
+                width = 4 if nxt == "u" else 8
+                hexpart = s[i + 2:i + 2 + width]
+                if len(hexpart) != width or any(
+                        ch not in "0123456789abcdefABCDEF"
+                        for ch in hexpart):
+                    raise SyntaxError(
+                        f"invalid unicode literal \\{nxt}{hexpart!r}")
+                out.append(chr(int(hexpart, 16)))
+                i += 2 + width
+                continue
+            out.append(ESCAPES.get(nxt, nxt))
             i += 2
         else:
             out.append(c)

@@ -295,8 +295,21 @@ class Parser:
         if self.try_kw("LIMIT"):
             limit = self.expr()
         if cls is A.With:
+            # WITH requires every non-variable expression to be aliased
+            # (NoExpressionsInWith, MiscellaneousErrorAcceptance)
+            for it in items:
+                if it.alias is None and not isinstance(it.expr, A.Var):
+                    raise SyntaxError(
+                        f"expression in WITH must be aliased: {it.text!r}")
             where = self.expr() if self.try_kw("WHERE") else None
             return A.With(items, star, distinct, order, skip, limit, where)
+        # duplicate output names in RETURN are a syntax error
+        # (ColumnNameConflict, MiscellaneousErrorAcceptance)
+        names = [it.alias or it.text for it in items]
+        dupes = {n for n in names if names.count(n) > 1}
+        if dupes:
+            raise SyntaxError(
+                f"multiple result columns with the same name {sorted(dupes)}")
         return A.Return(items, star, distinct, order, skip, limit)
 
     def return_item(self) -> A.ReturnItem:

@@ -1713,8 +1713,32 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         so this check runs only for RETURN, not WITH/SET."""
         if not self.deleted:
             return
+        import dataclasses as _dc
+        META_FNS = {"type", "id", "count"}  # labels() still raises
+
+        def hard_refs(x):
+            # metadata accessors on deleted entities are fine (the
+            # reference caches type/id/labels — ReturnAcceptance2 "Do not
+            # fail when returning type of deleted relationships")
+            if isinstance(x, A.FuncCall) and x.name.lower() in META_FNS:
+                return
+            if not _dc.is_dataclass(x):
+                return
+            if isinstance(x, A.Var):
+                yield x
+                return
+            for f in _dc.fields(x):
+                v = getattr(x, f.name)
+                vs = (list(v.values()) if isinstance(v, dict)
+                      else v if isinstance(v, (list, tuple)) else [v])
+                for item in vs:
+                    if isinstance(item, tuple):
+                        for y in item:
+                            yield from hard_refs(y)
+                    else:
+                        yield from hard_refs(item)
         for e in exprs:
-            for node in A.walk(e):
+            for node in hard_refs(e):
                 if isinstance(node, A.Var) and node.name in self.deleted:
                     # DELETE of a null binding deletes nothing — returning
                     # the null is fine (NullAcceptance "Ignore null when
@@ -1736,9 +1760,14 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         if is_return:
             self._check_deleted(*[it.expr for it in items])
         if cl.star:
+            visible = [s for s in sorted(self.symbols)
+                       if not s.startswith("__")]
+            if not visible and not items:
+                raise CompileError(
+                    "RETURN * is not allowed when there are no variables "
+                    "in scope")
             items = [A.ReturnItem(A.Var(s), None, s)
-                     for s in sorted(self.symbols)
-                     if not s.startswith("__")] + items
+                     for s in visible] + items
         # RollUpApply pass: pattern comprehensions become list columns first
         if self.df is not None:
             items = [A.ReturnItem(self._lift(it.expr), it.alias, it.text)
@@ -1844,6 +1873,11 @@ class QueryCompiler(WriteMixin, TraversalMixin):
             df = df.offset(self._static_int(cl.skip, "SKIP"))
         if cl.limit is not None:
             k = self._static_int(cl.limit, "LIMIT")
+            if k < 0:
+                if isinstance(cl.limit, A.Param):
+                    k = 0  # negative parameter LIMIT yields no rows
+                else:
+                    raise CompileError("LIMIT must not be negative")
             df = df.limit(k)
             # lazy hops accounting: LIMIT k only pulls k rows through the
             # expand, so retrievals beyond k never happen (hops_limit.hpp
@@ -1914,10 +1948,24 @@ class QueryCompiler(WriteMixin, TraversalMixin):
             else:
                 keep.append(name)
                 self.symbols[name] = "value"
-        # one atomic select: sequential withColumnRenamed would collide on
-        # symbol swaps (WITH a AS b, b AS tmp — WithAcceptance)
-        df = df.select(*[qcol(c).alias(renames.get(c, c))
-                         for c in dict.fromkeys(keep)])
+        # one atomic select built per output item: sequential
+        # withColumnRenamed would collide on symbol swaps (WITH a AS b,
+        # b AS tmp) and a dict drops duplicate sources (WITH n AS a,
+        # n AS b — MergeRelationshipAcceptance aliasing)
+        sel, seen = [], set()
+        for name, kind, spec in outs:
+            if kind in ("node", "rel", "path"):
+                for c in df.columns:
+                    if c == spec or c.startswith(f"{spec}_"):
+                        tgt = (name if c == spec
+                               else f"{name}_{c[len(spec) + 1:]}")
+                        if tgt not in seen:
+                            seen.add(tgt)
+                            sel.append(qcol(c).alias(tgt))
+            elif name not in seen:
+                seen.add(name)
+                sel.append(qcol(name))
+        df = df.select(*sel)
         self.df = df
         return df
 

@@ -561,6 +561,18 @@ class WriteMixin:
                 .drop("__uk", "__uv"))
         else:
             val = compile_expr(lifted, env)
+            vt = env.typeof(val)
+            from memgraph_spark.functions.variant import is_variant_type
+            if isinstance(vt, T.ArrayType) and (
+                    isinstance(vt.elementType, T.MapType)
+                    or (isinstance(vt.elementType, T.StructType)
+                        and not is_variant_type(vt.elementType))):
+                # InvalidPropertyType (MiscellaneousErrorAcceptance):
+                # lists of maps/entities cannot be stored as a property
+                # (heterogeneous variant lists are fine)
+                raise CompileError(
+                    "InvalidPropertyType: cannot store a list of maps "
+                    "as a property")
             updates = (self.df.select(F.col(key_col).alias(key_name),
                                       val.alias("__v"))
                        .dropDuplicates([key_name])
@@ -930,9 +942,29 @@ class WriteMixin:
                 raise CompileError(
                     f"UndefinedVariable: {subj.name} in "
                     "ON MATCH/ON CREATE")
+        for np in [part.start] + [n for _, n in part.chain]:
+            if np.var and np.var in self.symbols \
+                    and self.symbols.get(np.var) == "node" \
+                    and (np.labels or np.props):
+                raise CompileError(
+                    f"VariableAlreadyBound: cannot add labels or "
+                    f"properties to bound variable {np.var!r} in MERGE")
         if not part.chain:
-            self._merge_node(part.start, cl)
+            sym = self._merge_node(part.start, cl)
+            if part.var:
+                self.df = (self.df
+                           .withColumn(f"{part.var}_length",
+                                       F.lit(0).cast("long"))
+                           .withColumn(f"{part.var}_nids",
+                                       F.array(F.col(f"{sym}_id")))
+                           .withColumn(f"{part.var}_eids",
+                                       F.array().cast("array<long>"))
+                           .withColumn(f"{part.var}_dirs",
+                                       F.array().cast("array<boolean>")))
+                self._materialize_path(part.var)
+                self.symbols[part.var] = "path"
         elif (len(part.chain) == 1
+              and part.var is None
               and part.chain[0][0].direction != "both"
               and not cl.pattern.chain[0][0].props
               and not part.chain[0][1].props
@@ -1021,6 +1053,7 @@ class WriteMixin:
             creator._create(A.Create([A.PatternPart(None, part.start, chain)]))
             if cl.on_create:
                 creator._set(cl.on_create)
+            self._all_props_cache = None  # the creator added columns
         # rebind every input row against the new table versions
         sub2 = self._sub_compiler("mr")
         sub2.df = frame
@@ -1029,6 +1062,9 @@ class WriteMixin:
         self.df = sub2.df.drop("__mrow")
         for s, k in sub2.symbols.items():
             self.symbols.setdefault(s, k)
+        # endpoint bookkeeping so startNode()/endNode() on the merged rel
+        # can rebuild full node structs (MergeRelationshipAcceptance)
+        self.rel_ends.update(getattr(sub2, "rel_ends", {}))
 
     def _merge_node(self, np: A.NodePattern, cl: A.Merge) -> None:
         sym = np.var or self._anon_sym("n")
@@ -1064,13 +1100,25 @@ class WriteMixin:
                 raise CompileError("cannot MERGE with a null property value")
 
         def join_pattern(how: str) -> DataFrame:
+            from memgraph_spark.functions.variant import (
+                is_variant_type, to_variant, variant_eq_strict)
             p = prefix_columns(self._node_df(np.labels), sym)
             cond = F.lit(True)
             env = self._env(frame)
             for k, ve in np.props.items():
                 col = f"{sym}_{A.prop_col(k)}"
                 c = F.col(col) if col in p.columns else F.lit(None)
-                cond = cond & (c == compile_expr(ve, env))
+                v = compile_expr(ve, env)
+                ct = (p.schema[col].dataType if col in p.columns else None)
+                if is_variant_type(ct):
+                    # mixed-type property column: strict variant equality
+                    # against the typed probe value
+                    vt_ = env.typeof(v)
+                    probe = v if is_variant_type(vt_) else to_variant(v, vt_)
+                    cond = cond & F.coalesce(
+                        variant_eq_strict(c, probe), F.lit(False))
+                else:
+                    cond = cond & (c == v)
             return frame.join(p, cond, how)
 
         matched = join_pattern("left")
@@ -1093,22 +1141,31 @@ class WriteMixin:
                 wrote_match = True
         if n_missing:
             env_m = self._env(missing)
-            distinct = missing.select(
-                *[compile_expr(ve, env_m).alias(f"__p_{k}")
-                  for k, ve in np.props.items()]).dropDuplicates()
+            exemplar = missing
+            for k, ve in np.props.items():
+                exemplar = exemplar.withColumn(f"__p_{k}",
+                                               compile_expr(ve, env_m))
+            # one creation per distinct property binding, keeping one full
+            # outer row as context — ON CREATE may reference outer matched
+            # symbols (MergeNodeAcceptance "properties from match")
+            exemplar = (exemplar.dropDuplicates(
+                            [f"__p_{k}" for k in np.props])
+                        if np.props else exemplar.limit(1))
             creator = self._sub_compiler("mc")
-            creator.df = distinct if np.props else missing.limit(1)
-            creator.symbols = {}
+            creator.df = exemplar.localCheckpoint(eager=True)
+            creator.symbols = dict(self.symbols)
             creator._create_node(
                 A.NodePattern(sym, np.labels,
                               {k: A.Var(f"__p_{k}") for k in np.props}), sym)
             if cl.on_create:
                 creator._set(cl.on_create)
+            self._all_props_cache = None  # the creator added columns
         if n_missing or wrote_match:
             self.df = join_pattern("inner")  # rebind on the new table version
         else:
             self.df = matched
         self.symbols[sym] = "node"
+        return sym
 
     def _merge_edge(self, part: A.PatternPart, cl: A.Merge) -> None:
         rel, target = part.chain[0]
