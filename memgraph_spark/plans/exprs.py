@@ -1303,6 +1303,14 @@ def _compile_func(e: A.FuncCall, env: Env) -> Column:
                 and env.symbols.get(e.args[0].name) == "path"):
             return F.col(f"{e.args[0].name}_length")
         t = env.typeof(args[0])
+        if t is None and isinstance(e.args[0], A.Subscript):
+            # lambda-var index defeats the frame probe, but the subject's
+            # own type still names the element type (keyed roll-up maps)
+            st_ = env.typeof(compile_expr(e.args[0].subject, env))
+            if isinstance(st_, T.MapType):
+                t = st_.valueType
+            elif isinstance(st_, T.ArrayType):
+                t = st_.elementType
         if isinstance(t, T.ArrayType):
             return F.size(args[0])
         if isinstance(t, T.MapType):

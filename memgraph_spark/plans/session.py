@@ -1223,12 +1223,19 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         self.symbols[cl.var] = "value"
 
     # -- RollUpApply: pattern comprehensions ----------------------------------
-    def _lift(self, e: A.Expr) -> A.Expr:
+    def _lift(self, e: A.Expr, lambda_bound: frozenset = frozenset()) \
+            -> A.Expr:
         """Replace PatternComprehension nodes inside an expression tree with
         precomputed list columns (RollUpApply, operator.cpp:9208: per anchor
         binding, collect the projections over all pattern matches)."""
         import dataclasses
         if isinstance(e, A.PatternComprehension):
+            lam = sorted(self._pattern_syms([e.pattern]) & lambda_bound)
+            if lam:
+                # comprehension anchored on an enclosing lambda variable
+                # ([x IN nodes(p) | size([(x)-->(:Y) | 1])]): roll up a
+                # global per-anchor lookup map once and subscript it
+                return self._roll_up_keyed(e, lam[0])
             return self._roll_up(e)
         # DEGREE/INDEGREE/OUTDEGREE(n) (awesome functions Degree family):
         # the incident-edge count is exactly a pattern-comprehension length
@@ -1251,26 +1258,67 @@ class QueryCompiler(WriteMixin, TraversalMixin):
             return A.FuncCall("size", [lst])
         if isinstance(e, A.PatternPredicate) or not dataclasses.is_dataclass(e):
             return e
+        lb = lambda_bound
+        if isinstance(e, A.ListComprehension):
+            lb = lb | {e.var}
+        elif isinstance(e, A.ReduceExpr):
+            lb = lb | {e.var, e.acc}
         changes = {}
         for f in dataclasses.fields(e):
             v = getattr(e, f.name)
             if isinstance(v, A.Expr):
-                nv = self._lift(v)
+                nv = self._lift(v, lb)
                 if nv is not v:
                     changes[f.name] = nv
             elif isinstance(v, list) and v and isinstance(v[0], A.Expr):
-                changes[f.name] = [self._lift(x) for x in v]
+                changes[f.name] = [self._lift(x, lb) for x in v]
             elif (isinstance(v, list) and v and isinstance(v[0], tuple)):
                 # CaseExpr whens, MapProjection items: lift Expr elements
                 changes[f.name] = [
-                    tuple(self._lift(x) if isinstance(x, A.Expr) else x
+                    tuple(self._lift(x, lb) if isinstance(x, A.Expr) else x
                           for x in tup)
                     for tup in v]
             elif isinstance(v, dict):
                 changes[f.name] = {
-                    k: (self._lift(x) if isinstance(x, A.Expr) else x)
+                    k: (self._lift(x, lb) if isinstance(x, A.Expr) else x)
                     for k, x in v.items()}
         return dataclasses.replace(e, **changes) if changes else e
+
+    def _roll_up_keyed(self, pc: A.PatternComprehension, var: str) -> A.Expr:
+        """RollUpApply keyed by a lambda variable: build one global
+        anchor-id -> list lookup map (broadcast — same caveat as the
+        unanchored roll-up) and rewrite the comprehension to
+        lookup[id(var)]."""
+        import dataclasses as _dc
+        fresh = self._anon_sym("pk")
+
+        def ren(np):
+            return _dc.replace(np, var=fresh) if np.var == var else np
+        pat = A.PatternPart(pc.pattern.var, ren(pc.pattern.start),
+                            [(r, ren(n)) for r, n in pc.pattern.chain])
+        sub = QueryCompiler(self.g, self.params, hops=self.hops,
+                            anon_prefix=f"rk{self._anon}_")
+        self._anon += 1
+        _apply_edge_uniqueness(sub, sub._pattern_part(pat))
+        mapping = {var: fresh}
+        if pc.where is not None:
+            sub._where(A.rename_vars(pc.where, mapping))
+        proj = compile_expr(
+            sub._lift(A.rename_vars(pc.projection, mapping)), sub._env())
+        rolled = (sub.df.select(F.col(f"{fresh}_id").alias("__k"),
+                                proj.alias("__p"))
+                  .groupBy("__k").agg(F.collect_list("__p").alias("__l")))
+        empty = F.array().cast(rolled.schema["__l"].dataType)
+        full = (self.g.all_nodes([]).select(F.col("id").alias("__k"))
+                .join(rolled, "__k", "left")
+                .withColumn("__l", F.coalesce(F.col("__l"), empty)))
+        out = self._anon_sym("pcm")
+        single = full.agg(F.map_from_entries(
+            F.collect_list(F.struct("__k", "__l"))).alias(out))
+        base = self._seed() if self.df is None else self.df
+        self.df = base.crossJoin(F.broadcast(single))
+        self.symbols[out] = "value"
+        return A.Subscript(A.Var(out), A.FuncCall("id", [A.Var(var)]))
 
     def _roll_up(self, pc: A.PatternComprehension) -> A.Expr:
         ren = getattr(self, "_lift_renames", None) or {}
