@@ -1259,10 +1259,13 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         if isinstance(e, A.PatternPredicate) or not dataclasses.is_dataclass(e):
             return e
         lb = lambda_bound
-        if isinstance(e, A.ListComprehension):
+        if isinstance(e, A.ListComprehension) and (
+                isinstance(e.source, A.FuncCall)
+                and e.source.name.lower() in ("nodes", "relationships")):
+            # only lambda vars that range over graph elements key a
+            # roll-up; vars over scalar lists (quantifier comprehensions)
+            # keep the anchored/unanchored paths
             lb = lb | {e.var}
-        elif isinstance(e, A.ReduceExpr):
-            lb = lb | {e.var, e.acc}
         changes = {}
         for f in dataclasses.fields(e):
             v = getattr(e, f.name)
