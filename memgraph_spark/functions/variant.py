@@ -106,6 +106,80 @@ def variant_cmp(l: Column, lt, r: Column, rt, op: str) -> Column:
     )
 
 
+def variant_nonnum(v: Column) -> Column:
+    """True when a non-null variant holds a non-numeric value."""
+    return (v.getField("vb").isNotNull() | v.getField("vs").isNotNull()
+            | v.getField("va").isNotNull() | v.getField("vj").isNotNull())
+
+
+def variant_render(v: Column) -> Column:
+    """Display string of a variant's scalar slots (string + concat)."""
+    return F.coalesce(
+        v.getField("vs"), v.getField("vi").cast("string"),
+        v.getField("vd").cast("string"),
+        F.when(v.getField("vb"), F.lit("true"))
+        .when(~v.getField("vb"), F.lit("false")),
+        v.getField("vj"))
+
+
+def variant_arith(l: Column, lt, r: Column, rt, op: str) -> Column:
+    """Arithmetic where at least one side is a numeric-capable variant
+    (mixed-type property, SURVEY §1.3). Mirrors TypedValue's arithmetic
+    operators (typed_value.cpp): int op int stays int, any double makes
+    the result double, `+` with a string operand concatenates, any other
+    non-numeric operand is a runtime type error. The result is again a
+    variant struct so per-row int/float typing survives."""
+    lv = l if is_variant_type(lt) else to_variant(l, lt)
+    rv = r if is_variant_type(rt) else to_variant(r, rt)
+    li, ri = lv.getField("vi"), rv.getField("vi")
+    ln, rn = variant_num(lv), variant_num(rv)
+    both_int = li.isNotNull() & ri.isNotNull()
+    if op == "+":
+        int_val = li + ri
+        num_val = ln + rn
+    elif op == "-":
+        int_val = li - ri
+        num_val = ln - rn
+    elif op == "*":
+        int_val = li * ri
+        num_val = ln * rn
+    elif op == "/":
+        int_val = (li / ri).cast("long")
+        num_val = ln / rn
+    elif op == "%":
+        int_val = li % ri
+        num_val = ln % rn
+    elif op == "^":
+        int_val = None
+        num_val = F.pow(ln, rn)
+    else:  # pragma: no cover
+        raise ValueError(op)
+    bad = variant_nonnum(lv) | variant_nonnum(rv)
+    if op == "+":
+        # string + anything concatenates (typed_value.cpp operator+)
+        str_side = (lv.getField("vs").isNotNull()
+                    | rv.getField("vs").isNotNull())
+        good = (F.when(str_side,
+                       _slots(s=F.concat(variant_render(lv),
+                                         variant_render(rv))))
+                .when(both_int, _slots(i=int_val))
+                .otherwise(_slots(d=num_val)))
+        bad = bad & ~str_side
+    elif int_val is None:
+        good = _slots(d=num_val)
+    else:
+        good = F.when(both_int, _slots(i=int_val)) \
+            .otherwise(_slots(d=num_val))
+    return (F.when(lv.isNull() | rv.isNull(), F.lit(None).cast(
+                "struct<vb:boolean,vi:bigint,vd:double,vs:string,"
+                "va:array<string>,vj:string>"))
+            .when(bad, F.raise_error(F.lit(
+                f"invalid operand types for '{op}'")).cast(
+                "struct<vb:boolean,vi:bigint,vd:double,vs:string,"
+                "va:array<string>,vj:string>"))
+            .otherwise(good))
+
+
 def variant_eq_strict(l: Column, r: Column) -> Column:
     """Element equality for IN / membership over heterogeneous lists:
     same-category values compare (int/double numerically); different

@@ -220,7 +220,16 @@ def compile_expr(e: A.Expr, env: Env) -> Column:
         return _compile_property(e, env)
     if isinstance(e, A.UnaryOp):
         c = compile_expr(e.operand, env)
-        return ~c if e.op == "NOT" else (-c if e.op == "-" else c)
+        if e.op == "-":
+            from memgraph_spark.functions.variant import (
+                _slots, is_variant_type)
+            t = env.typeof(c) if env.df is not None else None
+            if is_variant_type(t):
+                # negate within the value's own slot (per-row typing)
+                return F.when(c.isNotNull(), _slots(
+                    i=-c.getField("vi"), d=-c.getField("vd")))
+            return -c
+        return ~c if e.op == "NOT" else c
     if isinstance(e, A.BinaryOp):
         return _compile_binop(e, env)
     if isinstance(e, A.IsNull):
@@ -771,6 +780,19 @@ def _compile_binop(e: A.BinaryOp, env: Env) -> Column:
         return l <= r
     if op == ">=":
         return l >= r
+    if op in ("+", "-", "*", "/", "%", "^"):
+        # mixed-type (variant) operand: per-row-typed arithmetic
+        # (typed_value.cpp operators; int op int stays int)
+        from memgraph_spark.functions.variant import (
+            is_variant_type, variant_arith)
+        lt_v = env.typeof(l) if env.df is not None else None
+        rt_v = env.typeof(r) if env.df is not None else None
+        if lt_v is None and isinstance(e.left, A.Var):
+            lt_v = env.lambda_types.get(e.left.name)
+        if rt_v is None and isinstance(e.right, A.Var):
+            rt_v = env.lambda_types.get(e.right.name)
+        if is_variant_type(lt_v) or is_variant_type(rt_v):
+            return variant_arith(l, lt_v, r, rt_v, op)
     if op == "+":
         # Cypher + is overloaded: numeric add, string concat, list concat
         if _array_side(e.left, env) or _array_side(e.right, env):
@@ -1222,15 +1244,37 @@ def _compile_func(e: A.FuncCall, env: Env) -> Column:
         # operator.cpp:6566: non-comparable / non-numeric inputs raise):
         # mixed-type (variant) min/max/sum/avg and duration min/max error
         if name in ("min", "max", "sum", "avg") and args:
-            from memgraph_spark.functions.variant import is_variant_type
+            from memgraph_spark.functions.variant import (
+                _slots, is_variant_type, variant_nonnum, variant_num)
             at = env.typeof(args[0]) if env.df is not None else None
             if is_variant_type(at):
-                # the reference deviates from openCypher orderability here:
-                # min/max over mixed-type values raise (aggregations.feature
-                # Min/Max test 01 expect the error; the M09 Aggregation
-                # mixed-value scenarios are known-divergent)
-                raise CompileError(
-                    f"{name}() over mixed-type values is not defined")
+                # variant input: numeric-only values aggregate with
+                # per-value typing (sum of ints stays int, min/max return
+                # the element); any non-numeric value raises at runtime —
+                # the reference deviates from openCypher orderability here
+                # (aggregations.feature Min/Max test 01 expect the error)
+                v = args[0]
+                num = variant_num(v)
+                n_bad = F.count(F.when(variant_nonnum(v), 1))
+                raise_ = F.raise_error(F.lit(
+                    f"{name}() over mixed-type values is not defined"))
+                if name in ("min", "max"):
+                    # lexicographic struct min/max = argmin/argmax on the
+                    # numeric view, returning the element's own variant
+                    agg = F.min if name == "min" else F.max
+                    picked = agg(F.when(num.isNotNull(),
+                                        F.struct(num.alias("k"),
+                                                 v.alias("v"))))
+                    return F.when(n_bad > 0, raise_).otherwise(
+                        picked.getField("v"))
+                if name == "sum":
+                    any_d = F.count(F.when(
+                        v.getField("vd").isNotNull(), 1))
+                    return (F.when(n_bad > 0, raise_)
+                            .when(any_d > 0, _slots(d=F.sum(num)))
+                            .otherwise(_slots(i=F.coalesce(
+                                F.sum(v.getField("vi")), F.lit(0)))))
+                return F.when(n_bad > 0, raise_).otherwise(F.avg(num))
             if isinstance(at, T.DayTimeIntervalType):
                 raise CompileError(
                     f"{name}() over durations is not defined")
@@ -1632,6 +1676,36 @@ def _compile_func(e: A.FuncCall, env: Env) -> Column:
     if name in ("abs", "exp", "log", "log10", "sqrt", "sin", "cos", "tan",
                 "asin", "acos", "atan", "sign", "floor", "ceil") and args:
         _t = env.typeof(args[0]) if env.df is not None else None
+        from memgraph_spark.functions.variant import (
+            _slots, is_variant_type, variant_nonnum, variant_num)
+        if is_variant_type(_t):
+            # mixed-type (variant) argument: numeric slots compute with
+            # per-value typing (Abs keeps int — awesome_memgraph_functions
+            # .cpp:1102), non-numeric values raise at runtime
+            v = args[0]
+            num = variant_num(v)
+            if name == "abs":
+                good = _slots(i=F.abs(v.getField("vi")),
+                              d=F.abs(v.getField("vd")))
+            elif name == "sign":
+                good = (F.when(num > 0, F.lit(1)).when(num < 0, F.lit(-1))
+                        .otherwise(F.lit(0))).cast("long")
+            elif name in ("floor", "ceil"):
+                fn = F.floor if name == "floor" else F.ceil
+                good = fn(num).cast("double")
+            elif name in ("log", "log10"):
+                fn = F.log if name == "log" else F.log10
+                good = F.when(num < 0, F.lit(float("nan"))) \
+                    .otherwise(F.coalesce(fn(num), F.lit(float("-inf"))))
+            elif name == "sqrt":
+                good = F.when(num < 0, F.lit(float("nan"))) \
+                    .otherwise(F.sqrt(num))
+            else:
+                good = getattr(F, name)(num)
+            return (F.when(v.isNull(), F.lit(None))
+                    .when(variant_nonnum(v), F.raise_error(F.lit(
+                        f"{name}() expects a number")))
+                    .otherwise(good))
         if isinstance(_t, (T.StringType, T.BooleanType, T.ArrayType,
                            T.MapType, T.StructType)):
             raise CompileError(f"{name}() expects a number")

@@ -41,6 +41,10 @@ from memgraph_spark.plans.writes import WriteMixin
 REL_META = ("eid", "type", "src", "dst")
 
 
+# sentinel: _tail_per_row declined (single row / past the fence)
+_NOT_SEQ = object()
+
+
 def qcol(name: str) -> Column:
     """Column reference robust to dots/odd chars in result names (RETURN
     without AS yields columns literally named e.g. `a.x`)."""
@@ -310,12 +314,7 @@ class QueryCompiler(WriteMixin, TraversalMixin):
 
     # -- entry --------------------------------------------------------------
     def compile(self, sq: A.SingleQuery) -> DataFrame:
-        result: DataFrame | None = None
-        for cl in sq.clauses:
-            if isinstance(cl, A.Return):
-                result = self._project(cl, is_return=True)
-            else:
-                self.compile_clause(cl)
+        result = self._compile_clauses(list(sq.clauses))
         if result is None:
             if not self.wrote:
                 raise CompileError("read query must end in RETURN")
@@ -325,6 +324,91 @@ class QueryCompiler(WriteMixin, TraversalMixin):
             return self.g.spark.createDataFrame(
                 [], " BIGINT, ".join(WRITE_COUNTERS) + " BIGINT")
         return result
+
+    def _compile_clauses(self, clauses: list) -> DataFrame | None:
+        result: DataFrame | None = None
+        for idx, cl in enumerate(clauses):
+            if isinstance(cl, A.Merge) \
+                    and self._merge_interleaves(cl, clauses[idx + 1:]):
+                r = self._tail_per_row(clauses[idx:])
+                if r is not _NOT_SEQ:
+                    return r
+            if isinstance(cl, A.Return):
+                result = self._project(cl, is_return=True)
+            else:
+                self.compile_clause(cl)
+        return result
+
+    def _merge_interleaves(self, cl: A.Merge, rest: list) -> bool:
+        """Merge cursor parity (operator.cpp:7194; issue #1333 — merge.
+        feature 'Merge followed by Create bounded count'): each pull of
+        MERGE re-scans the store, so writes performed while processing
+        earlier input rows are visible to later rows. Batch (snapshot)
+        execution diverges only when (a) the merge is an unbound,
+        unconstrained node scan, and (b) a later clause in the same query
+        creates nodes such a scan would match. That narrow shape runs the
+        query tail per input row (fenced, _tail_per_row); every other
+        shape keeps the distributed batch path."""
+        part = cl.pattern
+        if part.chain or part.var or self.df is None:
+            return False
+        np = part.start
+        if np.props or np.dyn_labels or np.var is None \
+                or np.var in self.symbols:
+            return False
+        need = set(np.labels)
+
+        def created(cls_: list):
+            for c in cls_:
+                if isinstance(c, A.Create):
+                    for p in c.patterns:
+                        yield p.start
+                        for _, n in p.chain:
+                            yield n
+                elif isinstance(c, A.Merge):
+                    yield c.pattern.start
+                    for _, n in c.pattern.chain:
+                        yield n
+                elif isinstance(c, A.Foreach):
+                    yield from created(c.updates)
+
+        return any(not n.dyn_labels and need <= set(n.labels)
+                   for n in created(rest))
+
+    def _tail_per_row(self, clauses: list):
+        """Run the remaining clauses once per current frame row, writes
+        committing between rows (Merge pull-visibility emulation). Returns
+        _NOT_SEQ when a single row (batch == sequential) or past the fence
+        (stay distributed — documented divergence at scale)."""
+        SEQ_MERGE_MAX = 1000
+        tagged = (self.df.withColumn("__mi_row",
+                                     F.monotonically_increasing_id())
+                  .localCheckpoint(eager=True))
+        rids = [r[0] for r in tagged.select("__mi_row").collect()]
+        if len(rids) <= 1 or len(rids) > SEQ_MERGE_MAX:
+            self.df = tagged.drop("__mi_row")
+            return _NOT_SEQ
+        pieces: list[DataFrame] = []
+        base_syms = dict(self.symbols)
+        for rid in rids:
+            sub = QueryCompiler(self.g, self.params, hops=self.hops,
+                                anon_prefix=f"mi{self._anon}_")
+            self._anon += 1
+            sub.symbols = dict(base_syms)
+            sub.counters = self.counters
+            sub.df = tagged.filter(F.col("__mi_row") == rid) \
+                .drop("__mi_row")
+            r = sub._compile_clauses(clauses)
+            if sub.wrote:
+                self.wrote = True
+            if r is not None:
+                pieces.append(r.localCheckpoint(eager=True))
+        if not pieces:
+            return None
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
 
     def compile_clause(self, cl: A.Clause) -> None:
         # frame-row-count hint: CREATE clauses preserve row count, so a

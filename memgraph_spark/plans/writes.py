@@ -53,12 +53,17 @@ def _reconcile_update(t: DataFrame, updates: DataFrame, key: str,
     if additive or old_t is None or isinstance(old_t, T.NullType) \
             or old_t == new_t:
         return old, new
-    numeric = (T.LongType, T.IntegerType, T.ShortType, T.ByteType,
-               T.DoubleType, T.FloatType)
-    if isinstance(old_t, numeric) and isinstance(new_t, numeric):
+    ints = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    floats = (T.DoubleType, T.FloatType)
+    if isinstance(old_t, ints) and isinstance(new_t, ints):
+        return old.cast("long"), new.cast("long")
+    if isinstance(old_t, floats) and isinstance(new_t, floats):
         return old.cast("double"), new.cast("double")
     if isinstance(new_t, T.NullType):
         return old, new.cast(old_t)
+    # int-vs-float (and every other) conflict lifts to the variant struct:
+    # the reference keeps per-value types (abs(1) is 1, not 1.0 —
+    # functions.feature Abs test 03)
     return to_variant(old, old_t), to_variant(new, new_t)
 
 
@@ -162,9 +167,19 @@ def _union_missing(left: DataFrame, right: DataFrame) -> DataFrame:
         if isinstance(b, T.NullType):
             right = right.withColumn(name, F.col(name).cast(a))
             continue
-        if isinstance(a, numeric) and isinstance(b, numeric):
+        ints = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+        floats = (T.DoubleType, T.FloatType)
+        if isinstance(a, ints) and isinstance(b, ints):
+            left = left.withColumn(name, F.col(name).cast("long"))
+            right = right.withColumn(name, F.col(name).cast("long"))
+        elif isinstance(a, floats) and isinstance(b, floats):
             left = left.withColumn(name, F.col(name).cast("double"))
             right = right.withColumn(name, F.col(name).cast("double"))
+        elif isinstance(a, numeric) and isinstance(b, numeric):
+            # int-vs-float keeps per-value types via the variant struct
+            # (functions.feature Abs test 03: abs(1) renders 1, not 1.0)
+            left = left.withColumn(name, to_variant(F.col(name), a))
+            right = right.withColumn(name, to_variant(F.col(name), b))
         elif is_variant_type(a) or is_variant_type(b) or (
                 a.simpleString().split("<")[0]
                 != b.simpleString().split("<")[0]):
