@@ -22,7 +22,8 @@ from gql_corpus import (  # noqa: E402
 )
 from memgraph_spark.session import get_spark  # noqa: E402
 
-SUITES = ["memgraph_V1", "openCypher_M09"]
+SUITES = ["memgraph_V1", "openCypher_M09", "stackoverflow_answers",
+          "unstable"]
 
 
 def main() -> None:

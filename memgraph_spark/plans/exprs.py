@@ -793,6 +793,15 @@ def _compile_binop(e: A.BinaryOp, env: Env) -> Column:
             rt_v = env.lambda_types.get(e.right.name)
         if is_variant_type(lt_v) or is_variant_type(rt_v):
             return variant_arith(l, lt_v, r, rt_v, op)
+
+        # both sides null: keep the untyped null (Spark's type coercion
+        # would promote null+null to DOUBLE, which poisons a later union
+        # with integer values — wShortest seed-weight typing, wsp.feature)
+        def _null_side(ast, t):
+            return (isinstance(ast, A.Literal) and ast.value is None) \
+                or isinstance(t, T.NullType)
+        if _null_side(e.left, lt_v) and _null_side(e.right, rt_v):
+            return F.lit(None)
     if op == "+":
         # Cypher + is overloaded: numeric add, string concat, list concat
         if _array_side(e.left, env) or _array_side(e.right, env):
@@ -875,6 +884,16 @@ def _compile_binop(e: A.BinaryOp, env: Env) -> Column:
                     F.lit(False))
         return F.array_contains(r, l)
     if op in ("STARTS", "ENDS", "CONTAINS"):
+        # a null operand short-circuits to null BEFORE the type check
+        # (eval.hpp checks IsNull first — unstable.feature
+        # "StartsWith test4": `1 STARTS WITH null` is null, not an error)
+        for side in (e.left, e.right):
+            if isinstance(side, A.Literal) and side.value is None:
+                return F.lit(None).cast("boolean")
+            st = env.typeof(compile_expr(side, env)) \
+                if env.df is not None else None
+            if isinstance(st, T.NullType):
+                return F.lit(None).cast("boolean")
         # TypedValue string operators throw on non-string operands
         # (src/query/typed_value.cpp operator semantics;
         # string_operators.feature "an error should be raised")
@@ -1454,6 +1473,12 @@ def _compile_func(e: A.FuncCall, env: Env) -> Column:
                     [(A.prop_name(f), args[0].getField(f))
                      for f in t.names if f not in meta], env)
             if name == "keys":
+                if isinstance(e.args[0], A.MapLiteral):
+                    # an explicit map keeps null-valued entries (unstable.
+                    # feature Keys test: keys({a: null}) is ['a']); only
+                    # graph-element property maps treat null as absent
+                    return F.array(*[F.lit(A.prop_name(f))
+                                     for f in t.names if f not in meta])
                 return F.filter(
                     F.array(*[F.when(args[0].getField(f).isNotNull(),
                                      F.lit(A.prop_name(f)))

@@ -1340,6 +1340,22 @@ class QueryCompiler(WriteMixin, TraversalMixin):
             lst = self._roll_up(
                 A.PatternComprehension(pat, None, A.Literal(1)))
             return A.FuncCall("size", [lst])
+        # startNode/endNode over an edge VALUE (path-detail element, list
+        # element, collected edge): the edge struct carries only the raw
+        # endpoint id, so property access resolves through a broadcast
+        # id -> property map over the node tables (same broadcast caveat
+        # as the keyed roll-up; stackoverflow_answers/wsp.feature)
+        if isinstance(e, A.Property) and isinstance(e.subject, A.FuncCall) \
+                and e.subject.name.lower() in ("startnode", "endnode") \
+                and e.subject.args:
+            a0 = e.subject.args[0]
+            if not (isinstance(a0, A.Var)
+                    and self.symbols.get(a0.name) == "rel"):
+                call = dataclasses.replace(
+                    e.subject,
+                    args=[self._lift(x, lambda_bound)
+                          for x in e.subject.args])
+                return A.Subscript(A.Var(self._node_prop_map(e.key)), call)
         if isinstance(e, A.PatternPredicate) or not dataclasses.is_dataclass(e):
             return e
         lb = lambda_bound
@@ -1370,6 +1386,25 @@ class QueryCompiler(WriteMixin, TraversalMixin):
                     k: (self._lift(x, lb) if isinstance(x, A.Expr) else x)
                     for k, x in v.items()}
         return dataclasses.replace(e, **changes) if changes else e
+
+    def _node_prop_map(self, key: str) -> str:
+        """Inject (once per property) a broadcast node-id -> property map
+        column used to dereference endpoints of edge VALUES (startNode(e).x
+        where e is a list element, not a bound rel symbol)."""
+        cache = getattr(self, "_npm_cache", {})
+        if key in cache:
+            return cache[key]
+        pc = A.prop_col(key)
+        nodes = self.g.all_nodes([pc])
+        out = self._anon_sym("npm")
+        single = nodes.agg(F.map_from_entries(F.collect_list(
+            F.struct(F.col("id"), F.col(pc).alias("v")))).alias(out))
+        base = self._seed() if self.df is None else self.df
+        self.df = base.crossJoin(F.broadcast(single))
+        self.symbols[out] = "value"
+        cache[key] = out
+        self._npm_cache = cache
+        return out
 
     def _roll_up_keyed(self, pc: A.PatternComprehension, var: str) -> A.Expr:
         """RollUpApply keyed by a lambda variable: build one global
