@@ -244,6 +244,12 @@ class PropertyGraph:
         return self.nodes[label]
 
     def edge(self, etype: str) -> DataFrame:
+        if etype not in self.edges:
+            # a type no edge has matches nothing (MATCH over :NEVER_SEEN
+            # is empty, not an error — MatchAcceptance2 "Variable length
+            # patterns and nulls")
+            return self.spark.createDataFrame(
+                [], "src BIGINT, dst BIGINT, eid BIGINT")
         return self.edges[etype]
 
     def all_nodes(self, properties: list[str] | None = None) -> DataFrame:
@@ -254,15 +260,45 @@ class PropertyGraph:
         schemaless 'any vertex, any property' semantics.
         """
         properties = properties or []
+        # reconcile per-property types ACROSS label tables before the union
+        # (schemaless: :TextNode {id: 'text'} + :IntNode {id: 0} — Spark's
+        # union coercion would cast the string side to bigint and blow up
+        # at plan time; conflicting categories lift to the variant struct,
+        # int-vs-float keeps per-value typing the same way)
+        from pyspark.sql import types as T
+        from memgraph_spark.functions.variant import to_variant
+        ints = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+        floats = (T.DoubleType, T.FloatType)
+        target: dict[str, object] = {}
+        for p in properties:
+            ts = [df.schema[p].dataType for df in self.nodes.values()
+                  if p in df.columns
+                  and not isinstance(df.schema[p].dataType, T.NullType)]
+            if not ts:
+                target[p] = T.NullType()
+            elif all(t == ts[0] for t in ts):
+                target[p] = ts[0]
+            elif all(isinstance(t, ints) for t in ts):
+                target[p] = T.LongType()
+            elif all(isinstance(t, floats) for t in ts):
+                target[p] = T.DoubleType()
+            else:
+                target[p] = "variant"
         dfs = []
         for label, df in self.nodes.items():
             lbl_arr = (F.array(F.lit(label)) if label
                        else F.array().cast("array<string>"))
             cols = [F.col("id"), lbl_arr.alias("labels")]
             for p in properties:
-                cols.append(
-                    F.col(p).alias(p) if p in df.columns else F.lit(None).alias(p)
-                )
+                t = target[p]
+                if p not in df.columns:
+                    c = (F.lit(None) if t == "variant"
+                         else F.lit(None).cast(t))
+                elif t == "variant":
+                    c = to_variant(F.col(p), df.schema[p].dataType)
+                else:
+                    c = F.col(p).cast(t)
+                cols.append(c.alias(p))
             dfs.append(df.select(*cols))
         if not dfs:
             schema = "id BIGINT, labels ARRAY<STRING>" + "".join(

@@ -151,7 +151,10 @@ def expand_variable(
     per-row path segment for named-path reconstruction.
     """
     if upper is None:
-        upper = 16  # safety bound; edge-uniqueness bounds real paths anyway
+        # unbounded: the eager loop below breaks as soon as a round adds no
+        # rows (edge-uniqueness bounds path length by |E|); the constant is
+        # a runaway backstop, not a semantic cap
+        upper = 10_000
     # persisted once per (etype, direction) in the catalog — every round
     # re-joins this table and must not re-derive it from the scans
     e = graph.eid_edges(etype, direction)

@@ -43,7 +43,12 @@ class Env:
         try:
             return self.df.select(col.alias("__t")).schema[0].dataType
         except Exception:
-            return None
+            # aggregate-bearing expressions (collect(n) + [b]) don't
+            # resolve in a plain select — retry in an aggregate context
+            try:
+                return self.df.agg(col.alias("__t")).schema[0].dataType
+            except Exception:
+                return None
 
 
 class CompileError(Exception):
@@ -128,6 +133,59 @@ def _unify_graph_structs(cols: list[Column], ts: list) -> Column:
     return F.array(*out)
 
 
+def _unify_struct_arrays(sides: list) -> list[Column]:
+    """Concat of arrays whose struct ELEMENT types differ (e.g.
+    `[a] + collect(n) + [b]` where the nodes carry different property
+    types — MatchAcceptance2 "Matching longer variable length paths"):
+    rebuild every element to the field-union schema; a field whose type
+    conflicts across sides lifts to the variant struct."""
+    from memgraph_spark.functions.variant import to_variant
+    ints = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    floats = (T.DoubleType, T.FloatType)
+    fields: dict[str, object] = {}
+    for _c, t in sides:
+        for f in t.elementType.fields:
+            cur = fields.get(f.name)
+            if cur is None or isinstance(cur, T.NullType):
+                fields[f.name] = f.dataType
+            elif cur == "variant" or cur == f.dataType \
+                    or isinstance(f.dataType, T.NullType):
+                continue
+            elif isinstance(cur, ints) and isinstance(f.dataType, ints):
+                fields[f.name] = T.LongType()
+            elif isinstance(cur, floats) and isinstance(f.dataType, floats):
+                fields[f.name] = T.DoubleType()
+            else:
+                fields[f.name] = "variant"
+    names = sorted(fields)
+    out = []
+    def builder(have):
+        def build(x):
+            cols = []
+            for n in names:
+                tgt = fields[n]
+                if n not in have or isinstance(have[n], T.NullType):
+                    if tgt == "variant":
+                        from memgraph_spark.functions.variant import _slots
+                        v = F.when(F.lit(False), _slots())
+                    else:
+                        v = F.lit(None).cast(tgt)
+                elif tgt == "variant":
+                    v = to_variant(x.getField(n), have[n])
+                elif tgt == have[n]:
+                    v = x.getField(n)
+                else:
+                    v = x.getField(n).cast(tgt)
+                cols.append(v.alias(n))
+            return F.when(x.isNotNull(), F.struct(*cols))
+        return build
+
+    for c, t in sides:
+        have = {f.name: f.dataType for f in t.elementType.fields}
+        out.append(F.transform(c, builder(have)))
+    return out
+
+
 def _compile_json_text(x: A.Expr, env: Env) -> Column:
     """Canonical JSON text of an expression (compact separators, matching
     Spark to_json) — the encoding used for nested lists inside variant
@@ -164,12 +222,24 @@ def _compile_list_literal(e: A.ListLiteral, env: Env) -> Column:
         ts = [env.typeof(c) for c in cols]
         cats = {c for c in (_type_category(t) for t in ts)
                 if c is not None}
-        if cats in ({"g:rel"}, {"g:node"}) and (
-                len({t.simpleString() for t in ts
-                     if isinstance(t, T.StructType)}) > 1
+        if cats and cats <= {"g:rel", "g:node"} and (
+                len(cats) > 1
+                or len({t.simpleString() for t in ts
+                        if isinstance(t, T.StructType)}) > 1
                 or any(t is None or isinstance(t, T.NullType) for t in ts)):
+            # [n, r, m] (MatchAcceptance2 "Projecting a list of nodes and
+            # relationships"): field-union struct keeps graph values
+            # structured (id/labels vs eid/type discriminate the kind)
             return _unify_graph_structs(cols, ts)
-        if len(cats) > 1 and all(t is not None for t in ts):
+        ints = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+        floats = (T.DoubleType, T.FloatType)
+        num_mix = (cats == {"num"}
+                   and any(isinstance(t, ints) for t in ts)
+                   and any(isinstance(t, floats) for t in ts))
+        if (len(cats) > 1 or num_mix) and all(t is not None for t in ts):
+            # num_mix: [1, 2.0] keeps per-value int/float typing via the
+            # variant struct (M09 Aggregation "max() over mixed numeric
+            # values": max is 5, not 5.0)
             from memgraph_spark.functions.variant import (
                 _slots, to_variant)
             out = []
@@ -384,12 +454,23 @@ def _compile_var(name: str, env: Env) -> Column:
         return env.lambda_vars[name]
     kind = env.symbols.get(name)
     if kind == "node":
-        # node value = struct of its columns (id, labels, props)
+        # node value = struct of its columns (id, labels, props); an
+        # unmatched OPTIONAL binding is a NULL value, not a struct of
+        # nulls — collect() must skip it (MatchAcceptance2 "collect()
+        # filtering nulls")
         cols = [c for c in env.columns() if c.startswith(f"{name}_")]
-        return F.struct(*[F.col(c).alias(c[len(name) + 1:]) for c in sorted(cols)])
+        s = F.struct(*[F.col(c).alias(c[len(name) + 1:])
+                       for c in sorted(cols)])
+        if f"{name}_id" in env.columns():
+            return F.when(F.col(f"{name}_id").isNotNull(), s)
+        return s
     if kind == "rel":
         cols = [c for c in env.columns() if c.startswith(f"{name}_")]
-        return F.struct(*[F.col(c).alias(c[len(name) + 1:]) for c in sorted(cols)])
+        s = F.struct(*[F.col(c).alias(c[len(name) + 1:])
+                       for c in sorted(cols)])
+        if f"{name}_eid" in env.columns():
+            return F.when(F.col(f"{name}_eid").isNotNull(), s)
+        return s
     if kind == "path":
         parts = [c for c in (f"{name}_nodes", f"{name}_rels", f"{name}_dirs")
                  if c in env.columns()]
@@ -803,6 +884,37 @@ def _compile_binop(e: A.BinaryOp, env: Env) -> Column:
         if _null_side(e.left, lt_v) and _null_side(e.right, rt_v):
             return F.lit(None)
     if op == "+":
+        # n-ary list-concat chain ([a] + collect(n) + [b]): the nested
+        # `+` result can't be type-probed when it mixes aggregates with
+        # group columns, so flatten the chain and unify the LEAF types
+        # (each leaf probes fine on its own)
+        def _plus_leaves(x):
+            if isinstance(x, A.BinaryOp) and x.op == "+":
+                return _plus_leaves(x.left) + _plus_leaves(x.right)
+            return [x]
+
+        leaves = _plus_leaves(e)
+        if len(leaves) > 2 and any(_array_side(x, env) for x in leaves) \
+                and not any(_string_side(x, env) for x in leaves):
+            cols = [compile_expr(x, env) for x in leaves]
+            ts = [env.typeof(c) if env.df is not None else None
+                  for c in cols]
+            if all(t is not None and not isinstance(t, T.NullType)
+                   for t in ts) \
+                    and not any(isinstance(x, A.Literal)
+                                and x.value is None for x in leaves):
+                sides = []
+                for c, t in zip(cols, ts):
+                    if isinstance(t, T.ArrayType):
+                        sides.append((c, t))
+                    else:
+                        sides.append((F.array(c), T.ArrayType(t)))
+                ets = {s[1].elementType.simpleString() for s in sides}
+                if len(ets) > 1 and all(
+                        isinstance(s[1].elementType, T.StructType)
+                        for s in sides):
+                    return F.concat(*_unify_struct_arrays(sides))
+                return F.concat(*[c for c, _t in sides])
         # Cypher + is overloaded: numeric add, string concat, list concat
         if _array_side(e.left, env) or _array_side(e.right, env):
             # list + NULL is null (Concatenate test3): an untyped-null side
@@ -822,9 +934,16 @@ def _compile_binop(e: A.BinaryOp, env: Env) -> Column:
             if isinstance(lt2, T.ArrayType) \
                     and not isinstance(rt2, T.ArrayType):
                 r = F.array(r)
+                rt2 = T.ArrayType(rt2) if rt2 is not None else None
             elif isinstance(rt2, T.ArrayType) \
                     and not isinstance(lt2, T.ArrayType):
                 l = F.array(l)
+                lt2 = T.ArrayType(lt2) if lt2 is not None else None
+            if isinstance(lt2, T.ArrayType) and isinstance(rt2, T.ArrayType) \
+                    and isinstance(lt2.elementType, T.StructType) \
+                    and isinstance(rt2.elementType, T.StructType) \
+                    and lt2.elementType != rt2.elementType:
+                l, r = _unify_struct_arrays([(l, lt2), (r, rt2)])
             return F.concat(l, r)
         if _string_side(e.left, env) or _string_side(e.right, env):
             return F.concat(l.cast("string"), r.cast("string"))

@@ -591,6 +591,9 @@ class Parser:
                     if self.at_op(":"):
                         self.next()
                     types.append(self.name())
+                # [:T|:T] matches each edge once (MatchAcceptance2
+                # "relationship predicate with multiples of the same type")
+                types[:] = list(dict.fromkeys(types))
             if self.at_op("*"):
                 self.next()
                 var_length = True

@@ -720,8 +720,21 @@ class QueryCompiler(WriteMixin, TraversalMixin):
                 self.df = self.df.filter(F.lit(False))
                 return
             try:
-                self.df = self.df.filter(
-                    F.col(col) == compile_expr(ve, self._env()))
+                rhs = compile_expr(ve, self._env())
+                from memgraph_spark.functions.variant import (
+                    is_variant_type, to_variant, variant_eq_strict)
+                lt = (self.df.schema[col].dataType
+                      if self.df is not None and col in self.df.columns
+                      else None)
+                if is_variant_type(lt):
+                    # variant-typed property (mixed types across labels):
+                    # strict element equality within the value's category
+                    rt = self._env().typeof(rhs)
+                    rv = rhs if is_variant_type(rt) else to_variant(rhs, rt)
+                    self.df = self.df.filter(
+                        variant_eq_strict(F.col(col), rv))
+                else:
+                    self.df = self.df.filter(F.col(col) == rhs)
             except CompileError as err:
                 # forward reference to a not-yet-bound pattern symbol:
                 # defer to the end of the MATCH (cross-referencing maps)
@@ -884,7 +897,9 @@ class QueryCompiler(WriteMixin, TraversalMixin):
                                           path_prefix)
         etype = rel.types[0] if rel.types else None
         lower = rel.lo if rel.lo is not None else 1
-        upper = rel.hi if rel.hi is not None else 10
+        upper = rel.hi  # None = unbounded: iterate to fixpoint
+        # (edge-uniqueness bounds every path by |E| — MatchAcceptance2
+        # "Matching longer variable length paths" needs 21 hops)
         depth_col = self._anon_sym("depth")
         if to_sym in self.symbols:
             tmp = self._anon_sym("n")

@@ -34,8 +34,10 @@ from pyspark.sql.window import Window
 from memgraph_spark.plans import cypher_ast as A
 from memgraph_spark.plans.exprs import CompileError, Env, compile_expr
 
-MAX_ROUNDS = 32   # safety cap when no upper bound given (fixpoint modes
-                  # terminate earlier; plain mode is edge-uniqueness-bounded)
+MAX_ROUNDS = 1024  # runaway backstop when no upper bound given — NOT a
+                   # semantic cap: every mode breaks when a round adds no
+                   # rows (fixpoint) and plain mode is edge-uniqueness-
+                   # bounded, so real graphs terminate far earlier
 
 
 def _lambda_refs(lam, idx: int) -> bool:
@@ -638,7 +640,18 @@ class TraversalMixin:
             keep[rel.weight_var] = (F.col("__cost")
                                     if "__cost" in out.columns
                                     else F.lit(None))
-        if rel.var is not None:
+        rel_bound = (rel.var is not None and rel.var in self.symbols
+                     and rel.var in base_cols)
+        if rel_bound:
+            # bound edge-list symbol (MATCH ... WITH [r1, r2] AS rs MATCH
+            # (a)-[rs*]->(b)): the expansion must traverse EXACTLY that
+            # edge sequence (ExpandVariable with an already-bound edge
+            # symbol, operator.cpp:2199) — filter on eid-sequence equality
+            out = out.filter(
+                F.col("__eids")
+                == F.transform(F.col(rel.var),
+                               lambda x: x.getField("eid")))
+        elif rel.var is not None:
             keep[rel.var] = F.col("__pe")
         if path_prefix:
             keep[f"{path_prefix}_nids"] = F.col("__nids")
@@ -647,7 +660,7 @@ class TraversalMixin:
         self.df = out.select(*[c.alias(n) for n, c in keep.items()])
         if rel.weight_var:
             self.symbols[rel.weight_var] = "value"
-        if rel.var is not None:
+        if rel.var is not None and not rel_bound:
             self.symbols[rel.var] = "value"
         if bound:
             # expand-into: target already bound — equality filter

@@ -194,6 +194,24 @@ class WriteMixin:
     self._anon_sym(), self._node_df(), self._expand_single(), self.counters."""
 
     # -- CREATE --------------------------------------------------------------
+    def _adopt_node_value(self, sym: str) -> None:
+        """A 'value' symbol holding a node struct (list element, subscript
+        — MatchAcceptance2 'Matching longer variable length paths' setup)
+        used as a CREATE endpoint: unpack it into {sym}_* columns so the
+        edge writer can join on {sym}_id like any bound node symbol."""
+        if self.symbols.get(sym) != "value" or self.df is None \
+                or sym not in self.df.columns:
+            return
+        t = self.df.schema[sym].dataType
+        if not (isinstance(t, T.StructType)
+                and "id" in t.names and "labels" in t.names):
+            return
+        for f in t.names:
+            self.df = self.df.withColumn(
+                f"{sym}_{f}", F.col(sym).getField(f))
+        self.df = self.df.drop(sym)
+        self.symbols[sym] = "node"
+
     def _create(self, cl: A.Create) -> None:
         def _check_bound(np: A.NodePattern, sym: str) -> None:
             # openCypher: a bound variable reused in CREATE must be bare —
@@ -204,6 +222,10 @@ class WriteMixin:
                     f"VariableAlreadyBound: cannot add labels or properties "
                     f"to the already bound variable '{sym}' in CREATE")
         for part in cl.patterns:
+            if part.chain:
+                for np_ in [part.start] + [n for _, n in part.chain]:
+                    if np_.var:
+                        self._adopt_node_value(np_.var)
             sym = part.start.var or self._anon_sym("n")
             if (not part.chain and part.start.var
                     and part.start.var in self.symbols):

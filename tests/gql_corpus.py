@@ -213,6 +213,7 @@ def parse_feature(path: str) -> list[Scenario]:
             cur.steps.append(Step(
                 "exec",
                 f"CREATE POINT INDEX ON :{m.group(1)}({m.group(2)})"))
+            i += 1
         elif "with new edge index :(" in line:
             m = re.match(r".*with new edge index :\((\w+)\)", line)
             cur.steps.append(Step(
@@ -372,6 +373,15 @@ def canon_actual(v, list_unordered: bool = False) -> str:
                 if d[slot] is not None:
                     return canon_actual(d[slot], lu)
             return "null"
+        if set(d) <= {"x", "y", "z", "srid"} and "srid" in d \
+                and "x" in d:  # spatial point value (point.hpp printing)
+            items = {k: x for k, x in d.items() if x is not None}
+            if d.get("srid") in (4326, 4979):  # WGS84 prints geo names
+                ren = {"x": "longitude", "y": "latitude", "z": "height"}
+                items = {ren.get(k, k): x for k, x in items.items()}
+            return ("POINT({" + ", ".join(
+                f"{k}: {canon_actual(items[k], lu)}"
+                for k in sorted(items)) + "})")
         if "nodes" in d and "rels" in d:  # path struct: structural walk
             nodes = d.get("nodes") or []
             rels = d.get("rels") or []
@@ -385,16 +395,21 @@ def canon_actual(v, list_unordered: bool = False) -> str:
                 out += ("-" + seg + "->" + nxt) if fwd \
                     else ("<-" + seg + "-" + nxt)
             return out + ">"
-        if "labels" in d and "id" in d:  # node struct
+        # a field-union struct ([n, r, m] lists) carries BOTH shapes —
+        # the non-null identity (id vs eid) picks the rendering
+        if "labels" in d and "id" in d \
+                and ("eid" not in d or d.get("id") is not None):  # node
             labels = sorted(d.get("labels") or [])
             props = {_disp(k): x for k, x in d.items()
-                     if k not in ("id", "labels") and x is not None}
+                     if k not in ("id", "labels", "eid", "type",
+                                  "src", "dst") and x is not None}
             return ("(" + "".join(f":{l}" for l in labels)
                     + (" " if labels and props else "")
                     + (_props_str(props, lu) if props else "") + ")")
         if "eid" in d and "type" in d:  # rel struct
             props = {_disp(k): x for k, x in d.items()
-                     if k not in ("eid", "type", "src", "dst")
+                     if k not in ("id", "labels", "eid", "type",
+                                  "src", "dst")
                      and x is not None}
             return ("[:" + d["type"]
                     + (" " + _props_str(props, lu) if props else "") + "]")
@@ -423,6 +438,7 @@ def _props_str(props: dict, lu: bool) -> str:
             keys = set(d)
             if not ({"id", "labels"} <= keys or {"eid", "type"} <= keys
                     or {"nodes", "rels"} <= keys
+                    or (keys <= {"x", "y", "z", "srid"} and "srid" in keys)
                     or tuple(d) in (("vb", "vi", "vd", "vs"),
                                     ("vb", "vi", "vd", "vs", "va"),
                                     ("vb", "vi", "vd", "vs", "va", "vj"))):
@@ -447,6 +463,16 @@ class _P:
 
     def value(self) -> str:
         self.ws()
+        if self.s[self.i:self.i + 6].upper() == "POINT(":
+            # POINT({x: …, y: …, srid: …}) — canonicalize through the map
+            # parser so spacing/key order match canon_actual's rendering
+            self.i += 6
+            self.ws()
+            inner = self.map()
+            self.ws()
+            assert self.s[self.i] == ")", self.s
+            self.i += 1
+            return "POINT(" + inner + ")"
         c = self.s[self.i]
         if c == "(":
             return self.node()
