@@ -217,14 +217,21 @@ class TraversalMixin:
             if mode in ("wshortest", "allshortest"):
                 wcol = (compile_expr(weight, Env(step, env_syms, self.params))
                         if weight is not None else F.lit(1.0))
-                from memgraph_spark.functions.variant import is_variant_type
+                from memgraph_spark.functions.variant import (
+                    is_variant_type, variant_nonnum, variant_num)
                 wt = Env(step, env_syms, self.params).typeof(wcol)
                 if is_variant_type(wt):
-                    # mixed numeric/duration weights across edges
+                    # variant weight: int/float mixes compute numerically
+                    # (allshortest 'different edge between two nodes');
+                    # a non-numeric value (duration mixed with numbers) is
+                    # the reference's runtime type error
                     # (TotalWeightOperator type checks, operator.cpp)
-                    raise CompileError(
-                        "shortest-path weights must be all numeric or "
-                        "all durations")
+                    wcol = (F.when(wcol.isNull(),
+                                   F.lit(None).cast("double"))
+                            .when(variant_nonnum(wcol), F.raise_error(F.lit(
+                                "shortest-path weights must be all numeric"
+                                " or all durations")).cast("double"))
+                            .otherwise(variant_num(wcol)))
                 # ValidateWeight (operator.cpp:2983): negative weights are a
                 # runtime error; wcol - wcol is a type-agnostic zero
                 wcol = F.when(

@@ -103,6 +103,60 @@ def test_merge_batch_path_unaffected(gs):
     assert c == 5
 
 
+def test_string_op_null_short_circuits_type_error(gs):
+    gs.execute("CREATE ({name: 1}), ({name: 2}), ({name: null})").collect()
+    assert gs.execute("MATCH (n) WHERE n.name STARTS WITH null "
+                      "RETURN n.name").collect() == []
+
+
+def test_keys_map_literal_keeps_null_entries(gs):
+    [(ks,)] = gs.execute(
+        "RETURN KEYS({true: 123, a: null, b: 'x', null: null}) AS a"
+    ).collect()
+    assert list(ks) == ["true", "a", "b", "null"]
+
+
+def test_unbounded_expansion_reaches_depth_21(gs):
+    gs.execute(
+        "CREATE (a {prop: 'start'}), (b {prop: 'end'}) WITH * "
+        "UNWIND range(1, 20) AS i CREATE (n {prop: i}) "
+        "WITH [a] + collect(n) + [b] AS nodeList "
+        "UNWIND range(0, size(nodeList) - 2, 1) AS i "
+        "WITH nodeList[i] AS n1, nodeList[i+1] AS n2 "
+        "CREATE (n1)-[:T]->(n2)").collect()
+    rows = gs.execute("MATCH (n {prop: 'start'})-[:T*]->"
+                      "(m {prop: 'end'}) RETURN m").collect()
+    assert len(rows) == 1
+
+
+def test_bound_edge_list_var_length(gs):
+    gs.execute("CREATE (a:A), (b:B), (c:C) "
+               "CREATE (a)-[:Y]->(b), (b)-[:Y]->(c)").collect()
+    rows = gs.execute(
+        "MATCH ()-[r1]->()-[r2]->() WITH [r1, r2] AS rs LIMIT 1 "
+        "MATCH (first)-[rs*]->(second) "
+        "RETURN labels(first) AS f, labels(second) AS s").collect()
+    assert [tuple(r) for r in rows] == [(["A"], ["C"])]
+
+
+def test_scan_union_conflicting_prop_types(gs):
+    gs.execute("CREATE (:TextNode {id: 'text'}), (:IntNode {id: 0})"
+               ).collect()
+    rows = gs.execute("MATCH (i) WHERE exists(i.id) OR i.id > 'te' "
+                      "RETURN labels(i) AS l").collect()
+    assert sorted(r[0] for r in rows) == [["IntNode"], ["TextNode"]]
+
+
+def test_mixed_numeric_edge_weights(gs):
+    gs.execute("CREATE (n:One), (o:Two), (m:Three), "
+               "(n)-[:TYPE {cost: 0.3}]->(o), (o)-[:TYPE {cost: 40}]->(m),"
+               " (o)-[:TYPE {cost: 20}]->(m)").collect()
+    [(w,)] = gs.execute(
+        "MATCH p=(h:One)-[r*allshortest ..5 (e, v | e.cost) total_cost]->"
+        "(k:Three) RETURN total_cost").collect()
+    assert abs(w - 20.3) < 1e-9
+
+
 def test_nested_pattern_comprehension_triple(gs):
     gs.execute(
         "CREATE (a:A {id: 1})<-[:R1]-(:B)<-[:R2]-(:C)<-[:R3]-"
