@@ -812,6 +812,31 @@ def _compile_binop(e: A.BinaryOp, env: Env) -> Column:
             rt = env.lambda_types.get(e.right.name)
         if is_variant_type(lt) or is_variant_type(rt):
             return variant_cmp(l, lt, r, rt, op)
+        # numeric list equality across element typings ([1, 2] = [1.0, 2.0],
+        # or a variant-element list from a mixed literal like [1, 2, 4.0] —
+        # list_operations.feature "Numeric list equality")
+        if op in ("=", "<>") and isinstance(lt, T.ArrayType) \
+                and isinstance(rt, T.ArrayType) \
+                and lt.elementType != rt.elementType:
+            from memgraph_spark.functions.variant import variant_num
+            num_t = (T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+                     T.DoubleType, T.FloatType, T.DecimalType)
+
+            def _num_view(c, t):
+                et = t.elementType
+                if is_variant_type(et):
+                    return F.transform(c, variant_num)
+                if isinstance(et, num_t):
+                    return c.cast("array<double>")
+                return None
+            lv, rv = _num_view(l, lt), _num_view(r, rt)
+            if lv is not None and rv is not None:
+                eq = (F.size(l) == F.size(r)) & F.forall(
+                    F.zip_with(lv, rv, lambda a, b: a.eqNullSafe(b)),
+                    lambda x: x)
+                eq = F.when(l.isNull() | r.isNull(),
+                            F.lit(None).cast("boolean")).otherwise(eq)
+                return eq if op == "=" else ~eq
 
         # cross-category comparison yields null, never a coercion (Cypher
         # `0 = '0'` is null; Spark would cast) — typed scalar sides only
@@ -1875,6 +1900,20 @@ def _compile_func(e: A.FuncCall, env: Env) -> Column:
         if isinstance(_t, T.NullType):
             return F.lit(None)
     if name in FUNCTIONS:
+        if name.startswith("vector_search."):
+            # numeric-vector functions accept mixed int/float literals
+            # ([1, 2.0, 3] — vector_cosine_similarity.feature): lower a
+            # variant array to its numeric view
+            from memgraph_spark.functions.variant import (
+                is_variant_type, variant_num)
+            lowered = []
+            for a in args:
+                t = env.typeof(a) if env.df is not None else None
+                if isinstance(t, T.ArrayType) \
+                        and is_variant_type(t.elementType):
+                    a = F.transform(a, variant_num)
+                lowered.append(a)
+            args = lowered
         fn = FUNCTIONS[name]
         return fn(*args)
     # nodes(x)/relationships(x) where x is a path VALUE (lambda var over

@@ -297,17 +297,31 @@ class QueryCompiler(WriteMixin, TraversalMixin):
     def _static_int(self, e: A.Expr, what: str) -> int:
         if isinstance(e, A.Literal) and isinstance(e.value, int):
             return e.value
+        if isinstance(e, A.Literal) and isinstance(e.value, float):
+            # LIMIT 1.7 is InvalidArgumentType at compile time
+            # (SemanticErrorAcceptance "floating point in LIMIT")
+            raise CompileError(f"{what} must be an integer, not a float")
         if isinstance(e, A.Param):
-            return int(self.params[e.name])
+            v = self.params[e.name]
+            if isinstance(v, float) and v != int(v):
+                raise CompileError(f"{what} must be an integer")
+            return int(v)
         if not any(isinstance(n, A.Var) for n in A.walk(e)):
             # constant expressions (LIMIT toInteger(ceil(1.7))) evaluate
             # once on a one-row frame (SkipLimitAcceptance)
             try:
-                v = self._seed().select(
+                row = self._seed().select(
                     compile_expr(e, Env(self._seed(), {}, self.params))
-                    .alias("v")).first()[0]
+                    .alias("v"))
+                if isinstance(row.schema[0].dataType,
+                              (T.DoubleType, T.FloatType)):
+                    raise CompileError(
+                        f"{what} must be an integer, not a float")
+                v = row.first()[0]
                 if v is not None:
                     return int(v)
+            except CompileError:
+                raise
             except Exception:  # noqa: BLE001 — fall through to the error
                 pass
         raise CompileError(f"{what} must be a literal/parameter integer")
@@ -1947,7 +1961,10 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         if cl.star:
             visible = [s for s in sorted(self.symbols)
                        if not s.startswith("__")]
-            if not visible and not items:
+            if not visible and not items and is_return:
+                # WITH * over an empty scope is a legal no-op
+                # (CreateAcceptance "Combine MATCH, WITH and CREATE");
+                # only RETURN * requires variables
                 raise CompileError(
                     "RETURN * is not allowed when there are no variables "
                     "in scope")
@@ -1964,6 +1981,14 @@ class QueryCompiler(WriteMixin, TraversalMixin):
                     # inside CASE expressions
                     raise CompileError(
                         "aggregation inside CASE is not allowed")
+                if isinstance(nd, A.ListComprehension) \
+                        and (contains_aggregate(nd.projection)
+                             if nd.projection is not None else False):
+                    # InvalidAggregation (SemanticErrorAcceptance
+                    # "aggregation in list comprehension")
+                    raise CompileError(
+                        "aggregation inside a list comprehension is "
+                        "not allowed")
 
         # classify: carried graph symbols vs computed value columns
         outs: list[tuple[str, str, object]] = []  # (name, kind, sym|expr)
