@@ -45,6 +45,55 @@ REL_META = ("eid", "type", "src", "dst")
 _NOT_SEQ = object()
 
 
+def _clause_vars(cl) -> set:
+    """Every variable name a clause subtree references or binds (used for
+    frame-column liveness; over-approximation is safe, omission is not)."""
+    import dataclasses as _dc
+    out: set = set()
+    stack = [cl]
+    while stack:
+        x = stack.pop()
+        if isinstance(x, (list, tuple)):
+            stack.extend(x)
+            continue
+        if isinstance(x, dict):
+            stack.extend(x.values())
+            continue
+        if not _dc.is_dataclass(x):
+            continue
+        if isinstance(x, A.Var):
+            out.add(x.name)
+        v = getattr(x, "var", None)
+        if isinstance(v, str):
+            out.add(v)
+        wv = getattr(x, "weight_var", None)
+        if isinstance(wv, str):
+            out.add(wv)
+        for f in _dc.fields(x):
+            stack.append(getattr(x, f.name))
+    return out
+
+
+def _clause_has_star(cl) -> bool:
+    import dataclasses as _dc
+    stack = [cl]
+    while stack:
+        x = stack.pop()
+        if isinstance(x, (list, tuple)):
+            stack.extend(x)
+            continue
+        if isinstance(x, dict):
+            stack.extend(x.values())
+            continue
+        if not _dc.is_dataclass(x):
+            continue
+        if getattr(x, "star", False):
+            return True
+        for f in _dc.fields(x):
+            stack.append(getattr(x, f.name))
+    return False
+
+
 def qcol(name: str) -> Column:
     """Column reference robust to dots/odd chars in result names (RETURN
     without AS yields columns literally named e.g. `a.x`)."""
@@ -292,7 +341,11 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         return base
 
     def _seed(self) -> DataFrame:
-        return self.g.spark.range(1).select(F.lit(1).alias("__once"))
+        # Once (operator.hpp:55): ONE row, ONE partition — a default-
+        # parallelism range would give every CREATE-chain diff 8+ empty
+        # partitions, multiplying task counts across version unions
+        return self.g.spark.range(0, 1, 1, 1) \
+            .select(F.lit(1).alias("__once"))
 
     def _static_int(self, e: A.Expr, what: str) -> int:
         if isinstance(e, A.Literal) and isinstance(e.value, int):
@@ -341,7 +394,22 @@ class QueryCompiler(WriteMixin, TraversalMixin):
 
     def _compile_clauses(self, clauses: list) -> DataFrame | None:
         result: DataFrame | None = None
+        # liveness per position: symbols referenced at any LATER clause.
+        # A giant CREATE-chain statement (LargeCreateQuery: hundreds of
+        # clauses, one frame column group per bound node) otherwise grows
+        # an ever-wider frame whose per-clause analysis cost is O(width) —
+        # dropping dead symbol columns keeps the width at the live window.
+        live_after: list = [None] * len(clauses)
+        acc: set | None = set()
+        for j in range(len(clauses) - 1, 0, -1):
+            if acc is not None:
+                if _clause_has_star(clauses[j]):
+                    acc = None  # RETURN * / WITH * keeps everything
+                else:
+                    acc = acc | _clause_vars(clauses[j])
+            live_after[j - 1] = None if acc is None else set(acc)
         for idx, cl in enumerate(clauses):
+            self._live_after = live_after[idx]
             if isinstance(cl, A.Merge) \
                     and self._merge_interleaves(cl, clauses[idx + 1:]):
                 r = self._tail_per_row(clauses[idx:])

@@ -275,6 +275,28 @@ class WriteMixin:
                                        else F.array().cast("array<boolean>")))
                 self._materialize_path(part.var)
                 self.symbols[part.var] = "path"
+        self._prune_dead_syms()
+
+    def _prune_dead_syms(self) -> None:
+        """Drop frame columns of symbols no later clause references (frame
+        liveness from _compile_clauses). Bounds the frame width of long
+        CREATE-chain statements: per-clause analysis cost is O(width), so
+        LargeCreateQuery's hundreds of bindings would otherwise make the
+        statement quadratic in its clause count."""
+        live = getattr(self, "_live_after", None)
+        if live is None or self.df is None:
+            return
+        dead = [s for s, kind in self.symbols.items()
+                if kind in ("node", "rel", "path", "value")
+                and s not in live and not s.startswith("__")]
+        if not dead:
+            return
+        cols = [c for c in self.df.columns
+                if any(c == s or c.startswith(f"{s}_") for s in dead)]
+        if cols:
+            self.df = self.df.drop(*cols)
+        for s in dead:
+            self.symbols.pop(s, None)
 
     def _create_node(self, np: A.NodePattern, sym: str) -> None:
         """CreateNode (operator.hpp:411): one node per input row. Ids are
@@ -324,13 +346,13 @@ class WriteMixin:
             # the minted key is id-derivable, NOT a user property — it must
             # not surface in keys()/properties() (KeysAcceptance TCK)
             aug = aug.drop(f"{sym}_key")
-        for k, ve in np.props.items():
-            if k != "key":
-                aug = aug.withColumn(f"{sym}_{A.prop_col(k)}",
-                                     compile_expr(ve, env))
-        aug = aug.withColumn(
-            f"{sym}_labels",
-            F.array(*[F.lit(x) for x in np.labels]).cast("array<string>"))
+        # one projection for all property columns (vs a withColumn chain:
+        # each link re-analyzes the whole frame — LargeCreateQuery width)
+        new_cols = {f"{sym}_{A.prop_col(k)}": compile_expr(ve, env)
+                    for k, ve in np.props.items() if k != "key"}
+        new_cols[f"{sym}_labels"] = F.array(
+            *[F.lit(x) for x in np.labels]).cast("array<string>")
+        aug = aug.withColumns(new_cols)
         # dynamic labels (`CREATE (m:node.name)`): per-row label values join
         # the labels array; membership lands in extra_labels below
         for dx in np.dyn_labels:
@@ -405,11 +427,11 @@ class WriteMixin:
         props = {k: self._lift(v) for k, v in rel.props.items()}
         rel = A.RelPattern(rel.var, rel.types, rel.direction, props)
         env = self._env()
-        aug = self.df.withColumn(f"{rsym}_src", F.col(f"{src}_id")) \
-                     .withColumn(f"{rsym}_dst", F.col(f"{dst}_id"))
-        for k, ve in rel.props.items():
-            aug = aug.withColumn(f"{rsym}_{A.prop_col(k)}",
-                                 compile_expr(ve, env))
+        ecols = {f"{rsym}_src": F.col(f"{src}_id"),
+                 f"{rsym}_dst": F.col(f"{dst}_id")}
+        ecols.update({f"{rsym}_{A.prop_col(k)}": compile_expr(ve, env)
+                      for k, ve in rel.props.items()})
+        aug = self.df.withColumns(ecols)
         tcol = (F.lit(etype) if dyn is None
                 else compile_expr(self._lift(dyn), env).cast("string"))
         # sequential edge ids in creation order (storage assigns edge gids
