@@ -408,8 +408,13 @@ class QueryCompiler(WriteMixin, TraversalMixin):
                 else:
                     acc = acc | _clause_vars(clauses[j])
             live_after[j - 1] = None if acc is None else set(acc)
+        self._lit_enabled = True  # driver-side literal-CREATE fast path
         for idx, cl in enumerate(clauses):
             self._live_after = live_after[idx]
+            if not isinstance(cl, A.Create):
+                # any reader (or non-CREATE writer) sees the accumulated
+                # driver-side CREATE rows as real table versions first
+                self._flush_writes()
             if isinstance(cl, A.Merge) \
                     and self._merge_interleaves(cl, clauses[idx + 1:]):
                 r = self._tail_per_row(clauses[idx:])
@@ -419,6 +424,7 @@ class QueryCompiler(WriteMixin, TraversalMixin):
                 result = self._project(cl, is_return=True)
             else:
                 self.compile_clause(cl)
+        self._flush_writes(frame=False)
         return result
 
     def _merge_interleaves(self, cl: A.Merge, rest: list) -> bool:

@@ -31,6 +31,70 @@ from memgraph_spark.plans import cypher_ast as A
 from memgraph_spark.plans.exprs import CompileError, compile_expr
 
 
+_NOT_LIT = object()
+
+
+def _lit_value(e):
+    """Python value of a literal-only expression, else _NOT_LIT. Drives the
+    driver-side CREATE fast path: a pure CREATE-chain statement
+    (LargeCreateQuery: hundreds of clauses) accumulates plain rows and
+    writes ONE table version per label/type instead of building a
+    per-clause Spark plan over an ever-wider frame."""
+    if isinstance(e, A.Literal):
+        v = e.value
+        if v is None or isinstance(v, (bool, int, float, str)):
+            return v
+        return _NOT_LIT
+    if isinstance(e, A.UnaryOp) and e.op == "-":
+        v = _lit_value(e.operand)
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            return -v
+        return _NOT_LIT
+    if isinstance(e, A.ListLiteral):
+        out = []
+        for x in e.items:
+            v = _lit_value(x)
+            if v is _NOT_LIT or isinstance(v, list):
+                return _NOT_LIT
+            out.append(v)
+        return out
+    return _NOT_LIT
+
+
+def _lit_type(v):
+    """Spark type for a literal python value; None = unsupported shape."""
+    if v is None:
+        return T.NullType()
+    if isinstance(v, bool):
+        return T.BooleanType()
+    if isinstance(v, int):
+        return T.LongType()
+    if isinstance(v, float):
+        return T.DoubleType()
+    if isinstance(v, str):
+        return T.StringType()
+    if isinstance(v, list):
+        ets = {type(x) for x in v if x is not None}
+        if len(ets) > 1 or any(x is None for x in v):
+            return None
+        if not ets:
+            return T.ArrayType(T.StringType())
+        et = _lit_type(next(iter(v)))
+        if et is None or isinstance(et, (T.NullType, T.ArrayType)):
+            return None
+        return T.ArrayType(et)
+    return None
+
+
+def _lit_column(v, t):
+    """Column literal for a recorded python value of type t."""
+    if isinstance(t, T.ArrayType):
+        return F.array(*[F.lit(x) for x in v]).cast(t)
+    if isinstance(t, T.NullType):
+        return F.lit(None)
+    return F.lit(v).cast(t)
+
+
 def _next_label_ord(g) -> int:
     """Monotone sequence for extra-label insertion order (labels() returns
     labels in the order they were added, vertex_accessor.cpp AddLabel)."""
@@ -194,6 +258,178 @@ class WriteMixin:
     self._anon_sym(), self._node_df(), self._expand_single(), self.counters."""
 
     # -- CREATE --------------------------------------------------------------
+    # -- driver-side literal CREATE fast path ------------------------------
+    # A pure CREATE-chain statement accumulates plain python rows and
+    # writes ONE catalog version per label/type at the next read (or
+    # statement end). Only the top-level clause loop enables it
+    # (_lit_enabled) so ad-hoc sub-compilers keep the frame path.
+
+    def _try_lit_create(self, part: A.PatternPart) -> bool:
+        if not getattr(self, "_lit_enabled", False):
+            return False
+        if self.df is not None and getattr(self, "_rows_hint", None) != 1:
+            return False
+        if part.var or getattr(self.g, "vector_indexes", None):
+            return False
+        lits = getattr(self, "_lit_syms", None) or {}
+
+        def node_ok(np: A.NodePattern) -> bool:
+            if np.var in lits:
+                if np.labels or np.braced:
+                    raise CompileError(
+                        f"VariableAlreadyBound: cannot add labels or "
+                        f"properties to bound variable {np.var!r} in CREATE")
+                return True
+            if np.var is not None and np.var in self.symbols:
+                return False  # frame-bound endpoint -> normal path
+            if np.dyn_labels or np.labels_or or "key" in np.props:
+                return False
+            try:
+                if len(self._labels(np.labels)) > 1:
+                    return False
+            except CompileError:
+                return False
+            return all(_lit_value(v) is not _NOT_LIT
+                       for v in np.props.values())
+
+        def rel_ok(rel: A.RelPattern) -> bool:
+            if rel.dyn_types or len(rel.types) != 1 \
+                    or rel.direction == "both":
+                return False
+            if rel.var_length or rel.lo is not None or rel.hi is not None:
+                return False
+            if rel.var is not None and (rel.var in self.symbols
+                                        or rel.var in lits):
+                return False
+            return all(_lit_value(v) is not _NOT_LIT
+                       for v in rel.props.values())
+
+        if not part.chain and part.start.var in lits:
+            raise CompileError(
+                f"VariableAlreadyBound: {part.start.var} in CREATE")
+        if not node_ok(part.start):
+            return False
+        for rel, np_ in part.chain:
+            if not (rel_ok(rel) and node_ok(np_)):
+                return False
+        # all checks passed — execute driver-side
+        self._lit_syms = lits
+        prev = self._lit_node(part.start)
+        for rel, np_ in part.chain:
+            cur = self._lit_node(np_)
+            self._lit_edge(rel, prev, cur)
+            prev = cur
+        return True
+
+    def _lit_node(self, np: A.NodePattern) -> str:
+        sym = np.var or self._anon_sym("n")
+        if sym in self._lit_syms:
+            return sym
+        labels = self._labels(np.labels)
+        label = labels[0] if labels else ""
+        code = register_label(label)
+        key = self.g.alloc_node_keys(label, 1)
+        nid = code * (1 << KEY_BITS) + key
+        row = {"id": nid}
+        for k, ve in np.props.items():
+            row[A.prop_col(k)] = _lit_value(ve)
+        self._pend_row("nodes", label, row)
+        vals = dict(row)
+        vals["labels"] = list(labels)
+        self._lit_syms[sym] = ("node", vals)
+        self.symbols[sym] = "node"
+        self.counters["nodes_created"] += 1
+        if not hasattr(self, "created_syms"):
+            self.created_syms = set()
+        self.created_syms.add(sym)
+        self._all_props_cache = None
+        return sym
+
+    def _lit_edge(self, rel: A.RelPattern, from_sym: str,
+                  to_sym: str) -> None:
+        etype = rel.types[0]
+        src, dst = ((from_sym, to_sym) if rel.direction == "out"
+                    else (to_sym, from_sym))
+        eid = self.g.alloc_edge_ids(1)
+        row = {"src": self._lit_syms[src][1]["id"],
+               "dst": self._lit_syms[dst][1]["id"], "eid": eid}
+        for k, ve in rel.props.items():
+            row[A.prop_col(k)] = _lit_value(ve)
+        self._pend_row("edges", etype, row)
+        rsym = rel.var or self._anon_sym("r")
+        vals = dict(row)
+        vals["type"] = etype
+        self._lit_syms[rsym] = ("rel", vals)
+        self.symbols[rsym] = "rel"
+        self.counters["relationships_created"] += 1
+
+    def _pend_row(self, kind: str, key: str, row: dict) -> None:
+        if not hasattr(self, "_pend_tables"):
+            self._pend_tables = {}
+        pend = self._pend_tables.setdefault(
+            (kind, key), {"schema": {}, "rows": []})
+        sch = pend["schema"]
+        for c, v in row.items():
+            t = _lit_type(v)
+            cur = sch.get(c)
+            if cur is None or isinstance(cur, T.NullType):
+                sch[c] = t
+            elif isinstance(t, T.NullType) or cur == t:
+                continue
+            else:
+                # in-batch type conflict ({x: 1} then {x: 2.5}): flush the
+                # accumulated rows; the next version union reconciles
+                # (int-vs-float lifts to the variant struct)
+                self._flush_one_table(kind, key)
+                self._pend_row(kind, key, row)
+                return
+        pend["rows"].append(row)
+
+    def _flush_one_table(self, kind: str, key: str) -> None:
+        pend = getattr(self, "_pend_tables", {}).pop((kind, key), None)
+        if not pend or not pend["rows"]:
+            return
+        fields = list(pend["schema"].items())
+        st = T.StructType([T.StructField(c, t) for c, t in fields])
+        data = [tuple(r.get(c) for c, _t in fields) for r in pend["rows"]]
+        df = self.g.spark.createDataFrame(data, st).coalesce(1)
+        if kind == "nodes":
+            existing = self.g.nodes.get(key)
+            self.g.set_node_version(
+                key, df if existing is None
+                else _union_missing(existing, df), keys_allocated=True)
+        else:
+            existing = self.g.edges.get(key)
+            self.g.set_edge_version(
+                key, df if existing is None
+                else _union_missing(existing, df), ids_allocated=True)
+
+    def _flush_lit_frame(self) -> None:
+        lits = getattr(self, "_lit_syms", None)
+        if not lits:
+            return
+        if self.df is None:
+            self.df = self._seed()
+            self._rows_hint = 1
+        cols = {}
+        for sym, (_kind, vals) in lits.items():
+            for fld, v in vals.items():
+                if fld == "labels":
+                    cols[f"{sym}_labels"] = F.array(
+                        *[F.lit(x) for x in v]).cast("array<string>")
+                else:
+                    t = _lit_type(v)
+                    cols[f"{sym}_{fld}"] = (
+                        _lit_column(v, t) if t is not None else F.lit(v))
+        self.df = self.df.withColumns(cols)
+        self._lit_syms = {}
+
+    def _flush_writes(self, frame: bool = True) -> None:
+        for k in list(getattr(self, "_pend_tables", {})):
+            self._flush_one_table(*k)
+        if frame:
+            self._flush_lit_frame()
+
     def _adopt_node_value(self, sym: str) -> None:
         """A 'value' symbol holding a node struct (list element, subscript
         — MatchAcceptance2 'Matching longer variable length paths' setup)
@@ -222,6 +458,11 @@ class WriteMixin:
                     f"VariableAlreadyBound: cannot add labels or properties "
                     f"to the already bound variable '{sym}' in CREATE")
         for part in cl.patterns:
+            if self._try_lit_create(part):
+                continue
+            # a non-literal part may reference driver-side bindings —
+            # materialize them into the frame first
+            self._flush_writes()
             if part.chain:
                 for np_ in [part.start] + [n for _, n in part.chain]:
                     if np_.var:
