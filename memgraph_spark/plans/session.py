@@ -2150,6 +2150,8 @@ class QueryCompiler(WriteMixin, TraversalMixin):
                  if oi.ascending else
                  self._order_col(oi, df, new_syms, outs).desc_nulls_last())
                 for oi in order])
+            # a later collect() must preserve THIS order, not scan order
+            self._frame_ordered = True
             # sorting consumes the whole input: any lazy hops refund is gone
             if self.hops is not None:
                 self.hops.pop("lazy", None)
@@ -2298,12 +2300,23 @@ class QueryCompiler(WriteMixin, TraversalMixin):
                         compile_expr(ref, env).alias(self._anon_sym("hk")))
             else:
                 key_cols.append(compile_expr(spec, env).alias(name))
+        src = self.df
+        if agg_cols and not getattr(self, "_frame_ordered", False):
+            # stabilize collect()-family order to creation (id) order when
+            # no explicit ORDER BY governs the frame: memgraph's pull order
+            # is storage scan order, which our sequential ids reproduce
+            # (aggregations.feature "Collect nodes properties into a map").
+            # Within-partition only — no shuffle, irrelevant at scale.
+            ids = ([c for c in src.columns if c.endswith("_eid")]
+                   + [c for c in src.columns if c.endswith("_id")])
+            if ids:
+                src = src.sortWithinPartitions(*ids)
         all_keys = ([F.col(c) for c in dict.fromkeys(carried_prefix_cols)]
                     + key_cols + hidden_keys)
         if all_keys:
-            df = self.df.groupBy(*all_keys).agg(*agg_cols)
+            df = src.groupBy(*all_keys).agg(*agg_cols)
         else:
-            df = self.df.agg(*agg_cols)
+            df = src.agg(*agg_cols)
         new_syms = {name: kind for name, kind, _ in outs}
         for name, kind, spec in outs:
             if kind in ("node", "rel", "path"):
