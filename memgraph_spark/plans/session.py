@@ -1509,6 +1509,16 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         self._npm_cache = cache
         return out
 
+    @staticmethod
+    def _scan_order(df: DataFrame) -> DataFrame:
+        """Within-partition sort by graph id columns: comprehension /
+        collect element order follows creation (storage scan) order like
+        the reference's pull order (list_operations.feature pattern-
+        comprehension scenarios). No shuffle."""
+        ids = ([c for c in df.columns if c.endswith("_eid")]
+               + [c for c in df.columns if c.endswith("_id")])
+        return df.sortWithinPartitions(*ids) if ids else df
+
     def _roll_up_keyed(self, pc: A.PatternComprehension, var: str) -> A.Expr:
         """RollUpApply keyed by a lambda variable: build one global
         anchor-id -> list lookup map (broadcast — same caveat as the
@@ -1530,8 +1540,9 @@ class QueryCompiler(WriteMixin, TraversalMixin):
             sub._where(A.rename_vars(pc.where, mapping))
         proj = compile_expr(
             sub._lift(A.rename_vars(pc.projection, mapping)), sub._env())
-        rolled = (sub.df.select(F.col(f"{fresh}_id").alias("__k"),
-                                proj.alias("__p"))
+        rolled = (self._scan_order(sub.df)
+                  .select(F.col(f"{fresh}_id").alias("__k"),
+                          proj.alias("__p"))
                   .groupBy("__k").agg(F.collect_list("__p").alias("__l")))
         empty = F.array().cast(rolled.schema["__l"].dataType)
         full = (self.g.all_nodes([]).select(F.col("id").alias("__k"))
@@ -1605,7 +1616,8 @@ class QueryCompiler(WriteMixin, TraversalMixin):
             sub._where(pc.where)
         proj = compile_expr(sub._lift(pc.projection), sub._env())
         if keys:
-            rolled = (sub.df.select(*keys, proj.alias("__proj"))
+            rolled = (self._scan_order(sub.df)
+                      .select(*keys, proj.alias("__proj"))
                       .groupBy(*keys).agg(F.collect_list("__proj").alias(out)))
             if all(ren.get(s, s) == s for s in node_shared):
                 self.df = self.df.join(rolled, on=keys, how="left")
@@ -1627,7 +1639,8 @@ class QueryCompiler(WriteMixin, TraversalMixin):
                     self.df = self.df.drop(rolled[v])
         else:
             # unanchored comprehension: one global list, cross-joined in
-            rolled = (sub.df.select(proj.alias("__proj"))
+            rolled = (self._scan_order(sub.df)
+                      .select(proj.alias("__proj"))
                       .agg(F.collect_list("__proj").alias(out)))
             if self.df is None:
                 self.df = self._seed()

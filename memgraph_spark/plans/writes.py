@@ -289,8 +289,13 @@ class WriteMixin:
                     return False
             except CompileError:
                 return False
-            return all(_lit_value(v) is not _NOT_LIT
-                       for v in np.props.values())
+            return all(_lit_ok(v) for v in np.props.values())
+
+        def _lit_ok(ve) -> bool:
+            v = _lit_value(ve)
+            # mixed-element lists ([1.0, 2.0, 3]) need the frame path's
+            # variant lifting — the driver-side schema can't express them
+            return v is not _NOT_LIT and _lit_type(v) is not None
 
         def rel_ok(rel: A.RelPattern) -> bool:
             if rel.dyn_types or len(rel.types) != 1 \
@@ -301,8 +306,7 @@ class WriteMixin:
             if rel.var is not None and (rel.var in self.symbols
                                         or rel.var in lits):
                 return False
-            return all(_lit_value(v) is not _NOT_LIT
-                       for v in rel.props.values())
+            return all(_lit_ok(v) for v in rel.props.values())
 
         if not part.chain and part.start.var in lits:
             raise CompileError(
