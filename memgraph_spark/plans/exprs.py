@@ -42,13 +42,18 @@ class Env:
             return None
         try:
             return self.df.select(col.alias("__t")).schema[0].dataType
-        except Exception:
+        except Exception as ex:
             # aggregate-bearing expressions (collect(n) + [b]) don't
-            # resolve in a plain select — retry in an aggregate context
-            try:
-                return self.df.agg(col.alias("__t")).schema[0].dataType
-            except Exception:
-                return None
+            # resolve in a plain select — retry in an aggregate context.
+            # Gated on the error class: an unconditional retry would double
+            # the probe cost of every unresolved lambda-var expression.
+            msg = str(ex)
+            if "GROUP" in msg or "AGGREGATE" in msg.upper():
+                try:
+                    return self.df.agg(col.alias("__t")).schema[0].dataType
+                except Exception:
+                    return None
+            return None
 
 
 class CompileError(Exception):
