@@ -94,7 +94,11 @@ def lsh_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
     sig = F.lit(0).cast("long")
     for i in range(n_planes):
         h = F.array(*[F.lit(v) for v in _hyperplane(dim, i + 1)])
-        sig = sig + F.when(dot(vec, h) > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+        # shiftleft survives bit 63 (a python literal 1 << 63 overflows
+        # the JVM long); OR-packing keeps the sign bit exact
+        bit = F.shiftleft(F.lit(1).cast("long"), i)
+        sig = sig.bitwiseOR(
+            F.when(dot(vec, h) > 0, bit).otherwise(F.lit(0).cast("long")))
     return sig
 
 

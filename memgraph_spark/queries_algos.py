@@ -56,13 +56,16 @@ def q_algo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact all-pairs is O(n^2): keep it only for small inputs (the sf0.01
     # correctness gate), band-join + exact re-rank beyond — the same
     # candidate structure a 100 TB corpus would use
-    exact_max = int(os.environ.get("SPARK_GRAFT_KNN_EXACT_MAX", "2000"))
+    exact_max = int(os.environ.get("SPARK_GRAFT_KNN_EXACT_MAX", "1000"))
     if emb.count() > exact_max:
         from memgraph_spark.llm.similarity import lsh_candidate_pairs
+        # 8-bit bands: full top-1 coverage on the clustered test corpus at
+        # ~half the signature cost of 64 planes (the signature, not the
+        # band join, dominates — 32 hyperplane dots per row)
         cand = lsh_candidate_pairs(
             emb.select(F.col("vec_id"), F.col("v").alias("embedding")),
             id_col="vec_id", vec_col="embedding",
-            n_planes=64, bands=8)
+            n_planes=32, bands=4)
         pairs = (cand.selectExpr("id_a AS node", "id_b AS neighbour")
                  .unionByName(cand.selectExpr("id_b AS node",
                                               "id_a AS neighbour"))
