@@ -9,6 +9,7 @@ for a real decoder changes ONE function body, not the pipeline.
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -44,6 +45,15 @@ def _fake_decode_features(blob: bytes, dim: int = 8) -> list[float]:
     return [a / 997.0 for a in acc]
 
 
+def _content_hash(blob) -> int:
+    """Deterministic 63-bit content hash (md5-folded). Python's builtin
+    hash() is per-process seeded and MUST NOT be used across executors."""
+    if blob is None:
+        return 0
+    d = hashlib.md5(bytes(blob)).digest()
+    return int.from_bytes(d[:8], "big") & 0x7FFFFFFFFFFFFFFF
+
+
 def decode_image(blob: bytes):  # pragma: no cover - intentional stub
     """Real image decode is not available in this container."""
     raise NotImplementedError("image codec not available; use extract_features (fake)")
@@ -69,8 +79,7 @@ def extract_features(
             out = pd.DataFrame({
                 "media_id": pdf[id_col],
                 "n_bytes": pdf[blob_col].map(lambda b: 0 if b is None else len(b)),
-                "content_hash": pdf[blob_col].map(
-                    lambda b: 0 if b is None else hash(bytes(b)) & 0x7FFFFFFFFFFFFFFF),
+                "content_hash": pdf[blob_col].map(_content_hash),
                 "features": pdf[blob_col].map(lambda b: _fake_decode_features(b, dim)),
             })
             yield out
@@ -91,3 +100,119 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000,
                              F.greatest(F.col(f"{meta_col}.duration_ms") - 1, F.lit(0)),
                              F.lit(every_ms))),
     )
+
+
+def media_table(spark, sf_dir: str, media_type: str = "image") -> DataFrame:
+    """Build a typed media table from the documents parquet: each document's
+    text becomes an opaque blob (deterministic UTF-8 encode standing in for
+    real image/audio bytes) beside the MEDIA_META_SCHEMA metadata struct.
+    The shape — (media_id, data BINARY, meta STRUCT) — is the contract every
+    pipeline here consumes; at scale this is the parquet layout (blobs in
+    their own column chunk, metadata columns prunable without touching
+    blob bytes)."""
+    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    blob = F.encode(F.col("text"), "UTF-8")
+    n = F.length(blob)
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        blob.alias("data"),
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit({"image": "png", "audio": "wav",
+                   "video": "mp4"}.get(media_type, "bin")).alias("format"),
+            (n % 640 + 16).cast("int").alias("width"),
+            (n % 480 + 16).cast("int").alias("height"),
+            (n * 10).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("data", T.BinaryType()),
+    T.StructField("meta", MEDIA_META_SCHEMA),
+])
+
+
+def resize_images(df: DataFrame, width: int, height: int,
+                  id_col: str = "media_id", blob_col: str = "data",
+                  meta_col: str = "meta", batch_rows: int = 256) -> DataFrame:
+    """mapInPandas image resize. The pipeline — Arrow batches in, updated
+    blob + metadata struct out, bounded batch sizes — is real; the pixel
+    resample is a deterministic fake (byte stream re-sampled to the target
+    byte budget) standing in for PIL's Image.resize."""
+
+    def _fake_resize(blob, w, h):
+        if blob is None:
+            return None
+        target = max(1, (w * h) // 8)
+        b = bytes(blob)
+        if not b:
+            return b""
+        # nearest-neighbour over the byte stream: same shape of work as a
+        # real resample, deterministic, codec-free
+        step = len(b) / target
+        return bytes(b[min(len(b) - 1, int(i * step))] for i in range(target))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pd.DataFrame(list(pdf[meta_col]))
+            meta["width"] = width
+            meta["height"] = height
+            yield pd.DataFrame({
+                "media_id": pdf[id_col],
+                "data": pdf[blob_col].map(lambda b: _fake_resize(b, width, height)),
+                "meta": meta.to_dict("records"),
+            })
+
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
+    return df.select(id_col, blob_col, meta_col).mapInPandas(run, RESIZED_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("window_idx", T.IntegerType()),
+    T.StructField("start_ms", T.LongType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("zero_crossings", T.LongType()),
+])
+
+
+def audio_window_features(df: DataFrame, window_ms: int = 1000,
+                          id_col: str = "media_id", blob_col: str = "data",
+                          meta_col: str = "meta",
+                          batch_rows: int = 64) -> DataFrame:
+    """Windowed audio features (RMS energy + zero-crossing count per
+    window), the MFCC-pipeline shape without the codec: the blob is treated
+    as signed 8-bit PCM — real WAV/MP3 decode is the single swap-in point.
+    Window boundaries derive from duration_ms so the fan-out (one output row
+    per window) matches frame_sample_plan's engine-side budget."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "window_idx", "start_ms",
+                                   "rms", "zero_crossings")}
+            for mid, blob, meta in zip(pdf[id_col], pdf[blob_col], pdf[meta_col]):
+                dur = int(meta["duration_ms"] or 0) if meta is not None else 0
+                n_win = max(1, (dur + window_ms - 1) // window_ms)
+                sig = (np.frombuffer(bytes(blob), dtype=np.int8).astype(np.float64)
+                       if blob else np.zeros(1))
+                chunks = np.array_split(sig, n_win)
+                for wi, ch in enumerate(chunks):
+                    if not len(ch):
+                        ch = np.zeros(1)
+                    out["media_id"].append(mid)
+                    out["window_idx"].append(wi)
+                    out["start_ms"].append(wi * window_ms)
+                    out["rms"].append(float(np.sqrt(np.mean(ch ** 2))))
+                    out["zero_crossings"].append(
+                        int(np.count_nonzero(np.diff(np.signbit(ch)))))
+            yield pd.DataFrame(out)
+
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
+    return df.select(id_col, blob_col, meta_col).mapInPandas(
+        run, AUDIO_WINDOW_SCHEMA)

@@ -81,6 +81,44 @@ def test_frame_sample_plan(spark):
     assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
 
 
+def test_media_table_resize_audio(spark):
+    from memgraph_spark.llm.multimodal import (
+        audio_window_features, media_table, resize_images)
+    media = media_table(spark, SF_SMOKE).limit(8)
+    rows = media.collect()
+    assert rows and all(r["data"] is not None and
+                        r["meta"]["media_type"] == "image" for r in rows)
+
+    resized = {r["media_id"]: r for r in resize_images(media, 32, 16).collect()}
+    assert set(resized) == {r["media_id"] for r in rows}
+    for r in resized.values():
+        assert r["meta"]["width"] == 32 and r["meta"]["height"] == 16
+        assert len(r["data"]) == (32 * 16) // 8
+    # determinism across runs
+    again = {r["media_id"]: r for r in resize_images(media, 32, 16).collect()}
+    assert all(bytes(again[k]["data"]) == bytes(v["data"])
+               for k, v in resized.items())
+
+    audio = media_table(spark, SF_SMOKE, media_type="audio").limit(4)
+    win = audio_window_features(audio, window_ms=500).collect()
+    n_expected = sum(
+        max(1, (r["meta"]["duration_ms"] + 499) // 500)
+        for r in audio.collect())
+    assert len(win) == n_expected
+    assert all(r["rms"] >= 0.0 and r["zero_crossings"] >= 0 for r in win)
+    assert all(r["start_ms"] == r["window_idx"] * 500 for r in win)
+
+
+def test_content_hash_is_process_independent():
+    from memgraph_spark.llm.multimodal import _content_hash
+    # pinned value: md5-folded, must not vary with PYTHONHASHSEED
+    import hashlib
+    want = int.from_bytes(hashlib.md5(b"abc").digest()[:8], "big") & 0x7FFFFFFFFFFFFFFF
+    assert _content_hash(b"abc") == want == 0x900150983CD24FB0 & 0x7FFFFFFFFFFFFFFF
+    assert _content_hash(None) == 0
+    assert _content_hash(bytearray(b"abc")) == _content_hash(b"abc")
+
+
 def test_ivf_topk_matches_exact_on_small_set(spark):
     from memgraph_spark.llm.similarity import cosine_topk, ivf_topk
     df = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")

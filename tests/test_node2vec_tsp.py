@@ -54,6 +54,31 @@ def test_embeddings_cluster_structure(spark):
     assert intra > inter  # clique-mates embed closer than cross-clique pairs
 
 
+def test_embeddings_distributed_parity(spark):
+    # force the model-averaging path on the same graph: it must produce the
+    # full vocabulary, finite vectors, the same cluster structure, and be
+    # deterministic run-over-run (fixed partitioning + per-partition rng).
+    g = _two_cliques(spark)
+    kw = dict(num_walks=8, walk_length=6, vector_size=8, window=3,
+              epochs=10, seed=3, etype="E", distributed=True)
+    emb = node2vec_embeddings(g, **kw)
+    vecs = {r.node: np.array(r.embedding) for r in emb.collect()}
+    assert set(vecs) == {1, 2, 3, 4, 5, 6}
+    assert all(v.shape == (8,) and np.isfinite(v).all() for v in vecs.values())
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+    intra = np.mean([cos(vecs[1], vecs[2]), cos(vecs[2], vecs[3]),
+                     cos(vecs[4], vecs[5]), cos(vecs[5], vecs[6])])
+    inter = np.mean([cos(vecs[1], vecs[5]), cos(vecs[1], vecs[6]),
+                     cos(vecs[2], vecs[6])])
+    assert intra > inter
+
+    rerun = {r.node: np.array(r.embedding)
+             for r in node2vec_embeddings(g, **kw).collect()}
+    assert all(np.allclose(vecs[n], rerun[n]) for n in vecs)
+
+
 def test_tsp_square(spark):
     g = load_tpch_graph(spark, SF_SMOKE)
     # four points on a ~1-degree square; optimal tour is the perimeter
