@@ -64,6 +64,15 @@ def main() -> None:
     for name in names:
         Q.QUERIES[name](spark, sf_dir).count()
 
+    # drop the warm-up pass's dead checkpoint blocks before measuring:
+    # Python GC releases the DataFrame wrappers, the JVM GC lets the
+    # ContextCleaner unpersist their RDD blocks (keeps the shared persisted
+    # caches hot — only unreferenced per-round checkpoints go)
+    import gc
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(1.0)
+
     per_query: dict[str, float] = {}
     t_all = time.perf_counter()
     for name in names:

@@ -33,7 +33,9 @@ def betweenness_centrality(
 ) -> DataFrame:
     """Returns (id, betweenness). `sources` is an (id) DataFrame — defaults
     to every vertex (exact Brandes); pass a sample for the approximation."""
-    edges = graph.adjacency(etype, direction).persist()
+    # already persisted by the catalog's shared adjacency cache; persisting
+    # (and later unpersisting) it here would drop that shared entry
+    edges = graph.adjacency(etype, direction)
     if sources is None:
         sources = (edges.select(F.col("src").alias("id"))
                    .unionAll(edges.select(F.col("dst").alias("id")))
@@ -77,5 +79,4 @@ def betweenness_centrality(
     result = (out.filter(F.col("id") != F.col("start"))
               .groupBy("id")
               .agg(F.round(F.sum("delta"), 4).alias("betweenness")))
-    edges.unpersist()
     return result

@@ -20,7 +20,9 @@ from pyspark.sql import functions as F
 def color_graph(graph, etype: str | None = None,
                 max_rounds: int = 64) -> DataFrame:
     """Returns (id, color), colors 0..k-1, proper w.r.t. the undirected view."""
-    und = graph.adjacency(etype, "both").persist()
+    # catalog-persisted shared adjacency: do NOT persist/unpersist it here
+    # (unpersisting a sameResult plan drops the shared cache entry)
+    und = graph.adjacency(etype, "both")
     nodes = (und.select(F.col("src").alias("id")).dropDuplicates()
              .withColumn("pri", F.xxhash64("id")))
     uncolored = nodes.localCheckpoint(eager=True)
@@ -59,7 +61,6 @@ def color_graph(graph, etype: str | None = None,
             colored.unionByName(pick).localCheckpoint(eager=True)
         uncolored = uncolored.join(pick.select("id"), "id", "left_anti") \
             .localCheckpoint(eager=True)
-    und.unpersist()
     return colored if colored is not None else \
         graph.spark.createDataFrame([], "id long, color int")
 
@@ -71,7 +72,9 @@ def link_prediction_scores(graph, etype: str | None = None, top_k: int = 50,
     (src/mage/python/link_prediction.py) trains a torch GNN — unavailable in
     this environment; the classic neighbourhood heuristics (adamic_adar,
     common_neighbors) fill the same contract."""
-    und = graph.adjacency(etype, "both").persist()
+    # catalog-persisted shared adjacency: do NOT persist/unpersist it here
+    # (unpersisting a sameResult plan drops the shared cache entry)
+    und = graph.adjacency(etype, "both")
     deg = und.groupBy("src").agg(F.count("*").alias("deg")) \
         .withColumnRenamed("src", "z")
     # pairs (u, v) with a common neighbour z
@@ -92,5 +95,4 @@ def link_prediction_scores(graph, etype: str | None = None, top_k: int = 50,
            .orderBy(F.desc("score"), "u", "v").limit(top_k)
            .select(F.col("u").alias("node1"), F.col("v").alias("node2"),
                    "score"))
-    und.unpersist()
     return out

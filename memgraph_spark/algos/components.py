@@ -5,12 +5,18 @@ Parity: query_modules/wcc.py and the reference's community_detection modules
 classic min-label propagation to fixpoint (large-star/small-star simplified);
 label_propagation is synchronous LPA with a deterministic tie-break, the
 scalable stand-in for Louvain-style community detection.
+
+Each round's checkpoint carries the previous label so the fixpoint test is a
+cheap aggregate over the cached blocks (no extra join job); round N-1's
+checkpoint blocks are freed once round N materializes (free_checkpoint).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from memgraph_spark.session import free_checkpoint
 
 
 def weakly_connected_components(
@@ -33,6 +39,7 @@ def weakly_connected_components(
         und.select(F.col("a").alias("id"))
         .dropDuplicates()
         .withColumn("component", F.col("id"))
+        .withColumn("prev", F.lit(None).cast("long"))
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
@@ -42,23 +49,22 @@ def weakly_connected_components(
             .agg(F.min("component").alias("nbr"))
         )
         new_labels = (
-            labels.join(nbr_min, "id", "left")
+            labels.select("id", F.col("component").alias("prev"))
+            .join(nbr_min, "id", "left")
             .select("id",
-                    F.least(F.col("component"),
-                            F.coalesce(F.col("nbr"), F.col("component"))).alias("component"))
+                    F.least(F.col("prev"),
+                            F.coalesce(F.col("nbr"), F.col("prev"))).alias("component"),
+                    "prev")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.withColumnRenamed("component", "c2")
-            .join(labels, "id")
-            .filter(F.col("c2") != F.col("component"))
-            .limit(1).count()
-        )
+        free_checkpoint(labels)
         labels = new_labels
+        changed = labels.agg(F.count(F.when(
+            F.col("component") != F.col("prev"), 1)).alias("n")).first()["n"]
         if changed == 0:
             break
     und.unpersist()
-    return labels
+    return labels.select("id", "component")
 
 
 def label_propagation(
@@ -79,6 +85,7 @@ def label_propagation(
     labels = (
         und.select(F.col("a").alias("id")).dropDuplicates()
         .withColumn("label", F.col("id"))
+        .withColumn("prev", F.lit(None).cast("long"))
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
@@ -94,18 +101,17 @@ def label_propagation(
             .select("id", (-F.col("s.neg")).alias("new_label"))
         )
         new_labels = (
-            labels.join(best, "id", "left")
-            .select("id", F.coalesce(F.col("new_label"), F.col("label")).alias("label"))
+            labels.select("id", F.col("label").alias("prev"))
+            .join(best, "id", "left")
+            .select("id", F.coalesce(F.col("new_label"), F.col("prev")).alias("label"),
+                    "prev")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.withColumnRenamed("label", "l2")
-            .join(labels, "id")
-            .filter(F.col("l2") != F.col("label"))
-            .limit(1).count()
-        )
+        free_checkpoint(labels)
         labels = new_labels
+        changed = labels.agg(F.count(F.when(
+            F.col("label") != F.col("prev"), 1)).alias("n")).first()["n"]
         if changed == 0:
             break
     und.unpersist()
-    return labels
+    return labels.select("id", "label")

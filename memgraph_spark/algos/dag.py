@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from memgraph_spark.session import free_checkpoint
+
 
 def topological_layers(graph, etype: str | None = None, mode: str = "out"):
     """Returns (id, layer) DataFrame, or None if the graph has a cycle.
@@ -34,9 +36,13 @@ def topological_layers(graph, etype: str | None = None, mode: str = "out"):
         if zero.isEmpty():
             return None  # peeling stalled -> cycle
         layers.append(zero.withColumn("layer", F.lit(layer)))
-        active = active.join(zero, "id", "left_anti").localCheckpoint(eager=True)
-        remaining = (remaining.join(zero.withColumnRenamed("id", "src"), "src",
-                                    "left_anti").localCheckpoint(eager=True))
+        new_active = active.join(zero, "id", "left_anti").localCheckpoint(eager=True)
+        new_remaining = (remaining.join(zero.withColumnRenamed("id", "src"), "src",
+                                        "left_anti").localCheckpoint(eager=True))
+        if active is not nodes:
+            free_checkpoint(active)
+        free_checkpoint(remaining)
+        active, remaining = new_active, new_remaining
         layer += 1
     out = layers[0]
     for df in layers[1:]:
@@ -97,10 +103,12 @@ def spanning_tree(graph, weights: str | None = None,
         for df in picked[1:]:
             tree = tree.unionByName(df)
         wcc = weakly_connected_components(tree.dropDuplicates())
-        comp = (comp.select("id")
-                .join(wcc.withColumnRenamed("component", "c"), "id", "left")
-                .select("id", F.coalesce("c", F.col("id")).alias("comp"))
-                .localCheckpoint(eager=True))
+        new_comp = (comp.select("id")
+                    .join(wcc.withColumnRenamed("component", "c"), "id", "left")
+                    .select("id", F.coalesce("c", F.col("id")).alias("comp"))
+                    .localCheckpoint(eager=True))
+        free_checkpoint(comp)
+        comp = new_comp
     if not picked:
         return graph.spark.createDataFrame([], "src long, dst long")
     out = picked[0]

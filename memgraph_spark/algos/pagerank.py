@@ -5,12 +5,20 @@ power-iteration over the in-memory graph). Spark re-expression: per round,
 rank mass flows src->dst through one groupBy(dst) shuffle; dangling mass is
 redistributed uniformly. Out-degrees and the edge list are computed once and
 persisted; each round's plan is O(1) deep thanks to localCheckpoint.
+
+Per-round job budget: the checkpointed rank frame carries (deg, prev) so the
+dangling-mass probe and the L1-delta convergence probe are ONE aggregate
+scan over the cached blocks — no extra joins. Round N-1's checkpoint blocks
+are freed once round N materializes (free_checkpoint), so long runs don't
+evict other caches.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from memgraph_spark.session import free_checkpoint, persist_if_needed
 
 
 def pagerank(
@@ -23,57 +31,58 @@ def pagerank(
 ) -> DataFrame:
     """Returns (id, rank); ranks sum to 1. `edges` is any (src, dst) DataFrame.
 
-    Convergence: stops when L1 rank delta < tol (one extra agg per round) or
-    after max_iter rounds. Partition strategy: ranks and edges are both
-    hash-partitioned on the vertex id by the groupBy, so consecutive rounds
-    reuse the exchange (AQE coalesces the small rank side).
+    Convergence: stops when L1 rank delta < tol (folded into the dangling
+    probe) or after max_iter rounds. Partition strategy: ranks and edges are
+    both hash-partitioned on the vertex id by the groupBy, so consecutive
+    rounds reuse the exchange (AQE coalesces the small rank side).
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).persist()
-    vertices = (
+    e, release_e = persist_if_needed(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")))
+    vertices, release_v = persist_if_needed(
         e.select(F.col("src").alias("id"))
         .unionAll(e.select(F.col("dst").alias("id")))
         .dropDuplicates()
-        .persist()
     )
     n = vertices.count()
-    out_deg = e.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
 
-    ranks = vertices.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint(eager=True)
+    # rank frame schema: (id, rank, prev, deg) — deg null marks dangling
+    ranks = (
+        vertices.join(out_deg, vertices["id"] == out_deg["src"], "left")
+        .select(vertices["id"], F.lit(1.0 / n).alias("rank"),
+                F.lit(0.0).alias("prev"), "deg")
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iter):
-        contrib_src = (
-            ranks.join(out_deg, ranks["id"] == out_deg["src"], "left")
-            .select(ranks["id"], "rank", "deg")
-        )
-        # mass from dangling nodes (no out-edges) is spread uniformly
-        dangling = contrib_src.filter(F.col("deg").isNull()) \
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m")).first()["m"]
+        # one cached-block scan: dangling mass + convergence delta together
+        probe = ranks.agg(
+            F.coalesce(F.sum(F.when(F.col("deg").isNull(), F.col("rank"))),
+                       F.lit(0.0)).alias("dangling"),
+            F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("delta"),
+        ).first()
+        if tol is not None and probe["delta"] is not None \
+                and probe["delta"] < tol:
+            break
+        dangling = probe["dangling"]
         msgs = (
-            contrib_src.filter(F.col("deg").isNotNull())
-            .join(e, contrib_src["id"] == e["src"], "inner")
+            ranks.filter(F.col("deg").isNotNull())
+            .join(e, ranks["id"] == e["src"], "inner")
             .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("m"))
             .groupBy("id").agg(F.sum("m").alias("recv"))
         )
         new_ranks = (
-            vertices.join(msgs, "id", "left")
+            ranks.select("id", F.col("rank").alias("prev"), "deg")
+            .join(msgs, "id", "left")
             .select(
                 "id",
                 (F.lit((1 - damping) / n)
                  + F.lit(damping) * (F.coalesce(F.col("recv"), F.lit(0.0))
                                      + F.lit(dangling / n))).alias("rank"),
+                "prev", "deg",
             )
             .localCheckpoint(eager=True)
         )
-        if tol is not None:
-            delta = (
-                new_ranks.withColumnRenamed("rank", "r2")
-                .join(ranks, "id")
-                .agg(F.sum(F.abs(F.col("r2") - F.col("rank"))).alias("d"))
-                .first()["d"]
-            )
-            ranks = new_ranks
-            if delta is not None and delta < tol:
-                break
-        else:
-            ranks = new_ranks
-    e.unpersist(); vertices.unpersist(); out_deg.unpersist()
-    return ranks
+        free_checkpoint(ranks)
+        ranks = new_ranks
+    release_e(); release_v()
+    return ranks.select("id", "rank")

@@ -332,8 +332,10 @@ def weighted_shortest_path(
         edges = edges.unionByName(
             edges.withColumnRenamed("src", "__t").withColumnRenamed("dst", "src")
                  .withColumnRenamed("__t", "dst"))
-    e = edges.select(F.col("src"), F.col("dst"),
-                     F.col(weight_col).cast("double").alias("__w")).persist()
+    from memgraph_spark.session import persist_if_needed
+    e, release_e = persist_if_needed(
+        edges.select(F.col("src"), F.col("dst"),
+                     F.col(weight_col).cast("double").alias("__w")))
     init = sources.select(
         F.col(source_col).alias("start"),
         F.col(source_col).alias("id"),
@@ -366,5 +368,5 @@ def weighted_shortest_path(
             break
         pieces = pieces.unionByName(improved)
         frontier = improved
-    e.unpersist()
+    release_e()
     return pieces.groupBy("start", "id").agg(F.min("cost").alias("cost"))

@@ -107,7 +107,9 @@ def k_shortest_paths(graph, source_id: int, target_id: int, k: int = 3,
     """Yen's algorithm (operator.cpp:3716): k loopless shortest paths as
     (node-id list, cost), cheapest first. The spur loop is driver-side (same
     as the reference); each inner shortest-path run is distributed."""
-    e = _weighted_edges(graph, etype, weight_col, edges_df).persist()
+    from memgraph_spark.session import persist_if_needed
+    e, release_e = persist_if_needed(
+        _weighted_edges(graph, etype, weight_col, edges_df))
     try:
         first = _walk_path(_dijkstra_pred(e, source_id), source_id, target_id)
         if first is None:
@@ -146,7 +148,7 @@ def k_shortest_paths(graph, source_id: int, target_id: int, k: int = 3,
             paths.append(candidates.pop(0))
         return paths
     finally:
-        e.unpersist()
+        release_e()
 
 
 def _path_cost(e: DataFrame, path: list[int]) -> float:

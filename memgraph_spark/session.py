@@ -12,6 +12,45 @@ import os
 from pyspark.sql import SparkSession
 
 
+def free_checkpoint(df) -> None:
+    """Release the cached blocks behind an eager localCheckpoint DataFrame.
+
+    Iterative operators (BFS / Bellman-Ford / PageRank / Katz / label
+    propagation ...) localCheckpoint every round to cut lineage. Spark only
+    frees those blocks when the RDD is garbage-collected on the driver, so a
+    10-round loop retains 10 generations of frontier blocks — enough storage
+    pressure to evict the shared adjacency cache and stall every later
+    query. Call this on round N-1's checkpoint once round N's checkpoint is
+    materialized. The DataFrame must not be used afterwards.
+
+    No-op for non-checkpointed frames (analyzed plan isn't a LogicalRDD).
+    """
+    try:
+        analyzed = df._jdf.queryExecution().analyzed()
+        if analyzed.getClass().getName().endswith("LogicalRDD"):
+            analyzed.rdd().unpersist(False)
+    except Exception:
+        pass  # best-effort: a leaked block is a perf bug, not a correctness one
+
+
+def persist_if_needed(df):
+    """Persist `df` unless an equivalent plan is already cached.
+
+    Spark's CacheManager matches cached entries by plan equivalence
+    (sameResult), so persisting a no-op projection of an already-cached
+    frame reuses the existing entry — and unpersisting it REMOVES that
+    shared entry. An algorithm that persists its input edge list and
+    unpersists it on exit would silently kill the catalog's shared
+    adjacency cache whenever the input derives from it. Returns
+    (df, release) where release() unpersists only if this call persisted.
+    """
+    lvl = df.storageLevel
+    if lvl.useMemory or lvl.useDisk:
+        return df, (lambda: None)
+    p = df.persist()
+    return p, (lambda: p.unpersist())
+
+
 def get_spark(app_name: str = "memgraph-spark", cpus: int | str | None = None) -> SparkSession:
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
     return (
