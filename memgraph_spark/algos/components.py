@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from memgraph_spark.session import free_checkpoint
+from memgraph_spark.session import checkpoint_with_metrics, free_checkpoint
 
 
 def weakly_connected_components(
@@ -48,20 +48,17 @@ def weakly_connected_components(
             .groupBy(F.col("b").alias("id"))
             .agg(F.min("component").alias("nbr"))
         )
-        new_labels = (
+        new_labels, m = checkpoint_with_metrics(
             labels.select("id", F.col("component").alias("prev"))
             .join(nbr_min, "id", "left")
             .select("id",
                     F.least(F.col("prev"),
                             F.coalesce(F.col("nbr"), F.col("prev"))).alias("component"),
-                    "prev")
-            .localCheckpoint(eager=True)
-        )
+                    "prev"),
+            changed=F.count(F.when(F.col("component") != F.col("prev"), 1)))
         free_checkpoint(labels)
         labels = new_labels
-        changed = labels.agg(F.count(F.when(
-            F.col("component") != F.col("prev"), 1)).alias("n")).first()["n"]
-        if changed == 0:
+        if m["changed"] == 0:
             break
     und.unpersist()
     return labels.select("id", "component")
@@ -100,18 +97,15 @@ def label_propagation(
             .agg(F.max(F.struct(F.col("n"), (-F.col("label")).alias("neg"))).alias("s"))
             .select("id", (-F.col("s.neg")).alias("new_label"))
         )
-        new_labels = (
+        new_labels, m = checkpoint_with_metrics(
             labels.select("id", F.col("label").alias("prev"))
             .join(best, "id", "left")
             .select("id", F.coalesce(F.col("new_label"), F.col("prev")).alias("label"),
-                    "prev")
-            .localCheckpoint(eager=True)
-        )
+                    "prev"),
+            changed=F.count(F.when(F.col("label") != F.col("prev"), 1)))
         free_checkpoint(labels)
         labels = new_labels
-        changed = labels.agg(F.count(F.when(
-            F.col("label") != F.col("prev"), 1)).alias("n")).first()["n"]
-        if changed == 0:
+        if m["changed"] == 0:
             break
     und.unpersist()
     return labels.select("id", "label")

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from memgraph_spark.session import free_checkpoint
+from memgraph_spark.session import checkpoint_with_metrics, free_checkpoint
 
 
 def topological_layers(graph, etype: str | None = None, mode: str = "out"):
@@ -24,25 +24,33 @@ def topological_layers(graph, etype: str | None = None, mode: str = "out"):
     mode="out": edges point dependency -> dependent (igraph semantics);
     mode="in" reverses."""
     adj = graph.adjacency(etype, "out" if mode == "out" else "in")
-    nodes = (adj.select(F.col("src").alias("id"))
-             .unionAll(adj.select(F.col("dst").alias("id")))
-             .dropDuplicates().localCheckpoint(eager=True))
+    nodes, nm = checkpoint_with_metrics(
+        adj.select(F.col("src").alias("id"))
+        .unionAll(adj.select(F.col("dst").alias("id")))
+        .dropDuplicates(), n=F.count(F.lit(1)))
     remaining = adj.localCheckpoint(eager=True)
     layers, layer = [], 0
-    active = nodes
-    while not active.isEmpty():
+    active, n_active = nodes, nm["n"]
+    # every row count rides its checkpoint job (observe) — the loop runs
+    # exactly 3 jobs per layer, no isEmpty probes
+    while n_active > 0:
         with_preds = remaining.select(F.col("dst").alias("id")).dropDuplicates()
-        zero = active.join(with_preds, "id", "left_anti").localCheckpoint(eager=True)
-        if zero.isEmpty():
+        zero, zm = checkpoint_with_metrics(
+            active.join(with_preds, "id", "left_anti"), n=F.count(F.lit(1)))
+        if zm["n"] == 0:
             return None  # peeling stalled -> cycle
         layers.append(zero.withColumn("layer", F.lit(layer)))
-        new_active = active.join(zero, "id", "left_anti").localCheckpoint(eager=True)
-        new_remaining = (remaining.join(zero.withColumnRenamed("id", "src"), "src",
-                                        "left_anti").localCheckpoint(eager=True))
-        if active is not nodes:
-            free_checkpoint(active)
-        free_checkpoint(remaining)
-        active, remaining = new_active, new_remaining
+        n_active -= zm["n"]
+        if n_active > 0:
+            new_active = active.join(zero, "id", "left_anti") \
+                .localCheckpoint(eager=True)
+            new_remaining = (remaining.join(
+                zero.withColumnRenamed("id", "src"), "src", "left_anti")
+                .localCheckpoint(eager=True))
+            if active is not nodes:
+                free_checkpoint(active)
+            free_checkpoint(remaining)
+            active, remaining = new_active, new_remaining
         layer += 1
     out = layers[0]
     for df in layers[1:]:

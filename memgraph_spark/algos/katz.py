@@ -18,7 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from memgraph_spark.session import free_checkpoint, persist_if_needed
+from memgraph_spark.session import (checkpoint_with_metrics, free_checkpoint,
+                                    persist_if_needed)
 
 
 def katz_centrality(
@@ -45,16 +46,16 @@ def katz_centrality(
                 .select(F.col("dst").alias("id"),
                         (F.lit(alpha) * (F.col("rank") + 1.0)).alias("m"))
                 .groupBy("id").agg(F.sum("m").alias("recv")))
-        nxt = (x.select("id", F.col("rank").alias("prev"))
-               .join(msgs, "id", "left")
-               .select("id", F.coalesce("recv", F.lit(0.0)).alias("rank"),
-                       "prev")
-               .localCheckpoint(eager=True))
+        # convergence metric rides the checkpoint job (observe) — no probe job
+        nxt, m = checkpoint_with_metrics(
+            x.select("id", F.col("rank").alias("prev"))
+            .join(msgs, "id", "left")
+            .select("id", F.coalesce("recv", F.lit(0.0)).alias("rank"),
+                    "prev"),
+            diff=F.max(F.abs(F.col("rank") - F.col("prev"))))
         free_checkpoint(x)
         x = nxt
-        # convergence probe scans only the cached checkpoint blocks
-        diff = x.agg(F.max(F.abs(F.col("rank") - F.col("prev")))).first()[0]
-        if diff is not None and diff < epsilon:
+        if m["diff"] is not None and m["diff"] < epsilon:
             break
     release_e()
     release_v()

@@ -18,7 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from memgraph_spark.session import free_checkpoint, persist_if_needed
+from memgraph_spark.session import (checkpoint_with_metrics, free_checkpoint,
+                                    persist_if_needed)
 
 
 def pagerank(
@@ -47,30 +48,29 @@ def pagerank(
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
 
     # rank frame schema: (id, rank, prev, deg) — deg null marks dangling
-    ranks = (
+    # the dangling-mass + convergence-delta probe rides each checkpoint's
+    # materialization job via observe — zero extra jobs per round
+    _metrics = dict(
+        dangling=F.coalesce(
+            F.sum(F.when(F.col("deg").isNull(), F.col("rank"))), F.lit(0.0)),
+        delta=F.sum(F.abs(F.col("rank") - F.col("prev"))),
+    )
+    ranks, m = checkpoint_with_metrics(
         vertices.join(out_deg, vertices["id"] == out_deg["src"], "left")
         .select(vertices["id"], F.lit(1.0 / n).alias("rank"),
-                F.lit(0.0).alias("prev"), "deg")
-        .localCheckpoint(eager=True)
-    )
+                F.lit(0.0).alias("prev"), "deg"),
+        **_metrics)
     for _ in range(max_iter):
-        # one cached-block scan: dangling mass + convergence delta together
-        probe = ranks.agg(
-            F.coalesce(F.sum(F.when(F.col("deg").isNull(), F.col("rank"))),
-                       F.lit(0.0)).alias("dangling"),
-            F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("delta"),
-        ).first()
-        if tol is not None and probe["delta"] is not None \
-                and probe["delta"] < tol:
+        if tol is not None and m["delta"] is not None and m["delta"] < tol:
             break
-        dangling = probe["dangling"]
+        dangling = m["dangling"]
         msgs = (
             ranks.filter(F.col("deg").isNotNull())
             .join(e, ranks["id"] == e["src"], "inner")
             .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("m"))
             .groupBy("id").agg(F.sum("m").alias("recv"))
         )
-        new_ranks = (
+        new_ranks, m = checkpoint_with_metrics(
             ranks.select("id", F.col("rank").alias("prev"), "deg")
             .join(msgs, "id", "left")
             .select(
@@ -79,9 +79,8 @@ def pagerank(
                  + F.lit(damping) * (F.coalesce(F.col("recv"), F.lit(0.0))
                                      + F.lit(dangling / n))).alias("rank"),
                 "prev", "deg",
-            )
-            .localCheckpoint(eager=True)
-        )
+            ),
+            **_metrics)
         free_checkpoint(ranks)
         ranks = new_ranks
     release_e(); release_v()

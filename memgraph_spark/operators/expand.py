@@ -196,8 +196,9 @@ def expand_variable(
             if depth >= lower:
                 results.append(cur)
             continue
-        stepped = stepped.localCheckpoint(eager=True)
-        cur_rows = stepped.count()
+        from memgraph_spark.session import checkpoint_with_metrics
+        stepped, _m = checkpoint_with_metrics(stepped, n=F.count(F.lit(1)))
+        cur_rows = _m["n"]
         if cur_rows == 0:
             cur = stepped
             break
@@ -270,17 +271,19 @@ def bfs(
     visited = frontier
     f_rows = frontier.count()
     v_rows = f_rows
+    from memgraph_spark.session import checkpoint_with_metrics
     for d in range(1, max_hops + 1):
         f = _maybe_broadcast(frontier, f_rows)
-        nxt = (
+        # the frontier row count rides the checkpoint job (observe)
+        nxt, m = checkpoint_with_metrics(
             f.join(edges, f["id"] == edges["src"], "inner")
             .select(F.col("start"), F.col("dst").alias("id"))
             .dropDuplicates()
             .join(_maybe_broadcast(visited, v_rows), ["start", "id"], "left_anti")
-            .withColumn("dist", F.lit(d))
-            .localCheckpoint(eager=True)
+            .withColumn("dist", F.lit(d)),
+            n=F.count(F.lit(1)),
         )
-        f_rows = nxt.count()
+        f_rows = m["n"]
         if f_rows == 0:
             break
         v_rows += f_rows
@@ -356,14 +359,16 @@ def weighted_shortest_path(
                     (F.col("cost") + F.col("__w")).alias("cost"))
             .groupBy("start", "id").agg(F.min("cost").alias("cost"))
         )
-        # keep candidates strictly better than the current distance
-        improved = (
+        # keep candidates strictly better than the current distance; the
+        # row count rides the checkpoint job (observe)
+        from memgraph_spark.session import checkpoint_with_metrics
+        improved, m = checkpoint_with_metrics(
             cand.join(dist.withColumnRenamed("cost", "__old"), ["start", "id"], "left")
             .filter(F.col("__old").isNull() | (F.col("cost") < F.col("__old")))
-            .select("start", "id", "cost")
-            .localCheckpoint(eager=True)
+            .select("start", "id", "cost"),
+            n=F.count(F.lit(1)),
         )
-        f_rows = improved.count()
+        f_rows = m["n"]
         if f_rows == 0:
             break
         pieces = pieces.unionByName(improved)

@@ -47,17 +47,23 @@ def q_algo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # normalize once per vector so each pair costs ONE dot product instead
     # of dot + two norms (3x fewer higher-order aggregates in the O(n^2)
     # inner loop)
-    emb = (emb.withColumn("__n", norm(F.col("v")))
-           .withColumn("v", F.transform(F.col("v"),
-                                        lambda x: x / F.col("__n")))
-           .drop("__n"))
+    # normalize ONCE into a checkpoint (the guard count rides the job);
+    # every downstream branch (a, b, signatures, orphan patch) reuses the
+    # cached normalized vectors instead of re-running the per-element HOF
+    from memgraph_spark.session import checkpoint_with_metrics
+    emb, _m = checkpoint_with_metrics(
+        emb.withColumn("__n", norm(F.col("v")))
+        .withColumn("v", F.transform(F.col("v"),
+                                     lambda x: x / F.col("__n")))
+        .drop("__n"),
+        n=F.count(F.lit(1)))
     a = emb.select(F.col("vec_id").alias("node"), F.col("v").alias("va"))
     b = emb.select(F.col("vec_id").alias("neighbour"), F.col("v").alias("vb"))
     # exact all-pairs is O(n^2): keep it only for small inputs (the sf0.01
     # correctness gate), band-join + exact re-rank beyond — the same
     # candidate structure a 100 TB corpus would use
     exact_max = int(os.environ.get("SPARK_GRAFT_KNN_EXACT_MAX", "1000"))
-    if emb.count() > exact_max:
+    if _m["n"] > exact_max:
         from memgraph_spark.llm.similarity import lsh_candidate_pairs
         # 8-bit bands: full top-1 coverage on the clustered test corpus at
         # ~half the signature cost of 64 planes (the signature, not the
@@ -74,9 +80,12 @@ def q_algo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.round(dot(F.col("va"), F.col("vb")), 4)))
         w0 = W.partitionBy("node").orderBy(F.desc("similarity"),
                                            F.asc("neighbour"))
+        # `top` feeds the result AND the orphan anti-join below — without the
+        # checkpoint the whole signature+band pipeline executes twice more
         top = (pairs.withColumn("rn", F.row_number().over(w0))
                .filter(F.col("rn") == 1)
-               .select("node", "neighbour", "similarity"))
+               .select("node", "neighbour", "similarity")
+               .localCheckpoint(eager=True))
         # nodes whose signature shares no band with anyone fall back to an
         # exact scan (few rows x full table — bounded patch-up, not O(n^2))
         orphans = a.join(top.select("node"), on="node", how="left_anti")

@@ -33,6 +33,19 @@ def free_checkpoint(df) -> None:
         pass  # best-effort: a leaked block is a perf bug, not a correctness one
 
 
+def checkpoint_with_metrics(df, **aggs):
+    """Eager localCheckpoint returning (checkpointed_df, metrics) where the
+    metrics (name -> aggregate Column) are computed DURING the checkpoint's
+    materialization job via Dataset.observe — the row count / convergence
+    probe that iterative loops need each round comes for free instead of as
+    a second job over the cached blocks."""
+    from pyspark.sql import Observation
+    obs = Observation()
+    ck = df.observe(obs, *[c.alias(n) for n, c in aggs.items()]) \
+           .localCheckpoint(eager=True)
+    return ck, obs.get
+
+
 def persist_if_needed(df):
     """Persist `df` unless an equivalent plan is already cached.
 
