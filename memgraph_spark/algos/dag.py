@@ -24,33 +24,42 @@ def topological_layers(graph, etype: str | None = None, mode: str = "out"):
     mode="out": edges point dependency -> dependent (igraph semantics);
     mode="in" reverses."""
     adj = graph.adjacency(etype, "out" if mode == "out" else "in")
-    nodes, nm = checkpoint_with_metrics(
-        adj.select(F.col("src").alias("id"))
-        .unionAll(adj.select(F.col("dst").alias("id")))
-        .dropDuplicates(), n=F.count(F.lit(1)))
-    remaining = adj.localCheckpoint(eager=True)
-    layers, layer = [], 0
-    active, n_active = nodes, nm["n"]
-    # every row count rides its checkpoint job (observe) — the loop runs
-    # exactly 3 jobs per layer, no isEmpty probes
-    while n_active > 0:
-        with_preds = remaining.select(F.col("dst").alias("id")).dropDuplicates()
-        zero, zm = checkpoint_with_metrics(
-            active.join(with_preds, "id", "left_anti"), n=F.count(F.lit(1)))
-        if zm["n"] == 0:
-            return None  # peeling stalled -> cycle
+    # Kahn's algorithm with distributed in-degree decrements: each edge is
+    # aggregated exactly ONCE across the whole peel (when its source leaves),
+    # so total shuffle volume is O(E) rather than O(E x layers). One
+    # checkpoint job per layer; zero-set counts ride it via observe. The
+    # per-layer x frames stay cached until the result is consumed (each is
+    # node-sized) — layer outputs are filters over them.
+    from memgraph_spark.operators.expand import _maybe_broadcast
+    nodes = (adj.select(F.col("src").alias("id"))
+             .unionAll(adj.select(F.col("dst").alias("id")))
+             .dropDuplicates())
+    indeg0 = (nodes.join(
+        adj.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("indeg")),
+        "id", "left")
+        .select("id", F.coalesce("indeg", F.lit(0)).alias("indeg")))
+    _metrics = dict(n=F.count(F.lit(1)),
+                    zeros=F.count(F.when(F.col("indeg") == 0, 1)))
+    x, m = checkpoint_with_metrics(indeg0, **_metrics)
+    layers, layer, remaining = [], 0, m["n"]
+    while remaining > 0:
+        if m["zeros"] == 0:
+            return None  # no zero-in-degree node left -> cycle
+        zero = x.filter(F.col("indeg") == 0).select("id")
         layers.append(zero.withColumn("layer", F.lit(layer)))
-        n_active -= zm["n"]
-        if n_active > 0:
-            new_active = active.join(zero, "id", "left_anti") \
-                .localCheckpoint(eager=True)
-            new_remaining = (remaining.join(
-                zero.withColumnRenamed("id", "src"), "src", "left_anti")
-                .localCheckpoint(eager=True))
-            if active is not nodes:
-                free_checkpoint(active)
-            free_checkpoint(remaining)
-            active, remaining = new_active, new_remaining
+        remaining -= m["zeros"]
+        if remaining == 0:
+            break
+        dec = (adj.join(_maybe_broadcast(
+                   zero.withColumnRenamed("id", "src"), m["zeros"]), "src")
+               .groupBy(F.col("dst").alias("id"))
+               .agg(F.count("*").alias("c")))
+        x, m = checkpoint_with_metrics(
+            x.filter(F.col("indeg") > 0)
+            .join(dec, "id", "left")
+            .select("id", (F.col("indeg") - F.coalesce("c", F.lit(0)))
+                    .alias("indeg")),
+            **_metrics)
         layer += 1
     out = layers[0]
     for df in layers[1:]:

@@ -5,12 +5,13 @@ Parity: the reference's katz_centrality module
 alpha=0.2, epsilon=1e-2, YIELD node, rank).
 
 Spark re-expression: the truncated Katz series x = sum_k alpha^k (A^T)^k 1
-via the fixpoint x <- alpha * A^T (x + 1); one groupBy(dst) shuffle per
-round, plans kept flat with localCheckpoint (same shape as algos/pagerank).
-Each round's checkpoint carries the previous rank alongside the new one so
-the convergence test is a cheap aggregate over the cached blocks (no extra
-join job), and round N-1's checkpoint blocks are freed as soon as round N
-is materialized (free_checkpoint) so long runs don't evict other caches.
+via the fixpoint x <- alpha * A^T (x + 1). Shuffle shape per round: the edge
+list is hash-partitioned on dst ONCE and cached; the (small) rank frame is
+broadcast into the edge join, so the per-dst aggregation reuses the cached
+partitioning and a round runs without re-shuffling the edges. Past the
+broadcast threshold the rank frame shuffles by src instead — the edges still
+never move. Convergence metrics ride the checkpoint job (observe), and round
+N-1's checkpoint blocks are freed as soon as round N materializes.
 """
 
 from __future__ import annotations
@@ -18,8 +19,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from memgraph_spark.session import (checkpoint_with_metrics, free_checkpoint,
-                                    persist_if_needed)
+from memgraph_spark.session import checkpoint_with_metrics, free_checkpoint
+
+# past this row count the rank frame stops being broadcast into the edge
+# join (same role as expand._maybe_broadcast's threshold)
+BROADCAST_MAX_ROWS = 500_000
 
 
 def katz_centrality(
@@ -32,17 +36,23 @@ def katz_centrality(
 ) -> DataFrame:
     """Returns (id, rank). Converges when the max per-node change < epsilon
     (guaranteed for alpha below 1/lambda_max; bounded by max_iter)."""
-    e, release_e = persist_if_needed(
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")))
-    vertices, release_v = persist_if_needed(
-        e.select(F.col("src").alias("id"))
-        .unionAll(e.select(F.col("dst").alias("id")))
-        .dropDuplicates())
-    x = (vertices.select("id", F.lit(0.0).alias("rank"),
-                         F.lit(0.0).alias("prev"))
-         .localCheckpoint(eager=True))
+    spark = edges.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # partition by dst once: the per-round groupBy("id"=dst) then reuses this
+    # layout instead of re-shuffling the (large) edge side every iteration
+    e = (edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+         .repartition(p, "dst").persist())
+    vertices = (e.select(F.col("src").alias("id"))
+                .unionAll(e.select(F.col("dst").alias("id")))
+                .dropDuplicates())
+    x, m0 = checkpoint_with_metrics(
+        vertices.select("id", F.lit(0.0).alias("rank"),
+                        F.lit(0.0).alias("prev")),
+        n=F.count(F.lit(1)))
+    small = m0["n"] <= BROADCAST_MAX_ROWS
     for _ in range(max_iter):
-        msgs = (x.join(e, x["id"] == e["src"])
+        lhs = F.broadcast(x) if small else x
+        msgs = (lhs.join(e, x["id"] == e["src"])
                 .select(F.col("dst").alias("id"),
                         (F.lit(alpha) * (F.col("rank") + 1.0)).alias("m"))
                 .groupBy("id").agg(F.sum("m").alias("recv")))
@@ -57,6 +67,5 @@ def katz_centrality(
         x = nxt
         if m["diff"] is not None and m["diff"] < epsilon:
             break
-    release_e()
-    release_v()
+    e.unpersist()
     return x.select("id", "rank")
