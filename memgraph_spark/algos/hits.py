@@ -16,32 +16,49 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from memgraph_spark.session import (checkpoint_with_metrics, free_checkpoint,
+                                    persist_if_needed)
+
 
 def hits(edges: DataFrame, max_iter: int = 30, tol: float = 1e-6) -> DataFrame:
-    """HITS over (src, dst) edges; returns (id, hub, authority)."""
-    e = edges.select("src", "dst").dropDuplicates().persist()
-    nodes = (e.select(F.col("src").alias("id"))
-             .unionAll(e.select(F.col("dst").alias("id")))
-             .dropDuplicates().persist())
+    """HITS over (src, dst) edges; returns (id, hub, authority).
+
+    Each half-round is ONE job: the un-normalized scores checkpoint while
+    their L2 norm (and convergence sum) ride the job via observe; the
+    division by the norm is applied lazily over the cached blocks, so no
+    separate norm/convergence probes run."""
+    e, release_e = persist_if_needed(edges.select("src", "dst").dropDuplicates())
+    nodes, release_n = persist_if_needed(
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .dropDuplicates())
     h = nodes.withColumn("h", F.lit(1.0)).localCheckpoint(eager=True)
+    h_ck, a_ck = h, None
     a = None
     prev = None
     for _ in range(max_iter):
         # authority(v) = sum of hub(u) over u -> v
-        a = (e.join(h.withColumnRenamed("id", "src"), "src")
-             .groupBy(F.col("dst").alias("id"))
-             .agg(F.sum("h").alias("a")))
-        norm = a.agg(F.sqrt(F.sum(F.col("a") * F.col("a")))).first()[0] or 1.0
-        a = a.withColumn("a", F.col("a") / F.lit(norm)) \
-             .localCheckpoint(eager=True)
+        a_raw, am = checkpoint_with_metrics(
+            e.join(h.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("h").alias("a")),
+            sq=F.sum(F.col("a") * F.col("a")))
+        if a_ck is not None:
+            free_checkpoint(a_ck)
+        a_ck = a_raw
+        a_norm = (am["sq"] or 1.0) ** 0.5 or 1.0
+        a = a_raw.withColumn("a", F.col("a") / F.lit(a_norm))
         # hub(u) = sum of authority(v) over u -> v
-        h = (e.join(a.withColumnRenamed("id", "dst"), "dst")
-             .groupBy(F.col("src").alias("id"))
-             .agg(F.sum("a").alias("h")))
-        norm = h.agg(F.sqrt(F.sum(F.col("h") * F.col("h")))).first()[0] or 1.0
-        h = h.withColumn("h", F.col("h") / F.lit(norm)) \
-             .localCheckpoint(eager=True)
-        cur = h.agg(F.sum("h")).first()[0]
+        h_raw, hm = checkpoint_with_metrics(
+            e.join(a.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("a").alias("h")),
+            sq=F.sum(F.col("h") * F.col("h")), s=F.sum("h"))
+        free_checkpoint(h_ck)
+        h_ck = h_raw
+        h_norm = (hm["sq"] or 1.0) ** 0.5 or 1.0
+        h = h_raw.withColumn("h", F.col("h") / F.lit(h_norm))
+        cur = (hm["s"] or 0.0) / h_norm
         if prev is not None and abs(cur - prev) < tol:
             break
         prev = cur
@@ -49,6 +66,7 @@ def hits(edges: DataFrame, max_iter: int = 30, tol: float = 1e-6) -> DataFrame:
            .select("id",
                    F.coalesce(F.col("h"), F.lit(0.0)).alias("hub"),
                    F.coalesce(F.col("a"), F.lit(0.0)).alias("authority")))
+    release_e(); release_n()
     return out
 
 

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from memgraph_spark.session import checkpoint_with_metrics, free_checkpoint
+
 
 def _local_move_round(und, deg, comm, m2, resolution, parity):
     """One synchronous round; returns the updated (id, comm) mapping."""
@@ -91,7 +93,8 @@ def louvain_communities(
                .unionAll(base.select(F.col("dst").alias("id")))
                .dropDuplicates().withColumn("comm", F.col("id"))
                .localCheckpoint(eager=True))
-    level_edges = base.localCheckpoint(eager=True)
+    level_edges, _lm0 = checkpoint_with_metrics(base, n=F.count(F.lit(1)))
+    n_level = _lm0["n"]
     for _ in range(max_levels):
         und = level_edges.unionByName(
             level_edges.select(F.col("dst").alias("src"),
@@ -101,28 +104,35 @@ def louvain_communities(
         m2 = und.agg(F.sum("w")).first()[0]  # = 2m
         if not m2:
             break
-        comm = deg.select("id", F.col("id").alias("comm")) \
+        comm_ck = deg.select("id", F.col("id").alias("comm")) \
             .localCheckpoint(eager=True)
+        comm = comm_ck
         still = 0
         for rnd in range(max_rounds):
-            new = _local_move_round(und, deg, comm, m2, resolution, rnd) \
-                .localCheckpoint(eager=True)
-            unchanged = new.join(comm.withColumnRenamed("comm", "old"), "id") \
-                .filter(F.col("comm") != F.col("old")).isEmpty()
-            comm = new
+            # moved-count rides the checkpoint job (observe); the join with
+            # the previous assignment happens once, inside the same job
+            new, mm = checkpoint_with_metrics(
+                _local_move_round(und, deg, comm, m2, resolution, rnd)
+                .join(comm.select("id", F.col("comm").alias("__old")), "id"),
+                moved=F.count(F.when(F.col("comm") != F.col("__old"), 1)))
+            free_checkpoint(comm_ck)
+            comm_ck = new
+            comm = new.select("id", "comm")
             # a single still round can just mean the movable half had no
             # profitable move — require both parities quiet before stopping
-            still = still + 1 if unchanged else 0
+            still = still + 1 if mm["moved"] == 0 else 0
             if still >= 2:
                 break
         und.unpersist()
         deg.unpersist()
         # compose the level mapping into the global one
         lvl = comm.withColumnRenamed("comm", "c2").withColumnRenamed("id", "c_old")
-        mapping = (mapping.join(lvl, mapping["comm"] == lvl["c_old"], "left")
-                   .select(mapping["id"],
-                           F.coalesce(F.col("c2"), mapping["comm"]).alias("comm"))
-                   .localCheckpoint(eager=True))
+        new_mapping = (mapping.join(lvl, mapping["comm"] == lvl["c_old"], "left")
+                       .select(mapping["id"],
+                               F.coalesce(F.col("c2"), mapping["comm"]).alias("comm"))
+                       .localCheckpoint(eager=True))
+        free_checkpoint(mapping)
+        mapping = new_mapping
         # contract: supernode per community; intra-community weight stays as
         # a self-loop (it feeds the supernode degree — dropping it would make
         # dense communities look mergeable at the next level)
@@ -134,8 +144,11 @@ def louvain_communities(
                       .select(F.least("cs", "cd").alias("src"),
                               F.greatest("cs", "cd").alias("dst"), "w")
                       .groupBy("src", "dst").agg(F.sum("w").alias("w")))
-        n_before = level_edges.count()
-        level_edges = contracted.localCheckpoint(eager=True)
-        if level_edges.count() == n_before:
+        # edge count rides the checkpoint job (observe)
+        new_level, lm = checkpoint_with_metrics(contracted, n=F.count(F.lit(1)))
+        free_checkpoint(level_edges)
+        level_edges = new_level
+        if lm["n"] == n_level:
             break  # no further coarsening possible
+        n_level = lm["n"]
     return mapping.select("id", F.col("comm").alias("community"))
