@@ -265,3 +265,52 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
+
+
+# -- near-duplicate clustering / corpus dedup --------------------------------
+
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_perm: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """(id, cluster) for every document: cluster = min doc id of the
+    document's near-duplicate connected component (singletons cluster to
+    themselves).
+
+    The training-pipeline step after pair detection: near-dup relations are
+    not transitive, so keep-one-per-PAIR dedup either over- or under-drops;
+    the industry-standard move (e.g. the fuzzy-dedup stage in large-corpus
+    cleanup pipelines) is connected components over the pair graph. Pairs
+    come from minhash_lsh_pairs (O(n x bands) candidates, exact-Jaccard
+    verified); components from hash-min label propagation
+    (algos/components, O(cluster-diameter) rounds — near-dup clusters are
+    shallow, so this converges in 2-3 rounds at any corpus size)."""
+    from memgraph_spark.algos.components import weakly_connected_components
+
+    pairs = minhash_lsh_pairs(df, id_col, text_col, k=k, num_perm=num_perm,
+                              bands=bands, threshold=threshold) \
+        .select("id_a", "id_b").localCheckpoint(eager=True)
+    comp = weakly_connected_components(pairs, "id_a", "id_b")
+    return (df.select(F.col(id_col).alias("id"))
+            .join(comp, "id", "left")
+            .select("id",
+                    F.coalesce("component", F.col("id")).alias("cluster")))
+
+
+def dedup_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **lsh_kwargs,
+) -> DataFrame:
+    """The deduplicated corpus: one representative (min id) per near-dup
+    cluster, all other rows dropped. Returns df's full schema."""
+    clusters = near_dup_clusters(df, id_col, text_col, **lsh_kwargs)
+    keep = (clusters.groupBy("cluster").agg(F.min("id").alias("keep_id"))
+            .select(F.col("keep_id").alias("id")))
+    return df.join(keep.withColumnRenamed("id", id_col), id_col, "left_semi")

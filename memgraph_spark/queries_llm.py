@@ -267,10 +267,47 @@ def q_text_fingerprint(spark, sf_dir):
     return fp.select("doc_id", F.size("fingerprints").alias("n_fingerprints"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup connected-component clustering over the verified MinHash
+    pair graph (llm/dedup.near_dup_clusters): one (id, cluster) row per
+    document, cluster = min doc id of the component. The oracle computes
+    the same components with a recursive transitive closure over the exact
+    brute-force pair graph."""
+    from memgraph_spark.llm.dedup import near_dup_clusters
+    return near_dup_clusters(_docs(spark, sf_dir), threshold=0.8)
+
+
+ORACLE_DEDUP_CLUSTERS = r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, length(text)-5+2),
+                                      i -> text[i:i+4])) AS s
+  FROM documents WHERE length(text) >= 5
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach(id, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT u.b, r.root FROM reach r JOIN und u ON u.a = r.id
+)
+SELECT id, min(root) AS cluster FROM reach GROUP BY id
+"""
+
+
 LLM_QUERIES = {
     "dedup_exact_stats": q_dedup_exact_stats,
     "dedup_exact_groups": q_dedup_exact_groups,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "embed_cosine_pairs": q_embed_cosine_pairs,
@@ -288,6 +325,7 @@ LLM_ORACLES = {
     "dedup_exact_stats": ORACLE_DEDUP_EXACT_STATS,
     "dedup_exact_groups": ORACLE_DEDUP_EXACT_GROUPS,
     "dedup_minhash": ORACLE_DEDUP_MINHASH,
+    "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,
     "embed_cosine_pairs": ORACLE_EMBED_COSINE_PAIRS,
     "embed_knn": ORACLE_EMBED_KNN,

@@ -131,3 +131,26 @@ def test_ivf_topk_matches_exact_on_small_set(spark):
     # the driver-query configuration: high recall, deterministic seed
     assert len(set(exact) & set(approx)) >= 6
     assert len(approx) == 10
+
+
+def test_near_dup_clusters_transitive(spark):
+    """A-B and B-C near-dup pairs must land A, B, C in ONE cluster labeled
+    by the min id, even if A-C alone falls below the pair threshold;
+    unrelated docs cluster to themselves."""
+    from memgraph_spark.llm.dedup import dedup_corpus, near_dup_clusters
+    base = ("the quick brown fox jumps over the lazy dog while seventeen "
+            "astronomers catalogue variable stars beyond the galactic bulge ")
+    rows = [
+        (1, base + "alpha beta gamma delta"),
+        (2, base + "alpha beta gamma epsilon"),   # near-dup of 1
+        (3, base + "alpha beta zeta epsilon"),    # near-dup of 2
+        (4, "completely different content about distributed query engines "
+            "and columnar storage formats with vectorized execution paths"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r["cluster"]
+           for r in near_dup_clusters(df, threshold=0.7).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[4] == 4
+    kept = sorted(r["doc_id"] for r in dedup_corpus(df).collect())
+    assert kept == [1, 4]
