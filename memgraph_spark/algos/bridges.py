@@ -35,20 +35,25 @@ def _forest_parents(graph, forest):
     from memgraph_spark.algos.components import weakly_connected_components
     wcc = weakly_connected_components(forest)
     roots = wcc.groupBy("component").agg(F.min("id").alias("id")).select("id")
+    from memgraph_spark.session import checkpoint_with_metrics
     visited = roots.select("id", F.lit(None).cast("long").alias("par"),
                            F.lit(0).alias("depth")).localCheckpoint(eager=True)
     frontier = visited.select("id")
     d = 0
     while True:
         d += 1
-        nxt = (frontier.join(both, frontier["id"] == both["src"])
-               .select(F.col("dst").alias("id"), F.col("src").alias("par"))
-               .join(visited.select("id"), "id", "left_anti")
-               .groupBy("id").agg(F.min("par").alias("par"))
-               .withColumn("depth", F.lit(d)))
-        if nxt.isEmpty():
+        # layer count rides the checkpoint job; visited stays a lazy union
+        # of per-layer checkpoints (no O(V) re-materialization per round)
+        nxt, m = checkpoint_with_metrics(
+            frontier.join(both, frontier["id"] == both["src"])
+            .select(F.col("dst").alias("id"), F.col("src").alias("par"))
+            .join(visited.select("id"), "id", "left_anti")
+            .groupBy("id").agg(F.min("par").alias("par"))
+            .withColumn("depth", F.lit(d)),
+            n=F.count(F.lit(1)))
+        if m["n"] == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt)
         frontier = nxt.select("id")
     return visited
 

@@ -25,10 +25,12 @@ def color_graph(graph, etype: str | None = None,
     und = graph.adjacency(etype, "both")
     nodes = (und.select(F.col("src").alias("id")).dropDuplicates()
              .withColumn("pri", F.xxhash64("id")))
-    uncolored = nodes.localCheckpoint(eager=True)
+    from memgraph_spark.session import checkpoint_with_metrics, free_checkpoint
+    uncolored, um = checkpoint_with_metrics(nodes, n=F.count(F.lit(1)))
+    n_uncolored = um["n"]
     colored = None
     for _ in range(max_rounds):
-        if uncolored.isEmpty():
+        if n_uncolored == 0:
             break
         # max uncolored-neighbour priority per uncolored node
         un_nbr = (und.join(uncolored.select(F.col("id").alias("src")), "src")
@@ -57,10 +59,12 @@ def color_graph(graph, etype: str | None = None,
                                    F.col("cs")), 1).cast("int"))
                 .select("id", "color")
                 .localCheckpoint(eager=True))
-        colored = pick if colored is None else \
-            colored.unionByName(pick).localCheckpoint(eager=True)
-        uncolored = uncolored.join(pick.select("id"), "id", "left_anti") \
-            .localCheckpoint(eager=True)
+        colored = pick if colored is None else colored.unionByName(pick)
+        new_uncolored, um = checkpoint_with_metrics(
+            uncolored.join(pick.select("id"), "id", "left_anti"),
+            n=F.count(F.lit(1)))
+        free_checkpoint(uncolored)
+        uncolored, n_uncolored = new_uncolored, um["n"]
     return colored if colored is not None else \
         graph.spark.createDataFrame([], "id long, color int")
 

@@ -27,18 +27,24 @@ _EPS = 1e-9
 def _bfs_parents(spark, adj, source: int, sink: int, max_hops: int):
     """BFS from source over adj; returns (id, par) visited DF the moment the
     sink is reached, or None if the sink is unreachable."""
+    from memgraph_spark.session import checkpoint_with_metrics
     visited = spark.createDataFrame([(source, None)], "id long, par long") \
         .localCheckpoint(eager=True)
     frontier = visited.select("id")
     for _ in range(max_hops):
-        nxt = (frontier.join(adj, frontier["id"] == adj["src"])
-               .select(F.col("dst").alias("id"), F.col("src").alias("par"))
-               .join(visited.select("id"), "id", "left_anti")
-               .groupBy("id").agg(F.min("par").alias("par")))
-        if nxt.isEmpty():
+        # layer count + sink arrival both ride the checkpoint job (observe);
+        # visited stays a lazy union of per-layer checkpoints
+        nxt, m = checkpoint_with_metrics(
+            frontier.join(adj, frontier["id"] == adj["src"])
+            .select(F.col("dst").alias("id"), F.col("src").alias("par"))
+            .join(visited.select("id"), "id", "left_anti")
+            .groupBy("id").agg(F.min("par").alias("par")),
+            n=F.count(F.lit(1)),
+            at_sink=F.count(F.when(F.col("id") == sink, 1)))
+        if m["n"] == 0:
             return None
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-        if not nxt.filter(F.col("id") == sink).isEmpty():
+        visited = visited.unionByName(nxt)
+        if m["at_sink"] > 0:
             return visited
         frontier = nxt.select("id")
     return None
@@ -127,13 +133,16 @@ def min_cut(graph, source: int, sink: int, capacity: str = "weight",
     adj = residual.filter(F.col("cap") > _EPS)
     reach = spark.createDataFrame([(source,)], "id long").localCheckpoint(eager=True)
     frontier = reach
+    from memgraph_spark.session import checkpoint_with_metrics
     for _ in range(max_hops):
-        nxt = (frontier.join(adj, frontier["id"] == adj["src"])
-               .select(F.col("dst").alias("id")).dropDuplicates()
-               .join(reach, "id", "left_anti"))
-        if nxt.isEmpty():
+        nxt, m = checkpoint_with_metrics(
+            frontier.join(adj, frontier["id"] == adj["src"])
+            .select(F.col("dst").alias("id")).dropDuplicates()
+            .join(reach, "id", "left_anti"),
+            n=F.count(F.lit(1)))
+        if m["n"] == 0:
             break
-        reach = reach.unionByName(nxt).localCheckpoint(eager=True)
+        reach = reach.unionByName(nxt)
         frontier = nxt
     edges = graph.edge(etype) if etype else graph.all_edges()
     verts = (edges.select(F.col("src").alias("id"))

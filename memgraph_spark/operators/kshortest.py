@@ -178,18 +178,20 @@ def bfs_path_counts(graph, sources: DataFrame, etype: str | None = None,
         F.lit(0).alias("dist"), F.lit(1).cast("long").alias("n_paths"),
     ).localCheckpoint(eager=True)
     visited = layer
+    from memgraph_spark.session import checkpoint_with_metrics
     for d in range(1, max_hops + 1):
-        nxt = (
+        # layer row count rides the checkpoint job (observe)
+        nxt, m = checkpoint_with_metrics(
             layer.join(edges, layer["id"] == edges["src"], "inner")
             .groupBy("start", F.col("dst").alias("id"))
             .agg(F.sum("n_paths").alias("n_paths"))
             .join(visited.select("start", "id").withColumn("__seen", F.lit(1)),
                   ["start", "id"], "left_anti")
             .withColumn("dist", F.lit(d))
-            .select("start", "id", "dist", "n_paths")
-            .localCheckpoint(eager=True)
+            .select("start", "id", "dist", "n_paths"),
+            n=F.count(F.lit(1)),
         )
-        if nxt.count() == 0:
+        if m["n"] == 0:
             break
         visited = visited.unionByName(nxt)
         layer = nxt
