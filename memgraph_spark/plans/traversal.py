@@ -33,6 +33,7 @@ from pyspark.sql.window import Window
 
 from memgraph_spark.plans import cypher_ast as A
 from memgraph_spark.plans.exprs import CompileError, Env, compile_expr
+from memgraph_spark.session import checkpoint_with_metrics, free_checkpoint
 
 MAX_ROUNDS = 1024  # runaway backstop when no upper bound given — NOT a
                    # semantic cap: every mode breaks when a round adds no
@@ -295,25 +296,30 @@ class TraversalMixin:
                                     | (F.col("__cost") <= F.col("__b")))
                             .drop("__b"))
 
-            step = step.localCheckpoint(eager=True)
-            f_rows = step.count()
+            # row count rides the checkpoint job (observe)
+            step, _m = checkpoint_with_metrics(step, n=F.count(F.lit(1)))
+            f_rows = _m["n"]
             if f_rows == 0:
                 frontier = step
                 break
             if mode is None or mode == "bfs":
                 if mode == "bfs":
-                    visited = (visited.unionByName(
+                    # lazy union of the per-round checkpointed steps — no
+                    # O(V) re-materialization of the visited set per round
+                    visited = visited.unionByName(
                         step.select("__rid", "__node"))
-                        .localCheckpoint(eager=True))
                 if depth >= lower:
                     results.append(step)
             else:
                 upd = step.select("__rid", "__node",
                                   F.col("__cost").alias("__best"))
-                best = ((upd if best is None else best.unionByName(upd))
-                        .groupBy("__rid", "__node")
-                        .agg(F.min("__best").alias("__best"))
-                        .localCheckpoint(eager=True))
+                new_best = ((upd if best is None else best.unionByName(upd))
+                            .groupBy("__rid", "__node")
+                            .agg(F.min("__best").alias("__best"))
+                            .localCheckpoint(eager=True))
+                if best is not None:
+                    free_checkpoint(best)
+                best = new_best
                 (results if mode == "wshortest" else arrived).append(step)
             frontier = step
             # USING HOPS LIMIT quota (src/query/hops_limit.hpp); plain/bfs
