@@ -36,12 +36,13 @@ def katz_centrality(
 ) -> DataFrame:
     """Returns (id, rank). Converges when the max per-node change < epsilon
     (guaranteed for alpha below 1/lambda_max; bounded by max_iter)."""
-    spark = edges.sparkSession
-    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     # partition by dst once: the per-round groupBy("id"=dst) then reuses this
-    # layout instead of re-shuffling the (large) edge side every iteration
+    # layout instead of re-shuffling the (large) edge side every iteration.
+    # Column-only repartition (no explicit count) keeps AQE free to coalesce
+    # when the input is small — matters under the driver's vanilla session
+    # where shuffle.partitions defaults to 200.
     e = (edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-         .repartition(p, "dst").persist())
+         .repartition("dst").persist())
     vertices = (e.select(F.col("src").alias("id"))
                 .unionAll(e.select(F.col("dst").alias("id")))
                 .dropDuplicates())
