@@ -172,3 +172,36 @@ def sessionize_batch(
                  F.count("*").alias("n_events"),
                  F.sum("value").alias("sum_value"))
             .drop("_sid", "_us", "_gap", "_new"))
+
+
+def stream_dedup_exact(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    text_col: str | None = None,
+) -> DataFrame:
+    """Streaming exact deduplication — the ingest-side stage of the corpus
+    dedup pipeline (llm/dedup handles the batch/fuzzy stages).
+
+    Drops events whose key (default: md5 of `text_col`, else `key_cols`)
+    was already seen within the watermark horizon, via
+    dropDuplicatesWithinWatermark: state for a key is freed once the
+    watermark passes it, so state size is bounded by the dedup horizon
+    (keys/hour x lateness), never by stream lifetime — the property that
+    makes exact dedup viable on an unbounded 100 TB/day feed. Batch frames
+    fall back to plain dropDuplicates (unified semantics)."""
+    df = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if text_col is not None:
+        df = df.withColumn("__dedup_key", F.md5(F.col(text_col)))
+        keys = ["__dedup_key"]
+    else:
+        keys = list(key_cols or [])
+        if not keys:
+            raise ValueError("stream_dedup_exact needs key_cols or text_col")
+    if df.isStreaming:
+        out = df.withWatermark(ts_col, watermark) \
+                .dropDuplicatesWithinWatermark(keys)
+    else:
+        out = df.dropDuplicates(keys)
+    return out.drop("__dedup_key") if text_col is not None else out

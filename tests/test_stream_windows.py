@@ -100,3 +100,36 @@ def test_sessionize_batch_properties(spark):
         .join(ev.groupBy("user_id").count(), "user_id") \
         .filter("n <> count").count() == 0
     assert all(r["session_start"] <= r["session_end"] for r in rows)
+
+
+def test_stream_dedup_exact_matches_batch(spark):
+    """Streaming dropDuplicatesWithinWatermark output (file-source drain)
+    equals batch dropDuplicates on the same key, duplicates injected."""
+    from memgraph_spark.streaming.windows import stream_dedup_exact
+    batch = _events(spark).limit(200)
+    dup = batch.unionByName(batch.limit(50))  # 50 exact duplicate rows
+    d = tempfile.mkdtemp()
+    dup.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(dup.schema).parquet(d)
+
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    _run_stream(
+        stream_dedup_exact(stream, key_cols=["user_id", "ts", "event_type"]),
+        name)
+    got = spark.sql(f"SELECT count(*) AS n FROM {name}").first()["n"]
+    want = stream_dedup_exact(
+        dup, key_cols=["user_id", "ts", "event_type"]).count()
+    assert got == want == batch.dropDuplicates(
+        ["user_id", "ts", "event_type"]).count()
+
+
+def test_stream_dedup_text_hash_key(spark):
+    """text_col mode keys on md5(text) and drops the helper column."""
+    from memgraph_spark.streaming.windows import stream_dedup_exact
+    rows = [(1, "2024-01-01 00:00:00", "same text"),
+            (2, "2024-01-01 00:01:00", "same text"),
+            (3, "2024-01-01 00:02:00", "other text")]
+    df = spark.createDataFrame(rows, "doc_id long, ts string, text string")
+    out = stream_dedup_exact(df, text_col="text")
+    assert out.count() == 2
+    assert "__dedup_key" not in out.columns
