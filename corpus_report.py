@@ -81,6 +81,30 @@ def main() -> None:
         write_md(results, agg, runnable)
 
 
+DEVIATIONS = """\
+Known reference-parity deviations from the openCypher_M09 TCK (the
+reference's own CI marks the M09 suite `must_pass: false` in
+`tests/gql_behave/tests/config.yaml` for exactly these):
+
+- `Aggregation.feature` "`min()`/`max()` over mixed values" (2): the TCK
+  expects openCypher orderability across type classes; the reference raises
+  on incomparable operand types in the aggregate update loop
+  (`src/query/plan/operator.cpp` Aggregate cursor;
+  `memgraph_V1/aggregations.feature` Min/Max test 01 pins the *error* as the
+  required behaviour). We match the reference and raise.
+- `PatternComprehension.feature` "Returning a pattern comprehension" /
+  "Using a pattern comprehension in a WITH" (2): the TCK baked Neo4j's
+  newest-first relationship iteration order into the expected list; the
+  reference (and we) iterate edges in insertion order, which
+  `memgraph_V1/pattern_comprehensions.feature` pins as must-pass — the two
+  orders cannot both be satisfied.
+- `SemanticErrorAcceptance.feature` "Failing for `size()` on paths" (1):
+  the TCK expects an error; the reference deliberately supports
+  `size(path)` = edge count
+  (`src/query/interpret/awesome_memgraph_functions.cpp:529-544`). We match
+  the reference and return the edge count."""
+
+
 def write_md(results: dict, agg: dict, runnable: int) -> None:
     lines = [
         "# CORPUS — gql_behave corpus pass rates",
@@ -92,6 +116,8 @@ def write_md(results: dict, agg: dict, runnable: int) -> None:
         f"**{agg['pass']}/{runnable} runnable scenarios pass** "
         f"({agg['skip']} skipped: vector/point-index DDL, test procedures "
         "and other out-of-scope steps).",
+        "",
+        DEVIATIONS,
         "",
         "| feature file | pass | fail | error | timeout | skip |",
         "|---|---|---|---|---|---|",
