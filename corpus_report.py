@@ -63,9 +63,11 @@ def main() -> None:
                   f"({stats['fail']} fail, {stats['error']} error, "
                   f"{stats['skip']} skip, {stats['timeout']} timeout) "
                   f"[{time.time() - t0:.0f}s]", flush=True)
-            # flush incrementally so a killed run keeps its progress
+            # flush incrementally to a side file so a killed run keeps its
+            # progress WITHOUT clobbering the last complete snapshot (the
+            # driver commits whatever is on disk at round end)
             if not pattern:
-                with open("corpus_results.json", "w") as f:
+                with open("corpus_results.partial.json", "w") as f:
                     json.dump(results, f, indent=1)
 
     agg = {k: sum(r[k] for r in results.values())
@@ -79,6 +81,9 @@ def main() -> None:
         with open("corpus_results.json", "w") as f:
             json.dump(results, f, indent=1)
         write_md(results, agg, runnable)
+        import contextlib
+        with contextlib.suppress(OSError):
+            os.remove("corpus_results.partial.json")
 
 
 DEVIATIONS = """\
