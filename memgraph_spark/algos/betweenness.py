@@ -37,9 +37,7 @@ def betweenness_centrality(
     # (and later unpersisting) it here would drop that shared entry
     edges = graph.adjacency(etype, direction)
     if sources is None:
-        sources = (edges.select(F.col("src").alias("id"))
-                   .unionAll(edges.select(F.col("dst").alias("id")))
-                   .dropDuplicates())
+        sources = graph.adjacency_vertices(etype, direction)
     # forward sweep: sigma = number of minimal paths per (start, id)
     counts = bfs_path_counts(graph, sources, etype, direction, max_hops) \
         .localCheckpoint(eager=True)

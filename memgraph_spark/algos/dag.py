@@ -31,9 +31,7 @@ def topological_layers(graph, etype: str | None = None, mode: str = "out"):
     # per-layer x frames stay cached until the result is consumed (each is
     # node-sized) — layer outputs are filters over them.
     from memgraph_spark.operators.expand import _maybe_broadcast
-    nodes = (adj.select(F.col("src").alias("id"))
-             .unionAll(adj.select(F.col("dst").alias("id")))
-             .dropDuplicates())
+    nodes = graph.adjacency_vertices(etype, "out" if mode == "out" else "in")
     indeg0 = (nodes.join(
         adj.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("indeg")),
         "id", "left")

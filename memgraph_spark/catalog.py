@@ -231,6 +231,20 @@ class PropertyGraph:
             self._adj_cache[key] = df.dropDuplicates().persist()
         return self._adj_cache[key]
 
+    def adjacency_vertices(self, etype: str | None = None,
+                           direction: str = "out") -> DataFrame:
+        """Distinct (id) endpoint set of adjacency(etype, direction) —
+        persisted alongside it (same invalidation), so iterative algorithms
+        stop re-deduplicating 2x|E| rows per call."""
+        key = ("__verts__", etype, direction)
+        if key not in self._adj_cache:
+            adj = self.adjacency(etype, direction)
+            self._adj_cache[key] = (
+                adj.select(F.col("src").alias("id"))
+                .unionAll(adj.select(F.col("dst").alias("id")))
+                .dropDuplicates().persist())
+        return self._adj_cache[key]
+
     # -- schema surface (SHOW SCHEMA INFO parity: schema is observed) -------
     def labels(self) -> list[str]:
         return sorted(lbl for lbl in self.nodes if lbl)
