@@ -26,10 +26,11 @@ def topological_layers(graph, etype: str | None = None, mode: str = "out"):
     adj = graph.adjacency(etype, "out" if mode == "out" else "in")
     # Kahn's algorithm with distributed in-degree decrements: each edge is
     # aggregated exactly ONCE across the whole peel (when its source leaves),
-    # so total shuffle volume is O(E) rather than O(E x layers). One
-    # checkpoint job per layer; zero-set counts ride it via observe. The
-    # per-layer x frames stay cached until the result is consumed (each is
-    # node-sized) — layer outputs are filters over them.
+    # so total shuffle volume is O(E) rather than O(E x layers). Per layer,
+    # the (small) zero set is checkpointed for the result and the previous
+    # in-degree frame's blocks are freed — total cached storage is O(V)
+    # regardless of layer count (a chain-like DAG would otherwise pin
+    # O(V^2) rows). Row/zero counts ride the checkpoint jobs via observe.
     from memgraph_spark.operators.expand import _maybe_broadcast
     nodes = graph.adjacency_vertices(etype, "out" if mode == "out" else "in")
     indeg0 = (nodes.join(
@@ -42,23 +43,30 @@ def topological_layers(graph, etype: str | None = None, mode: str = "out"):
     layers, layer, remaining = [], 0, m["n"]
     while remaining > 0:
         if m["zeros"] == 0:
+            free_checkpoint(x)
             return None  # no zero-in-degree node left -> cycle
-        zero = x.filter(F.col("indeg") == 0).select("id")
+        zero = (x.filter(F.col("indeg") == 0).select("id")
+                .localCheckpoint(eager=True))
         layers.append(zero.withColumn("layer", F.lit(layer)))
         remaining -= m["zeros"]
         if remaining == 0:
+            free_checkpoint(x)
             break
         dec = (adj.join(_maybe_broadcast(
                    zero.withColumnRenamed("id", "src"), m["zeros"]), "src")
                .groupBy(F.col("dst").alias("id"))
                .agg(F.count("*").alias("c")))
-        x, m = checkpoint_with_metrics(
+        new_x, m = checkpoint_with_metrics(
             x.filter(F.col("indeg") > 0)
             .join(dec, "id", "left")
             .select("id", (F.col("indeg") - F.coalesce("c", F.lit(0)))
                     .alias("indeg")),
             **_metrics)
+        free_checkpoint(x)
+        x = new_x
         layer += 1
+    if not layers:
+        return graph.spark.createDataFrame([], "id long, layer int")
     out = layers[0]
     for df in layers[1:]:
         out = out.unionByName(df)

@@ -62,10 +62,16 @@ def hits(edges: DataFrame, max_iter: int = 30, tol: float = 1e-6) -> DataFrame:
         if prev is not None and abs(cur - prev) < tol:
             break
         prev = cur
+    # materialize the result BEFORE releasing e/nodes — a lazy return would
+    # recompute the edge dedup + vertex derivation on every caller action
     out = (nodes.join(h, "id", "left").join(a, "id", "left")
            .select("id",
                    F.coalesce(F.col("h"), F.lit(0.0)).alias("hub"),
-                   F.coalesce(F.col("a"), F.lit(0.0)).alias("authority")))
+                   F.coalesce(F.col("a"), F.lit(0.0)).alias("authority"))
+           .localCheckpoint(eager=True))
+    if a_ck is not None:
+        free_checkpoint(a_ck)
+    free_checkpoint(h_ck)
     release_e(); release_n()
     return out
 

@@ -21,10 +21,6 @@ from pyspark.sql import functions as F
 
 from memgraph_spark.session import checkpoint_with_metrics, free_checkpoint
 
-# past this row count the rank frame stops being broadcast into the edge
-# join (same role as expand._maybe_broadcast's threshold)
-BROADCAST_MAX_ROWS = 500_000
-
 
 def katz_centrality(
     edges: DataFrame,
@@ -36,23 +32,27 @@ def katz_centrality(
 ) -> DataFrame:
     """Returns (id, rank). Converges when the max per-node change < epsilon
     (guaranteed for alpha below 1/lambda_max; bounded by max_iter)."""
-    # partition by dst once: the per-round groupBy("id"=dst) then reuses this
-    # layout instead of re-shuffling the (large) edge side every iteration.
-    # Column-only repartition (no explicit count) keeps AQE free to coalesce
-    # when the input is small — matters under the driver's vanilla session
-    # where shuffle.partitions defaults to 200.
-    e = (edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-         .repartition("dst").persist())
-    vertices = (e.select(F.col("src").alias("id"))
-                .unionAll(e.select(F.col("dst").alias("id")))
-                .dropDuplicates())
+    from memgraph_spark.operators.expand import (BROADCAST_FRONTIER_ROWS,
+                                                 _maybe_broadcast)
+    raw = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     x, m0 = checkpoint_with_metrics(
-        vertices.select("id", F.lit(0.0).alias("rank"),
-                        F.lit(0.0).alias("prev")),
+        raw.select(F.col("src").alias("id"))
+        .unionAll(raw.select(F.col("dst").alias("id")))
+        .dropDuplicates()
+        .select("id", F.lit(0.0).alias("rank"), F.lit(0.0).alias("prev")),
         n=F.count(F.lit(1)))
-    small = m0["n"] <= BROADCAST_MAX_ROWS
+    small = m0["n"] <= BROADCAST_FRONTIER_ROWS
+    # Partition the edge list ONCE by whichever key each round's joins need,
+    # so rounds never re-shuffle it: with a broadcast-able rank frame the
+    # edge join is map-side and the per-dst aggregation reuses a dst layout;
+    # past the broadcast threshold the join itself needs a src layout (the
+    # small rank side shuffles, the edges stay put) and only the messages
+    # shuffle for the aggregation. Column-only repartition (no explicit
+    # count) keeps AQE free to coalesce small inputs — matters under the
+    # driver's vanilla session where shuffle.partitions defaults to 200.
+    e = raw.repartition("dst" if small else "src").persist()
     for _ in range(max_iter):
-        lhs = F.broadcast(x) if small else x
+        lhs = _maybe_broadcast(x, m0["n"])
         msgs = (lhs.join(e, x["id"] == e["src"])
                 .select(F.col("dst").alias("id"),
                         (F.lit(alpha) * (F.col("rank") + 1.0)).alias("m"))

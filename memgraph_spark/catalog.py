@@ -235,8 +235,12 @@ class PropertyGraph:
                            direction: str = "out") -> DataFrame:
         """Distinct (id) endpoint set of adjacency(etype, direction) —
         persisted alongside it (same invalidation), so iterative algorithms
-        stop re-deduplicating 2x|E| rows per call."""
-        key = ("__verts__", etype, direction)
+        stop re-deduplicating 2x|E| rows per call.
+
+        Key shape: etype FIRST — set_edge_version's invalidation filter is
+        `key[0] in (etype, None)`, so any other arrangement would leave a
+        permanently stale vertex set after the first edge write."""
+        key = (etype, "__verts__", direction)
         if key not in self._adj_cache:
             adj = self.adjacency(etype, direction)
             self._adj_cache[key] = (

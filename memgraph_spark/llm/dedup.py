@@ -295,7 +295,11 @@ def near_dup_clusters(
     pairs = minhash_lsh_pairs(df, id_col, text_col, k=k, num_perm=num_perm,
                               bands=bands, threshold=threshold) \
         .select("id_a", "id_b").localCheckpoint(eager=True)
-    comp = weakly_connected_components(pairs, "id_a", "id_b")
+    # max_iter bounds ROUNDS, not size: hash-min propagation converges in
+    # O(component min-label eccentricity) rounds and stops early at the
+    # fixpoint, so 1000 is a runaway backstop — the default 30 could split
+    # a >30-link chain of templated documents into several clusters
+    comp = weakly_connected_components(pairs, "id_a", "id_b", max_iter=1000)
     return (df.select(F.col(id_col).alias("id"))
             .join(comp, "id", "left")
             .select("id",
@@ -311,6 +315,7 @@ def dedup_corpus(
     """The deduplicated corpus: one representative (min id) per near-dup
     cluster, all other rows dropped. Returns df's full schema."""
     clusters = near_dup_clusters(df, id_col, text_col, **lsh_kwargs)
-    keep = (clusters.groupBy("cluster").agg(F.min("id").alias("keep_id"))
-            .select(F.col("keep_id").alias("id")))
-    return df.join(keep.withColumnRenamed("id", id_col), id_col, "left_semi")
+    # cluster IS the min doc id of the component, so the representative set
+    # is just the distinct cluster values — no second aggregation needed
+    keep = clusters.select(F.col("cluster").alias(id_col)).dropDuplicates()
+    return df.join(keep, id_col, "left_semi")

@@ -64,3 +64,40 @@ def test_label_propagation_components_agree(spark, tiny_edges):
     lab = {r["id"]: r["label"] for r in label_propagation(tiny_edges).collect()}
     # labels never cross the component boundary
     assert len({lab[1], lab[2], lab[3], lab[4]} & {lab[10], lab[11], lab[12]}) == 0
+
+
+def test_adjacency_vertices_invalidated_on_edge_write(spark):
+    """Edge writes must invalidate the cached adjacency endpoint set — a
+    stale set made contains_cycle report false positives after a write
+    (set_edge_version's filter is `key[0] in (etype, None)`, so the vertex
+    cache key must lead with etype)."""
+    from memgraph_spark.algos.dag import contains_cycle, topological_layers
+    from memgraph_spark.catalog import PropertyGraph
+    g = PropertyGraph(spark)
+    g.set_node_version("N", spark.createDataFrame(
+        [(1,), (2,)], "id long"))
+    g.set_edge_version("E", spark.createDataFrame(
+        [(1, 1, 2)], "eid long, src long, dst long"))
+    assert contains_cycle(g, "E") is False
+    got = {r["id"]: r["layer"] for r in topological_layers(g, "E").collect()}
+    assert got == {1: 0, 2: 1}
+    # write a new edge from a brand-new node; the vertex set must refresh
+    g.set_node_version("N", g.nodes["N"].unionByName(
+        spark.createDataFrame([(3,)], "id long")))
+    g.set_edge_version("E", g.edges["E"].unionByName(
+        spark.createDataFrame([(2, 3, 1)], "eid long, src long, dst long")))
+    assert contains_cycle(g, "E") is False
+    got = {r["id"]: r["layer"] for r in topological_layers(g, "E").collect()}
+    assert got == {3: 0, 1: 1, 2: 2}
+
+
+def test_topological_layers_empty_graph(spark):
+    """No edges -> empty (id, layer) frame, not an IndexError."""
+    from memgraph_spark.algos.dag import topological_layers
+    from memgraph_spark.catalog import PropertyGraph
+    g = PropertyGraph(spark)
+    g.set_node_version("N", spark.createDataFrame([(1,)], "id long"))
+    g.set_edge_version("E", spark.createDataFrame(
+        [], "eid long, src long, dst long"))
+    out = topological_layers(g, "E")
+    assert out is not None and out.count() == 0
