@@ -78,6 +78,17 @@ class PropertyGraph:
     # monotone write-batch counter: salts created-edge eids so two write
     # batches can never mint the same edge identity
     write_epoch: int = 0
+    # labels whose table may hold ids NOT following the (code << KEY_BITS)
+    # scheme: user-supplied table swaps and cross-table label moves land
+    # here; SET's per-label pruning must probe these instead of code-testing
+    _mixed_id_labels: set = field(default_factory=set, repr=False)
+
+    def __post_init__(self) -> None:
+        # constructor-supplied node tables carry arbitrary ids (the Bolt
+        # fixture graphs do) — they take the probe path in property updates.
+        # load_tpch_graph assigns pure engine-minted tables directly to
+        # .nodes AFTER construction, so it keeps the code fast path.
+        self._mixed_id_labels.update(self.nodes)
 
     def next_epoch(self) -> int:
         self.write_epoch += 1
@@ -115,13 +126,19 @@ class PropertyGraph:
     # -- versioned writes (SURVEY §1.2: batch-append snapshot semantics; the
     # -- reference's MVCC delta chains become immutable table versions) ------
     def set_node_version(self, label: str, df: DataFrame,
-                         keys_allocated: bool = False) -> None:
+                         keys_allocated: bool = False,
+                         id_scheme_preserved: bool = False) -> None:
         self.nodes[label] = self._maybe_consolidate(
             "_node_vers", label, df)
         if not keys_allocated:
             # an external table swap may introduce arbitrary keys — the
             # in-memory allocator must re-derive its base from the data
             getattr(self, "_key_seq", {}).pop(label, None)
+        if not id_scheme_preserved:
+            # arbitrary swaps may introduce ids that don't follow the
+            # (label_code << KEY_BITS) scheme — property updates must then
+            # probe this table instead of pruning by id-derived code
+            self._mixed_id_labels.add(label)
 
     def alloc_node_keys(self, label: str, n: int) -> int:
         """Allocate n consecutive node keys for a label from an in-memory

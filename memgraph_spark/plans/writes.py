@@ -401,7 +401,8 @@ class WriteMixin:
             existing = self.g.nodes.get(key)
             self.g.set_node_version(
                 key, df if existing is None
-                else _union_missing(existing, df), keys_allocated=True)
+                else _union_missing(existing, df), keys_allocated=True,
+                id_scheme_preserved=True)
         else:
             existing = self.g.edges.get(key)
             self.g.set_edge_version(
@@ -646,7 +647,7 @@ class WriteMixin:
         self.g.set_node_version(
             label, diff if existing is None else _union_missing(existing,
                                                                 diff),
-            keys_allocated=True)
+            keys_allocated=True, id_scheme_preserved=True)
         self.counters["nodes_created"] += n_rows
         self.df = aug
         self.symbols[sym] = "node"
@@ -957,11 +958,20 @@ class WriteMixin:
 
     def _apply_node_update(self, updates: DataFrame, key: str,
                            additive: bool = False) -> None:
-        # only touch label tables whose id range intersects the update set
+        # only touch label tables whose id range intersects the update set.
+        # Pure tables (engine-minted ids) prune by the id-derived label code;
+        # mixed tables (user-supplied swaps, REMOVE-label moves keep foreign
+        # codes) can't be code-tested and get a semi-join probe instead —
+        # skipping them silently dropped SET writes.
         codes = {r[0] for r in updates.select(
-            (F.col("id") / (1 << KEY_BITS)).cast("long")).distinct().collect()}
-        for label, code in LABEL_CODES.items():
-            if code not in codes or label not in self.g.nodes:
+            F.shiftrightunsigned(F.col("id"), KEY_BITS)).distinct().collect()}
+        for label in list(self.g.nodes):
+            code = LABEL_CODES.get(label)
+            if label not in self.g._mixed_id_labels and code is not None:
+                if code not in codes:
+                    continue
+            elif self.g.node(label).join(updates.select("id"), "id",
+                                         "left_semi").isEmpty():
                 continue
             t = self.g.node(label)
             old, new = _reconcile_update(t, updates, key, additive)
@@ -969,7 +979,8 @@ class WriteMixin:
                 t.join(updates, on="id", how="left")
                 .withColumn(key, F.when(F.col("__hit"), new)
                             .otherwise(old))
-                .drop("__v", "__hit")))
+                .drop("__v", "__hit")),
+                keys_allocated=True, id_scheme_preserved=True)
 
     def _apply_edge_update(self, updates: DataFrame, key: str,
                            additive: bool = False) -> None:
@@ -1058,10 +1069,15 @@ class WriteMixin:
                     if moved.isEmpty():
                         continue
                     self.g.set_node_version(
-                        lbl, t.join(victims, on="id", how="left_anti"))
+                        lbl, t.join(victims, on="id", how="left_anti"),
+                        keys_allocated=True, id_scheme_preserved=True)
                     base = self.g.nodes.get("")
-                    self.g.nodes[""] = (moved if base is None
-                                        else _union_missing(base, moved))
+                    # moved rows keep their original label codes: route
+                    # through set_node_version so "" is marked mixed and
+                    # property updates probe it instead of code-pruning
+                    self.g.set_node_version(
+                        "", moved if base is None
+                        else _union_missing(base, moved))
                 rm = (F.array(*[F.lit(x) for x in st_labels]) if st_labels
                       else F.array().cast("array<string>"))
                 for dx in item.dyn_labels:
@@ -1207,7 +1223,12 @@ class WriteMixin:
         for label, t in list(self.g.nodes.items()):
             kept = t.join(node_ids, on="id", how="left_anti")
             deleted += t.count() - kept.count()
-            self.g.set_node_version(label, kept)
+            # keys_allocated=True: deleting the max-key node must NOT rewind
+            # the allocator — a later CREATE would mint the deleted node's id
+            # and clients holding the old id would resolve to the new node
+            # (storage gid counters are monotonic in the reference too)
+            self.g.set_node_version(label, kept, keys_allocated=True,
+                                    id_scheme_preserved=True)
         if self.g.extra_labels is not None:
             self.g.set_extra_labels(self.g.extra_labels.join(
                 node_ids, on="id", how="left_anti"))
@@ -1344,7 +1365,10 @@ class WriteMixin:
                 keys = [k for k in keys
                         if k not in (f"{a}_id", f"{b}_id")] \
                     + ["__mlo", "__mhi"]
-            dd = dd.dropDuplicates(keys or ["__mrow"])
+            # nothing distinguishes the rows (no bound anchors, no props):
+            # the reference's per-row cursor creates ONE instance and every
+            # later row matches it — batched, that is a single exemplar row
+            dd = dd.dropDuplicates(keys) if keys else dd.limit(1)
             # undirected merge creates in the written (out) direction
             chain = [(A.RelPattern(r.var, r.types,
                                    "out" if r.direction == "both"
@@ -1389,7 +1413,8 @@ class WriteMixin:
             import dataclasses as _dc
             np = _dc.replace(np, props={k: self._lift(ve)
                                         for k, ve in np.props.items()})
-        frame = self.df.localCheckpoint(eager=True)
+        frame = (self.df.withColumn("__mrow", F.monotonically_increasing_id())
+                 .localCheckpoint(eager=True))
         if np.props:
             env0 = self._env(frame)
             null_cond = None
@@ -1443,31 +1468,54 @@ class WriteMixin:
                 sub.symbols[sym] = "node"
                 sub._set(cl.on_match)
                 wrote_match = True
+        created_bound = None
         if n_missing:
             env_m = self._env(missing)
-            exemplar = missing
+            probed = missing
             for k, ve in np.props.items():
-                exemplar = exemplar.withColumn(f"__p_{k}",
-                                               compile_expr(ve, env_m))
+                probed = probed.withColumn(f"__p_{k}",
+                                           compile_expr(ve, env_m))
             # one creation per distinct property binding, keeping one full
             # outer row as context — ON CREATE may reference outer matched
             # symbols (MergeNodeAcceptance "properties from match")
-            exemplar = (exemplar.dropDuplicates(
+            exemplar = (probed.dropDuplicates(
                             [f"__p_{k}" for k in np.props])
-                        if np.props else exemplar.limit(1))
+                        if np.props else probed.limit(1))
             creator = self._sub_compiler("mc")
             creator.df = exemplar.localCheckpoint(eager=True)
             creator.symbols = dict(self.symbols)
             creator._create_node(
                 A.NodePattern(sym, np.labels,
                               {k: A.Var(f"__p_{k}") for k in np.props}), sym)
+            # capture (input row -> created id) BEFORE ON CREATE SET runs:
+            # the binding must not depend on property values a SET may change
+            pkeys = [f"__p_{k}" for k in np.props]
+            created_ids = creator.df.select(*pkeys, f"{sym}_id")
+            created_bound = (probed.select("__mrow", *pkeys)
+                             .join(created_ids, pkeys).select(
+                                 "__mrow", f"{sym}_id")
+                             if pkeys else
+                             probed.select("__mrow").crossJoin(created_ids))
+            created_bound = created_bound.localCheckpoint(eager=True)
             if cl.on_create:
                 creator._set(cl.on_create)
             self._all_props_cache = None  # the creator added columns
         if n_missing or wrote_match:
-            self.df = join_pattern("inner")  # rebind on the new table version
+            # rebind by the ids captured BEFORE any ON MATCH / ON CREATE SET
+            # ran — re-running the property predicate against the updated
+            # table would drop rows whenever a SET modifies a property the
+            # merge pattern itself constrains (the node stays bound in the
+            # reference; only its properties changed)
+            bound = matched.filter(F.col(f"{sym}_id").isNotNull()) \
+                .select("__mrow", f"{sym}_id")
+            if created_bound is not None:
+                bound = bound.unionByName(created_bound)
+            fresh = prefix_columns(self._node_df(np.labels), sym)
+            self.df = (frame.join(bound, "__mrow")
+                       .join(fresh, f"{sym}_id")
+                       .drop("__mrow"))
         else:
-            self.df = matched
+            self.df = matched.drop("__mrow")
         self.symbols[sym] = "node"
         return sym
 
