@@ -214,11 +214,9 @@ def _union_missing(left: DataFrame, right: DataFrame) -> DataFrame:
     (SURVEY §1.3 — the reference is schemaless, so one property may hold
     different types on different rows): numeric conflicts widen to double,
     anything else falls back to the tagged variant struct."""
-    from memgraph_spark.functions.variant import is_variant_type, to_variant
+    from memgraph_spark.functions.variant import to_variant
     lt = {f.name: f.dataType for f in left.schema.fields}
     rt = {f.name: f.dataType for f in right.schema.fields}
-    numeric = (T.LongType, T.IntegerType, T.ShortType, T.ByteType,
-               T.DoubleType, T.FloatType)
     for name in set(lt) & set(rt):
         a, b = lt[name], rt[name]
         if a == b:
@@ -233,20 +231,28 @@ def _union_missing(left: DataFrame, right: DataFrame) -> DataFrame:
             continue
         ints = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
         floats = (T.DoubleType, T.FloatType)
+        ae = a.elementType if isinstance(a, T.ArrayType) else None
+        be = b.elementType if isinstance(b, T.ArrayType) else None
         if isinstance(a, ints) and isinstance(b, ints):
             left = left.withColumn(name, F.col(name).cast("long"))
             right = right.withColumn(name, F.col(name).cast("long"))
         elif isinstance(a, floats) and isinstance(b, floats):
             left = left.withColumn(name, F.col(name).cast("double"))
             right = right.withColumn(name, F.col(name).cast("double"))
-        elif isinstance(a, numeric) and isinstance(b, numeric):
-            # int-vs-float keeps per-value types via the variant struct
-            # (functions.feature Abs test 03: abs(1) renders 1, not 1.0)
-            left = left.withColumn(name, to_variant(F.col(name), a))
-            right = right.withColumn(name, to_variant(F.col(name), b))
-        elif is_variant_type(a) or is_variant_type(b) or (
-                a.simpleString().split("<")[0]
-                != b.simpleString().split("<")[0]):
+        elif isinstance(ae, ints) and isinstance(be, ints):
+            left = left.withColumn(name, F.col(name).cast("array<long>"))
+            right = right.withColumn(name, F.col(name).cast("array<long>"))
+        elif isinstance(ae, floats) and isinstance(be, floats):
+            left = left.withColumn(name, F.col(name).cast("array<double>"))
+            right = right.withColumn(name, F.col(name).cast("array<double>"))
+        else:
+            # every residual conflict lifts to the variant struct — the same
+            # schemaless rule as _reconcile_update. This includes same-kind
+            # containers with incompatible element/field types: the old
+            # prefix test let array<bigint> vs array<string> fall through to
+            # union coercion, which CRASHED at read time (cast 'a' to
+            # BIGINT), and struct-vs-struct silently grew spurious null
+            # fields into both sides' maps.
             left = left.withColumn(name, to_variant(F.col(name), a))
             right = right.withColumn(name, to_variant(F.col(name), b))
     return left.unionByName(right, allowMissingColumns=True)
