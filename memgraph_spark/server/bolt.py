@@ -87,11 +87,34 @@ def negotiate(sock: socket.socket) -> tuple[int, int]:
 
 
 def _bolt_value(v):
-    """DataFrame cell → Bolt-encodable value (Rows become maps)."""
+    """DataFrame cell → Bolt-encodable value.
+
+    Node/relationship structs (the engine's RETURN n / RETURN r shapes:
+    {id, labels, ...props} / {eid, src, dst, type, ...props}) become the
+    Bolt Node (0x4E) / Relationship (0x52) structures official drivers
+    expect — record["p"].labels / .element_id work; null-valued property
+    slots (union-schema padding for props this element lacks) are omitted,
+    matching the reference's absent-property semantics. Other Rows/maps
+    stay plain PackStream maps."""
     try:
         from pyspark.sql import Row
         if isinstance(v, Row):
-            return {k: _bolt_value(x) for k, x in v.asDict().items()}
+            d = v.asDict()
+            keys = set(d)
+            if {"id", "labels"} <= keys and isinstance(d["labels"], list) \
+                    and d["id"] is not None:
+                from memgraph_spark.server.packstream import node
+                props = {k: _bolt_value(x) for k, x in d.items()
+                         if k not in ("id", "labels") and x is not None}
+                return node(d["id"], d["labels"], props)
+            if {"eid", "src", "dst", "type"} <= keys and d["eid"] is not None:
+                from memgraph_spark.server.packstream import relationship
+                props = {k: _bolt_value(x) for k, x in d.items()
+                         if k not in ("eid", "src", "dst", "type")
+                         and x is not None}
+                return relationship(d["eid"], d["src"], d["dst"],
+                                    d["type"], props)
+            return {k: _bolt_value(x) for k, x in d.items()}
     except ImportError:  # pragma: no cover
         pass
     if isinstance(v, list):
@@ -123,6 +146,13 @@ def _credentials_ok(meta) -> bool:
 
 class _Session:
     """Per-connection state machine (SessionHL parity)."""
+
+    # one writer at a time across ALL connections: concurrent RUNs would
+    # race on the shared PropertyGraph's table versions and id allocators
+    # (read-modify-write on g.nodes, _key_seq/_eid_seq) — the reference
+    # serializes conflicting write transactions the same way
+    import threading as _threading
+    _run_lock = _threading.Lock()
 
     def __init__(self, graph_session, sock, version):
         self.gs = graph_session
@@ -188,7 +218,8 @@ class _Session:
             query = msg.fields[0]
             params = msg.fields[1] if len(msg.fields) > 1 else {}
             try:
-                df = self.gs.execute(query, params or {})
+                with _Session._run_lock:
+                    df = self.gs.execute(query, params or {})
                 self.fields = list(df.columns)
                 self.rows = [[_bolt_value(v) for v in row]
                              for row in df.collect()]

@@ -88,16 +88,22 @@ class Packer:
                 self.pack(f)
         elif isinstance(value, _dt.datetime):
             if value.tzinfo is not None:
-                # DateTime 'I': local-epoch seconds + nanos + utc offset
-                # (aware values keep their instant AND their zone offset;
-                # replace(tzinfo=utc) would shift the instant by the offset)
+                # DateTime 'I' (Bolt 5.x / utc-patched): UTC epoch seconds
+                # + nanos + utc offset — the instant is zone-independent,
+                # the offset rides alongside. (The legacy 'F' encoding used
+                # LOCAL-adjusted seconds; emitting those under tag 'I'
+                # shifted every aware instant by its offset for conforming
+                # drivers.) floor, not int(): truncation toward zero plus a
+                # non-negative nanos field corrupts pre-1970 values.
+                import math
                 offset = int(value.utcoffset().total_seconds())
-                epoch = int(value.timestamp()) + offset
+                epoch = math.floor(value.timestamp())
                 self.pack(Structure(0x49, [epoch, value.microsecond * 1000,
                                            offset]))
             else:
                 # LocalDateTime 'd': epoch seconds + nanos
-                epoch = int(
+                import math
+                epoch = math.floor(
                     value.replace(tzinfo=_dt.timezone.utc).timestamp())
                 self.pack(Structure(0x64, [epoch, value.microsecond * 1000]))
         elif isinstance(value, _dt.date):

@@ -85,8 +85,9 @@ def test_packstream_zoned_datetime_keeps_offset():
     epoch, nanos, offset = out.fields
     assert offset == 3600
     assert nanos == 250000000
-    # local-epoch seconds = utc instant + offset (published Bolt spec)
-    assert epoch == int(aware.timestamp()) + 3600
+    # tag 'I' (Bolt 5.x / utc-patched DateTime) carries UTC epoch seconds;
+    # the legacy local-adjusted encoding belongs to tag 'F' only
+    assert epoch == int(aware.timestamp())
     # naive values still take the LocalDateTime path
     naive = ps.unpack(ps.pack(aware.replace(tzinfo=None)))
     assert naive.tag == 0x64

@@ -148,3 +148,22 @@ def test_chunked_large_message(server):
         assert len(msg.fields[0][0]) == 402
     assert n == 100
     sock.close()
+
+
+def test_return_node_is_bolt_node_structure(server):
+    """RETURN n delivers a Bolt Node (0x4E) structure — labels + props —
+    not a plain map (official drivers expect record['p'].labels to work);
+    null union-schema padding props are omitted."""
+    from memgraph_spark.server.packstream import Structure
+    sock = _login(server)
+    _roundtrip(sock, RUN, "MATCH (p:P) RETURN p ORDER BY p.age LIMIT 1",
+               {}, {})
+    write_message(sock, PULL, {"n": -1})
+    rec = read_message(sock)
+    assert rec.tag == RECORD
+    nodev = rec.fields[0][0]
+    assert isinstance(nodev, Structure) and nodev.tag == 0x4E
+    node_id, labels, props = nodev.fields[0], nodev.fields[1], nodev.fields[2]
+    assert labels == ["P"] and props["name"] == "bob" and props["age"] == 25
+    assert read_message(sock).tag == SUCCESS
+    sock.close()
