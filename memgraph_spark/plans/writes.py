@@ -1014,7 +1014,10 @@ class WriteMixin:
         if not isinstance(value, A.MapLiteral):
             raise CompileError("SET n = / += needs a map literal")
         if replace:
-            keep = ({"id", "labels", "key"}
+            # meta columns are not properties: without the edge set, SET
+            # r = {...} treated eid/type/src/dst as user props to erase,
+            # writing p__eid/p__src/... null columns into every edge table
+            keep = ({"id", "labels", "key", "eid", "type", "src", "dst"}
                     | {A.prop_col(k) for k in value.items})
             cols = {c[len(sym) + 1:] for c in self.df.columns
                     if c.startswith(f"{sym}_")}
