@@ -1054,8 +1054,12 @@ def _compile_binop(e: A.BinaryOp, env: Env) -> Column:
             return l.endswith(r)
         return l.contains(r)
     if op == "=~":
-        # Cypher =~ is a FULL-string regex match (rlike is substring search)
+        # Cypher =~ is a FULL-string regex match (rlike is substring search);
+        # a null pattern propagates null (literal None used to interpolate
+        # as the text "None" into the regex)
         if isinstance(e.right, A.Literal):
+            if e.right.value is None:
+                return F.lit(None).cast("boolean")
             return l.rlike(f"^(?:{e.right.value})$")
         return F.regexp_like(
             l, F.concat(F.lit("^(?:"), r.cast("string"), F.lit(")$")))
@@ -1497,7 +1501,10 @@ def _compile_func(e: A.FuncCall, env: Env) -> Column:
         return _props_as_map(
             [(A.prop_name(c[len(sym) + 1:]), F.col(c)) for c in sorted(cols)],
             env)
-    if name == "keys" and isinstance(e.args[0], A.Var):
+    if name == "keys" and isinstance(e.args[0], A.Var) \
+            and env.symbols.get(e.args[0].name) in ("node", "rel"):
+        # kind guard like properties(): a map VALUE bound to a variable has
+        # no prefixed columns and must reach the StructType handler below
         sym = e.args[0].name
         cols = [c[len(sym) + 1:] for c in sorted(env.columns())
                 if c.startswith(f"{sym}_") and c not in
@@ -2055,6 +2062,10 @@ def contains_aggregate(e: A.Expr) -> bool:
         return any(contains_aggregate(x) for x in e.items)
     if isinstance(e, A.MapLiteral):
         return any(contains_aggregate(v) for v in e.items.values())
+    if isinstance(e, A.MapProjection):
+        # n {.name, c: count(*)} — kv entries may hold aggregates
+        return any(contains_aggregate(it[2]) for it in e.items
+                   if it[0] == "kv")
     if isinstance(e, (A.ExistsSubquery, A.PatternComprehension)):
         return False  # their aggregates live in their own scope
     if isinstance(e, A.ListComprehension):
@@ -2081,6 +2092,25 @@ def non_aggregate_refs(e: A.Expr, symbols: dict[str, str]) -> list[A.Expr]:
         if isinstance(x, A.FuncCall) and x.name.lower() in AGGREGATES:
             return  # inside an aggregate: not a grouping key
         if isinstance(x, A.CountStar):
+            return
+        if isinstance(x, A.MapProjection):
+            # n {.name, c: count(*)}: the subject itself is a non-aggregate
+            # sub-expression, so grouping is per ELEMENT (reference
+            # semantics). Emitted as id(n) plus the projected property
+            # columns — the exact expressions the projection compiles to,
+            # so Spark's GROUP BY validation matches them (a node STRUCT
+            # key would not match the per-column references).
+            if isinstance(x.subject, A.Var) and x.subject.name in symbols:
+                out.append(A.FuncCall("id", [x.subject]))
+            for it in x.items:
+                if it[0] == "prop":
+                    out.append(A.Property(x.subject, it[1]))
+                elif it[0] == "kv":
+                    walk(it[2])
+                elif it[0] == "var":
+                    walk(A.Var(it[1]))
+                else:  # ("all",)
+                    walk(x.subject)
             return
         if isinstance(x, A.Property) and isinstance(x.subject, A.Var) \
                 and x.subject.name in symbols:

@@ -768,9 +768,15 @@ class QueryCompiler(WriteMixin, TraversalMixin):
                 if t is None or isinstance(t, T.NullType):
                     # a null value in a node position is a node-typed null
                     # (WITH null AS a OPTIONAL MATCH (a)-[r]->() — the
-                    # pattern just never matches, FunctionsAcceptance)
-                    self.df = self.df.withColumn(f"{sym}_id",
-                                                 F.lit(None).cast("long"))
+                    # pattern just never matches, FunctionsAcceptance).
+                    # labels too: a label test below must see a column, not
+                    # crash on the missing {sym}_labels
+                    self.df = (self.df
+                               .withColumn(f"{sym}_id",
+                                           F.lit(None).cast("long"))
+                               .withColumn(f"{sym}_labels",
+                                           F.lit(None)
+                                           .cast("array<string>")))
                     self.symbols[sym] = "node"
                 elif isinstance(t, T.StructType) and "id" in t.names \
                         and "labels" in t.names:
@@ -1046,6 +1052,9 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         for s, k in sub.symbols.items():
             if s not in self.symbols:
                 self.symbols[s] = k
+        # endpoint bookkeeping must follow the symbols (startNode()/endNode()
+        # on an OPTIONAL-matched rel falls back to a raw id without it)
+        self.rel_ends.update(getattr(sub, "rel_ends", {}))
 
     def _pattern_syms(self, patterns: list[A.PatternPart]) -> set[str]:
         out: set[str] = set()
@@ -1959,6 +1968,7 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         for s, k in sub.symbols.items():
             if s not in self.symbols:
                 self.symbols[s] = k
+        self.rel_ends.update(getattr(sub, "rel_ends", {}))
 
     # -- UNWIND ---------------------------------------------------------------
     def _unwind(self, cl: A.Unwind) -> None:

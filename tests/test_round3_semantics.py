@@ -167,3 +167,41 @@ def test_nested_pattern_comprehension_triple(gs):
         "[(c)<-[:R3]-(d:D) WHERE d.id = 1 | 1] WHERE true) | 1] "
         "WHERE true) | 1] WHERE true) RETURN a.id AS id").collect()
     assert [tuple(r) for r in rows] == [(1,)]
+
+
+def test_keys_on_map_value(gs):
+    s = gs
+    out = s.execute("WITH {a: 1, b: 2} AS m RETURN keys(m) AS k").collect()
+    assert sorted(out[0]["k"]) == ["a", "b"]
+
+
+def test_regex_null_pattern_is_null(gs):
+    s = gs
+    row = s.execute("RETURN 'None' =~ null AS a, 'x' =~ null AS b").first()
+    assert row["a"] is None and row["b"] is None
+
+
+def test_optional_match_startnode_is_node(gs):
+    s = gs
+    s.execute("CREATE (:A {n: 1})-[:T]->(:B {n: 2})")
+    row = s.execute("MATCH (a:A) OPTIONAL MATCH (a)-[r]->(b) "
+                    "RETURN startNode(r) AS sn").first()
+    assert row["sn"] is not None and row["sn"]["labels"] == ["A"]
+
+
+def test_null_node_rebind_with_label(gs):
+    s = gs
+    s.execute("CREATE (:Person {name: 'x'})")
+    out = s.execute("WITH null AS a OPTIONAL MATCH (a:Person)-->(b) "
+                    "RETURN b").collect()
+    assert len(out) == 1 and out[0]["b"] is None
+
+
+def test_map_projection_with_aggregate(gs):
+    s = gs
+    s.execute("CREATE (:Q {name: 'ana'}), (:Q {name: 'ana'}), "
+              "(:Q {name: 'bo'})")
+    out = s.execute("MATCH (n:Q) RETURN n {.name, c: count(*)} AS m").collect()
+    # the subject is a non-aggregate sub-expression: grouping is per node
+    assert sorted((r["m"]["name"], r["m"]["c"]) for r in out) == \
+        [("ana", 1), ("ana", 1), ("bo", 1)]
