@@ -40,13 +40,16 @@ def topological_layers(graph, etype: str | None = None, mode: str = "out"):
     _metrics = dict(n=F.count(F.lit(1)),
                     zeros=F.count(F.when(F.col("indeg") == 0, 1)))
     x, m = checkpoint_with_metrics(indeg0, **_metrics)
-    layers, layer, remaining = [], 0, m["n"]
+    layers, zeros, layer, remaining = [], [], 0, m["n"]
     while remaining > 0:
         if m["zeros"] == 0:
             free_checkpoint(x)
+            for z in zeros:  # free per-layer zero checkpoints on the
+                free_checkpoint(z)  # cycle path: nothing is returned
             return None  # no zero-in-degree node left -> cycle
         zero = (x.filter(F.col("indeg") == 0).select("id")
                 .localCheckpoint(eager=True))
+        zeros.append(zero)
         layers.append(zero.withColumn("layer", F.lit(layer)))
         remaining -= m["zeros"]
         if remaining == 0:
@@ -70,6 +73,12 @@ def topological_layers(graph, etype: str | None = None, mode: str = "out"):
     out = layers[0]
     for df in layers[1:]:
         out = out.unionByName(df)
+    # materialize the union into ONE checkpoint so every per-layer zero
+    # checkpoint can be freed here instead of leaking until driver GC;
+    # caller owns the single returned O(V) frame
+    out = out.localCheckpoint(eager=True)
+    for z in zeros:
+        free_checkpoint(z)
     return out
 
 
@@ -132,9 +141,14 @@ def spanning_tree(graph, weights: str | None = None,
                     .localCheckpoint(eager=True))
         free_checkpoint(comp)
         comp = new_comp
+    und.unpersist()
+    free_checkpoint(comp)
     if not picked:
         return graph.spark.createDataFrame([], "src long, dst long")
     out = picked[0]
     for df in picked[1:]:
         out = out.unionByName(df)
-    return out.dropDuplicates()
+    out = out.dropDuplicates().localCheckpoint(eager=True)
+    for p in picked:
+        free_checkpoint(p)
+    return out

@@ -103,6 +103,8 @@ def louvain_communities(
             .withColumnRenamed("src", "id").persist()
         m2 = und.agg(F.sum("w")).first()[0]  # = 2m
         if not m2:
+            und.unpersist()
+            deg.unpersist()
             break
         comm_ck = deg.select("id", F.col("id").alias("comm")) \
             .localCheckpoint(eager=True)
@@ -148,7 +150,11 @@ def louvain_communities(
         new_level, lm = checkpoint_with_metrics(contracted, n=F.count(F.lit(1)))
         free_checkpoint(level_edges)
         level_edges = new_level
+        # the level's final community assignment fed both new_mapping and
+        # new_level (both materialized above) — free it before the next level
+        free_checkpoint(comm_ck)
         if lm["n"] == n_level:
             break  # no further coarsening possible
         n_level = lm["n"]
+    free_checkpoint(level_edges)
     return mapping.select("id", F.col("comm").alias("community"))

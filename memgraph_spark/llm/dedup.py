@@ -300,6 +300,9 @@ def near_dup_clusters(
     # fixpoint, so 1000 is a runaway backstop — the default 30 could split
     # a >30-link chain of templated documents into several clusters
     comp = weakly_connected_components(pairs, "id_a", "id_b", max_iter=1000)
+    # comp is its own eager checkpoint — the pair frame's blocks can go now
+    from memgraph_spark.session import free_checkpoint
+    free_checkpoint(pairs)
     return (df.select(F.col(id_col).alias("id"))
             .join(comp, "id", "left")
             .select("id",

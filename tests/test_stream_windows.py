@@ -92,6 +92,41 @@ def test_sessionize_stream_matches_batch_oracle(spark):
     assert all(e[3] == 1 and e[4] == 0.0 for e in extras)  # only sentinels
 
 
+def test_sessionize_late_event_keeps_bounds_monotone(spark):
+    """A late-but-in-watermark event (older than the open session's end,
+    arriving in a later micro-batch) must extend session_start downward /
+    leave session_end alone — never rewrite session_end backward."""
+    base = "2024-01-01 00:00:00"
+    rows1 = [(base, 1, "a", 1.0), ("2024-01-01 00:10:00", 1, "a", 2.0)]
+    rows2 = [("2024-01-01 00:05:00", 1, "a", 4.0)]  # late: < open end
+    schema = "ts string, user_id long, event_type string, value double"
+
+    def mk(rows):
+        return (spark.createDataFrame(rows, schema)
+                .withColumn("ts", F.col("ts").cast("timestamp")))
+
+    f1 = mk(rows1)
+    f2 = mk(rows2)
+    sentinel = mk([("2024-01-08 00:00:00", 1, "sentinel", 0.0)])
+
+    d = tempfile.mkdtemp()
+    f1.coalesce(1).write.parquet(os.path.join(d, "f1"))
+    f2.coalesce(1).write.parquet(os.path.join(d, "f2"))
+    sentinel.coalesce(1).write.parquet(os.path.join(d, "f3"))
+    stream = (spark.readStream.schema(f1.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(d, "*")))
+
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    _run_stream(sessionize(stream, gap_ms=GAP_MS, watermark="1 hour"), name)
+    sess = [r for r in spark.table(name).collect() if r["n_events"] == 3]
+    assert len(sess) == 1
+    (r,) = sess
+    assert str(r["session_start"]) == base
+    assert str(r["session_end"]) == "2024-01-01 00:10:00"
+    assert r["sum_value"] == 7.0
+
+
 def test_sessionize_batch_properties(spark):
     ev = _events(spark)
     sess = sessionize_batch(ev, gap_ms=GAP_MS)
