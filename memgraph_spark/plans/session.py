@@ -120,6 +120,7 @@ class GraphSession:
         # plan/pretty_print.cpp). EXPLAIN returns the optimized Spark
         # physical plan, one row per line — the Catalyst plan IS our
         # operator tree. PROFILE executes, then reports plan + wall time.
+        self.last_kinds: dict[str, str] = {}  # reset; set by RETURN compile
         stripped = query.lstrip()
         head = stripped[:8].upper()
         if head.startswith("EXPLAIN"):
@@ -180,6 +181,9 @@ class GraphSession:
         out = qc.compile(ast.parts[0])
         self.last_summary = {k: int(qc.counters.get(k, 0))
                              for k in WRITE_COUNTERS}
+        # column -> node|rel|path|value for the final RETURN (union parts
+        # must agree on names/kinds, so the first part's map stands)
+        self.last_kinds = dict(getattr(qc, "out_kinds", {}) or {})
         for part, is_all in zip(ast.parts[1:], ast.alls):
             qc = QueryCompiler(self.graph, params, hops=self.last_hops)
             df = qc.compile(part)
@@ -2097,6 +2101,11 @@ class QueryCompiler(WriteMixin, TraversalMixin):
             else:
                 outs.append((name, "value", it.expr))
 
+        if is_return:
+            # output column -> symbol kind, for wire layers (Bolt) that must
+            # encode nodes/rels/paths as typed structures without guessing
+            # from field names (a user map {id:…, labels:…} is NOT a node)
+            self.out_kinds = {name: kind for name, kind, _ in outs}
         has_agg = any(kind == "value" and contains_aggregate(e)
                       for _, kind, e in outs)
         if has_agg:

@@ -55,8 +55,9 @@ def read_message(sock: socket.socket) -> ps.Structure:
         payload += _read_exact(sock, size)
 
 
-def write_message(sock: socket.socket, tag: int, *fields) -> None:
-    data = ps.pack(ps.Structure(tag, list(fields)))
+def write_message(sock: socket.socket, tag: int, *fields,
+                  legacy_dt: bool = False) -> None:
+    data = ps.pack(ps.Structure(tag, list(fields)), legacy_datetime=legacy_dt)
     for i in range(0, len(data), 0xFFFF):
         chunk = data[i:i + 0xFFFF]
         sock.sendall(struct.pack(">H", len(chunk)) + chunk)
@@ -86,41 +87,144 @@ def negotiate(sock: socket.socket) -> tuple[int, int]:
     raise ConnectionError("no supported Bolt version proposed")
 
 
-def _bolt_value(v):
+def _node_like(dt) -> bool:
+    """The engine's node struct TYPE: id:bigint + labels:array<string>.
+    Typed detection, not value duck-typing — a user map literal
+    {id: 1, labels: ['x']} types its id as int and stays a plain map."""
+    from pyspark.sql import types as T
+    if not isinstance(dt, T.StructType):
+        return False
+    f = {x.name: x.dataType for x in dt.fields}
+    return (isinstance(f.get("id"), T.LongType)
+            and isinstance(f.get("labels"), T.ArrayType)
+            and isinstance(f["labels"].elementType, T.StringType))
+
+
+def _rel_like(dt) -> bool:
+    from pyspark.sql import types as T
+    if not isinstance(dt, T.StructType):
+        return False
+    f = {x.name: x.dataType for x in dt.fields}
+    return (isinstance(f.get("eid"), T.LongType)
+            and isinstance(f.get("src"), T.LongType)
+            and isinstance(f.get("dst"), T.LongType)
+            and isinstance(f.get("type"), T.StringType))
+
+
+def _path_like(dt) -> bool:
+    from pyspark.sql import types as T
+    if not isinstance(dt, T.StructType):
+        return False
+    f = {x.name: x.dataType for x in dt.fields}
+    return (isinstance(f.get("nodes"), T.ArrayType)
+            and _node_like(f["nodes"].elementType)
+            and isinstance(f.get("rels"), T.ArrayType)
+            and _rel_like(f["rels"].elementType)
+            and isinstance(f.get("dirs"), T.ArrayType))
+
+
+def _path_value(d: dict, dtype, v5: bool) -> ps.Structure:
+    """Engine path struct {nodes, rels, dirs} → Bolt Path: unique Nodes,
+    unique UnboundRelationships, and the indices walk (1-based signed rel
+    index — negative when traversed against its direction — alternating
+    with 0-based node index)."""
+    from pyspark.sql import types as T
+    f = ({x.name: x.dataType for x in dtype.fields}
+         if isinstance(dtype, T.StructType) else {})
+    node_dt = f["nodes"].elementType if "nodes" in f else None
+    nodes_raw = [n.asDict() if hasattr(n, "asDict") else dict(n)
+                 for n in (d.get("nodes") or [])]
+    rels_raw = [r.asDict() if hasattr(r, "asDict") else dict(r)
+                for r in (d.get("rels") or [])]
+    dirs = list(d.get("dirs") or [])
+    node_pos: dict[int, int] = {}
+    bnodes = []
+    for n in nodes_raw:
+        if n["id"] not in node_pos:
+            node_pos[n["id"]] = len(bnodes)
+            props = {k: _bolt_value(x, (node_dt[k].dataType
+                                        if node_dt and k in node_dt.names
+                                        else None), None, v5)
+                     for k, x in n.items()
+                     if k not in ("id", "labels") and x is not None}
+            bnodes.append(ps.node(n["id"], n["labels"], props, v5=v5))
+    rel_pos: dict[int, int] = {}
+    brels = []
+    for r in rels_raw:
+        if r["eid"] not in rel_pos:
+            rel_pos[r["eid"]] = len(brels)
+            props = {k: _bolt_value(x, None, None, v5) for k, x in r.items()
+                     if k not in ("eid", "src", "dst", "type")
+                     and x is not None}
+            brels.append(ps.unbound_relationship(r["eid"], r["type"], props,
+                                                 v5=v5))
+    indices: list[int] = []
+    for i, r in enumerate(rels_raw):
+        fwd = dirs[i] if i < len(dirs) else True
+        ri = rel_pos[r["eid"]] + 1
+        indices.append(ri if fwd else -ri)
+        indices.append(node_pos[nodes_raw[i + 1]["id"]])
+    return ps.path(bnodes, brels, indices)
+
+
+def _bolt_value(v, dtype=None, kind: str | None = None, v5: bool = True):
     """DataFrame cell → Bolt-encodable value.
 
-    Node/relationship structs (the engine's RETURN n / RETURN r shapes:
-    {id, labels, ...props} / {eid, src, dst, type, ...props}) become the
-    Bolt Node (0x4E) / Relationship (0x52) structures official drivers
-    expect — record["p"].labels / .element_id work; null-valued property
-    slots (union-schema padding for props this element lacks) are omitted,
-    matching the reference's absent-property semantics. Other Rows/maps
-    stay plain PackStream maps."""
+    Graph elements become Bolt Node (0x4E) / Relationship (0x52) /
+    Path (0x50) structures. Which cells ARE graph elements is decided by
+    (a) the compiler's symbol kind for top-level RETURN columns
+    (GraphSession.last_kinds — exact, a user map that merely looks like a
+    node stays a map) and (b) the column's Spark TYPE for nested values
+    (collect(n) elements, nodes(p)) — typed field checks, not value-name
+    duck-typing. Null-valued property slots (union-schema padding) are
+    omitted, matching the reference's absent-property semantics."""
+    if v is None:
+        return None
+    if kind == "value":
+        # computed column: no forced shape, but expression-derived graph
+        # values (head(collect(n))) still detect by their Spark type
+        kind = None
     try:
-        from pyspark.sql import Row
+        from pyspark.sql import Row, types as T
         if isinstance(v, Row):
             d = v.asDict()
-            keys = set(d)
-            if {"id", "labels"} <= keys and isinstance(d["labels"], list) \
-                    and d["id"] is not None:
-                from memgraph_spark.server.packstream import node
-                props = {k: _bolt_value(x) for k, x in d.items()
+            if set(d) == {"zdt_epoch", "zdt_nanos", "zdt_off"}:
+                # the engine's ZonedDateTime struct (plans/exprs.py) → an
+                # aware datetime; the Packer picks the version's wire shape
+                # ('I' UTC vs legacy 'F') at write time
+                import datetime as _dt
+                tz = _dt.timezone(_dt.timedelta(seconds=d["zdt_off"]))
+                return (_dt.datetime.fromtimestamp(d["zdt_epoch"], tz)
+                        + _dt.timedelta(microseconds=(d["zdt_nanos"] or 0)
+                                        // 1000))
+            fmap = ({x.name: x.dataType for x in dtype.fields}
+                    if isinstance(dtype, T.StructType) else {})
+            if kind == "path" or (kind is None and _path_like(dtype)):
+                return _path_value(d, dtype, v5)
+            if (kind == "node" or (kind is None and _node_like(dtype))) \
+                    and d.get("id") is not None:
+                props = {k: _bolt_value(x, fmap.get(k), None, v5)
+                         for k, x in d.items()
                          if k not in ("id", "labels") and x is not None}
-                return node(d["id"], d["labels"], props)
-            if {"eid", "src", "dst", "type"} <= keys and d["eid"] is not None:
-                from memgraph_spark.server.packstream import relationship
-                props = {k: _bolt_value(x) for k, x in d.items()
+                return ps.node(d["id"], d["labels"], props, v5=v5)
+            if (kind == "rel" or (kind is None and _rel_like(dtype))) \
+                    and d.get("eid") is not None:
+                props = {k: _bolt_value(x, fmap.get(k), None, v5)
+                         for k, x in d.items()
                          if k not in ("eid", "src", "dst", "type")
                          and x is not None}
-                return relationship(d["eid"], d["src"], d["dst"],
-                                    d["type"], props)
-            return {k: _bolt_value(x) for k, x in d.items()}
+                return ps.relationship(d["eid"], d["src"], d["dst"],
+                                       d["type"], props, v5=v5)
+            return {k: _bolt_value(x, fmap.get(k), None, v5)
+                    for k, x in d.items()}
+        if isinstance(v, list):
+            el = dtype.elementType if isinstance(dtype, T.ArrayType) else None
+            return [_bolt_value(x, el, None, v5) for x in v]
+        if isinstance(v, dict):
+            vt = dtype.valueType if isinstance(dtype, T.MapType) else None
+            return {k: _bolt_value(x, vt, None, v5) for k, x in v.items()}
     except ImportError:  # pragma: no cover
         pass
-    if isinstance(v, list):
-        return [_bolt_value(x) for x in v]
-    if isinstance(v, dict):
-        return {k: _bolt_value(x) for k, x in v.items()}
     return v
 
 
@@ -158,6 +262,10 @@ class _Session:
         self.gs = graph_session
         self.sock = sock
         self.version = version
+        self.v5 = version >= (5, 0)
+        # pre-5.0 uses legacy local-adjusted DateTime ('F') unless the
+        # client negotiates the 'utc' patch in HELLO (patch_bolt, 4.3/4.4)
+        self.legacy_dt = not self.v5
         self.authenticated = False
         self.failed = False
         self.fields: list[str] = []
@@ -165,12 +273,14 @@ class _Session:
         self.cursor = 0
 
     def success(self, meta=None):
-        write_message(self.sock, SUCCESS, meta or {})
+        write_message(self.sock, SUCCESS, meta or {},
+                      legacy_dt=self.legacy_dt)
 
     def failure(self, code: str, message: str):
         self.failed = True
         write_message(self.sock, FAILURE,
-                      {"code": code, "message": message})
+                      {"code": code, "message": message},
+                      legacy_dt=self.legacy_dt)
 
     def handle(self, msg: ps.Structure) -> bool:
         """Returns False when the connection should close."""
@@ -180,6 +290,12 @@ class _Session:
             return True
         if tag == HELLO:
             meta = {"server": SERVER_AGENT, "connection_id": "bolt-1"}
+            hello = msg.fields[0] if msg.fields else {}
+            if (not self.v5 and isinstance(hello, dict)
+                    and "utc" in (hello.get("patch_bolt") or [])):
+                # 4.3/4.4 utc patch: confirm and switch to 'I'-tag DateTime
+                self.legacy_dt = False
+                meta["patch_bolt"] = ["utc"]
             if self.version >= (5, 1):
                 # auth moves to LOGON in 5.1+
                 self.success(meta)
@@ -221,7 +337,11 @@ class _Session:
                 with _Session._run_lock:
                     df = self.gs.execute(query, params or {})
                 self.fields = list(df.columns)
-                self.rows = [[_bolt_value(v) for v in row]
+                kinds = getattr(self.gs, "last_kinds", {}) or {}
+                sf = df.schema.fields
+                self.rows = [[_bolt_value(v, f.dataType, kinds.get(f.name),
+                                          self.v5)
+                              for v, f in zip(row, sf)]
                              for row in df.collect()]
                 self.cursor = 0
                 self.success({"fields": self.fields, "t_first": 0})
@@ -240,7 +360,8 @@ class _Session:
             end = len(self.rows) if n < 0 else min(self.cursor + n,
                                                    len(self.rows))
             while self.cursor < end:
-                write_message(self.sock, RECORD, self.rows[self.cursor])
+                write_message(self.sock, RECORD, self.rows[self.cursor],
+                              legacy_dt=self.legacy_dt)
                 self.cursor += 1
             if self.cursor >= len(self.rows):
                 self.rows = None

@@ -25,21 +25,45 @@ class Structure:
 
 
 def node(node_id: int, labels: list[str], props: dict,
-         element_id: str | None = None) -> Structure:
+         element_id: str | None = None, v5: bool = True) -> Structure:
+    """Bolt Node: 4 fields (…, element_id) on 5.x, legacy 3 fields on 4.x —
+    official 4.x drivers hard-require the 3-field shape."""
+    if not v5:
+        return Structure(0x4E, [node_id, labels, props])
     return Structure(0x4E, [node_id, labels, props,
                             element_id if element_id is not None
                             else str(node_id)])
 
 
 def relationship(rel_id: int, start: int, end: int, rtype: str,
-                 props: dict) -> Structure:
+                 props: dict, v5: bool = True) -> Structure:
+    """Bolt Relationship: 8 fields on 5.x, legacy 5 fields on 4.x."""
+    if not v5:
+        return Structure(0x52, [rel_id, start, end, rtype, props])
     return Structure(0x52, [rel_id, start, end, rtype, props,
                             str(rel_id), str(start), str(end)])
 
 
+def unbound_relationship(rel_id: int, rtype: str, props: dict,
+                         v5: bool = True) -> Structure:
+    """Bolt UnboundRelationship (inside Path): 4 fields on 5.x, 3 on 4.x."""
+    if not v5:
+        return Structure(0x72, [rel_id, rtype, props])
+    return Structure(0x72, [rel_id, rtype, props, str(rel_id)])
+
+
+def path(nodes: list, rels: list, indices: list[int]) -> Structure:
+    """Bolt Path: same 3-field shape on every version (members differ)."""
+    return Structure(0x50, [nodes, rels, indices])
+
+
 class Packer:
-    def __init__(self):
+    def __init__(self, legacy_datetime: bool = False):
+        # legacy_datetime: pre-5.0 connection WITHOUT the negotiated 'utc'
+        # patch — aware datetimes go out as tag 'F' (0x46) with
+        # LOCAL-adjusted seconds, the shape 4.x drivers hydrate by default
         self._buf = bytearray()
+        self._legacy_dt = legacy_datetime
 
     def bytes(self) -> bytes:
         return bytes(self._buf)
@@ -98,8 +122,15 @@ class Packer:
                 import math
                 offset = int(value.utcoffset().total_seconds())
                 epoch = math.floor(value.timestamp())
-                self.pack(Structure(0x49, [epoch, value.microsecond * 1000,
-                                           offset]))
+                if self._legacy_dt:
+                    # legacy 'F': seconds are LOCAL-adjusted (epoch+offset)
+                    self.pack(Structure(0x46, [epoch + offset,
+                                               value.microsecond * 1000,
+                                               offset]))
+                else:
+                    self.pack(Structure(0x49, [epoch,
+                                               value.microsecond * 1000,
+                                               offset]))
             else:
                 # LocalDateTime 'd': epoch seconds + nanos
                 import math
@@ -231,8 +262,8 @@ class Unpacker:
         raise ValueError(f"packstream: unknown marker 0x{marker:02X}")
 
 
-def pack(value) -> bytes:
-    return Packer().pack(value).bytes()
+def pack(value, legacy_datetime: bool = False) -> bytes:
+    return Packer(legacy_datetime).pack(value).bytes()
 
 
 def unpack(data: bytes):

@@ -150,6 +150,119 @@ def test_chunked_large_message(server):
     sock.close()
 
 
+def _login_4x(server, hello_extra=None):
+    sock, ver = _connect(server, proposals=((4, 4, 3), (3, 0, 0),
+                                            (0, 0, 0), (0, 0, 0)))
+    assert ver == (4, 4)
+    meta = {"user_agent": "test/1.0"}
+    meta.update(hello_extra or {})
+    resp = _roundtrip(sock, HELLO, meta)
+    assert resp.tag == SUCCESS
+    return sock, resp
+
+
+def test_bolt4_legacy_node_and_rel_shapes(server):
+    """A 4.4 connection gets 3-field Nodes and 5-field Relationships —
+    official 4.x drivers fail to hydrate the 5.x element_id shapes."""
+    from memgraph_spark.server.packstream import Structure
+    sock, _ = _login_4x(server)
+    _roundtrip(sock, RUN,
+               "MATCH (a:P)-[r:KNOWS]->(b:P) RETURN a, r LIMIT 1", {}, {})
+    write_message(sock, PULL, {"n": -1})
+    rec = read_message(sock)
+    assert rec.tag == RECORD
+    nodev, relv = rec.fields[0]
+    assert isinstance(nodev, Structure) and nodev.tag == 0x4E
+    assert len(nodev.fields) == 3  # id, labels, props — no element_id
+    assert isinstance(relv, Structure) and relv.tag == 0x52
+    assert len(relv.fields) == 5  # id, start, end, type, props
+    assert read_message(sock).tag == SUCCESS
+    sock.close()
+
+
+def test_bolt4_datetime_legacy_vs_utc_patch(server):
+    """4.4 default: aware datetimes go out as legacy 'F' (0x46) with
+    LOCAL-adjusted seconds; with HELLO patch_bolt=['utc'] confirmed, the
+    5.x 'I' (0x49) UTC shape is used instead."""
+    from memgraph_spark.server.packstream import Structure
+    q = "RETURN datetime('2024-03-01T12:00:00+02:00') AS dt"
+
+    sock, _ = _login_4x(server)
+    _roundtrip(sock, RUN, q, {}, {})
+    write_message(sock, PULL, {"n": -1})
+    rec = read_message(sock)
+    dt = rec.fields[0][0]
+    assert isinstance(dt, Structure) and dt.tag == 0x46
+    utc_epoch = dt.fields[0] - dt.fields[2]  # local-adjusted minus offset
+    assert dt.fields[2] == 7200
+    read_message(sock)
+    sock.close()
+
+    sock, resp = _login_4x(server, {"patch_bolt": ["utc"]})
+    assert resp.fields[0].get("patch_bolt") == ["utc"]
+    _roundtrip(sock, RUN, q, {}, {})
+    write_message(sock, PULL, {"n": -1})
+    rec = read_message(sock)
+    dt5 = rec.fields[0][0]
+    assert isinstance(dt5, Structure) and dt5.tag == 0x49
+    assert dt5.fields[0] == utc_epoch and dt5.fields[2] == 7200
+    read_message(sock)
+    sock.close()
+
+    # 5.x connections always use the UTC 'I' shape
+    sock = _login(server)
+    _roundtrip(sock, RUN, q, {}, {})
+    write_message(sock, PULL, {"n": -1})
+    rec = read_message(sock)
+    dt5x = rec.fields[0][0]
+    assert dt5x.tag == 0x49 and dt5x.fields[0] == utc_epoch
+    read_message(sock)
+    sock.close()
+
+
+def test_user_map_looking_like_node_stays_map(server):
+    """A literal map {id, labels} is NOT re-encoded as a Bolt Node: the
+    compiler's symbol kinds + typed schema detection decide, not value
+    field names."""
+    from memgraph_spark.server.packstream import Structure
+    sock = _login(server)
+    _roundtrip(sock, RUN,
+               "RETURN {id: 1, labels: ['x']} AS fake, "
+               "{eid: 1, src: 2, dst: 3, type: 't'} AS fakerel", {}, {})
+    write_message(sock, PULL, {"n": -1})
+    rec = read_message(sock)
+    fake, fakerel = rec.fields[0]
+    assert not isinstance(fake, Structure) and fake == {"id": 1,
+                                                        "labels": ["x"]}
+    assert not isinstance(fakerel, Structure)
+    assert fakerel == {"eid": 1, "src": 2, "dst": 3, "type": "t"}
+    assert read_message(sock).tag == SUCCESS
+    sock.close()
+
+
+def test_return_path_is_bolt_path_structure(server):
+    """RETURN p delivers a Bolt Path (0x50): unique Nodes, unique
+    UnboundRelationships (0x72), and the signed indices walk."""
+    from memgraph_spark.server.packstream import Structure
+    sock = _login(server)
+    _roundtrip(sock, RUN,
+               "MATCH p = (a:P {name: 'ana'})-[:KNOWS]->(b:P) RETURN p",
+               {}, {})
+    write_message(sock, PULL, {"n": -1})
+    rec = read_message(sock)
+    assert rec.tag == RECORD
+    pathv = rec.fields[0][0]
+    assert isinstance(pathv, Structure) and pathv.tag == 0x50
+    nodes, rels, indices = pathv.fields
+    assert [n.tag for n in nodes] == [0x4E, 0x4E]
+    assert {n.fields[2]["name"] for n in nodes} == {"ana", "bob"}
+    assert len(rels) == 1 and rels[0].tag == 0x72
+    assert rels[0].fields[1] == "KNOWS"
+    assert indices == [1, 1]  # forward rel #1 to node position 1
+    assert read_message(sock).tag == SUCCESS
+    sock.close()
+
+
 def test_return_node_is_bolt_node_structure(server):
     """RETURN n delivers a Bolt Node (0x4E) structure — labels + props —
     not a plain map (official drivers expect record['p'].labels to work);
