@@ -11,17 +11,28 @@ Distributed re-expression: Brandes = forward BFS with per-source path counts
 
 Both sweeps are per-layer joins + groupBy aggregations keyed on
 (source, vertex) — every source in the batch is processed in the same
-distributed pass (source-parallel Brandes). Exact when `sources` is all
-vertices; the standard sampled approximation otherwise. Wall-clock is
-O(diameter) rounds regardless of source count.
+distributed pass (source-parallel Brandes). Wall-clock is O(diameter)
+rounds regardless of source count, but STATE is (source x vertex) pairs:
+exact mode (all sources) is O(V^2) rows and cannot run on a 100 TB graph.
+Above BETWEENNESS_EXACT_MAX vertices the default therefore switches to the
+standard sampled approximation (Brandes-Pich: uniform source sample, result
+scaled by V/k) — pass exact=True to opt into exact past the fence, the same
+pattern as llm/dedup's _guard_all_pairs.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from memgraph_spark.operators.kshortest import bfs_path_counts
+
+# exact (all-sources) Brandes keeps (source x vertex) state — refuse to
+# default into it past this vertex count; sampled mode takes over instead
+BETWEENNESS_EXACT_MAX = int(os.environ.get(
+    "SPARK_GRAFT_BETWEENNESS_EXACT_MAX", "10000"))
 
 
 def betweenness_centrality(
@@ -30,14 +41,33 @@ def betweenness_centrality(
     etype: str | None = None,
     direction: str = "out",
     max_hops: int = 20,
+    exact: bool = False,
+    sample_size: int = 256,
 ) -> DataFrame:
-    """Returns (id, betweenness). `sources` is an (id) DataFrame — defaults
-    to every vertex (exact Brandes); pass a sample for the approximation."""
+    """Returns (id, betweenness).
+
+    `sources` is an (id) DataFrame: pass it for explicit source control
+    (no rescaling is applied). With sources=None, all vertices are used
+    (exact Brandes) up to BETWEENNESS_EXACT_MAX vertices; beyond that a
+    deterministic uniform sample of `sample_size` sources runs instead and
+    the result is scaled by V/k (Brandes-Pich estimator) — opt back into
+    exact with exact=True."""
     # already persisted by the catalog's shared adjacency cache; persisting
     # (and later unpersisting) it here would drop that shared entry
     edges = graph.adjacency(etype, direction)
+    scale = None
     if sources is None:
-        sources = graph.adjacency_vertices(etype, direction)
+        verts = graph.adjacency_vertices(etype, direction)
+        n_verts = verts.count()
+        if exact or n_verts <= BETWEENNESS_EXACT_MAX:
+            sources = verts
+        else:
+            k = min(sample_size, n_verts)
+            # deterministic "uniform" sample: order by a salted hash of the
+            # id (no RNG state, reproducible across runs/executors)
+            sources = (verts.orderBy(F.xxhash64(F.col("id"), F.lit(7)))
+                       .limit(k))
+            scale = n_verts / k
     # forward sweep: sigma = number of minimal paths per (start, id)
     counts = bfs_path_counts(graph, sources, etype, direction, max_hops) \
         .localCheckpoint(eager=True)
@@ -74,7 +104,15 @@ def betweenness_centrality(
     out = acc[0]
     for a in acc[1:]:
         out = out.unionByName(a)
+    total = F.sum("delta") * (F.lit(scale) if scale is not None else F.lit(1.0))
     result = (out.filter(F.col("id") != F.col("start"))
               .groupBy("id")
-              .agg(F.round(F.sum("delta"), 4).alias("betweenness")))
+              .agg(F.round(total, 4).alias("betweenness"))
+              .localCheckpoint(eager=True))
+    # result is one O(V) frame; free the per-layer delta generations + the
+    # (source x vertex) path-count frame instead of leaking to driver GC
+    from memgraph_spark.session import free_checkpoint
+    for a in acc:
+        free_checkpoint(a)
+    free_checkpoint(counts)
     return result

@@ -87,6 +87,37 @@ def test_betweenness_split_paths(spark):
     assert b[2] == 0.5 and b[3] == 0.5
 
 
+def test_betweenness_fence_samples_past_threshold(spark, monkeypatch):
+    """Above BETWEENNESS_EXACT_MAX vertices the default switches to the
+    sampled (V/k-scaled) estimator; exact=True opts back into all-sources
+    Brandes. On a symmetric star both must agree exactly when the sample
+    covers a representative source set."""
+    import memgraph_spark.algos.betweenness as bw
+    g = load_tpch_graph(spark, SF_SMOKE)
+    # star: 1..8 -> 0 -> 11..18 ; center 0 lies on all 64 cross pairs
+    spokes = [(i, 0) for i in range(1, 9)] + [(0, 10 + i) for i in range(1, 9)]
+    g.edges = {"E": spark.createDataFrame(spokes, "src long, dst long")
+               .withColumn("eid", F.xxhash64("src", "dst"))}
+    g._adj_cache.clear()
+    exact = {r.id: r.betweenness
+             for r in bw.betweenness_centrality(g, etype="E",
+                                                exact=True).collect()}
+    assert exact[0] == 64.0
+    monkeypatch.setattr(bw, "BETWEENNESS_EXACT_MAX", 4)
+    # sample of 8: in-spokes are the only sources with outgoing paths, and
+    # any 8-subset scaled by 17/8 ... so instead sample ALL 17 (k >= n):
+    # scale V/k = 1 and the estimate is exact
+    approx = {r.id: r.betweenness
+              for r in bw.betweenness_centrality(
+                  g, etype="E", sample_size=17).collect()}
+    assert approx[0] == 64.0
+    # smaller sample still runs (a hash-picked all-sink sample may yield no
+    # dependencies — empty is a legal estimate, raising is not)
+    small = bw.betweenness_centrality(g, etype="E", sample_size=4)
+    assert set(small.columns) == {"id", "betweenness"}
+    small.count()
+
+
 def test_betweenness_procedure(spark):
     from memgraph_spark.catalog import graph_for
     from memgraph_spark.plans import GraphSession
