@@ -103,6 +103,57 @@ WRITE_COUNTERS = ("nodes_created", "relationships_created", "properties_set",
                   "labels_added", "nodes_deleted", "relationships_deleted")
 
 
+_EMPTY_IDS = 'array<bigint>'
+
+
+def _has_edge_struct(dt) -> bool:
+    """True when the Spark type contains the engine's edge struct
+    ({eid,src,dst,type} with bigint endpoints) anywhere under it."""
+    if isinstance(dt, T.StructType):
+        f = {x.name: x.dataType for x in dt.fields}
+        if (isinstance(f.get("eid"), T.LongType)
+                and isinstance(f.get("src"), T.LongType)
+                and isinstance(f.get("dst"), T.LongType)
+                and isinstance(f.get("type"), T.StringType)):
+            return True
+        return any(_has_edge_struct(x.dataType) for x in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _has_edge_struct(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _has_edge_struct(dt.valueType)
+    return False
+
+
+def _endpoint_ids_expr(dt, col):
+    """Column of array<bigint>: every edge-struct endpoint id (src, dst)
+    nested under `col`, or None when the type holds no edge struct. Used by
+    _node_prop_map to bound its per-row node lookup set."""
+    if not _has_edge_struct(dt):
+        return None
+    if isinstance(dt, T.StructType):
+        f = {x.name: x.dataType for x in dt.fields}
+        if (isinstance(f.get("eid"), T.LongType)
+                and isinstance(f.get("src"), T.LongType)
+                and isinstance(f.get("dst"), T.LongType)
+                and isinstance(f.get("type"), T.StringType)):
+            return F.array(col["src"], col["dst"])
+        subs = [_endpoint_ids_expr(x.dataType, col[x.name])
+                for x in dt.fields if _has_edge_struct(x.dataType)]
+        if len(subs) == 1:
+            return subs[0]
+        return F.flatten(F.array(*[
+            F.coalesce(s, F.array().cast(_EMPTY_IDS)) for s in subs]))
+    if isinstance(dt, T.ArrayType):
+        return F.flatten(F.transform(col, lambda x: F.coalesce(
+            _endpoint_ids_expr(dt.elementType, x),
+            F.array().cast(_EMPTY_IDS))))
+    if isinstance(dt, T.MapType):
+        return F.flatten(F.transform(F.map_values(col), lambda x: F.coalesce(
+            _endpoint_ids_expr(dt.valueType, x),
+            F.array().cast(_EMPTY_IDS))))
+    return None
+
+
 class GraphSession:
     """Executes openCypher text against a PropertyGraph.
 
@@ -1504,19 +1555,56 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         return dataclasses.replace(e, **changes) if changes else e
 
     def _node_prop_map(self, key: str) -> str:
-        """Inject (once per property) a broadcast node-id -> property map
+        """Inject (once per property) a PER-ROW node-id -> property map
         column used to dereference endpoints of edge VALUES (startNode(e).x
-        where e is a list element, not a bound rel symbol)."""
+        where e is a list element, not a bound rel symbol).
+
+        Scale shape: the map is restricted to the endpoint ids actually
+        present in the row's edge-typed columns — extract them with a
+        schema walk, key rows by xxhash64 of the (sorted-distinct) id
+        array, explode -> equi-join the node table -> rebuild one small map
+        per distinct id-set, left-join back. Every step is a distributed
+        hash join/agg; nothing collects the node table to one row or
+        broadcasts the whole graph (the previous implementation did, which
+        is a driver/executor OOM at 100 TB). Hash collisions are harmless:
+        colliding rows share a map that is a superset of each row's needed
+        keys, and lookups only ever use the row's own endpoint ids."""
         cache = getattr(self, "_npm_cache", {})
         if key in cache:
             return cache[key]
         pc = A.prop_col(key)
-        nodes = self.g.all_nodes([pc])
         out = self._anon_sym("npm")
-        single = nodes.agg(F.map_from_entries(F.collect_list(
-            F.struct(F.col("id"), F.col(pc).alias("v")))).alias(out))
         base = self._seed() if self.df is None else self.df
-        self.df = base.crossJoin(F.broadcast(single))
+        id_arrays = []
+        for f in base.schema.fields:
+            e = _endpoint_ids_expr(f.dataType, F.col(f.name))
+            if e is not None:
+                id_arrays.append(F.coalesce(e, F.array().cast("array<bigint>")))
+        nodes = self.g.all_nodes([pc]).select(
+            F.col("id").alias("__nid"), F.col(pc).alias("__npv"))
+        if not id_arrays:
+            # no edge-typed column anywhere: every lookup is null
+            empty = F.map_from_entries(
+                F.array().cast(T.ArrayType(T.StructType([
+                    T.StructField("k", T.LongType()),
+                    T.StructField("v", nodes.schema["__npv"].dataType)]))))
+            self.df = base.withColumn(out, empty)
+        else:
+            ids = F.array_sort(F.array_distinct(F.filter(
+                F.flatten(F.array(*id_arrays)), lambda x: x.isNotNull())))
+            rid = f"__{out}_rid"
+            tagged = (base.withColumn(f"__{out}_ids", ids)
+                      .withColumn(rid, F.xxhash64(F.col(f"__{out}_ids"))))
+            needed = (tagged
+                      .select(rid, F.explode(f"__{out}_ids").alias("__nid"))
+                      .dropDuplicates([rid, "__nid"])
+                      .join(nodes, "__nid"))
+            permap = needed.groupBy(rid).agg(F.map_from_entries(
+                F.collect_list(F.struct(
+                    F.col("__nid").alias("k"),
+                    F.col("__npv").alias("v")))).alias(out))
+            self.df = (tagged.join(permap, rid, "left")
+                       .drop(rid, f"__{out}_ids"))
         self.symbols[out] = "value"
         cache[key] = out
         self._npm_cache = cache

@@ -70,6 +70,30 @@ def test_hot_path_is_codegen_no_python_udf(spark):
         assert "ArrowEvalPython" not in plan, name
 
 
+def test_node_prop_map_is_not_whole_graph_broadcast(spark):
+    """Endpoint-property dereference of edge VALUES (startNode(x).prop for a
+    list element) must build its lookup map per row via explode + equi-join,
+    NOT collect the whole node table into one broadcast map row: no
+    BroadcastNestedLoopJoin / CartesianProduct, and every collect_list in
+    the plan is grouped (partial aggregate), never a global single-row agg."""
+    from memgraph_spark.catalog import PropertyGraph
+    from memgraph_spark.plans import GraphSession
+    gs = GraphSession(PropertyGraph(spark, nodes={}, edges={}))
+    gs.execute("CREATE (:L {name:'ana'})-[:R]->(:L {name:'bob'})").collect()
+    df = gs.execute(
+        "MATCH p=(a)-[]->(b) "
+        "RETURN [x IN relationships(p) | startNode(x).name] AS names")
+    assert [r["names"] for r in df.collect()] == [["ana"]]
+    plan = _final_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # a whole-table map shows up as a global (no-grouping-key) aggregate
+    # feeding a broadcast; grouped collect_list lines carry the rid key
+    for line in plan.splitlines():
+        if "collect_list" in line and "HashAggregate" in line:
+            assert "keys=[]" not in line, line
+
+
 def test_expand_hop_is_single_equijoin(spark):
     """One MATCH hop compiles to ONE join, not a cross product + filter."""
     df = Q.QUERIES["expand_one_hop"](spark, SF_SMOKE)
