@@ -463,6 +463,32 @@ def _try_server_params(q: str, u: str, spark, params, session):
     return None
 
 
+def _parse_stream_config(rest: str) -> dict:
+    """CREATE STREAM config clauses in any order -> dict (grammar:
+    kafkaCreateStreamConfig / pulsarCreateStreamConfig repeat freely,
+    MemgraphCypher.g4:754-770). Quoted literals are unwrapped; CONFIGS /
+    CREDENTIALS map literals become {key: value} dicts."""
+    cfg: dict = {}
+    pat = re.compile(
+        r"(TOPICS|CONSUMER_GROUP|BOOTSTRAP_SERVERS|CONFIGS|CREDENTIALS|"
+        r"SERVICE_URL|TRANSFORM|BATCH_INTERVAL|BATCH_SIZE|PATH|FORMAT)\s+"
+        r"('[^']*'|\"[^\"]*\"|\{[^}]*\}|[\w./:,+-]+)", re.I)
+    for key, raw in pat.findall(rest):
+        key, val = key.lower(), raw.strip()
+        if val[:1] in ("'", '"'):
+            cfg[key] = val[1:-1]
+        elif val.startswith("{"):
+            entries = {}
+            for part in val[1:-1].split(","):
+                if ":" in part:
+                    k, v = part.split(":", 1)
+                    entries[k.strip().strip("'\"")] = v.strip().strip("'\"")
+            cfg[key] = entries
+        else:
+            cfg[key] = val
+    return cfg
+
+
 def try_admin(graph, query: str, params: dict | None = None,
               session=None) -> DataFrame | None:
     """Returns a result DataFrame when `query` is an admin statement,
@@ -850,47 +876,89 @@ def try_admin(graph, query: str, params: dict | None = None,
             graph.streams_registry = Streams(graph)
         return graph.streams_registry
 
-    m = re.match(r"CREATE (KAFKA|FILE) STREAM (\w+) "
-                 r"(?:TOPICS ([\w.,-]+) |PATH '([^']+)' FORMAT (\w+) )?"
-                 r"TRANSFORM ([\w.]+)"
-                 r"(?: BOOTSTRAP_SERVERS '([^']+)')?"
-                 r"(?: BATCH_INTERVAL (\d+))?(?: BATCH_SIZE (\d+))?$", q, re.I)
+    m = re.match(r"CREATE (KAFKA|PULSAR|FILE) STREAM (\w+)\s+(.*)$",
+                 q, re.I | re.S)
     if m:
+        # config clauses may appear in ANY order (grammar: repeated
+        # alternatives, MemgraphCypher.g4:752-770 — kafkaCreateStream /
+        # pulsarCreateStream both iterate their config rule)
         from memgraph_spark.streaming import TRANSFORMATIONS
-        kind, name, topics, path, fmt, transform, servers, interval, bsize = \
-            m.groups()
+        kind, name, rest = m.group(1).upper(), m.group(2), m.group(3)
+        cfg = _parse_stream_config(rest)
+        transform = cfg.get("transform")
+        if not transform:
+            raise ValueError("CREATE STREAM requires TRANSFORM")
         fn = TRANSFORMATIONS.get(transform.lower())
         if fn is None:
             raise ValueError(f"unknown transformation {transform} "
                              "(register_transformation first)")
-        if kind.upper() == "KAFKA":
+        topics = cfg.get("topics")
+        if kind == "KAFKA":
             reader = (spark.readStream.format("kafka")
                       .option("kafka.bootstrap.servers",
-                              servers or "localhost:9092")
+                              cfg.get("bootstrap_servers", "localhost:9092"))
                       .option("subscribe", topics or name))
+            if "consumer_group" in cfg:
+                reader = reader.option("kafka.group.id",
+                                       cfg["consumer_group"])
+            for k, v in {**cfg.get("configs", {}),
+                         **cfg.get("credentials", {})}.items():
+                reader = reader.option(f"kafka.{k}", v)
             try:
                 source = reader.load()
             except Exception as exc:
                 raise ValueError(
                     "kafka connector unavailable in this environment; "
                     "use CREATE FILE STREAM for file-backed sources") from exc
+        elif kind == "PULSAR":
+            # reference: CREATE PULSAR STREAM … TOPICS … SERVICE_URL …
+            # (ast.hpp StreamQuery service_url_;
+            # src/integrations/pulsar/consumer.hpp) — env-gated like Kafka
+            reader = (spark.readStream.format("pulsar")
+                      .option("service.url",
+                              cfg.get("service_url",
+                                      "pulsar://localhost:6650"))
+                      .option("topics", topics or name))
+            try:
+                source = reader.load()
+            except Exception as exc:
+                raise ValueError(
+                    "pulsar connector unavailable in this environment; "
+                    "use CREATE FILE STREAM for file-backed sources") from exc
         else:
+            path, fmt = cfg.get("path"), cfg.get("format", "json")
+            if not path:
+                raise ValueError("CREATE FILE STREAM requires PATH and FORMAT")
             src = spark.readStream.format(fmt.lower())
             batch = spark.read.format(fmt.lower()).load(path)
             source = src.schema(batch.schema).load(path)
-        _streams().create(name, source, fn,
-                          batch_interval_ms=int(interval or 100),
-                          batch_size=int(bsize) if bsize else None)
+        _streams().create(
+            name, source, fn,
+            batch_interval_ms=int(cfg.get("batch_interval", 100)),
+            batch_size=int(cfg["batch_size"]) if "batch_size" in cfg else None,
+            kind=kind, transform_name=transform)
+        return spark.createDataFrame([], "status string")
+
+    m = re.match(r"(START|STOP) ALL STREAMS$", q, re.I)
+    if m:
+        reg = _streams()
+        for name in reg.names():
+            if m.group(1).upper() == "START":
+                reg.start(name)
+            else:
+                reg.stop(name)
         return spark.createDataFrame([], "status string")
 
     m = re.match(r"(START|STOP|DROP|CHECK) STREAM (\w+)"
-                 r"(?: BATCH_LIMIT (\d+))?$", q, re.I)
+                 r"(?: BATCH_LIMIT (\d+))?(?: TIMEOUT (\d+))?$", q, re.I)
     if m:
         op, name = m.group(1).upper(), m.group(2)
         reg = _streams()
         if op == "START":
             if m.group(3):  # BATCH_LIMIT: drain-now semantics
-                reg.start_with_limit(name)
+                reg.start_with_limit(
+                    name, timeout_s=int(m.group(4)) / 1000 if m.group(4)
+                    else 60.0)
             else:
                 reg.start(name)
         elif op == "STOP":
@@ -906,11 +974,16 @@ def try_admin(graph, query: str, params: dict | None = None,
         return spark.createDataFrame([], "status string")
 
     if u == "SHOW STREAMS":
-        rows = [(s["name"], s["batch_interval"], s["is_running"],
+        # reference header (interpreter.cpp:3246): name, type,
+        # batch_interval, batch_size, transformation_name, owner,
+        # "is running" (we keep identifier-safe is_running + batches_run)
+        rows = [(s["name"], s["type"], s["batch_interval"], s["batch_size"],
+                 s["transformation_name"], s["owner"], s["is_running"],
                  s["batches_run"]) for s in _streams().show()]
         return spark.createDataFrame(
-            rows or [], "name string, batch_interval long, "
-                        "is_running boolean, batches_run long")
+            rows or [], "name string, type string, batch_interval long, "
+                        "batch_size long, transformation_name string, "
+                        "owner string, is_running boolean, batches_run long")
 
     # -- triggers (CREATE/DROP TRIGGER, SHOW TRIGGERS — ast.hpp TriggerQuery)
     def _triggers():

@@ -38,6 +38,9 @@ class StreamSpec:
     transform: Transformation
     batch_interval_ms: int = 100
     batch_size: int | None = None     # maxOffsetsPerTrigger-style bound
+    kind: str = "FILE"                # KAFKA | PULSAR | FILE
+    transform_name: str = ""
+    owner: str | None = None
     query: object = None              # StreamingQuery handle when running
     batches_run: int = 0
     errors: list = field(default_factory=list)
@@ -56,10 +59,14 @@ class Streams:
     def create(self, name: str, source: DataFrame,
                transform: Transformation,
                batch_interval_ms: int = 100,
-               batch_size: int | None = None) -> StreamSpec:
+               batch_size: int | None = None,
+               kind: str = "FILE",
+               transform_name: str = "",
+               owner: str | None = None) -> StreamSpec:
         if name in self._streams:
             raise ValueError(f"stream {name} already exists")
-        spec = StreamSpec(name, source, transform, batch_interval_ms, batch_size)
+        spec = StreamSpec(name, source, transform, batch_interval_ms,
+                          batch_size, kind.upper(), transform_name, owner)
         self._streams[name] = spec
         return spec
 
@@ -67,11 +74,20 @@ class Streams:
         self.stop(name)
         self._streams.pop(name, None)
 
+    def names(self) -> list[str]:
+        return list(self._streams)
+
     def show(self) -> list[dict]:
-        """SHOW STREAMS parity."""
+        """SHOW STREAMS parity (interpreter.cpp:3246 header: name, type,
+        batch_interval, batch_size, transformation_name, owner, is running;
+        batches_run is our operational extra)."""
         return [{
             "name": s.name,
+            "type": s.kind,
             "batch_interval": s.batch_interval_ms,
+            "batch_size": s.batch_size,
+            "transformation_name": s.transform_name,
+            "owner": s.owner,
             "is_running": s.query is not None and s.query.isActive,
             "batches_run": s.batches_run,
         } for s in self._streams.values()]
@@ -148,6 +164,24 @@ def kafka_source(spark, bootstrap_servers: str, topic: str,
             .option("kafka.bootstrap.servers", bootstrap_servers)
             .option("subscribe", topic)
             .option("startingOffsets", starting_offsets)
+            .load())
+
+
+PULSAR_WIRE_SCHEMA = ("__key binary, value binary, __topic string, "
+                      "__messageId binary, __publishTime timestamp, "
+                      "__eventTime timestamp")
+
+
+def pulsar_source(spark, service_url: str, topics: str) -> DataFrame:
+    """The Pulsar readStream a CREATE PULSAR STREAM maps onto (reference
+    src/integrations/pulsar/consumer.hpp; grammar pulsarCreateStream,
+    MemgraphCypher.g4:770 — TOPICS + SERVICE_URL). Uses the StreamNative
+    pulsar-spark connector's public option names; the connector jar and a
+    broker are env-gated exactly like Kafka — tests drive the identical
+    wire-schema contract (PULSAR_WIRE_SCHEMA) through a file source."""
+    return (spark.readStream.format("pulsar")
+            .option("service.url", service_url)
+            .option("topics", topics)
             .load())
 
 
