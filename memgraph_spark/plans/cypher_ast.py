@@ -390,6 +390,8 @@ class CallProc(Clause):
     args: list[Expr]
     yields: list[tuple[str, str | None]]  # (column, alias)
     where: Expr | None = None       # CALL … YIELD … WHERE pred
+    explicit: bool = True           # parens present (explicit argument mode)
+    yield_mode: str = "none"        # none | star | dash | list
 
 
 @dataclass

@@ -395,7 +395,10 @@ class Parser:
             self.next()
             parts.append(self.name())
         args: list[A.Expr] = []
+        explicit = False  # parens = explicit argument mode (TCK
+        # ProcedureCallAcceptance: no parens binds args from parameters)
         if self.at_op("("):
+            explicit = True
             self.next()
             if not self.at_op(")"):
                 args.append(self.expr())
@@ -408,7 +411,12 @@ class Parser:
             if self.at_op("*"):
                 self.next()  # YIELD *: every result column joins the frame
                 where = self.expr() if self.try_kw("WHERE") else None
-                return A.CallProc(".".join(parts), args, [], where)
+                return A.CallProc(".".join(parts), args, [], where,
+                                  explicit, "star")
+            if self.at_op("-"):
+                self.next()  # YIELD -: keep cardinality, drop all outputs
+                return A.CallProc(".".join(parts), args, [], None,
+                                  explicit, "dash")
             while True:
                 col = self.name()
                 alias = self.name() if self.try_kw("AS") else None
@@ -419,7 +427,8 @@ class Parser:
         # CALL … YIELD … WHERE pred (procedure_call.feature): filters the
         # yielded rows before the next clause
         where = (self.expr() if yields and self.try_kw("WHERE") else None)
-        return A.CallProc(".".join(parts), args, yields, where)
+        return A.CallProc(".".join(parts), args, yields, where, explicit,
+                          "list" if yields else "none")
 
     def load_clause(self) -> A.LoadFile:
         kind = self.eat_kw("CSV", "PARQUET", "JSONL").lower()

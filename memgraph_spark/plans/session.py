@@ -454,6 +454,7 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         # clauses, one frame column group per bound node) otherwise grows
         # an ever-wider frame whose per-clause analysis cost is O(width) —
         # dropping dead symbol columns keeps the width at the live window.
+        self._n_clauses = len(clauses)  # CALL standalone/in-query semantics
         live_after: list = [None] * len(clauses)
         acc: set | None = set()
         for j in range(len(clauses) - 1, 0, -1):
@@ -480,6 +481,11 @@ class QueryCompiler(WriteMixin, TraversalMixin):
             else:
                 self.compile_clause(cl)
         self._flush_writes(frame=False)
+        if result is None and clauses \
+                and isinstance(clauses[-1], A.CallProc):
+            # standalone CALL (no RETURN): the yield stream IS the result
+            # (reference: a query may be just `CALL proc()`)
+            result = self.df
         return result
 
     def _merge_interleaves(self, cl: A.Merge, rest: list) -> bool:
@@ -1410,11 +1416,21 @@ class QueryCompiler(WriteMixin, TraversalMixin):
     def _call(self, cl: A.CallProc) -> None:
         """CallProcedure (operator.hpp:2891): procedures are UDTFs. Result
         columns join the frame; uncorrelated procedures cross-join (each
-        frame row sees the full yield stream — the reference's semantics)."""
-        from memgraph_spark.procedures import PROCEDURES
+        frame row sees the full yield stream — the reference's semantics).
+
+        TCK ProcedureCallAcceptance semantics: no parens = implicit argument
+        mode (standalone only; args bind from query parameters by declared
+        name), YIELD - keeps cardinality but drops outputs, VOID/zero-output
+        procedures pass the frame through, an in-query CALL with outputs
+        must YIELD, and a yielded name may not shadow a bound variable."""
+        from memgraph_spark.procedures import PROCEDURES, SIGNATURES
         fn = PROCEDURES.get(cl.name.lower())
         if fn is None:
-            raise CompileError(f"unknown procedure {cl.name}")
+            raise CompileError(f"ProcedureNotFound: unknown procedure "
+                               f"{cl.name}")
+        sig = SIGNATURES.get(cl.name.lower())
+        standalone = getattr(self, "_n_clauses", 0) == 1
+
         def _static(a):
             if isinstance(a, A.Literal):
                 return a.value
@@ -1425,19 +1441,55 @@ class QueryCompiler(WriteMixin, TraversalMixin):
             if isinstance(a, A.MapLiteral):
                 return {k: _static(v) for k, v in a.items.items()}
             raise CompileError("CALL arguments must be literals/parameters")
-        args = [_static(a) for a in cl.args]
-        result = fn(self.g, *args)
-        if cl.yields:
-            cols = []
-            for col, alias in cl.yields:
-                if col not in result.columns:
-                    raise CompileError(
-                        f"procedure {cl.name} does not yield {col!r} "
-                        f"(yields: {result.columns})")
-                cols.append(F.col(col).alias(alias or col))
-                self.symbols[alias or col] = "value"
-            result = result.select(*cols)
+
+        if not cl.explicit and sig and sig.get("args"):
+            if cl.yield_mode != "none":
+                raise CompileError(
+                    "InvalidArgumentPassingMode: implicit arguments are "
+                    "only allowed in a standalone CALL without YIELD")
+            try:
+                args = [self.params[n] for n, _t in sig["args"]]
+            except KeyError as exc:
+                raise CompileError(
+                    f"MissingParameter: implicit CALL needs parameter "
+                    f"${exc.args[0]}") from exc
+            result = fn(self.g, *args)
         else:
+            try:
+                args = [_static(a) for a in cl.args]
+                result = fn(self.g, *args)
+            except CompileError:
+                # arguments reference frame variables: per-row evaluation
+                # (reference CallProcedure evaluates args per pull) — run
+                # the procedure once per DISTINCT argument combination and
+                # join the yield streams back on those values (fenced)
+                return self._call_per_row(cl, fn)
+        void_like = not result.columns
+        if cl.yield_mode == "dash":
+            # YIELD - keeps the yield stream's CARDINALITY (zero output
+            # rows kill the frame row) but binds nothing
+            marker = result.select(F.lit(1).alias("__yd")) if not void_like \
+                else result.withColumn("__yd", F.lit(1)).select("__yd")
+            self.df = (marker if self.df is None
+                       else self.df.crossJoin(marker)).drop("__yd")
+            if "__once" in self.df.columns:
+                self.df = self.df.drop("__once")
+            return
+        if void_like:
+            # VOID / zero-output procedure without YIELD: in-query it
+            # neither consumes nor multiplies rows; standalone = empty
+            if standalone and cl.yield_mode == "none":
+                self.df = self.g.spark.createDataFrame([], T.StructType([]))
+            return
+        if cl.yield_mode == "none" and not standalone:
+            # reference: in-query CALL with outputs must YIELD (the TCK pins
+            # UndefinedVariable at the later RETURN; erring here is the same
+            # compile-time contract)
+            raise CompileError(
+                f"CALL {cl.name} inside a query must YIELD its outputs")
+        if cl.yield_mode == "list":
+            result = self._yield_select(cl, result)
+        else:  # none (standalone) or star: every column joins the frame
             for col in result.columns:
                 self.symbols[col] = "value"
         self.df = result if self.df is None else self.df.crossJoin(result)
@@ -1447,6 +1499,91 @@ class QueryCompiler(WriteMixin, TraversalMixin):
             # CALL … YIELD … WHERE pred filters yielded rows in place
             self.df = self.df.filter(
                 compile_expr(cl.where, self._env()))
+
+    def _yield_select(self, cl: A.CallProc, result: DataFrame) -> DataFrame:
+        cols = []
+        for col, alias in cl.yields:
+            if col not in result.columns:
+                raise CompileError(
+                    f"procedure {cl.name} does not yield {col!r} "
+                    f"(yields: {result.columns})")
+            name = alias or col
+            if name in self.symbols:
+                raise CompileError(
+                    f"VariableAlreadyBound: YIELD {name} shadows a "
+                    "bound variable")
+            cols.append(F.col(col).alias(name))
+            self.symbols[name] = "value"
+        return result.select(*cols)
+
+    PCALL_MAX_COMBOS = 1000
+
+    def _call_per_row(self, cl: A.CallProc, fn) -> None:
+        """CALL with frame-dependent arguments: evaluate the argument
+        expressions per row, run the procedure once per DISTINCT value
+        combination (driver loop, fenced at PCALL_MAX_COMBOS — procedures
+        are Python callables, so per-combination invocation is inherent),
+        and join each yield stream back on its argument values."""
+        if self.df is None:
+            raise CompileError(
+                "CALL arguments reference variables, but none are in scope")
+        if cl.yield_mode == "none":
+            raise CompileError(
+                f"CALL {cl.name} inside a query must YIELD its outputs")
+        tags = [f"__ca{i}" for i in range(len(cl.args))]
+        tagged = self.df.select(
+            "*", *[compile_expr(self._lift(a), self._env()).alias(t)
+                   for a, t in zip(cl.args, tags)])
+        combos = tagged.select(*tags).dropDuplicates().collect()
+        if len(combos) > self.PCALL_MAX_COMBOS:
+            raise CompileError(
+                f"CALL {cl.name} with row-dependent arguments exceeds "
+                f"{self.PCALL_MAX_COMBOS} distinct argument combinations; "
+                "pre-aggregate the arguments or pass literals/parameters")
+        tag_types = {t: tagged.schema[t].dataType for t in tags}
+        pieces = []
+        for row in combos:
+            res = fn(self.g, *list(row))
+            keyed = res.select(
+                *[F.lit(row[i]).cast(tag_types[t]).alias(f"__cb{i}")
+                  for i, t in enumerate(tags)],
+                *res.columns)
+            pieces.append(keyed)
+        if not pieces:
+            res = fn(self.g, *[None] * len(cl.args))  # schema probe only
+            keyed = res.select(
+                *[F.lit(None).cast(tag_types[t]).alias(f"__cb{i}")
+                  for i, t in enumerate(tags)],
+                *res.columns).limit(0)
+            pieces = [keyed]
+        stream = pieces[0]
+        for p in pieces[1:]:
+            stream = stream.unionByName(p)
+        out_cols = [c for c in stream.columns if not c.startswith("__cb")]
+        if cl.yield_mode == "dash":
+            stream = stream.select(
+                *[c for c in stream.columns if c.startswith("__cb")])
+        elif cl.yield_mode == "list":
+            # validates the yield names + binds their symbols
+            self._yield_select(cl, stream.select(*out_cols))
+            stream = stream.select(
+                *[c for c in stream.columns if c.startswith("__cb")],
+                *[F.col(col).alias(alias or col)
+                  for col, alias in cl.yields])
+        else:  # star
+            for col in out_cols:
+                self.symbols[col] = "value"
+        cond = None
+        for i, t in enumerate(tags):
+            c = tagged[t].eqNullSafe(stream[f"__cb{i}"])
+            cond = c if cond is None else cond & c
+        joined = tagged.join(stream, cond, "inner")
+        drop = tags + [f"__cb{i}" for i in range(len(tags))]
+        self.df = joined.drop(*drop)
+        if "__once" in self.df.columns:
+            self.df = self.df.drop("__once")
+        if cl.where is not None:
+            self.df = self.df.filter(compile_expr(cl.where, self._env()))
 
     def _load(self, cl: A.LoadFile) -> None:
         """LoadCsv/LoadParquet/LoadJsonl (operator.hpp:2935-3000): file rows

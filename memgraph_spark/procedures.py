@@ -32,10 +32,26 @@ from memgraph_spark.llm.textstats import language_id, quality_score, token_stats
 
 PROCEDURES: dict[str, Callable[..., DataFrame]] = {}
 
+# optional declared signatures: name -> {"args": [(name, TYPE)], "void": bool}
+# — procedures with a signature get implicit-argument binding (standalone
+# `CALL proc` pulls each arg from the query parameters by name, the
+# reference's mgp signature machinery) and VOID passthrough semantics
+SIGNATURES: dict[str, dict] = {}
 
-def register(name: str, fn: Callable[..., DataFrame]) -> None:
+
+def register(name: str, fn: Callable[..., DataFrame],
+             signature: dict | None = None) -> None:
     """mgp-style registration (include/mgp.py add_read_proc parity)."""
     PROCEDURES[name.lower()] = fn
+    if signature is not None:
+        SIGNATURES[name.lower()] = signature
+    else:
+        SIGNATURES.pop(name.lower(), None)
+
+
+def unregister(name: str) -> None:
+    PROCEDURES.pop(name.lower(), None)
+    SIGNATURES.pop(name.lower(), None)
 
 
 def _edges(g, etype=None):

@@ -23,9 +23,7 @@ CORPUS_ROOT = "/root/reference/tests/gql_behave/tests"
 IGNORED = ("And no side effects", "And the side effects should be")
 
 # steps that make a scenario out-of-scope for this engine (skip, not fail)
-UNSUPPORTED_MARKERS = (
-    "there exists a procedure",
-)
+UNSUPPORTED_MARKERS = ()
 
 
 # -- feature parsing ---------------------------------------------------------
@@ -148,6 +146,13 @@ def parse_feature(path: str) -> list[Scenario]:
         if any(m in line for m in UNSUPPORTED_MARKERS):
             cur.skip_reason = line
             i += 1
+            continue
+        if "there exists a procedure" in line:
+            # TCK fixture procedure (ProcedureCallAcceptance): signature +
+            # a data table mapping input argument values to output rows —
+            # registered into the engine's procedure registry per scenario
+            rows, i = table(i + 1)
+            cur.steps.append(Step("register_proc", line, table=rows))
             continue
         if line in ("Given an empty graph", "Given any graph"):
             cur.steps.append(Step("empty"))
@@ -272,6 +277,115 @@ def parse_feature(path: str) -> list[Scenario]:
             out.append(Scenario(sc.feature, f"{sc.name} [{ri + 1}]",
                                 steps, sc.skip_reason))
     return out
+
+
+# -- TCK fixture procedures (ProcedureCallAcceptance) ------------------------
+
+_PROC_SIG = re.compile(
+    r"there exists a procedure ([\w.]+)\(([^)]*)\)\s*::\s*"
+    r"(VOID|\(([^)]*)\))\s*:?")
+
+_TCK_SPARK_TYPES = {"INTEGER": "long", "FLOAT": "double", "NUMBER": "double",
+                    "STRING": "string", "BOOLEAN": "boolean", "ANY": "string"}
+
+
+def _tck_cell(s: str):
+    s = s.strip()
+    if s in ("", "null"):
+        return None
+    if s[:1] in ("'", '"'):
+        return s[1:-1]
+    if s in ("true", "false"):
+        return s == "true"
+    if re.fullmatch(r"-?\d+", s):
+        return int(s)
+    try:
+        return float(s)
+    except ValueError:
+        return s
+
+
+def _tck_coerce(v, ftype: str, name: str):
+    """The TCK's argument coercions: NUMBER takes int/float, FLOAT widens
+    int, INTEGER narrows integral floats; bool is never a number."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        if ftype != "BOOLEAN":
+            raise ValueError(f"InvalidArgumentType: {name} expects {ftype}")
+        return v
+    if ftype == "INTEGER":
+        if isinstance(v, int):
+            return v
+        if isinstance(v, float) and v.is_integer():
+            return int(v)
+    elif ftype == "FLOAT":
+        if isinstance(v, (int, float)):
+            return float(v)
+    elif ftype == "NUMBER":
+        if isinstance(v, (int, float)):
+            return v
+    elif ftype == "STRING":
+        if isinstance(v, str):
+            return v
+    else:
+        return v
+    raise ValueError(f"InvalidArgumentType: {name} expects {ftype}, "
+                     f"got {type(v).__name__}")
+
+
+def _tck_fixture(spark, text: str, rows: list[list[str]]):
+    """Build (name, fn, signature) for an `there exists a procedure` step:
+    the data table maps input argument values to output rows — calling the
+    procedure returns the output columns of every row whose input cells
+    match the (coerced) arguments, in table order."""
+    from pyspark.sql import types as T
+    m = _PROC_SIG.search(text)
+    name = m.group(1)
+
+    def fields(s):
+        out = []
+        for part in [p.strip() for p in (s or "").split(",") if p.strip()]:
+            fname, ftype = [x.strip() for x in part.split("::")]
+            out.append((fname, ftype.rstrip("?").upper()))
+        return out
+
+    args = fields(m.group(2))
+    outs = [] if m.group(3).upper() == "VOID" else fields(m.group(4))
+    header = rows[0] if rows and any(c for c in rows[0]) else []
+    data = [[_tck_cell(c) for c in r] for r in rows[1:]]
+    idx = {h: k for k, h in enumerate(header)}
+    schema = T.StructType([
+        T.StructField(on, getattr(T, {
+            "long": "LongType", "double": "DoubleType",
+            "string": "StringType", "boolean": "BooleanType",
+        }[_TCK_SPARK_TYPES.get(ot, "string")])())
+        for on, ot in outs])
+
+    def _match(cell, v):
+        if isinstance(cell, (int, float)) and isinstance(v, (int, float)) \
+                and not isinstance(cell, bool) and not isinstance(v, bool):
+            return float(cell) == float(v)
+        return cell == v
+
+    def fn(g, *vals):
+        if len(vals) != len(args):
+            raise ValueError(
+                f"InvalidNumberOfArguments: {name} takes {len(args)} "
+                f"arguments, got {len(vals)}")
+        coerced = [_tck_coerce(v, t, name)
+                   for v, (_n, t) in zip(vals, args)]
+        out_rows = []
+        for r in data:
+            if all(_match(r[idx[an]], cv)
+                   for (an, _t), cv in zip(args, coerced)):
+                out_rows.append(tuple(
+                    float(r[idx[on]]) if ot in ("FLOAT", "NUMBER")
+                    and r[idx[on]] is not None else r[idx[on]]
+                    for on, ot in outs))
+        return spark.createDataFrame(out_rows, schema)
+
+    return name, fn, {"args": args, "void": not outs}
 
 
 # -- value canonicalization --------------------------------------------------
@@ -794,6 +908,12 @@ def run_scenario(spark, sc: Scenario, graphs_dir: str,
         reg = getattr(cell["gs"].graph, "enum_registry", None)
         if reg is not None:
             PERSISTENT["enums"] = {k: list(v) for k, v in reg.items()}
+        # drop scenario-scoped TCK fixture procedures so a later
+        # "unknown procedure" scenario really sees them as unknown
+        if cell.get("procs"):
+            from memgraph_spark import procedures as _procs
+            for pname in cell["procs"]:
+                _procs.unregister(pname)
 
 
 def _run_steps(spark, gs, sc, graphs_dir, timeout, params, last, checked,
@@ -822,6 +942,11 @@ def _run_steps(spark, gs, sc, graphs_dir, timeout, params, last, checked,
                 text = open(path).read()
                 for stmt in [s.strip() for s in text.split(";") if s.strip()]:
                     _collect_with_timeout(spark, gs.execute(stmt), timeout)
+            elif step.kind == "register_proc":
+                from memgraph_spark import procedures as _procs
+                pname, fn, sig = _tck_fixture(spark, step.text, step.table)
+                cell.setdefault("procs", []).append(pname)
+                _procs.register(pname, fn, signature=sig)
             elif step.kind == "exec":
                 for stmt in [s.strip() for s in step.text.split(";")
                              if s.strip()]:
