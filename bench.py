@@ -5,12 +5,20 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Each query is executed with a count() action (full pipeline materialization,
 no driver-side result transfer) after a warm-up of the input scans.
+
+Noise control: the VM shows +-50% single-run variance, so the measured
+numbers are PER-QUERY MEDIANS over $SPARK_GRAFT_BENCH_RUNS hot passes
+(default 3) after one unmeasured warm-up; `value` is the sum of medians.
+`per_run_totals` carries each pass's wall time for spread inspection.
+Same-session A/B against a pinned snapshot lives in bench_probe.py —
+compare medians from one session, never single passes across days.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -47,45 +55,56 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("memgraph-spark-bench")
-    spark.sparkContext.setLogLevel("ERROR")
+def _gc(spark) -> None:
+    """Release the previous pass's dead checkpoint blocks (keeps shared
+    persisted caches hot — only unreferenced per-round checkpoints go)."""
+    import gc
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(1.0)
 
+
+def run_suite(spark, sf_dir: str, runs: int = 3):
+    """One warm-up pass + `runs` measured hot passes.
+    Returns (medians: {name: sec}, per_run_totals: [sec], raw: {name: [sec]})."""
     # warm the JVM + file metadata (not the query plans themselves)
     for t in Q.graph_for(spark, sf_dir).tables.values():
         t.count()
-
     names = [n for n in HEADLINE if n in Q.QUERIES]
     # warm-up pass: mgbench measures hot latency over >=10 iterations with
     # cached plans (tests/mgbench/README.md:213); one unmeasured run per
     # query plays the same role (JIT/codegen + session caches)
     for name in names:
         Q.QUERIES[name](spark, sf_dir).count()
+    raw: dict[str, list[float]] = {n: [] for n in names}
+    totals: list[float] = []
+    for _ in range(runs):
+        _gc(spark)
+        t_all = time.perf_counter()
+        for name in names:
+            t0 = time.perf_counter()
+            Q.QUERIES[name](spark, sf_dir).count()
+            raw[name].append(round(time.perf_counter() - t0, 3))
+        totals.append(round(time.perf_counter() - t_all, 3))
+    medians = {n: round(statistics.median(v), 3) for n, v in raw.items()}
+    return medians, totals, raw
 
-    # drop the warm-up pass's dead checkpoint blocks before measuring:
-    # Python GC releases the DataFrame wrappers, the JVM GC lets the
-    # ContextCleaner unpersist their RDD blocks (keeps the shared persisted
-    # caches hot — only unreferenced per-round checkpoints go)
-    import gc
-    gc.collect()
-    spark.sparkContext._jvm.System.gc()
-    time.sleep(1.0)
 
-    per_query: dict[str, float] = {}
-    t_all = time.perf_counter()
-    for name in names:
-        t0 = time.perf_counter()
-        Q.QUERIES[name](spark, sf_dir).count()
-        per_query[name] = round(time.perf_counter() - t0, 3)
-    total = round(time.perf_counter() - t_all, 3)
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    spark = get_spark("memgraph-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
 
+    medians, totals, _raw = run_suite(spark, sf_dir, runs)
     print(json.dumps({
         "metric": "headline_suite_total",
-        "value": total,
+        "value": round(sum(medians.values()), 3),
         "unit": "sec",
-        "queries": per_query,
+        "queries": medians,
+        "runs": runs,
+        "per_run_totals": totals,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

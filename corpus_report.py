@@ -4,12 +4,24 @@ Usage:
   python corpus_report.py                     # both suites, writes CORPUS.md
   python corpus_report.py aggregations        # only matching feature files
   python corpus_report.py -v match.feature    # verbose: print each failure
+  python corpus_report.py --changed-features  # only features whose clause
+      area maps to memgraph_spark files changed since the last FULL
+      snapshot (recorded in corpus_snapshot_meta.json at full-run
+      completion). Regressions surface within a round instead of at
+      snapshot time; falls back to the full run when there is no snapshot
+      or a changed file has no feature mapping (parser/core changes).
+      Targeted runs print summary lines only — fold them into the snapshot
+      with merge_corpus.py.
+
+CORPUS.md is REGENERATED wholesale on full runs; persistent prose lives in
+the DEVIATIONS constant below, never hand-edited into CORPUS.md.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -25,11 +37,80 @@ from memgraph_spark.session import get_spark  # noqa: E402
 SUITES = ["memgraph_V1", "openCypher_M09", "stackoverflow_answers",
           "unstable"]
 
+# clause-area map for --changed-features: engine module (path substring) ->
+# lowercase substrings matched against feature FILE names. A changed file
+# matching no entry forces a full run (conservative).
+MODULE_FEATURES = {
+    "plans/writes.py": ["creat", "delete", "merge", "set", "remove",
+                        "update", "foreach", "periodic"],
+    "plans/exprs.py": ["function", "expression", "aggregation", "list",
+                       "map", "case", "string", "literal", "ternary",
+                       "null", "comparison", "typeconversion", "temporal",
+                       "operator", "startswith", "precedence", "quantifi"],
+    "plans/traversal.py": ["match", "varlength", "hops", "shortest", "path",
+                           "triadic", "selfrelationship", "wsp", "caching"],
+    "operators/expand.py": ["match", "varlength", "shortest", "triadic",
+                            "selfrelationship", "wsp"],
+    "operators/kshortest.py": ["shortest", "wsp"],
+    "operators/joins.py": ["match", "optional", "cartesian", "exists"],
+    "operators/aggregate.py": ["aggregation", "with", "return"],
+    "plans/session.py": ["with", "return", "union", "unwind", "optional",
+                         "orderby", "skiplimit", "where", "subquer", "call",
+                         "procedure", "pattern_comprehension",
+                         "patterncomprehension", "match", "caching",
+                         "aggregation", "functions"],
+    "functions/spatial.py": ["spatial", "point"],
+    "functions/": ["function", "temporal", "string"],
+    "search/": ["text", "vector"],
+    "procedures.py": ["procedure", "call"],
+    "admin.py": ["index", "constraint", "memgraph", "database", "vector",
+                 "text", "stream", "server", "ttl", "enum"],
+    "tests/gql_corpus.py": None,  # runner change: full run
+    "plans/parser.py": None,      # grammar change: full run
+}
+
+
+def changed_feature_patterns() -> set[str] | None:
+    """Feature-name substrings to re-run, from files changed since the last
+    full snapshot. None = run everything."""
+    try:
+        base = json.load(open("corpus_snapshot_meta.json"))["commit"]
+    except Exception:  # noqa: BLE001 — no snapshot yet
+        return None
+    diff = subprocess.run(["git", "diff", "--name-only", base],
+                          capture_output=True, text=True)
+    if diff.returncode != 0:
+        return None
+    pats: set[str] = set()
+    for f in diff.stdout.split():
+        if not (f.startswith("memgraph_spark/") or f == "tests/gql_corpus.py"):
+            continue
+        hit = False
+        for prefix, feats in MODULE_FEATURES.items():
+            if prefix in f:
+                if feats is None:
+                    return None  # core change: everything may be affected
+                pats.update(feats)
+                hit = True
+        if not hit:
+            return None  # unmapped engine file: be conservative
+    return pats
+
 
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     verbose = "-v" in sys.argv
     pattern = args[0] if args else None
+    changed_pats: set[str] | None = None
+    if "--changed-features" in sys.argv:
+        changed_pats = changed_feature_patterns()
+        if changed_pats is not None:
+            if not changed_pats:
+                print("no engine files changed since the last snapshot; "
+                      "nothing to re-run")
+                return
+            print(f"re-running features matching: {sorted(changed_pats)}")
+            pattern = pattern or "__changed__"  # suppress snapshot writes
 
     spark = get_spark("gql-corpus", os.environ.get("SPARK_GRAFT_CPUS", "16"))
     spark.sparkContext.setLogLevel("OFF")
@@ -40,7 +121,10 @@ def main() -> None:
         gdir = graphs_dir_for(suite)
         for path in corpus_files(suite):
             fname = os.path.basename(path)
-            if pattern and pattern not in fname:
+            if changed_pats is not None:
+                if not any(p in fname.lower() for p in changed_pats):
+                    continue
+            elif pattern and pattern not in fname:
                 continue
             scenarios = parse_feature(path)
             from gql_corpus import reset_persistent
@@ -81,6 +165,13 @@ def main() -> None:
         with open("corpus_results.json", "w") as f:
             json.dump(results, f, indent=1)
         write_md(results, agg, runnable)
+        head = subprocess.run(["git", "rev-parse", "HEAD"],
+                              capture_output=True, text=True)
+        if head.returncode == 0:
+            with open("corpus_snapshot_meta.json", "w") as f:
+                json.dump({"commit": head.stdout.strip(),
+                           "finished": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                                     time.gmtime())}, f)
         import contextlib
         with contextlib.suppress(OSError):
             os.remove("corpus_results.partial.json")

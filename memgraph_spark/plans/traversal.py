@@ -50,6 +50,13 @@ def _lambda_refs(lam, idx: int) -> bool:
                for n in A.walk(lam[1]))
 
 
+# driver-side hops-limit replay fence: past either bound, the replay is
+# skipped and the DISTRIBUTED preorder-truncation fallback meters the quota
+# instead (approximate retrieval order, exact budget) — SCALE.md "hops limit"
+HOPS_SIM_MAX_EDGES = 50_000
+HOPS_SIM_MAX_STARTS = 5_000
+
+
 class TraversalMixin:
     """QueryCompiler methods for mode/lambda variable-length expansion."""
 
@@ -406,7 +413,6 @@ class TraversalMixin:
           (Pull returns false), but paths over already-retrieved lists
           still stream out.
         """
-        HOPS_SIM_MAX_EDGES, HOPS_SIM_MAX_STARTS = 50_000, 5_000
         try:
             if E.count() > HOPS_SIM_MAX_EDGES:
                 return None

@@ -509,6 +509,26 @@ def _link_prediction(g, top_k: int = 50, method: str = "adamic_adar"):
     return link_prediction_scores(g, top_k=int(top_k), method=str(method))
 
 
+def _link_prediction_train(g, num_epochs: int = 30,
+                           learning_rate: float = 0.5):
+    """link_prediction.train(...) YIELD status, auc (reference
+    src/mage/python/link_prediction.py train — here the no-torch
+    logistic-regression baseline over neighbourhood features; each epoch
+    is one distributed aggregation)."""
+    from memgraph_spark.algos.gnn import link_prediction_train
+    model = link_prediction_train(g, num_epochs=int(num_epochs),
+                                  learning_rate=float(learning_rate))
+    return g.spark.createDataFrame(
+        [("trained", float(model["auc_proxy"]))], "status string, auc double")
+
+
+def _link_prediction_predict(g, top_k: int = 50):
+    """link_prediction.predict(...) YIELD node1, node2, score — model
+    scores (trains with defaults when no model is stored)."""
+    from memgraph_spark.algos.gnn import link_prediction_predict
+    return link_prediction_predict(g, top_k=int(top_k))
+
+
 def _json_load_from_path(g, path: str):
     """json_util.load_from_path(path) YIELD objects
     (src/mage/python/json_util.py:85). Distributed spark.read.json scan —
@@ -641,6 +661,8 @@ register("biconnected_components.get", _biconnected)
 register("vrp.route", _vrp)
 register("graph_coloring.color_graph", _color_graph)
 register("link_prediction.get", _link_prediction)
+register("link_prediction.train", _link_prediction_train)
+register("link_prediction.predict", _link_prediction_predict)
 register("json_util.load_from_path", _json_load_from_path)
 register("export_util.json", _export_json)
 register("export_util.csv", _export_csv)

@@ -43,6 +43,38 @@ def test_link_prediction_adamic_adar(spark):
     assert abs(r.score - round(1.0 / math.log(2 + 1e-9), 4)) < 1e-6
 
 
+def test_link_prediction_logistic_baseline(spark):
+    """link_prediction.train/predict return real scores without torch: on
+    two 5-cliques joined by a single bridge, the one MISSING intra-clique
+    pair must outrank every cross-clique candidate (known ranking)."""
+    from memgraph_spark.algos.gnn import (
+        link_prediction_predict, link_prediction_train)
+    c1, c2 = [1, 2, 3, 4, 5], [11, 12, 13, 14, 15]
+    edges = []
+    for grp in (c1, c2):
+        for i, a in enumerate(grp):
+            for b in grp[i + 1:]:
+                edges.append((a, b))
+    edges.remove((4, 5))     # the pair the model must predict
+    edges.append((5, 11))    # bridge creates cross-clique 2-hop candidates
+    g = _graph(spark, edges)
+    model = link_prediction_train(g)
+    assert len(model["weights"]) == 4
+    assert model["auc_proxy"] > 0.2  # positives separate from negatives
+    top = link_prediction_predict(g, top_k=5).collect()
+    assert (top[0]["node1"], top[0]["node2"]) == (4, 5)
+    assert all(0.0 <= r["score"] <= 1.0 for r in top)
+    # procedure surface
+    gs = GraphSession(g)
+    row = gs.execute("CALL link_prediction.train() YIELD status, auc "
+                     "RETURN status, auc").collect()[0]
+    assert row["status"] == "trained"
+    rows = gs.execute("CALL link_prediction.predict(3) "
+                      "YIELD node1, node2, score "
+                      "RETURN node1, node2, score").collect()
+    assert (rows[0]["node1"], rows[0]["node2"]) == (4, 5)
+
+
 def test_json_util_and_export(spark):
     g = load_tpch_graph(spark, SF_SMOKE)
     gs = GraphSession(g)

@@ -35,6 +35,26 @@ def test_hops_limit_not_reached(spark):
     assert gs.last_hops["reached"] is False and 0 < gs.last_hops["used"] <= 1000
 
 
+def test_hops_limit_metered_above_replay_fence(spark, monkeypatch):
+    """Above HOPS_SIM_MAX_EDGES the exact driver-side replay is skipped,
+    but the distributed fallback must still METER the quota: partial
+    results (possibly coarser truncation), used/reached accounting intact —
+    never quota-ignoring full results."""
+    import memgraph_spark.plans.traversal as TR
+    monkeypatch.setattr(TR, "HOPS_SIM_MAX_EDGES", 0)  # force the fallback
+    gs = _chain_session(spark)
+    q = ("USING HOPS LIMIT 3 MATCH (a:N)-[:E*1..10]->(b) "
+         "WHERE id(a) = 1 RETURN count(*) AS n")
+    limited = gs.execute(q).collect()[0].n
+    assert limited < 7  # quota enforced, not ignored
+    assert gs.last_hops["reached"] is True
+    assert 0 < gs.last_hops["used"] <= 3
+    # a quota that covers everything passes through untruncated
+    n = gs.execute("USING HOPS LIMIT 1000 MATCH (a:N)-[:E*1..10]->(b) "
+                   "WHERE id(a) = 1 RETURN count(*) AS n").collect()[0].n
+    assert n == 7 and gs.last_hops["reached"] is False
+
+
 def test_using_directives_parse(spark):
     """preQueryDirectives (MemgraphCypher.g4:409-423): INDEX hints and
     PARALLEL EXECUTION parse as advisory no-ops; HOPS LIMIT still binds."""
