@@ -210,8 +210,8 @@ def write_md(results: dict, agg: dict, runnable: int) -> None:
         "`corpus_report.py` (runner: `tests/gql_corpus.py`).",
         "",
         f"**{agg['pass']}/{runnable} runnable scenarios pass** "
-        f"({agg['skip']} skipped: vector/point-index DDL, test procedures "
-        "and other out-of-scope steps).",
+        f"({agg['skip']} skipped: steps outside the engine's surface — "
+        "TCK test procedures are now shimmed and run, not skipped).",
         "",
         DEVIATIONS,
         "",

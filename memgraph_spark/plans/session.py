@@ -124,6 +124,53 @@ def _has_edge_struct(dt) -> bool:
     return False
 
 
+def _is_node_struct(dt) -> bool:
+    if not isinstance(dt, T.StructType):
+        return False
+    f = {x.name: x.dataType for x in dt.fields}
+    return (isinstance(f.get("id"), T.LongType)
+            and isinstance(f.get("labels"), T.ArrayType)
+            and isinstance(f["labels"].elementType, T.StringType))
+
+
+def _has_node_struct(dt) -> bool:
+    if _is_node_struct(dt):
+        return True
+    if isinstance(dt, T.StructType):
+        return any(_has_node_struct(x.dataType) for x in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _has_node_struct(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _has_node_struct(dt.valueType)
+    return False
+
+
+def _node_ids_expr(dt, col):
+    """Column of array<bigint>: every node-struct id nested under `col`,
+    or None when the type holds no node struct. Companion of
+    _endpoint_ids_expr for the keyed roll-up's per-row lookup set."""
+    if not _has_node_struct(dt):
+        return None
+    if _is_node_struct(dt):
+        return F.array(col["id"])
+    if isinstance(dt, T.StructType):
+        subs = [_node_ids_expr(x.dataType, col[x.name])
+                for x in dt.fields if _has_node_struct(x.dataType)]
+        if len(subs) == 1:
+            return subs[0]
+        return F.flatten(F.array(*[
+            F.coalesce(s, F.array().cast(_EMPTY_IDS)) for s in subs]))
+    if isinstance(dt, T.ArrayType):
+        return F.flatten(F.transform(col, lambda x: F.coalesce(
+            _node_ids_expr(dt.elementType, x),
+            F.array().cast(_EMPTY_IDS))))
+    if isinstance(dt, T.MapType):
+        return F.flatten(F.transform(F.map_values(col), lambda x: F.coalesce(
+            _node_ids_expr(dt.valueType, x),
+            F.array().cast(_EMPTY_IDS))))
+    return None
+
+
 def _endpoint_ids_expr(dt, col):
     """Column of array<bigint>: every edge-struct endpoint id (src, dst)
     nested under `col`, or None when the type holds no edge struct. Used by
@@ -1663,13 +1710,22 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         if isinstance(e, A.PatternPredicate) or not dataclasses.is_dataclass(e):
             return e
         lb = lambda_bound
-        if isinstance(e, A.ListComprehension) and (
-                isinstance(e.source, A.FuncCall)
-                and e.source.name.lower() in ("nodes", "relationships")):
+        if isinstance(e, A.ListComprehension):
             # only lambda vars that range over graph elements key a
             # roll-up; vars over scalar lists (quantifier comprehensions)
-            # keep the anchored/unanchored paths
-            lb = lb | {e.var}
+            # keep the anchored/unanchored paths. Graph-element sources:
+            # nodes(p)/relationships(p), and list literals holding bound
+            # node/rel symbols ([a, b] — previously missed, which silently
+            # compiled inner pattern comprehensions as UNanchored globals)
+            src = e.source
+            graphy = (isinstance(src, A.FuncCall)
+                      and src.name.lower() in ("nodes", "relationships")) \
+                or (isinstance(src, A.ListLiteral)
+                    and any(isinstance(x, A.Var)
+                            and self.symbols.get(x.name) in ("node", "rel")
+                            for x in src.items))
+            if graphy:
+                lb = lb | {e.var}
         changes = {}
         for f in dataclasses.fields(e):
             v = getattr(e, f.name)
@@ -1712,40 +1768,54 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         pc = A.prop_col(key)
         out = self._anon_sym("npm")
         base = self._seed() if self.df is None else self.df
-        id_arrays = []
-        for f in base.schema.fields:
-            e = _endpoint_ids_expr(f.dataType, F.col(f.name))
-            if e is not None:
-                id_arrays.append(F.coalesce(e, F.array().cast("array<bigint>")))
+        id_arrays = [e for f in base.schema.fields
+                     if (e := _endpoint_ids_expr(f.dataType, F.col(f.name)))
+                     is not None]
         nodes = self.g.all_nodes([pc]).select(
-            F.col("id").alias("__nid"), F.col(pc).alias("__npv"))
-        if not id_arrays:
-            # no edge-typed column anywhere: every lookup is null
-            empty = F.map_from_entries(
-                F.array().cast(T.ArrayType(T.StructType([
-                    T.StructField("k", T.LongType()),
-                    T.StructField("v", nodes.schema["__npv"].dataType)]))))
-            self.df = base.withColumn(out, empty)
-        else:
-            ids = F.array_sort(F.array_distinct(F.filter(
-                F.flatten(F.array(*id_arrays)), lambda x: x.isNotNull())))
-            rid = f"__{out}_rid"
-            tagged = (base.withColumn(f"__{out}_ids", ids)
-                      .withColumn(rid, F.xxhash64(F.col(f"__{out}_ids"))))
-            needed = (tagged
-                      .select(rid, F.explode(f"__{out}_ids").alias("__nid"))
-                      .dropDuplicates([rid, "__nid"])
-                      .join(nodes, "__nid"))
-            permap = needed.groupBy(rid).agg(F.map_from_entries(
-                F.collect_list(F.struct(
-                    F.col("__nid").alias("k"),
-                    F.col("__npv").alias("v")))).alias(out))
-            self.df = (tagged.join(permap, rid, "left")
-                       .drop(rid, f"__{out}_ids"))
+            F.col("id").alias("__k"), F.col(pc).alias("__v"))
+        self.df = self._per_row_map(base, id_arrays, nodes, out)
         self.symbols[out] = "value"
         cache[key] = out
         self._npm_cache = cache
         return out
+
+    def _per_row_map(self, base: DataFrame, id_arrays: list,
+                     values: DataFrame, out: str,
+                     default=None) -> DataFrame:
+        """Attach a PER-ROW (id -> value) map column `out` to `base`:
+        `id_arrays` are array<bigint> columns naming the ids each row may
+        look up; `values` is an (__k, __v) frame. Rows are keyed by a hash
+        of their distinct id set, the keys explode into an equi-join
+        against `values`, and one small map is rebuilt per distinct id set
+        and left-joined back — every step a distributed hash join/agg,
+        nothing collects `values` whole or broadcasts it. Hash collisions
+        merge id sets into a superset map, which lookups cannot observe.
+        `default` (a Column) substitutes for ids missing from `values`;
+        None drops them (lookup yields null)."""
+        if not id_arrays:
+            empty = F.map_from_entries(
+                F.array().cast(T.ArrayType(T.StructType([
+                    T.StructField("__k", T.LongType()),
+                    T.StructField("__v", values.schema["__v"].dataType)]))))
+            return base.withColumn(out, empty)
+        ids = F.array_sort(F.array_distinct(F.filter(
+            F.flatten(F.array(*[
+                F.coalesce(a, F.array().cast(_EMPTY_IDS))
+                for a in id_arrays])),
+            lambda x: x.isNotNull())))
+        rid = f"__{out}_rid"
+        tagged = (base.withColumn(f"__{out}_ids", ids)
+                  .withColumn(rid, F.xxhash64(F.col(f"__{out}_ids"))))
+        needed = (tagged.select(rid, F.explode(f"__{out}_ids").alias("__k"))
+                  .dropDuplicates([rid, "__k"]))
+        if default is None:
+            needed = needed.join(values, "__k")
+        else:
+            needed = (needed.join(values, "__k", "left")
+                      .withColumn("__v", F.coalesce(F.col("__v"), default)))
+        permap = needed.groupBy(rid).agg(F.map_from_entries(
+            F.collect_list(F.struct("__k", "__v"))).alias(out))
+        return tagged.join(permap, rid, "left").drop(rid, f"__{out}_ids")
 
     @staticmethod
     def _scan_order(df: DataFrame) -> DataFrame:
@@ -1758,10 +1828,13 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         return df.sortWithinPartitions(*ids) if ids else df
 
     def _roll_up_keyed(self, pc: A.PatternComprehension, var: str) -> A.Expr:
-        """RollUpApply keyed by a lambda variable: build one global
-        anchor-id -> list lookup map (broadcast — same caveat as the
-        unanchored roll-up) and rewrite the comprehension to
-        lookup[id(var)]."""
+        """RollUpApply keyed by a lambda variable: compute the per-anchor
+        lists, attach them as a PER-ROW lookup map restricted to the node
+        ids actually present in the row (node structs, edge endpoints, and
+        bound node symbols — the only places a lambda node value can come
+        from), and rewrite the comprehension to lookup[id(var)]. Same
+        distributed explode-join-rebuild shape as _node_prop_map; no
+        whole-graph broadcast."""
         import dataclasses as _dc
         fresh = self._anon_sym("pk")
 
@@ -1781,16 +1854,23 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         rolled = (self._scan_order(sub.df)
                   .select(F.col(f"{fresh}_id").alias("__k"),
                           proj.alias("__p"))
-                  .groupBy("__k").agg(F.collect_list("__p").alias("__l")))
-        empty = F.array().cast(rolled.schema["__l"].dataType)
-        full = (self.g.all_nodes([]).select(F.col("id").alias("__k"))
-                .join(rolled, "__k", "left")
-                .withColumn("__l", F.coalesce(F.col("__l"), empty)))
+                  .groupBy("__k").agg(F.collect_list("__p").alias("__v")))
+        empty = F.array().cast(rolled.schema["__v"].dataType)
         out = self._anon_sym("pcm")
-        single = full.agg(F.map_from_entries(
-            F.collect_list(F.struct("__k", "__l"))).alias(out))
         base = self._seed() if self.df is None else self.df
-        self.df = base.crossJoin(F.broadcast(single))
+        id_arrays = []
+        for f in base.schema.fields:
+            for walker in (_node_ids_expr, _endpoint_ids_expr):
+                e = walker(f.dataType, F.col(f.name))
+                if e is not None:
+                    id_arrays.append(e)
+        for sym, kind in self.symbols.items():
+            if kind == "node" and f"{sym}_id" in base.columns:
+                id_arrays.append(F.array(F.col(f"{sym}_id")))
+        # anchors with a row-present id but no pattern match get the empty
+        # list (the old whole-graph frame's coalesce, per row instead)
+        self.df = self._per_row_map(base, id_arrays, rolled, out,
+                                    default=empty)
         self.symbols[out] = "value"
         return A.Subscript(A.Var(out), A.FuncCall("id", [A.Var(var)]))
 

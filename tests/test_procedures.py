@@ -72,6 +72,33 @@ def test_load_csv(gs):
     assert [(r.name, r.age) for r in rows] == [("alice", 30), ("bob", 25)]
 
 
+def test_call_per_row_arguments(gs):
+    """CALL args referencing frame variables: the procedure runs once per
+    DISTINCT argument combination (fenced) and the yield streams join back
+    on those values — reference CallProcedure evaluates args per pull."""
+    from memgraph_spark import procedures as P
+
+    def doubler(g, x):
+        return g.spark.createDataFrame([(int(x) * 2,)], "out long")
+    P.register("tests.doubler", doubler)
+    try:
+        rows = gs.execute(
+            "UNWIND [1, 2, 3, 2] AS v "
+            "CALL tests.doubler(v) YIELD out RETURN v, out ORDER BY v"
+        ).collect()
+        assert [(r.v, r.out) for r in rows] == [(1, 2), (2, 4), (2, 4),
+                                                (3, 6)]
+    finally:
+        P.unregister("tests.doubler")
+
+
+def test_call_in_query_without_yield_errors(gs):
+    """In-query CALL with outputs must YIELD (TCK pins UndefinedVariable at
+    the later RETURN; we err at the CALL — same compile-time contract)."""
+    with pytest.raises(Exception, match="YIELD|yield"):
+        gs.execute("UNWIND [1] AS v CALL pagerank.get() RETURN v").collect()
+
+
 def test_load_csv_no_header_delimiter(gs):
     d = tempfile.mkdtemp()
     with open(os.path.join(d, "data.csv"), "w") as f:
