@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 VARIANT_FIELDS = ("vb", "vi", "vd", "vs", "va", "vj")
+VARIANT_T = ("struct<vb:boolean,vi:bigint,vd:double,vs:string,"
+             "va:array<string>,vj:string>")
 
 
 def is_variant_type(t) -> bool:
@@ -218,6 +220,34 @@ def variant_element(v: Column, idx: int) -> Column:
     return (F.when(v.getField("vj").isNotNull() & j.isNotNull(), from_json)
             .when(sa.isNotNull(),
                   _slots(s=F.get(sa, F.lit(int(idx))))))
+
+
+def _lex_variant(x: Column) -> Column:
+    """Recover a variant from a JSON element's TEXT (same lexical corner as
+    variant_element: a JSON number and the same-looking string collapse)."""
+    return (F.when(x.isNull(), F.lit(None).cast(VARIANT_T))
+            .when(x.rlike(r"^[\[{]"), _slots(j=x))
+            .when(x == "true", _slots(b=F.lit(True)))
+            .when(x == "false", _slots(b=F.lit(False)))
+            .when(x.rlike(r"^-?[0-9]+$"), _slots(i=x.cast("long")))
+            .when(x.rlike(r"^-?[0-9]*\.[0-9]+([eE][+-]?[0-9]+)?$"),
+                  _slots(d=x.cast("double")))
+            .otherwise(_slots(s=x)))
+
+
+def variant_list_elements(v: Column) -> Column:
+    """Decode a LIST-valued variant (va string list or vj JSON list) into
+    an array of element variants; null when the variant holds no list.
+    from_json to array<string> coerces every JSON element kind — numbers,
+    booleans, nested arrays/objects — to its text, which _lex_variant maps
+    back to a typed slot."""
+    sa = v.getField("va")
+    vj = v.getField("vj")
+    js = F.from_json(vj, "array<string>")
+    return (F.when(vj.isNotNull() & js.isNotNull(),
+                   F.transform(js, _lex_variant))
+            .when(sa.isNotNull(),
+                  F.transform(sa, lambda x: _slots(s=x))))
 
 
 def variant_sort_key(v: Column) -> Column:

@@ -1014,7 +1014,21 @@ def _compile_binop(e: A.BinaryOp, env: Env) -> Column:
             return F.when(F.size(r) == 0, F.lit(False)) \
                     .otherwise(F.lit(None).cast("boolean"))
         rt = env.typeof(r) if env.df is not None else None
-        if isinstance(rt, T.ArrayType) and is_variant_type(rt.elementType):
+        if is_variant_type(rt):
+            # the haystack itself is a variant holding a LIST (mixed list
+            # types across table versions lift the property to variant —
+            # caching.feature "List cache invalidation 3"): decode it to
+            # an array of element variants and fall through to the
+            # element-wise strict compare below
+            from memgraph_spark.functions.variant import (
+                variant_list_elements)
+            r = variant_list_elements(r)
+            rt = T.ArrayType(T.StructType())  # marker: variant elements
+            _variant_elems = True
+        else:
+            _variant_elems = (isinstance(rt, T.ArrayType)
+                              and is_variant_type(rt.elementType))
+        if _variant_elems:
             lt = env.typeof(l)
             if isinstance(lt, (T.ArrayType, T.MapType)) or isinstance(
                     e.left, (A.ListLiteral, A.MapLiteral)):
