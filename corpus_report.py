@@ -101,6 +101,15 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     verbose = "-v" in sys.argv
     pattern = args[0] if args else None
+    # --shard=K/N: run every Nth feature (round-robin by position) and write
+    # corpus_results.shardK_N.json — N parallel processes cover the full
+    # corpus in ~1/N wall-clock; fold the shard jsons + regenerate CORPUS.md
+    # with `python merge_corpus.py corpus_results.shard*_N.json`
+    shard = None
+    for a in sys.argv[1:]:
+        if a.startswith("--shard="):
+            k, n = a.split("=", 1)[1].split("/")
+            shard = (int(k), int(n))
     changed_pats: set[str] | None = None
     if "--changed-features" in sys.argv:
         changed_pats = changed_feature_patterns()
@@ -117,10 +126,14 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     t0 = time.time()
+    feature_idx = -1
     for suite in SUITES:
         gdir = graphs_dir_for(suite)
         for path in corpus_files(suite):
             fname = os.path.basename(path)
+            feature_idx += 1
+            if shard is not None and feature_idx % shard[1] != shard[0]:
+                continue
             if changed_pats is not None:
                 if not any(p in fname.lower() for p in changed_pats):
                     continue
@@ -150,7 +163,11 @@ def main() -> None:
             # flush incrementally to a side file so a killed run keeps its
             # progress WITHOUT clobbering the last complete snapshot (the
             # driver commits whatever is on disk at round end)
-            if not pattern:
+            if shard is not None:
+                with open(f"corpus_results.shard{shard[0]}_{shard[1]}.json",
+                          "w") as f:
+                    json.dump(results, f, indent=1)
+            elif not pattern:
                 with open("corpus_results.partial.json", "w") as f:
                     json.dump(results, f, indent=1)
 
@@ -161,6 +178,8 @@ def main() -> None:
           f"({agg['skip']} skipped as out-of-scope), "
           f"{time.time() - t0:.0f}s")
 
+    if shard is not None:
+        return  # shard json already on disk; merge_corpus.py folds + writes
     if not pattern:
         with open("corpus_results.json", "w") as f:
             json.dump(results, f, indent=1)
