@@ -463,6 +463,27 @@ def _try_server_params(q: str, u: str, spark, params, session):
     return None
 
 
+_MAP_PAIR = re.compile(
+    r"\s*('[^']*'|\"[^\"]*\"|[^:,\s][^:,]*?)\s*:\s*"
+    r"('[^']*'|\"[^\"]*\"|[^,]*?)\s*(?:,|$)")
+
+
+def _parse_map_body(body: str) -> dict:
+    """Quote-aware {k: v, ...} map-literal body parser: quoted keys/values
+    may contain ',' and ':' (kafka sasl.jaas.config, bootstrap lists) —
+    a bare str.split on ',' / ':' corrupts those pairs."""
+    entries: dict = {}
+    i, n = 0, len(body)
+    while i < n:
+        m = _MAP_PAIR.match(body, i)
+        if not m or m.end() == i:
+            break
+        k, v = m.group(1).strip(), m.group(2).strip()
+        entries[k.strip("'\"")] = v.strip("'\"")
+        i = m.end()
+    return entries
+
+
 def _parse_stream_config(rest: str) -> dict:
     """CREATE STREAM config clauses in any order -> dict (grammar:
     kafkaCreateStreamConfig / pulsarCreateStreamConfig repeat freely,
@@ -478,12 +499,7 @@ def _parse_stream_config(rest: str) -> dict:
         if val[:1] in ("'", '"'):
             cfg[key] = val[1:-1]
         elif val.startswith("{"):
-            entries = {}
-            for part in val[1:-1].split(","):
-                if ":" in part:
-                    k, v = part.split(":", 1)
-                    entries[k.strip().strip("'\"")] = v.strip().strip("'\"")
-            cfg[key] = entries
+            cfg[key] = _parse_map_body(val[1:-1])
         else:
             cfg[key] = val
     return cfg

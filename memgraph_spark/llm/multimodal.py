@@ -18,11 +18,19 @@ from collections.abc import Iterator
 def _chunked(batches: Iterator[pd.DataFrame],
              rows: int) -> Iterator[pd.DataFrame]:
     """Re-slice incoming Arrow batches to at most `rows` rows each, INSIDE
-    the pandas function — bounding per-step working set for wide blobs
-    without mutating the session-global
-    spark.sql.execution.arrow.maxRecordsPerBatch (a lazy frame would read
-    that conf at execution time anyway, and setting it would leak to every
-    later pandas UDF in the session)."""
+    the pandas function.
+
+    Scope of the bound: this bounds the OUTPUT-side working set per step
+    (decoded features / resized blobs / sampled frames are produced for at
+    most `rows` inputs at a time). The INPUT batch has already been
+    materialized by Arrow at the session's
+    spark.sql.execution.arrow.maxRecordsPerBatch (default 10000) before we
+    see it, so `batch_rows` does NOT bound incoming-blob memory. Callers
+    running wide-blob pipelines (100 MB videos) must also bound the input
+    side — use `arrow_batch_bound(spark, rows)` around the *action* that
+    executes the pipeline, which sets and restores that session conf
+    (pandas UDFs read it at execution time, so wrapping the action is
+    sufficient for lazy frames)."""
     for pdf in batches:
         if len(pdf) <= rows:
             yield pdf
@@ -30,10 +38,34 @@ def _chunked(batches: Iterator[pd.DataFrame],
         for lo in range(0, len(pdf), rows):
             yield pdf.iloc[lo:lo + rows]
 
+import contextlib
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+@contextlib.contextmanager
+def arrow_batch_bound(spark, rows: int):
+    """Bound INPUT-side Arrow batch size for the duration of an action.
+
+    spark.sql.execution.arrow.maxRecordsPerBatch is read when a pandas-UDF
+    stage executes, so wrapping the .count()/.write/.collect() action that
+    drives a multimodal pipeline is enough to bound how many blobs one
+    incoming Arrow batch materializes — without leaking the setting to
+    later pandas UDFs in the session. Complements `batch_rows`, which
+    bounds only the output-side slice (see _chunked)."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(rows))
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 # typed metadata carried beside every media blob
 MEDIA_META_SCHEMA = T.StructType([

@@ -1504,13 +1504,16 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         else:
             try:
                 args = [_static(a) for a in cl.args]
-                result = fn(self.g, *args)
             except CompileError:
                 # arguments reference frame variables: per-row evaluation
                 # (reference CallProcedure evaluates args per pull) — run
                 # the procedure once per DISTINCT argument combination and
-                # join the yield streams back on those values (fenced)
+                # join the yield streams back on those values (fenced).
+                # Only the argument evaluation is guarded: a CompileError
+                # raised inside the procedure body must propagate, not
+                # reroute to per-row mode.
                 return self._call_per_row(cl, fn)
+            result = fn(self.g, *args)
         void_like = not result.columns
         if cl.yield_mode == "dash":
             # YIELD - keeps the yield stream's CARDINALITY (zero output
@@ -1538,6 +1541,10 @@ class QueryCompiler(WriteMixin, TraversalMixin):
             result = self._yield_select(cl, result)
         else:  # none (standalone) or star: every column joins the frame
             for col in result.columns:
+                if cl.yield_mode == "star" and col in self.symbols:
+                    raise CompileError(
+                        f"VariableAlreadyBound: YIELD * output {col!r} "
+                        "shadows a bound variable")
                 self.symbols[col] = "value"
         self.df = result if self.df is None else self.df.crossJoin(result)
         if self.df is not None and "__once" in self.df.columns:
@@ -1597,7 +1604,26 @@ class QueryCompiler(WriteMixin, TraversalMixin):
                 *res.columns)
             pieces.append(keyed)
         if not pieces:
-            res = fn(self.g, *[None] * len(cl.args))  # schema probe only
+            # Empty frame: no argument combos to invoke. Probing with None
+            # args breaks procedures that coerce (int(top_k) etc.), so try
+            # the probe but fall back to synthesizing a zero-row stream
+            # from the YIELD list with null-typed columns.
+            res = None
+            try:
+                res = fn(self.g, *[None] * len(cl.args))
+            except Exception:
+                if cl.yield_mode == "list":
+                    res = self.g.spark.createDataFrame(
+                        [], T.StructType([T.StructField(col, T.NullType())
+                                          for col, _a in cl.yields]))
+                elif cl.yield_mode == "dash":
+                    res = self.g.spark.createDataFrame([], T.StructType([]))
+                else:
+                    raise CompileError(
+                        f"CALL {cl.name} over an empty frame with YIELD *: "
+                        "cannot derive the output schema (the procedure "
+                        "rejects a null-argument probe); use an explicit "
+                        "YIELD list")
             keyed = res.select(
                 *[F.lit(None).cast(tag_types[t]).alias(f"__cb{i}")
                   for i, t in enumerate(tags)],
@@ -1619,6 +1645,10 @@ class QueryCompiler(WriteMixin, TraversalMixin):
                   for col, alias in cl.yields])
         else:  # star
             for col in out_cols:
+                if col in self.symbols:
+                    raise CompileError(
+                        f"VariableAlreadyBound: YIELD * output {col!r} "
+                        "shadows a bound variable")
                 self.symbols[col] = "value"
         cond = None
         for i, t in enumerate(tags):

@@ -280,3 +280,55 @@ def test_return_node_is_bolt_node_structure(server):
     assert labels == ["P"] and props["name"] == "bob" and props["age"] == 25
     assert read_message(sock).tag == SUCCESS
     sock.close()
+
+
+def test_large_result_streams_without_collect(server, monkeypatch):
+    """VERDICT r3 anti-pattern #1: a large RETURN through Bolt must stream
+    via toLocalIterator, never df.collect(). collect is poisoned for the
+    duration — the server thread runs in-process, so a collect() on the
+    result path would trip the AssertionError and surface as FAILURE."""
+    from pyspark.sql import DataFrame as _DF
+
+    def _no_collect(self):
+        raise AssertionError("Bolt result path called df.collect()")
+    monkeypatch.setattr(_DF, "collect", _no_collect)
+    try:
+        sock = _login(server)
+        _roundtrip(sock, RUN,
+                   "UNWIND range(1, 120000) AS x RETURN x", {}, {})
+        seen, done = 0, False
+        while not done:
+            write_message(sock, PULL, {"n": 50000})
+            while True:
+                msg = read_message(sock)
+                if msg.tag == SUCCESS:
+                    done = not msg.fields[0].get("has_more")
+                    break
+                assert msg.tag == RECORD
+                seen += 1
+        assert seen == 120000
+        sock.close()
+    finally:
+        monkeypatch.undo()
+
+
+def test_pull_deferred_execution_error_is_failure(server):
+    """toLocalIterator defers job execution; a runtime error (divide in a
+    lazily evaluated row) must come back as FAILURE at PULL, then RESET
+    recovers the session."""
+    sock = _login(server)
+    resp = _roundtrip(sock, RUN,
+                      "UNWIND [1, 0] AS d RETURN 10 / d AS q", {}, {})
+    assert resp.tag == SUCCESS
+    write_message(sock, PULL, {"n": -1})
+    tags = []
+    while True:
+        msg = read_message(sock)
+        tags.append(msg.tag)
+        if msg.tag in (SUCCESS, FAILURE):
+            break
+    assert tags[-1] == FAILURE
+    assert _roundtrip(sock, RESET).tag == SUCCESS
+    resp = _roundtrip(sock, RUN, "RETURN 1 AS ok", {}, {})
+    assert resp.tag == SUCCESS
+    sock.close()

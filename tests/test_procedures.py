@@ -124,3 +124,58 @@ def test_load_jsonl(gs):
         f"LOAD JSONL FROM '{d}/docs.jsonl' AS doc "
         "RETURN doc.id AS id, doc.txt AS txt ORDER BY id").collect()
     assert [(r.id, r.txt) for r in rows] == [(1, "hello"), (2, "world")]
+
+
+def test_call_per_row_empty_frame_coercing_proc(gs):
+    """ADVICE r3: a row-dependent CALL over an EMPTY frame must return zero
+    rows even when the procedure coerces its args (int(x) would TypeError
+    on the old None-args schema probe)."""
+    from memgraph_spark import procedures as P
+
+    def coercer(g, x):
+        return g.spark.createDataFrame([(int(x) * 2,)], "out long")
+    P.register("tests.coercer", coercer)
+    try:
+        rows = gs.execute(
+            "UNWIND [1, 2] AS v WITH v WHERE v > 99 "
+            "CALL tests.coercer(v) YIELD out RETURN v, out").collect()
+        assert rows == []
+    finally:
+        P.unregister("tests.coercer")
+
+
+def test_call_compile_error_in_body_propagates(gs):
+    """ADVICE r3: a CompileError raised INSIDE a procedure body must
+    propagate, not silently reroute the CALL into per-row mode (which
+    re-invokes the procedure and surfaces a misleading no-vars error)."""
+    from memgraph_spark import procedures as P
+    from memgraph_spark.plans.exprs import CompileError
+
+    calls = {"n": 0}
+
+    def exploder(g):
+        calls["n"] += 1
+        raise CompileError("boom from procedure body")
+    P.register("tests.exploder", exploder)
+    try:
+        with pytest.raises(CompileError, match="boom from procedure body"):
+            gs.execute("CALL tests.exploder() YIELD x RETURN x")
+        assert calls["n"] == 1          # invoked once, never re-invoked
+    finally:
+        P.unregister("tests.exploder")
+
+
+def test_call_yield_star_shadow_errors(gs):
+    """ADVICE r3: YIELD * gets the same VariableAlreadyBound shadow check
+    as an explicit YIELD list."""
+    from memgraph_spark import procedures as P
+
+    def named(g):
+        return g.spark.createDataFrame([(1,)], "v long")
+    P.register("tests.named_out", named)
+    try:
+        with pytest.raises(Exception, match="VariableAlreadyBound"):
+            gs.execute("UNWIND [1] AS v "
+                       "CALL tests.named_out() YIELD * RETURN v").collect()
+    finally:
+        P.unregister("tests.named_out")

@@ -177,3 +177,34 @@ def test_trigger_statements(spark):
     assert gs.execute("SHOW TRIGGERS").collect()[0].fired == 1
     gs.execute("DROP TRIGGER t1")
     assert gs.execute("SHOW TRIGGERS").collect() == []
+
+
+def test_stream_config_quoted_values_with_commas_colons():
+    """ADVICE r3: CONFIGS/CREDENTIALS map literals tokenize quote-aware —
+    kafka values routinely contain ',' and ':' (bootstrap lists,
+    sasl.jaas.config)."""
+    from memgraph_spark.admin import _parse_stream_config
+    cfg = _parse_stream_config(
+        "TOPICS t1 TRANSFORM m.t BOOTSTRAP_SERVERS 'h1:9092,h2:9092' "
+        "CONFIGS {'bootstrap.servers': 'a:1,b:2', "
+        "'sasl.jaas.config': 'org.kafka.Plain required user=\"u\";', "
+        "plain.key: simple} "
+        "CREDENTIALS {'password': 'p:w,d'}")
+    assert cfg["bootstrap_servers"] == "h1:9092,h2:9092"
+    assert cfg["configs"]["bootstrap.servers"] == "a:1,b:2"
+    assert cfg["configs"]["sasl.jaas.config"] == \
+        'org.kafka.Plain required user="u";'
+    assert cfg["configs"]["plain.key"] == "simple"
+    assert cfg["credentials"]["password"] == "p:w,d"
+
+
+def test_arrow_batch_bound_sets_and_restores(spark):
+    """ADVICE r3: batch_rows bounds only output slices; the documented
+    input-side bound is arrow_batch_bound, which must restore the session
+    conf on exit."""
+    from memgraph_spark.llm.multimodal import arrow_batch_bound
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    before = spark.conf.get(key, None)
+    with arrow_batch_bound(spark, 7):
+        assert spark.conf.get(key) == "7"
+    assert spark.conf.get(key, None) == before
