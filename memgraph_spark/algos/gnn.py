@@ -153,9 +153,270 @@ def gnn_link_prediction_train(graph, **config):
     return link_prediction_train(graph, **config)
 
 
-def node_classification_train(graph, **config):
-    """node_classification.train parity (GraphSAGE/GAT)."""
-    _require_torch("node_classification.train")
+#
+# -- node classification: no-torch baseline ---------------------------------
+#
+# Reference surface: src/mage/python/node_classification.py — train(num
+# epochs) yields per-epoch (epoch, loss, val_loss, train_log, val_log),
+# predict(vertex) yields (predicted_class, status); defaults features_name
+# ="features", class_name="class", split_ratio=0.8, learning_rate=0.1.
+# The GraphSAGE/GAT deep path needs torch and stays gated; the baseline
+# here is a softmax regression over GraphSAGE-mean-style features (own
+# feature vector ++ one-hop mean of neighbour features), trained by
+# distributed batch gradient descent. Two execution shapes:
+#   wide: one aggregation job per epoch produces the full k×(D+1)
+#         gradient (driver holds only the weight matrix) — used while
+#         k*(D+1) stays under NC_WIDE_MAX aggregate expressions;
+#   long: features kept as (id, pos, v) rows; the gradient is a
+#         join + groupBy((class, pos)) — shuffles per epoch but scales
+#         with dimension and class count.
+
+NC_WIDE_MAX = 4096          # max aggregate expressions in the wide path
+
+
+def _nc_design(graph, features_attr: str, label_attr: str,
+               etype: str | None):
+    """(id, x array<double>, y long|null) where x = standardized
+    [own features ++ mean one-hop neighbour features]. Returns
+    (frame, D_own). Neighbour means come from a posexplode + groupBy —
+    no driver materialization, no whole-table broadcast."""
+    feat = F.col(features_attr).cast("array<double>")
+    nodes = (graph.all_nodes([features_attr, label_attr])
+             .select("id", feat.alias("f"),
+                     F.col(label_attr).cast("long").alias("y"))
+             .filter(F.col("f").isNotNull()))
+    probe = nodes.select(F.size("f").alias("d")).filter("d > 0").first()
+    if probe is None:
+        return None, 0
+    d = int(probe["d"])
+    nodes = nodes.filter(F.size("f") == d)
+    own_long = nodes.select("id", F.posexplode("f").alias("pos", "v"))
+    und = graph.adjacency(etype, "both").select("src", "dst")
+    nb_long = (und.join(own_long.withColumnRenamed("id", "src"), "src")
+               .groupBy(F.col("dst").alias("id"), "pos")
+               .agg(F.avg("v").alias("v")))
+    nb_arr = nb_long.groupBy("id").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda s: s.getField("v")).alias("nf"))
+    zeros = F.array_repeat(F.lit(0.0), d)
+    x = (nodes.join(nb_arr, "id", "left")
+         .select("id", "y",
+                 F.concat("f", F.coalesce("nf", zeros)).alias("x")))
+    # standardize per dimension (stats computed in long form: 2D rows
+    # cross to the driver, never the data)
+    stats = (x.select(F.posexplode("x").alias("pos", "v"))
+             .groupBy("pos")
+             .agg(F.avg("v").alias("m"),
+                  F.coalesce(F.nullif(F.stddev_pop("v"), F.lit(0.0)),
+                             F.lit(1.0)).alias("s"))
+             .orderBy("pos").collect())
+    means = F.array(*[F.lit(float(r["m"])) for r in stats])
+    stds = F.array(*[F.lit(float(r["s"])) for r in stats])
+    x = x.withColumn(
+        "x", F.zip_with(F.zip_with("x", means, lambda a, b: a - b),
+                        stds, lambda a, b: a / b))
+    return x, d
+
+
+def _nc_epoch_wide(data, W, B, classes):
+    """One epoch, wide shape: a single aggregation returns the k×(D+1)
+    gradient plus train/val loss + accuracy."""
+    k, D = len(W), len(W[0])
+    zs = [F.lit(B[c]) + F.aggregate(
+        F.zip_with("x", F.array(*[F.lit(w) for w in W[c]]),
+                   lambda a, b: a * b),
+        F.lit(0.0), lambda acc, v: acc + v) for c in range(k)]
+    zarr = F.array(*zs)
+    m = F.array_max(zarr)
+    lse = m + F.log(F.aggregate(
+        F.transform(zarr, lambda z: F.exp(z - m)),
+        F.lit(0.0), lambda acc, v: acc + v))
+    yidx = F.col("__yi")
+    logp_y = F.element_at(zarr, yidx + 1) - lse
+    hit = (F.array_position(zarr, m) - 1 == yidx).cast("double")
+    tr = ~F.col("__val")
+    aggs = [F.avg(F.when(tr, -logp_y)).alias("__loss"),
+            F.avg(F.when(~tr, -logp_y)).alias("__vloss"),
+            F.avg(F.when(tr, hit)).alias("__acc"),
+            F.avg(F.when(~tr, hit)).alias("__vacc")]
+    for c in range(k):
+        err = F.exp(zs[c] - lse) - (yidx == c).cast("double")
+        aggs.append(F.avg(F.when(tr, err)).alias(f"__gb{c}"))
+        for j in range(D):
+            aggs.append(F.avg(F.when(tr, err * F.element_at("x", j + 1)))
+                        .alias(f"__g{c}_{j}"))
+    r = data.agg(*aggs).first()
+    grad_w = [[float(r[f"__g{c}_{j}"] or 0.0) for j in range(D)]
+              for c in range(k)]
+    grad_b = [float(r[f"__gb{c}"] or 0.0) for c in range(k)]
+    return grad_w, grad_b, r
+
+
+def _nc_epoch_long(data, x_long, W, B, classes, spark):
+    """One epoch, long shape: logits via a broadcast weight join, the
+    gradient via err ⋈ x_long → groupBy (class, pos). Scales with D and
+    k at the cost of per-epoch shuffles."""
+    k, D = len(W), len(W[0])
+    w_rows = [(c, j, W[c][j]) for c in range(k) for j in range(D)]
+    wt = F.broadcast(spark.createDataFrame(
+        w_rows, "c int, pos int, w double"))
+    bt = F.broadcast(spark.createDataFrame(
+        list(enumerate(B)), "c int, b double"))
+    logits = (x_long.join(wt, "pos")
+              .groupBy("id", "c").agg(F.sum(F.col("v") * F.col("w"))
+                                      .alias("z0"))
+              .join(bt, "c")
+              .select("id", "c", (F.col("z0") + F.col("b")).alias("z")))
+    per_id = logits.groupBy("id").agg(
+        F.max("z").alias("m"),
+        F.max_by("c", "z").alias("pred"))
+    lse = (logits.join(per_id, "id")
+           .groupBy("id").agg(
+               (F.first("m") + F.log(F.sum(F.exp(F.col("z") - F.col("m")))))
+               .alias("lse"),
+               F.first("pred").alias("pred")))
+    soft = (logits.join(lse, "id")
+            .join(data.select("id", "__yi", "__val"), "id")
+            .select("id", "c", "__yi", "__val", "pred",
+                    (F.exp(F.col("z") - F.col("lse"))
+                     - (F.col("c") == F.col("__yi")).cast("double"))
+                    .alias("err"),
+                    F.when(F.col("c") == F.col("__yi"),
+                           F.col("z") - F.col("lse")).alias("logp_y")))
+    tr = ~F.col("__val")
+    metrics = soft.agg(
+        F.avg(F.when(tr, -F.col("logp_y"))).alias("__loss"),
+        F.avg(F.when(~tr, -F.col("logp_y"))).alias("__vloss"),
+        F.avg(F.when(tr & (F.col("c") == 0),
+                     (F.col("pred") == F.col("__yi")).cast("double")))
+        .alias("__acc"),
+        F.avg(F.when(~tr & (F.col("c") == 0),
+                     (F.col("pred") == F.col("__yi")).cast("double")))
+        .alias("__vacc")).first()
+    n_train = soft.filter(tr & (F.col("c") == 0)).count()
+    g = (soft.filter(tr).join(x_long, "id")
+         .groupBy("c", "pos").agg(F.sum(F.col("err") * F.col("v"))
+                                  .alias("g")).collect())
+    gb = (soft.filter(tr).groupBy("c").agg(F.sum("err").alias("g"))
+          .collect())
+    grad_w = [[0.0] * D for _ in range(k)]
+    for r in g:
+        grad_w[r["c"]][r["pos"]] = float(r["g"]) / max(n_train, 1)
+    grad_b = [0.0] * k
+    for r in gb:
+        grad_b[r["c"]] = float(r["g"]) / max(n_train, 1)
+    return grad_w, grad_b, metrics
+
+
+def node_classification_train(graph, num_epochs: int = 100,
+                              learning_rate: float = 0.1,
+                              split_ratio: float = 0.8,
+                              features_attr: str = "features",
+                              label_attr: str = "class",
+                              etype: str | None = None,
+                              deep: bool = False) -> DataFrame:
+    """node_classification.train parity (node_classification.py:435).
+
+    No-torch baseline: softmax regression over own ++ mean-neighbour
+    features (see module docstring). Yields one row per epoch —
+    (epoch, loss, val_loss, train_log, val_log) — the reference record
+    shape; the logs carry [accuracy]. deep=True requests the GraphSAGE/
+    GAT path and keeps the torch gate."""
+    if deep:
+        _require_torch("node_classification.train(deep=True)")
+    spark = graph.spark
+    design, d_own = _nc_design(graph, features_attr, label_attr, etype)
+    out_schema = ("epoch int, loss double, val_loss double, "
+                  "train_log array<double>, val_log array<double>")
+    if design is None:
+        raise ValueError(
+            f"node_classification.train: no node carries a non-empty "
+            f"'{features_attr}' array property")
+    labeled = design.filter(F.col("y").isNotNull())
+    classes = [int(r["y"]) for r in
+               labeled.select("y").distinct().orderBy("y").collect()]
+    if not classes:
+        raise ValueError(
+            f"node_classification.train: no node carries the "
+            f"'{label_attr}' property")
+    k, D = len(classes), 2 * d_own
+    cmap = F.create_map(*[x for c, i in
+                          ((F.lit(c), F.lit(i))
+                           for i, c in enumerate(classes)) for x in (c, i)])
+    # deterministic split: stable across epochs and runs
+    data = (labeled
+            .withColumn("__yi", cmap[F.col("y")].cast("int"))
+            .withColumn("__val",
+                        (F.pmod(F.xxhash64("id"), 1000)
+                         >= int(split_ratio * 1000)))
+            .persist())
+    data.count()
+    wide = k * (D + 1) + 4 <= NC_WIDE_MAX
+    x_long = None
+    if not wide:
+        x_long = (data.select("id", F.posexplode("x").alias("pos", "v"))
+                  .persist())
+        x_long.count()
+    W = [[0.0] * D for _ in range(k)]
+    B = [0.0] * k
+    rows = []
+    for epoch in range(1, int(num_epochs) + 1):
+        if wide:
+            gw, gb, m = _nc_epoch_wide(data, W, B, classes)
+        else:
+            gw, gb, m = _nc_epoch_long(data, x_long, W, B, classes, spark)
+        W = [[w - learning_rate * g for w, g in zip(W[c], gw[c])]
+             for c in range(k)]
+        B = [b - learning_rate * g for b, g in zip(B, gb)]
+        rows.append((epoch, float(m["__loss"] or 0.0),
+                     float(m["__vloss"] or 0.0),
+                     [float(m["__acc"] or 0.0)],
+                     [float(m["__vacc"] or 0.0)]))
+    data.unpersist()
+    if x_long is not None:
+        x_long.unpersist()
+    graph._nc_model = {"weights": W, "bias": B, "classes": classes,
+                       "features_attr": features_attr,
+                       "label_attr": label_attr, "etype": etype,
+                       "d_own": d_own}
+    return spark.createDataFrame(rows, out_schema)
+
+
+def node_classification_predict(graph, vertex) -> DataFrame:
+    """node_classification.predict(vertex) parity
+    (node_classification.py:655): scores one node with the trained model
+    — (predicted_class, status). Raises when no model is stored, like the
+    reference's 'Load a model before predicting.'"""
+    model = getattr(graph, "_nc_model", None)
+    if model is None:
+        raise ValueError("Load or train a model before predicting "
+                         "(CALL node_classification.train() first).")
+    nid = int(vertex)
+    design, _ = _nc_design(graph, model["features_attr"],
+                           model["label_attr"], model["etype"])
+    row = (design.filter(F.col("id") == nid).select("x").first()
+           if design is not None else None)
+    if row is None:
+        return graph.spark.createDataFrame(
+            [(-1, f"node {nid} has no '{model['features_attr']}' "
+              "feature vector")], "predicted_class long, status string")
+    x = list(row["x"])
+    best, best_z = model["classes"][0], float("-inf")
+    for c, (w, b) in enumerate(zip(model["weights"], model["bias"])):
+        z = b + sum(wi * xi for wi, xi in zip(w, x))
+        if z > best_z:
+            best, best_z = model["classes"][c], z
+    return graph.spark.createDataFrame(
+        [(best, "Prediction complete.")],
+        "predicted_class long, status string")
+
+
+def node_classification_reset(graph) -> DataFrame:
+    """node_classification.reset parity (node_classification.py:700)."""
+    if hasattr(graph, "_nc_model"):
+        del graph._nc_model
+    return graph.spark.createDataFrame(
+        [("Reset successful.",)], "status string")
 
 
 def tgn_update(graph, batch, **config):

@@ -1588,13 +1588,82 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         tagged = self.df.select(
             "*", *[compile_expr(self._lift(a), self._env()).alias(t)
                    for a, t in zip(cl.args, tags)])
+        tag_types = {t: tagged.schema[t].dataType for t in tags}
+        stream = self._vectorized_call(cl, tagged, tags, tag_types)
+        if stream is None:
+            stream = self._per_combo_call(cl, fn, tagged, tags, tag_types)
+        out_cols = [c for c in stream.columns if not c.startswith("__cb")]
+        if cl.yield_mode == "dash":
+            stream = stream.select(
+                *[c for c in stream.columns if c.startswith("__cb")])
+        elif cl.yield_mode == "list":
+            # validates the yield names + binds their symbols
+            self._yield_select(cl, stream.select(*out_cols))
+            stream = stream.select(
+                *[c for c in stream.columns if c.startswith("__cb")],
+                *[F.col(col).alias(alias or col)
+                  for col, alias in cl.yields])
+        else:  # star
+            for col in out_cols:
+                if col in self.symbols:
+                    raise CompileError(
+                        f"VariableAlreadyBound: YIELD * output {col!r} "
+                        "shadows a bound variable")
+                self.symbols[col] = "value"
+        # name-based condition: the vectorized stream shares lineage with
+        # `tagged` (a self-join), where frame-qualified columns (tagged[t])
+        # can misresolve to one side; __ca*/__cb* names are unique across
+        # the two inputs, so unqualified F.col resolves each correctly
+        cond = None
+        for i, t in enumerate(tags):
+            c = F.col(t).eqNullSafe(F.col(f"__cb{i}"))
+            cond = c if cond is None else cond & c
+        joined = tagged.join(stream, cond, "inner")
+        drop = tags + [f"__cb{i}" for i in range(len(tags))]
+        self.df = joined.drop(*drop)
+        if "__once" in self.df.columns:
+            self.df = self.df.drop("__once")
+        if cl.where is not None:
+            self.df = self.df.filter(compile_expr(cl.where, self._env()))
+
+    def _vectorized_call(self, cl: A.CallProc, tagged: DataFrame,
+                         tags: list[str], tag_types: dict):
+        """Join-compiled path for hot built-ins whose semantics are pure
+        graph lookups (neighbors.at_hop/by_hop, node.relationship_types/
+        exists, label.exists): the distinct argument frame stays
+        DISTRIBUTED — no collect, no PCALL_MAX_COMBOS fence. The reference
+        runs CALL per pulled row natively (operator.cpp:8130); for these
+        built-ins the per-row semantics compile to joins instead of a
+        fenced driver loop. Returns the keyed yield stream (columns
+        __cb0.. + yields) or None when the procedure is opaque or the
+        handler declines."""
+        from memgraph_spark.procedures import VECTORIZED, NotVectorizable
+        vec = VECTORIZED.get(cl.name.lower())
+        if vec is None:
+            return None
+        keys = tagged.select(
+            *[F.col(t).alias(f"k{i}") for i, t in enumerate(tags)]
+        ).dropDuplicates()
+        try:
+            out = vec(self.g, keys)
+        except NotVectorizable:
+            return None
+        kcols = [f"k{i}" for i in range(len(tags))]
+        return out.select(
+            *[F.col(k).cast(tag_types[t]).alias(f"__cb{i}")
+              for i, (k, t) in enumerate(zip(kcols, tags))],
+            *[c for c in out.columns if c not in kcols])
+
+    def _per_combo_call(self, cl: A.CallProc, fn, tagged: DataFrame,
+                        tags: list[str], tag_types: dict) -> DataFrame:
+        """Fallback for opaque Python procedures: run once per DISTINCT
+        argument combination (driver loop, fenced at PCALL_MAX_COMBOS)."""
         combos = tagged.select(*tags).dropDuplicates().collect()
         if len(combos) > self.PCALL_MAX_COMBOS:
             raise CompileError(
                 f"CALL {cl.name} with row-dependent arguments exceeds "
                 f"{self.PCALL_MAX_COMBOS} distinct argument combinations; "
                 "pre-aggregate the arguments or pass literals/parameters")
-        tag_types = {t: tagged.schema[t].dataType for t in tags}
         pieces = []
         for row in combos:
             res = fn(self.g, *list(row))
@@ -1632,35 +1701,7 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         stream = pieces[0]
         for p in pieces[1:]:
             stream = stream.unionByName(p)
-        out_cols = [c for c in stream.columns if not c.startswith("__cb")]
-        if cl.yield_mode == "dash":
-            stream = stream.select(
-                *[c for c in stream.columns if c.startswith("__cb")])
-        elif cl.yield_mode == "list":
-            # validates the yield names + binds their symbols
-            self._yield_select(cl, stream.select(*out_cols))
-            stream = stream.select(
-                *[c for c in stream.columns if c.startswith("__cb")],
-                *[F.col(col).alias(alias or col)
-                  for col, alias in cl.yields])
-        else:  # star
-            for col in out_cols:
-                if col in self.symbols:
-                    raise CompileError(
-                        f"VariableAlreadyBound: YIELD * output {col!r} "
-                        "shadows a bound variable")
-                self.symbols[col] = "value"
-        cond = None
-        for i, t in enumerate(tags):
-            c = tagged[t].eqNullSafe(stream[f"__cb{i}"])
-            cond = c if cond is None else cond & c
-        joined = tagged.join(stream, cond, "inner")
-        drop = tags + [f"__cb{i}" for i in range(len(tags))]
-        self.df = joined.drop(*drop)
-        if "__once" in self.df.columns:
-            self.df = self.df.drop("__once")
-        if cl.where is not None:
-            self.df = self.df.filter(compile_expr(cl.where, self._env()))
+        return stream
 
     def _load(self, cl: A.LoadFile) -> None:
         """LoadCsv/LoadParquet/LoadJsonl (operator.hpp:2935-3000): file rows

@@ -39,6 +39,21 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {}
 SIGNATURES: dict[str, dict] = {}
 
 
+class NotVectorizable(Exception):
+    """Raised by a VECTORIZED handler to decline a join-compiled run; the
+    CALL falls back to the fenced per-combination driver loop."""
+
+
+# join-compiled handlers for frame-dependent CALL arguments: name ->
+# fn(graph, keys_df) -> DataFrame. `keys_df` holds the DISTINCT argument
+# rows as columns k0..k{n-1} (never collected); the handler returns those
+# key columns plus the procedure's yield columns, computed via joins. Hot
+# built-ins registered here bypass PCALL_MAX_COMBOS entirely — reference
+# CallProcedure runs per pulled row natively (operator.cpp:8130), and for
+# pure graph lookups the per-row semantics ARE a join.
+VECTORIZED: dict[str, Callable[..., DataFrame]] = {}
+
+
 def register(name: str, fn: Callable[..., DataFrame],
              signature: dict | None = None) -> None:
     """mgp-style registration (include/mgp.py add_read_proc parity)."""
@@ -444,6 +459,196 @@ def _neighbors_by_hop(g, node, rel_types=None, distance: int = 3):
             .orderBy("dist").select("nodes"))
 
 
+def _node_id_col(keys: DataFrame, col: str):
+    """Node-valued CALL args arrive as bare ids (long), as the node struct
+    a bound variable compiles to, or as a variant struct (heterogeneous
+    list elements) — extract the id either way."""
+    from pyspark.sql import types as T
+    from memgraph_spark.functions.variant import is_variant_type
+    dt = keys.schema[col].dataType
+    if isinstance(dt, T.StructType):
+        if is_variant_type(dt):
+            return F.col(f"{col}.vi")
+        if "id" in dt.fieldNames():
+            return F.col(f"{col}.id")
+    return F.col(col).cast("long")
+
+
+def _string_array_col(keys: DataFrame, col: str):
+    """A list-of-strings CALL arg: plain array, or a variant struct whose
+    va/vj slot carries the list."""
+    from memgraph_spark.functions.variant import is_variant_type
+    dt = keys.schema[col].dataType
+    if is_variant_type(dt):
+        v = F.col(col)
+        return F.coalesce(v.getField("va"),
+                          F.from_json(v.getField("vj"), "array<string>"))
+    return F.col(col).cast("array<string>")
+
+
+def _string_col(keys: DataFrame, col: str):
+    """A string CALL arg: plain string or the vs slot of a variant."""
+    from memgraph_spark.functions.variant import is_variant_type
+    if is_variant_type(keys.schema[col].dataType):
+        return F.col(f"{col}.vs")
+    return F.col(col).cast("string")
+
+
+def _pyval(x):
+    """Decode a collected variant Row back to its Python value."""
+    if hasattr(x, "__fields__") and set(x.__fields__) <= {
+            "vb", "vi", "vd", "vs", "va", "vj"}:
+        for f in ("vb", "vi", "vd", "vs", "va"):
+            if f in x.__fields__ and x[f] is not None:
+                v = x[f]
+                return list(v) if f == "va" else v
+        import json
+        return json.loads(x["vj"]) if x["vj"] is not None else None
+    return x
+
+
+def _incident_type_rows(g) -> DataFrame:
+    """(id, t): node id x incident edge type, deduplicated — the
+    distributed form of 'which relationship types touch this node'."""
+    parts = []
+    for t in sorted(g.edges):
+        e = g.edge(t)
+        parts.append(e.select(F.col("src").alias("id"))
+                     .union(e.select(F.col("dst").alias("id")))
+                     .distinct().withColumn("t", F.lit(t)))
+    if not parts:
+        return g.spark.createDataFrame([], "id long, t string")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _vec_node_rel_types(g, keys: DataFrame) -> DataFrame:
+    """node.relationship_types over a DISTRIBUTED argument frame: incident
+    types per node via explode + groupBy, joined back on the node id."""
+    inc = _incident_type_rows(g).groupBy("id").agg(
+        F.sort_array(F.collect_list("t")).alias("relationship_types"))
+    nid = _node_id_col(keys, "k0")
+    empty = F.array().cast("array<string>")
+    return (keys.join(inc, nid == inc["id"], "left").drop("id")
+            .withColumn("relationship_types",
+                        F.coalesce("relationship_types", empty)))
+
+
+def _vec_node_rel_exists(g, keys: DataFrame) -> DataFrame:
+    """node.relationship_exists vectorized: per-row `types` filters via
+    array_intersect — no loop even when every row asks different types."""
+    inc = _incident_type_rows(g).groupBy("id").agg(
+        F.collect_set("t").alias("__inc"))
+    nid = _node_id_col(keys, "k0")
+    j = keys.join(inc, nid == inc["id"], "left").drop("id")
+    have = F.coalesce(F.col("__inc"), F.array().cast("array<string>"))
+    if "k1" in keys.columns:
+        want = _string_array_col(keys, "k1")
+        exists = F.when(want.isNull(), F.size(have) > 0) \
+            .otherwise(F.size(F.array_intersect(have, want)) > 0)
+    else:
+        exists = F.size(have) > 0
+    return j.select(*[F.col(c) for c in keys.columns],
+                    exists.alias("exists"))
+
+
+def _vec_label_exists(g, keys: DataFrame) -> DataFrame:
+    """label.exists vectorized: (id, label) membership via a left join
+    against the union of per-label tables + SET-added labels."""
+    parts = [g.node(lbl).select(F.col("id"), F.lit(lbl).alias("label"))
+             for lbl in g.nodes]
+    if g.extra_labels is not None:
+        parts.append(g.extra_labels.select("id", "label"))
+    if not parts:
+        return keys.withColumn("exists", F.lit(False))
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.unionByName(p)
+    pairs = pairs.dropDuplicates().withColumn("__hit", F.lit(True))
+    nid = _node_id_col(keys, "k0")
+    j = keys.join(pairs, (nid == pairs["id"])
+                  & (_string_col(keys, "k1") == pairs["label"]), "left")
+    return j.select(*[keys[c] for c in keys.columns],
+                    F.coalesce("__hit", F.lit(False)).alias("exists"))
+
+
+def _vec_hop_variants(keys: DataFrame, default_distance: int):
+    """Shared prep for neighbors.at_hop/by_hop: split the key frame by
+    DISTINCT (rel_types, distance) combos — bounded metadata, typically 1
+    — while the node-id column stays distributed. Declines past 8 combos
+    (the node argument is the cardinality carrier; the others are
+    effectively literals)."""
+    arity = len(keys.columns)
+    if arity == 1:
+        return [(None, default_distance, keys)]
+    rest = keys.columns[1:]
+    # combo id = content hash of the non-node args (deterministic across
+    # jobs — unlike monotonically_increasing_id — so the collect and the
+    # per-combo filters agree); filtering on the id avoids building
+    # literals from collected variant Rows
+    from pyspark.sql import types as T
+    jcols = [F.col(c).cast("string")
+             if isinstance(keys.schema[c].dataType, T.NullType)
+             else F.col(c) for c in rest]
+    combo = F.xxhash64(F.coalesce(
+        F.to_json(F.struct(*jcols)), F.lit("∅")))
+    keyed = keys.withColumn("__combo", combo)
+    combos = (keyed.select("__combo", *rest)
+              .dropDuplicates(["__combo"]).collect())
+    if len(combos) > 8:
+        raise NotVectorizable("too many (rel_types, distance) combos")
+    variants = []
+    for row in combos:
+        rt = _pyval(row[rest[0]])
+        rel_types = list(rt) if rt is not None else None
+        d = _pyval(row[rest[1]]) if arity > 2 else None
+        distance = int(d) if d is not None else default_distance
+        sub = (keyed.filter(F.col("__combo") == int(row["__combo"]))
+               .drop("__combo"))
+        variants.append((rel_types, distance, sub))
+    return variants
+
+
+def _vec_neighbors_at_hop(g, keys: DataFrame) -> DataFrame:
+    """neighbors.at_hop vectorized: ONE multi-source BFS per (rel_types,
+    distance) combo covers every node argument at once — the bfs operator
+    already tracks per-origin distances (start column)."""
+    from memgraph_spark.operators.expand import bfs
+    out = None
+    for rel_types, distance, sub in _vec_hop_variants(keys, 1):
+        nid = _node_id_col(sub, "k0")
+        src = sub.select(nid.alias("id")).dropDuplicates()
+        etype = rel_types[0] if rel_types else None
+        r = (bfs(g, src, etype, direction="both", max_hops=distance)
+             .filter(F.col("dist") == distance)
+             .select(F.col("start"), F.col("id").alias("nodes")))
+        piece = (sub.join(r, _node_id_col(sub, "k0") == r["start"])
+                 .drop("start"))
+        out = piece if out is None else out.unionByName(piece)
+    return out
+
+
+def _vec_neighbors_by_hop(g, keys: DataFrame) -> DataFrame:
+    """neighbors.by_hop vectorized: multi-source BFS, then per-(origin,
+    hop) sorted node lists."""
+    from memgraph_spark.operators.expand import bfs
+    out = None
+    for rel_types, distance, sub in _vec_hop_variants(keys, 3):
+        nid = _node_id_col(sub, "k0")
+        src = sub.select(nid.alias("id")).dropDuplicates()
+        etype = rel_types[0] if rel_types else None
+        r = (bfs(g, src, etype, direction="both", max_hops=distance)
+             .filter(F.col("dist") > 0)
+             .groupBy("start", "dist")
+             .agg(F.sort_array(F.collect_list("id")).alias("nodes")))
+        piece = (sub.join(r, _node_id_col(sub, "k0") == r["start"])
+                 .orderBy("dist").drop("start", "dist"))
+        out = piece if out is None else out.unionByName(piece)
+    return out
+
+
 def _meta_stats(g):
     """meta.stats_offline/stats_online YIELD stats (src/mage/cpp/meta_module):
     node/edge counts plus per-label and per-type breakdowns."""
@@ -527,6 +732,52 @@ def _link_prediction_predict(g, top_k: int = 50):
     scores (trains with defaults when no model is stored)."""
     from memgraph_spark.algos.gnn import link_prediction_predict
     return link_prediction_predict(g, top_k=int(top_k))
+
+
+def _nc_params(g) -> dict:
+    return getattr(g, "_nc_params", {})
+
+
+def _nc_set_model_parameters(g, params=None):
+    """node_classification.set_model_parameters(params) YIELD status
+    (src/mage/python/node_classification.py:285) — stores overrides the
+    next train() merges (num_epochs, learning_rate, split_ratio,
+    features_name, class_name)."""
+    g._nc_params = {**_nc_params(g), **(params or {})}
+    return g.spark.createDataFrame(
+        [("Model parameters set.",)], "status string")
+
+
+def _nc_train(g, num_epochs=None):
+    """node_classification.train([num_epochs]) YIELD epoch, loss,
+    val_loss, train_log, val_log (node_classification.py:435) — the
+    no-torch softmax-regression baseline over own ++ mean-neighbour
+    features (algos/gnn.py); torch GraphSAGE/GAT stays dependency-gated."""
+    from memgraph_spark.algos.gnn import node_classification_train
+    p = _nc_params(g)
+    return node_classification_train(
+        g,
+        num_epochs=int(num_epochs if num_epochs is not None
+                       else p.get("num_epochs", 100)),
+        learning_rate=float(p.get("learning_rate", 0.1)),
+        split_ratio=float(p.get("split_ratio", 0.8)),
+        features_attr=str(p.get("features_name", "features")),
+        label_attr=str(p.get("class_name", "class")))
+
+
+def _nc_predict(g, vertex):
+    """node_classification.predict(vertex) YIELD predicted_class, status
+    (node_classification.py:655)."""
+    from memgraph_spark.algos.gnn import node_classification_predict
+    return node_classification_predict(g, vertex)
+
+
+def _nc_reset(g):
+    """node_classification.reset() YIELD status
+    (node_classification.py:700)."""
+    from memgraph_spark.algos.gnn import node_classification_reset
+    g._nc_params = {}
+    return node_classification_reset(g)
 
 
 def _json_load_from_path(g, path: str):
@@ -663,6 +914,11 @@ register("graph_coloring.color_graph", _color_graph)
 register("link_prediction.get", _link_prediction)
 register("link_prediction.train", _link_prediction_train)
 register("link_prediction.predict", _link_prediction_predict)
+register("node_classification.set_model_parameters",
+         _nc_set_model_parameters)
+register("node_classification.train", _nc_train)
+register("node_classification.predict", _nc_predict)
+register("node_classification.reset", _nc_reset)
 register("json_util.load_from_path", _json_load_from_path)
 register("export_util.json", _export_json)
 register("export_util.csv", _export_csv)
@@ -674,6 +930,11 @@ register("refactor.rename_type", _refactor_rename_type)
 register("refactor.rename_node_property", _refactor_rename_node_property)
 register("neighbors.at_hop", _neighbors_at_hop)
 register("neighbors.by_hop", _neighbors_by_hop)
+VECTORIZED["neighbors.at_hop"] = _vec_neighbors_at_hop
+VECTORIZED["neighbors.by_hop"] = _vec_neighbors_by_hop
+VECTORIZED["node.relationship_types"] = _vec_node_rel_types
+VECTORIZED["node.relationship_exists"] = _vec_node_rel_exists
+VECTORIZED["label.exists"] = _vec_label_exists
 register("meta.stats_offline", _meta_stats)
 register("meta.stats_online", _meta_stats)
 register("meta.stats", _meta_stats)

@@ -1,0 +1,130 @@
+"""node_classification no-torch baseline (SURVEY §2.10; reference
+src/mage/python/node_classification.py train/predict/reset) — softmax
+regression over own ++ mean-neighbour features on a hand-built labeled
+graph with known separability."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from memgraph_spark.catalog import PropertyGraph
+
+
+def _two_cluster_graph(spark, unlabeled: int = 4):
+    """Two feature-separable communities: class 0 around [1, 0], class 1
+    around [0, 1]; intra-cluster ring edges so neighbour means reinforce
+    the separation. A few nodes carry no class (must be excluded from
+    training but still predictable)."""
+    rows = []
+    for i in range(20):
+        jitter = (i % 5) * 0.05
+        rows.append((i, [1.0 - jitter, jitter], 0))
+    for i in range(20, 40):
+        jitter = (i % 5) * 0.05
+        rows.append((i, [jitter, 1.0 - jitter], 1))
+    for i in range(40, 40 + unlabeled):
+        side = 0 if i % 2 == 0 else 1
+        f = [0.9, 0.1] if side == 0 else [0.1, 0.9]
+        rows.append((i, f, None))
+    nodes = spark.createDataFrame(
+        rows, "id long, features array<double>, class long")
+    edges = []
+    for i in range(20):
+        edges.append((i, (i + 1) % 20))
+    for i in range(20, 40):
+        edges.append((i, 20 + (i + 1) % 20))
+    for i in range(40, 40 + unlabeled):
+        edges.append((i, i % 2))
+    edf = (spark.createDataFrame(edges, "src long, dst long")
+           .withColumn("eid", F.xxhash64("src", "dst")))
+    return PropertyGraph(spark, nodes={"N": nodes}, edges={"E": edf})
+
+
+def test_train_separable_graph(spark):
+    from memgraph_spark.algos.gnn import node_classification_train
+    g = _two_cluster_graph(spark)
+    out = node_classification_train(g, num_epochs=25).collect()
+    assert len(out) == 25
+    assert [r.epoch for r in out] == list(range(1, 26))
+    # loss decreases and the final model separates the clusters
+    assert out[-1].loss < out[0].loss
+    assert out[-1].train_log[0] >= 0.9
+    assert out[-1].val_log[0] >= 0.5          # tiny val split, be lenient
+    assert hasattr(g, "_nc_model")
+    assert g._nc_model["classes"] == [0, 1]
+
+
+def test_predict_after_train(spark):
+    from memgraph_spark.algos.gnn import (
+        node_classification_predict, node_classification_train)
+    g = _two_cluster_graph(spark)
+    node_classification_train(g, num_epochs=25)
+    r0 = node_classification_predict(g, 2).collect()[0]
+    r1 = node_classification_predict(g, 22).collect()[0]
+    assert (r0.predicted_class, r1.predicted_class) == (0, 1)
+    assert r0.status == "Prediction complete."
+    # unlabeled nodes are still predictable
+    ru = node_classification_predict(g, 40).collect()[0]
+    assert ru.predicted_class == 0
+
+
+def test_predict_without_model_raises(spark):
+    from memgraph_spark.algos.gnn import node_classification_predict
+    g = _two_cluster_graph(spark)
+    with pytest.raises(ValueError, match="before predicting"):
+        node_classification_predict(g, 2)
+
+
+def test_long_path_matches_wide_path(spark, monkeypatch):
+    """The distributed long-format gradient (used when k*(D+1) exceeds
+    NC_WIDE_MAX aggregate expressions) must produce the same training
+    trajectory as the single-aggregation wide path."""
+    import memgraph_spark.algos.gnn as gnn
+    g1 = _two_cluster_graph(spark)
+    wide = gnn.node_classification_train(g1, num_epochs=4).collect()
+    w_wide = g1._nc_model["weights"]
+    monkeypatch.setattr(gnn, "NC_WIDE_MAX", 1)
+    g2 = _two_cluster_graph(spark)
+    long = gnn.node_classification_train(g2, num_epochs=4).collect()
+    w_long = g2._nc_model["weights"]
+    for rw, rl in zip(wide, long):
+        assert rw.loss == pytest.approx(rl.loss, abs=1e-9)
+        assert rw.train_log[0] == pytest.approx(rl.train_log[0], abs=1e-9)
+    for c in range(2):
+        for a, b in zip(w_wide[c], w_long[c]):
+            assert a == pytest.approx(b, abs=1e-9)
+
+
+def test_procedure_surface(spark):
+    """CALL registration parity: set_model_parameters / train / predict /
+    reset, reference yield shapes."""
+    from memgraph_spark.plans import GraphSession
+    g = _two_cluster_graph(spark)
+    gs = GraphSession(g)
+    r = gs.execute("CALL node_classification.set_model_parameters("
+                   "{num_epochs: 5, learning_rate: 0.2}) "
+                   "YIELD status RETURN status").collect()
+    assert r[0].status == "Model parameters set."
+    rows = gs.execute("CALL node_classification.train() "
+                      "YIELD epoch, loss, val_loss, train_log, val_log "
+                      "RETURN epoch, loss ORDER BY epoch").collect()
+    assert len(rows) == 5                     # num_epochs from parameters
+    p = gs.execute("CALL node_classification.predict(2) "
+                   "YIELD predicted_class, status "
+                   "RETURN predicted_class, status").collect()[0]
+    assert p.status == "Prediction complete."
+    r = gs.execute("CALL node_classification.reset() YIELD status "
+                   "RETURN status").collect()
+    assert r[0].status == "Reset successful."
+    assert not hasattr(g, "_nc_model")
+
+
+def test_deep_path_stays_torch_gated(spark):
+    from memgraph_spark.algos.gnn import (
+        _HAS_TORCH, node_classification_train)
+    if _HAS_TORCH:                            # pragma: no cover
+        pytest.skip("torch present; gate not exercised")
+    g = _two_cluster_graph(spark)
+    with pytest.raises(NotImplementedError, match="torch"):
+        node_classification_train(g, deep=True)
