@@ -98,7 +98,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     medians, totals, _raw = run_suite(spark, sf_dir, runs)
-    print(json.dumps({
+    out = {
         "metric": "headline_suite_total",
         "value": round(sum(medians.values()), 3),
         "unit": "sec",
@@ -106,7 +106,22 @@ def main() -> None:
         "runs": runs,
         "per_run_totals": totals,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    # extended sections (VERDICT r3 items 1-2): supernode-skew stress vs a
+    # flat twin, and a single sf1 pass. Datasets are generated once into
+    # .benchdata and reused; failures degrade to an "error" note so the
+    # headline metric always lands.
+    if os.environ.get("SPARK_GRAFT_BENCH_EXTENDED", "1") != "0":
+        from memgraph_spark import benchx
+        try:
+            out["skew"] = benchx.run_skew_bench(spark)
+        except Exception as exc:  # noqa: BLE001 - bench must not die
+            out["skew"] = {"error": f"{type(exc).__name__}: {exc}"}
+        try:
+            out["sf1"] = benchx.run_sf1_bench(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001
+            out["sf1"] = {"error": f"{type(exc).__name__}: {exc}"}
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -67,6 +67,21 @@ MODULE_FEATURES = {
                  "text", "stream", "server", "ttl", "enum"],
     "tests/gql_corpus.py": None,  # runner change: full run
     "plans/parser.py": None,      # grammar change: full run
+    # modules with no openCypher/TCK corpus surface: changes there never
+    # require a corpus re-run (algorithms, LLM ops, wire servers, bench
+    # harnesses, streaming sources are covered by pytest, not gherkin)
+    "catalog.py": ["match", "caching"],
+    "schema.py": ["index", "constraint"],
+    "algos/": [],
+    "llm/": [],
+    "server/": [],
+    "streaming/": [],
+    "search/text_index.py": ["text"],
+    "benchx.py": [],
+    "queries": [],                # queries.py / queries_*.py (bench defs)
+    "memgraph_spark/session.py": [],   # perf utils (checkpoint helpers)
+    "modules_ext": [],
+    "refactor_ext.py": ["procedure", "call"],
 }
 
 

@@ -22,15 +22,17 @@ from pyspark.sql import functions as F
 def biconnected_components(graph, etype: str | None = None,
                            max_edges: int = 2_000_000) -> DataFrame:
     """Returns (bcc_id, node_from, node_to) — one row per edge, labeled with
-    its biconnected component (iterative Hopcroft-Tarjan)."""
+    its biconnected component (iterative Hopcroft-Tarjan). Past `max_edges`
+    the fence is a ROUTING choice: the distributed spanning-tree +
+    fundamental-cycle variant runs instead (same output contract, bcc ids
+    arbitrary in both)."""
     und = (graph.adjacency(etype, "both")
            .select(F.least("src", "dst").alias("a"),
                    F.greatest("src", "dst").alias("b"))
            .filter(F.col("a") != F.col("b")).dropDuplicates())
     n = und.count()
     if n > max_edges:
-        raise ValueError(f"BCC driver guard: {n} edges > {max_edges}; "
-                         "split by WCC first")
+        return biconnected_components_distributed(graph, etype)
     adj: dict[int, list[int]] = {}
     for r in und.collect():
         adj.setdefault(r.a, []).append(r.b)
@@ -79,6 +81,163 @@ def biconnected_components(graph, etype: str | None = None,
                     bcc_id += 1
     return graph.spark.createDataFrame(
         comp_rows or [], "bcc_id long, node_from long, node_to long")
+
+
+def biconnected_components_distributed(graph, etype: str | None = None,
+                                       max_rounds: int = 256) -> DataFrame:
+    """Distributed BCC (Tarjan-Vishkin flavour, VERDICT r3 item 7):
+
+    1. BFS spanning forest (one tree per weakly-connected component,
+       root = min vertex id; deterministic min-parent tie-break).
+    2. Every non-tree edge (u, v) closes a fundamental cycle through the
+       tree path u..LCA..v. The cycle is materialized by LIFTING the
+       deeper endpoint one tree level per round (rounds <= tree depth <=
+       component diameter), emitting (cycle, tree-edge) incidence links.
+    3. Two edges share a BCC iff they are connected through fundamental
+       cycles sharing edges — exactly connected components of the
+       bipartite incidence graph {tree edges} x {non-tree edges}.
+       hash-min CC labels it; untouched tree edges are bridges (their own
+       singleton BCC).
+
+    Everything is DataFrame joins — the only driver state is the loop
+    counters. Output matches the driver core's contract: one row per
+    undirected edge, (bcc_id, node_from, node_to), ids arbitrary."""
+    from memgraph_spark.algos.components import weakly_connected_components
+    from memgraph_spark.session import checkpoint_with_metrics, free_checkpoint
+    spark = graph.spark
+    und = (graph.adjacency(etype, "both")
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
+           .filter(F.col("a") != F.col("b")).dropDuplicates().persist())
+    empty = spark.createDataFrame(
+        [], "bcc_id long, node_from long, node_to long")
+    if und.isEmpty():
+        und.unpersist()
+        return empty
+    adj = (und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+           .unionAll(und.select(F.col("b").alias("src"),
+                                F.col("a").alias("dst"))).persist())
+
+    # -- 1. BFS forest: component label = min vertex id = the root
+    comp = weakly_connected_components(und, "a", "b",
+                                       max_iter=max_rounds)
+    roots = comp.filter(F.col("id") == F.col("component")).select("id")
+    frontier, m = checkpoint_with_metrics(
+        roots.select("id", F.lit(None).cast("long").alias("parent"),
+                     F.lit(0).alias("depth")),
+        n=F.count(F.lit(1)))
+    visited = frontier
+    tree_pieces = []
+    depth = 0
+    for depth in range(1, max_rounds + 1):
+        nxt = (frontier.join(adj, frontier["id"] == adj["src"])
+               .select(F.col("dst").alias("nid"),
+                       F.col("id").alias("nparent"))
+               .join(visited.select(F.col("id").alias("nid")),
+                     "nid", "left_anti")
+               .groupBy("nid").agg(F.min("nparent").alias("parent"))
+               .select(F.col("nid").alias("id"), "parent",
+                       F.lit(depth).alias("depth")))
+        nxt, m = checkpoint_with_metrics(nxt, n=F.count(F.lit(1)))
+        if m["n"] == 0:
+            break
+        tree_pieces.append(nxt)
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    if not tree_pieces:
+        und.unpersist(); adj.unpersist()
+        return empty
+    tree = tree_pieces[0]
+    for p in tree_pieces[1:]:
+        tree = tree.unionByName(p)
+    # (child, parent, depth) persisted — the lifting loop joins it per round
+    tree = tree.localCheckpoint(eager=True)
+    for p in tree_pieces:
+        free_checkpoint(p)
+
+    # -- 2. non-tree edges + lifting
+    tpairs = tree.select(F.least("id", "parent").alias("a"),
+                         F.greatest("id", "parent").alias("b"))
+    nontree = (und.join(tpairs, ["a", "b"], "left_anti")
+               .withColumn("cyc", -F.abs(F.xxhash64("a", "b")) - F.lit(1)))
+    dmap = tree.select("id", "depth").unionByName(
+        roots.select("id", F.lit(0).alias("depth")))
+    pmap = tree.select("id", "parent")
+    state = (nontree
+             .join(dmap.select(F.col("id").alias("a"),
+                               F.col("depth").alias("da")), "a")
+             .join(dmap.select(F.col("id").alias("b"),
+                               F.col("depth").alias("db")), "b")
+             .select("cyc", F.col("a").alias("u"), "da",
+                     F.col("b").alias("v"), "db"))
+    state, m = checkpoint_with_metrics(
+        state, n=F.count(F.when(F.col("u") != F.col("v"), 1)))
+    link_pieces = []
+    rounds = 0
+    while m["n"] > 0 and rounds < max_rounds:
+        rounds += 1
+        active = state.filter(F.col("u") != F.col("v"))
+        lift_u = F.col("da") >= F.col("db")
+        lift_v = F.col("db") >= F.col("da")
+        links = (active.select("cyc", F.when(lift_u, F.col("u"))
+                               .alias("child"))
+                 .unionAll(active.select("cyc", F.when(lift_v, F.col("v"))
+                                         .alias("child")))
+                 .filter(F.col("child").isNotNull()))
+        link_pieces.append(links.localCheckpoint(eager=True))
+        nu = (active.join(pmap.withColumnRenamed("id", "u")
+                          .withColumnRenamed("parent", "pu"), "u", "left"))
+        nv = (nu.join(pmap.withColumnRenamed("id", "v")
+                      .withColumnRenamed("parent", "pv"), "v", "left"))
+        stepped = nv.select(
+            "cyc",
+            F.when(lift_u, F.col("pu")).otherwise(F.col("u")).alias("u"),
+            F.when(lift_u, F.col("da") - 1).otherwise(F.col("da"))
+            .alias("da"),
+            F.when(lift_v, F.col("pv")).otherwise(F.col("v")).alias("v"),
+            F.when(lift_v, F.col("db") - 1).otherwise(F.col("db"))
+            .alias("db"))
+        done = state.filter(F.col("u") == F.col("v"))
+        new_state, m = checkpoint_with_metrics(
+            stepped.unionByName(done),
+            n=F.count(F.when(F.col("u") != F.col("v"), 1)))
+        free_checkpoint(state)
+        state = new_state
+
+    # -- 3. incidence CC: {tree child ids (>=0 node space)} x {cyc (<0)}
+    if link_pieces:
+        links = link_pieces[0]
+        for p in link_pieces[1:]:
+            links = links.unionByName(p)
+        links = links.dropDuplicates()
+        cc = weakly_connected_components(links, "cyc", "child",
+                                         max_iter=max_rounds)
+        lab = cc.select("id", F.col("component").alias("bcc_id"))
+        tree_lab = (tree.join(lab, "id", "left")
+                    .select(F.coalesce("bcc_id",
+                                       F.col("id")).alias("bcc_id"),
+                            F.col("parent").alias("node_from"),
+                            F.col("id").alias("node_to")))
+        non_lab = (nontree.join(lab.withColumnRenamed("id", "cyc"), "cyc")
+                   .select("bcc_id", F.col("a").alias("node_from"),
+                           F.col("b").alias("node_to")))
+        out = tree_lab.unionByName(non_lab)
+    else:
+        # forest: every edge is a bridge
+        out = tree.select(F.col("id").alias("bcc_id"),
+                          F.col("parent").alias("node_from"),
+                          F.col("id").alias("node_to"))
+    # dense ids for tidiness (distinct labels ~ #BCCs, a metadata frame)
+    from pyspark.sql import Window
+    ids = (out.select("bcc_id").dropDuplicates()
+           .withColumn("__d", F.row_number().over(
+               Window.orderBy("bcc_id")) - 1))
+    res = (out.join(ids, "bcc_id")
+           .select(F.col("__d").alias("bcc_id"), "node_from", "node_to"))
+    res = res.localCheckpoint(eager=True)
+    und.unpersist(); adj.unpersist()
+    free_checkpoint(tree)
+    return res
 
 
 def vrp_route(graph, depot_id: int, number_of_vehicles: int = 1,

@@ -1,0 +1,260 @@
+"""Extended bench workloads: supernode/skew stress + sf1 scale step.
+
+VERDICT r3 items 1-2. The reference pins supernode skew as the
+graph-engine failure mode (tests/mgbench/workloads/supernode.py builds a
+hub with ~1000x median degree); sf0.1 is too small to surface O(V^2)
+state or driver bottlenecks. This module gives bench.py two extra
+sections:
+
+- `skew`: a deterministic power-law graph (~10x the sf0.1 edge count)
+  with an explicit supernode, plus a degree-matched FLAT (uniform) twin.
+  The frontier-heavy operators (bfs, var-expand, weighted shortest path,
+  katz, projection) run on both; the per-query skew/flat ratio is the
+  measured straggler signal — a ratio near 1 means the operator's plan
+  has no per-key hotspot (hash partitioning spreads a 30k-degree hub's
+  edges across all partitions; only a per-KEY aggregation keyed on the
+  hub would serialize).
+- `sf1`: the sf0.1 star schema replicated 10x with shifted keys
+  (referential integrity preserved; nation/region stay fixed like TPC-H),
+  headline suite run once — catches super-linear growth between sf0.1
+  and sf1 before a real cluster does.
+
+Datasets are generated once into $SPARK_GRAFT_BENCHDATA
+(default /root/repo/.benchdata, gitignored) and reused across runs; all
+generation is seeded and partition-pinned, so two machines produce
+identical bytes.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DATA_ROOT = os.environ.get("SPARK_GRAFT_BENCHDATA", "/root/repo/.benchdata")
+
+# skew graph shape: ~10x the sf0.1 CONTAINS edge count (600k), one
+# explicit supernode on top of the power-law hubs
+SKEW_N = 500_000
+SKEW_E = 5_000_000
+SKEW_SUPER = 25_000
+SEED = 42
+PARTS = 64            # pinned partition count => deterministic rand()
+
+
+def _log(msg: str) -> None:
+    print(f"[benchx] {msg}", file=sys.stderr, flush=True)
+
+
+def _done(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_DONE"))
+
+
+def _mark(path: str) -> None:
+    with open(os.path.join(path, "_DONE"), "w") as f:
+        f.write("ok\n")
+
+
+# ---------------------------------------------------------------------------
+# skew / flat graph generation
+# ---------------------------------------------------------------------------
+
+def _edge_frame(spark: SparkSession, skewed: bool) -> DataFrame:
+    """(src, dst, w): power-law src (hubs at small ids) + mildly skewed dst
+    when `skewed`, uniform otherwise. rand(seed) over a pinned partition
+    count is deterministic."""
+    base = spark.range(0, SKEW_E, 1, PARTS)
+    if skewed:
+        src = F.least(F.lit(SKEW_N - 1),
+                      F.floor(F.lit(SKEW_N) * F.pow(F.rand(SEED), 2.0)))
+        dst = F.least(F.lit(SKEW_N - 1),
+                      F.floor(F.lit(SKEW_N) * F.pow(F.rand(SEED + 1), 1.5)))
+    else:
+        src = F.floor(F.rand(SEED) * SKEW_N)
+        dst = F.floor(F.rand(SEED + 1) * SKEW_N)
+    edges = base.select(src.cast("long").alias("src"),
+                        dst.cast("long").alias("dst"),
+                        (F.rand(SEED + 2) * 1.5 + 0.5).alias("w"))
+    sup = spark.range(0, SKEW_SUPER, 1, 8).select(
+        F.lit(0).cast("long").alias("src")
+        if skewed else F.floor(F.rand(SEED + 3) * SKEW_N).cast("long")
+        .alias("src"),
+        F.floor(F.rand(SEED + 4) * SKEW_N).cast("long").alias("dst"),
+        (F.rand(SEED + 5) * 1.5 + 0.5).alias("w"))
+    return (edges.unionByName(sup)
+            .filter(F.col("src") != F.col("dst"))
+            .withColumn("eid", F.xxhash64("src", "dst", F.rand(SEED + 6))))
+
+
+def ensure_skew_graphs(spark: SparkSession,
+                       root: str = DATA_ROOT) -> tuple[str, str]:
+    out = []
+    for name, skewed in (("skew", True), ("flat", False)):
+        path = os.path.join(root, f"graph_{name}")
+        if not _done(path):
+            _log(f"generating {name} graph ({SKEW_E + SKEW_SUPER} edges) "
+                 f"-> {path}")
+            _edge_frame(spark, skewed).write.mode("overwrite") \
+                .parquet(os.path.join(path, "edges.parquet"))
+            _mark(path)
+        out.append(path)
+    return out[0], out[1]
+
+
+def _graph(spark: SparkSession, path: str):
+    from memgraph_spark.catalog import PropertyGraph
+    edges = spark.read.parquet(os.path.join(path, "edges.parquet"))
+    nodes = spark.range(SKEW_N).select(F.col("id"))
+    return PropertyGraph(spark, nodes={"V": nodes}, edges={"E": edges})
+
+
+def degree_stats(spark: SparkSession, path: str) -> dict:
+    edges = spark.read.parquet(os.path.join(path, "edges.parquet"))
+    deg = (edges.select(F.col("src").alias("id"))
+           .unionAll(edges.select(F.col("dst").alias("id")))
+           .groupBy("id").count())
+    r = deg.agg(F.max("count").alias("mx"),
+                F.expr("percentile_approx(count, 0.5)").alias("med"),
+                F.count("*").alias("n")).first()
+    return {"max_degree": int(r["mx"]), "median_degree": int(r["med"]),
+            "touched_nodes": int(r["n"])}
+
+
+# ---------------------------------------------------------------------------
+# skew suite: the frontier-heavy operators from the headline set
+# ---------------------------------------------------------------------------
+
+def _skew_queries(g):
+    """name -> thunk returning a row count; each mirrors the headline
+    operator it stresses (bfs_reach, var_expand, weighted_shortest,
+    algo_katz, project_subgraph)."""
+    from memgraph_spark.algos.katz import katz_centrality
+    from memgraph_spark.operators.expand import (
+        bfs, expand_variable, weighted_shortest_path)
+    spark = g.spark
+
+    def q_bfs():
+        src = spark.createDataFrame([(0,)], "id long")
+        return bfs(g, src, None, direction="out", max_hops=3).count()
+
+    def q_var_expand():
+        # supernode + 63 spread starts, 1..2 hops
+        starts = spark.range(64).select(
+            F.when(F.col("id") == 0, F.lit(0))
+            .otherwise(F.col("id") * 7919).cast("long").alias("s_id"))
+        paths = expand_variable(starts, g, "E", "s", "x",
+                                lower=1, upper=2, direction="out",
+                                depth_col="depth")
+        return paths.groupBy("s_id", "depth").count().count()
+
+    def q_weighted():
+        src = spark.createDataFrame([(0,)], "id long")
+        return weighted_shortest_path(g, src, "E", "w",
+                                      max_iterations=12).count()
+
+    def q_katz():
+        return katz_centrality(g.edge("E"), max_iter=8).count()
+
+    def q_project():
+        keep = g.node("V").filter(F.col("id") % 2 == 0) \
+            .select("id")
+        sub = g.project(keep)
+        return sub.all_edges().count()
+
+    return {"bfs_reach": q_bfs, "var_expand": q_var_expand,
+            "weighted_shortest": q_weighted, "algo_katz": q_katz,
+            "project_subgraph": q_project}
+
+
+def _time_suite(g) -> tuple[dict, dict]:
+    """(times, rows): rows is the per-query result cardinality — the skew
+    and flat twins do DIFFERENT amounts of work (a supernode BFS reaches
+    most of the graph in 2 hops; the flat twin's frontier grows slowly),
+    so raw time ratios must be read next to the work ratios."""
+    g.edge("E").count()          # warm file metadata
+    times, rows = {}, {}
+    for name, thunk in _skew_queries(g).items():
+        t0 = time.perf_counter()
+        rows[name] = int(thunk())
+        times[name] = round(time.perf_counter() - t0, 3)
+        _log(f"  {name}: {times[name]}s ({rows[name]} rows)")
+    return times, rows
+
+
+def run_skew_bench(spark: SparkSession, root: str = DATA_ROOT) -> dict:
+    skew_path, flat_path = ensure_skew_graphs(spark, root)
+    _log("skew suite (supernode graph)")
+    skew_t, skew_r = _time_suite(_graph(spark, skew_path))
+    _log("skew suite (flat twin)")
+    flat_t, flat_r = _time_suite(_graph(spark, flat_path))
+    ratio = {k: (round(skew_t[k] / flat_t[k], 2) if flat_t[k] > 0 else None)
+             for k in skew_t}
+    return {"queries": skew_t, "flat": flat_t, "ratio": ratio,
+            "rows": skew_r, "flat_rows": flat_r,
+            "n_edges": SKEW_E + SKEW_SUPER,
+            "skew_degrees": degree_stats(spark, skew_path)}
+
+
+# ---------------------------------------------------------------------------
+# sf1: 10x replicated star schema with shifted keys
+# ---------------------------------------------------------------------------
+
+_KEY_SHIFTS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+_COPIES = 10
+_OFFSET = 10_000_000
+
+
+def ensure_sf1(spark: SparkSession, sf01_dir: str,
+               root: str = DATA_ROOT) -> str:
+    path = os.path.join(root, "sf1")
+    if _done(path):
+        return path
+    os.makedirs(path, exist_ok=True)
+    _log(f"synthesizing sf1 ({_COPIES}x {sf01_dir}) -> {path}")
+    for table in ("region", "nation"):
+        spark.read.parquet(f"{sf01_dir}/{table}.parquet") \
+            .write.mode("overwrite").parquet(f"{path}/{table}.parquet")
+    copies = spark.range(_COPIES).select(
+        (F.col("id") * _OFFSET).alias("__off"))
+    for table, keys in _KEY_SHIFTS.items():
+        df = spark.read.parquet(f"{sf01_dir}/{table}.parquet")
+        rep = df.crossJoin(copies)
+        for k in keys:
+            rep = rep.withColumn(k, F.col(k) + F.col("__off"))
+        rep.drop("__off").write.mode("overwrite") \
+            .parquet(f"{path}/{table}.parquet")
+    _mark(path)
+    return path
+
+
+def run_sf1_bench(spark: SparkSession, sf01_dir: str,
+                  root: str = DATA_ROOT) -> dict:
+    from bench import HEADLINE
+    from memgraph_spark import queries as Q
+    path = ensure_sf1(spark, sf01_dir, root)
+    for t in Q.graph_for(spark, path).tables.values():
+        t.count()
+    times = {}
+    t_all = time.perf_counter()
+    for name in HEADLINE:
+        if name not in Q.QUERIES:
+            continue
+        t0 = time.perf_counter()
+        Q.QUERIES[name](spark, path).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        _log(f"  sf1 {name}: {times[name]}s")
+    return {"queries": times, "passes": 1,
+            "total": round(time.perf_counter() - t_all, 3),
+            "copies": _COPIES}

@@ -425,7 +425,14 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import pyarrow.parquet as pq
 
-    arrow_schema = pq.read_schema(path)
+    # Spark-written datasets are directories of part files (the synthetic
+    # sf1 tables are) — probe the first part's schema
+    probe = path
+    if os.path.isdir(path):
+        parts = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+        if parts:
+            probe = os.path.join(path, parts[0])
+    arrow_schema = pq.read_schema(probe)
     nanos_cols = [
         f.name for f in arrow_schema
         if str(f.type).startswith("timestamp[ns")
