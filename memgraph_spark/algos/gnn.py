@@ -420,5 +420,9 @@ def node_classification_reset(graph) -> DataFrame:
 
 
 def tgn_update(graph, batch, **config):
-    """tgn.update parity (temporal graph network)."""
-    _require_torch("tgn.update")
+    """Deep TGN (GRU memory + graph attention) — torch-gated. The
+    registered tgn.* procedures run the no-torch temporal baseline in
+    algos/tgn_baseline.py (time-decayed EMA memory + graph-sum readout);
+    only torch-specific configs (gru/rnn updater, graph_attn layer) land
+    here."""
+    _require_torch("tgn.update (deep path)")

@@ -201,6 +201,33 @@ def _endpoint_ids_expr(dt, col):
     return None
 
 
+def _typed_lit(v, dt):
+    """A literal Column of exactly `dt` from a collected value — F.lit
+    handles scalars only, so struct (variant / node) and array values
+    from per-row CALL argument combos are rebuilt field-wise."""
+    if v is None:
+        return F.lit(None).cast(dt)
+    if isinstance(dt, T.StructType):
+        fields = getattr(v, "__fields__", None)
+        return F.struct(*[
+            _typed_lit(v[f.name] if fields and f.name in fields else None,
+                       f.dataType).alias(f.name)
+            for f in dt.fields])
+    if isinstance(dt, T.ArrayType):
+        if not len(v):
+            return F.array().cast(dt)
+        return F.array(*[_typed_lit(x, dt.elementType) for x in v])
+    if isinstance(dt, T.MapType):
+        items = v.items() if hasattr(v, "items") else []
+        pairs = []
+        for k, val in items:
+            pairs.append(_typed_lit(k, dt.keyType))
+            pairs.append(_typed_lit(val, dt.valueType))
+        return (F.create_map(*pairs) if pairs
+                else F.create_map().cast(dt))
+    return F.lit(v).cast(dt)
+
+
 class GraphSession:
     """Executes openCypher text against a PropertyGraph.
 
@@ -1658,6 +1685,7 @@ class QueryCompiler(WriteMixin, TraversalMixin):
                         tags: list[str], tag_types: dict) -> DataFrame:
         """Fallback for opaque Python procedures: run once per DISTINCT
         argument combination (driver loop, fenced at PCALL_MAX_COMBOS)."""
+        from memgraph_spark.procedures import _pyval
         combos = tagged.select(*tags).dropDuplicates().collect()
         if len(combos) > self.PCALL_MAX_COMBOS:
             raise CompileError(
@@ -1666,9 +1694,12 @@ class QueryCompiler(WriteMixin, TraversalMixin):
                 "pre-aggregate the arguments or pass literals/parameters")
         pieces = []
         for row in combos:
-            res = fn(self.g, *list(row))
+            # decode variant/node-struct Rows to the Python values the
+            # procedure expects; the join-back key keeps the ORIGINAL
+            # typed value via a structured literal
+            res = fn(self.g, *[_pyval(v) for v in row])
             keyed = res.select(
-                *[F.lit(row[i]).cast(tag_types[t]).alias(f"__cb{i}")
+                *[_typed_lit(row[i], tag_types[t]).alias(f"__cb{i}")
                   for i, t in enumerate(tags)],
                 *res.columns)
             pieces.append(keyed)

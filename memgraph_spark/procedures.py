@@ -495,15 +495,25 @@ def _string_col(keys: DataFrame, col: str):
 
 
 def _pyval(x):
-    """Decode a collected variant Row back to its Python value."""
-    if hasattr(x, "__fields__") and set(x.__fields__) <= {
-            "vb", "vi", "vd", "vs", "va", "vj"}:
-        for f in ("vb", "vi", "vd", "vs", "va"):
-            if f in x.__fields__ and x[f] is not None:
-                v = x[f]
-                return list(v) if f == "va" else v
-        import json
-        return json.loads(x["vj"]) if x["vj"] is not None else None
+    """Decode a collected Row argument back to the Python value a
+    procedure expects: variant structs to their typed slot, node/edge
+    structs to their id (procedures take ids — the int(node)
+    convention), lists element-wise."""
+    if hasattr(x, "__fields__"):         # Row (subclasses tuple — check 1st)
+        fields = set(x.__fields__)
+        if fields <= {"vb", "vi", "vd", "vs", "va", "vj"}:
+            for f in ("vb", "vi", "vd", "vs", "va"):
+                if f in x.__fields__ and x[f] is not None:
+                    v = x[f]
+                    return list(v) if f == "va" else v
+            import json
+            return json.loads(x["vj"]) if x["vj"] is not None else None
+        if "id" in fields:
+            return x["id"]
+        if "eid" in fields:
+            return x["eid"]
+    if isinstance(x, (list, tuple)):
+        return [_pyval(v) for v in x]
     return x
 
 
@@ -780,6 +790,46 @@ def _nc_reset(g):
     return node_classification_reset(g)
 
 
+def _tgn(name):
+    """tgn.* registration shim: the no-torch temporal-memory baseline
+    (algos/tgn_baseline.py) fills the reference's tgn.py procedure
+    surface; torch-only layer/updater configs keep the dependency gate."""
+    import memgraph_spark.algos.tgn_baseline as TB
+    return getattr(TB, f"tgn_{name}")
+
+
+def _tgn_set_params(g, params=None):
+    return _tgn("set_params")(g, params)
+
+
+def _tgn_update(g, edges=None):
+    return _tgn("update")(g, edges or [])
+
+
+def _tgn_get(g):
+    return _tgn("get")(g)
+
+
+def _tgn_predict_link_score(g, src, dest):
+    return _tgn("predict_link_score")(g, src, dest)
+
+
+def _tgn_train_and_eval(g, num_epochs=1):
+    return _tgn("train_and_eval")(g, int(num_epochs))
+
+
+def _tgn_get_results(g):
+    return _tgn("get_results")(g)
+
+
+def _tgn_set_eval(g):
+    return _tgn("set_eval")(g)
+
+
+def _tgn_reset(g):
+    return _tgn("reset")(g)
+
+
 def _json_load_from_path(g, path: str):
     """json_util.load_from_path(path) YIELD objects
     (src/mage/python/json_util.py:85). Distributed spark.read.json scan —
@@ -919,6 +969,14 @@ register("node_classification.set_model_parameters",
 register("node_classification.train", _nc_train)
 register("node_classification.predict", _nc_predict)
 register("node_classification.reset", _nc_reset)
+register("tgn.set_params", _tgn_set_params)
+register("tgn.update", _tgn_update)
+register("tgn.get", _tgn_get)
+register("tgn.predict_link_score", _tgn_predict_link_score)
+register("tgn.train_and_eval", _tgn_train_and_eval)
+register("tgn.get_results", _tgn_get_results)
+register("tgn.set_eval", _tgn_set_eval)
+register("tgn.reset", _tgn_reset)
 register("json_util.load_from_path", _json_load_from_path)
 register("export_util.json", _export_json)
 register("export_util.csv", _export_csv)

@@ -154,3 +154,41 @@ def test_opaque_procedure_keeps_fence(spark):
                        "RETURN count(*) AS n").collect()
     finally:
         P.unregister("tests.echo_opaque")
+
+
+def test_opaque_per_row_variant_args(gs):
+    """The fenced driver loop now decodes VARIANT args (heterogeneous
+    lists) and node structs before invoking the procedure, and rebuilds
+    typed literals for the join-back."""
+    from memgraph_spark import procedures as P
+
+    def describe(graph, x):
+        if isinstance(x, list):
+            out = f"list:{len(x)}"
+        else:
+            out = f"{type(x).__name__}:{x}"
+        return graph.spark.createDataFrame([(out,)], "d string")
+    P.register("tests.describe", describe)
+    try:
+        rows = _run(gs, "UNWIND [[1, 'a'], [2, ['x', 'y']]] AS p "
+                        "CALL tests.describe(p[1]) YIELD d "
+                        "RETURN toInteger(p[0]) AS v, d")
+        assert sorted(rows) == [(1, "str:a"), (2, "list:2")]
+    finally:
+        P.unregister("tests.describe")
+
+
+def test_opaque_per_row_bound_node_arg(gs):
+    """A bound node variable reaches an opaque procedure as its id (the
+    int(node) convention)."""
+    from memgraph_spark import procedures as P
+
+    def ident(graph, x):
+        return graph.spark.createDataFrame([(int(x),)], "nid long")
+    P.register("tests.ident", ident)
+    try:
+        rows = _run(gs, "MATCH (n:B) CALL tests.ident(n) YIELD nid "
+                        "RETURN id(n) AS v, nid")
+        assert rows == [(10, 10), (11, 11)]
+    finally:
+        P.unregister("tests.ident")
