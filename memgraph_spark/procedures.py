@@ -830,6 +830,124 @@ def _tgn_reset(g):
     return _tgn("reset")(g)
 
 
+def _n2vo_state(g) -> dict:
+    if not hasattr(g, "_n2v_online_state"):
+        g._n2v_online_state = {"updater": None, "learner": None,
+                               "edges": [], "dirty": True, "emb": None}
+    return g._n2v_online_state
+
+
+def _n2vo_set_streamwalk_updater(g, half_life=7200, max_length=3, beta=0.9,
+                                 cutoff=604800, sampled_walks=4,
+                                 full_walks=False):
+    """node2vec_online.set_streamwalk_updater
+    (query_modules/node2vec_online_module/node2vec_online_module.cpp:329).
+    Parameters are stored; the walk sampler maps max_length ->
+    walk_length and sampled_walks -> num_walks of the batch re-expression
+    (temporal half-life/cutoff decay is a protocol no-op here — the
+    buffered stream is replayed whole on get())."""
+    st = _n2vo_state(g)
+    st["updater"] = {"half_life": int(half_life),
+                     "max_length": int(max_length), "beta": float(beta),
+                     "cutoff": int(cutoff),
+                     "sampled_walks": int(sampled_walks),
+                     "full_walks": bool(full_walks)}
+    st["dirty"] = True
+    return g.spark.createDataFrame(
+        [("Streamwalk updater set.",)], "message string")
+
+
+def _n2vo_set_word2vec_learner(g, embedding_dimension=128,
+                               learning_rate=0.01, skip_gram=True,
+                               negative_rate=10.0, threads=1):
+    """node2vec_online.set_word2vec_learner (node2vec_online_module.cpp:
+    339) — SGNS hyper-parameters for the shared node2vec trainer."""
+    st = _n2vo_state(g)
+    st["learner"] = {"embedding_dimension": int(embedding_dimension),
+                     "learning_rate": float(learning_rate),
+                     "skip_gram": bool(skip_gram),
+                     "negative_rate": float(negative_rate),
+                     "threads": int(threads)}
+    st["dirty"] = True
+    return g.spark.createDataFrame(
+        [("Word2Vec learner set.",)], "message string")
+
+
+def _n2vo_require_init(st):
+    if st["updater"] is None or st["learner"] is None:
+        raise ValueError(
+            "node2vec_online: call set_streamwalk_updater and "
+            "set_word2vec_learner before update/get (reference errors the "
+            "same way on an uninitialized module)")
+
+
+def _n2vo_update(g, edges=None):
+    """node2vec_online.update(edges) — buffers stream edges (rows of
+    [src, dst] or edge structs); embeddings retrain lazily on get().
+    Online in protocol, amortized batch recompute in implementation — at
+    scale the retrain is the distributed SGNS path of
+    node2vec_embeddings."""
+    st = _n2vo_state(g)
+    _n2vo_require_init(st)
+    for e in edges or []:
+        row = _pyval(e)
+        if isinstance(row, (list, tuple)) and len(row) >= 2:
+            st["edges"].append((int(row[0]), int(row[1])))
+    st["dirty"] = True
+    return g.spark.createDataFrame([], "message string")
+
+
+def _n2vo_get(g):
+    """node2vec_online.get() YIELD node, embedding."""
+    st = _n2vo_state(g)
+    _n2vo_require_init(st)
+    if not st["edges"]:
+        return g.spark.createDataFrame(
+            [], "node long, embedding array<double>")
+    if st["dirty"] or st["emb"] is None:
+        from memgraph_spark.algos.node2vec import node2vec_embeddings
+        from memgraph_spark.catalog import PropertyGraph
+        up, ln = st["updater"], st["learner"]
+        sub = PropertyGraph(
+            g.spark,
+            nodes={"V": g.spark.createDataFrame(
+                sorted({x for e in st["edges"] for x in e}),
+                "long").withColumnRenamed("value", "id")},
+            edges={"E": g.spark.createDataFrame(
+                st["edges"], "src long, dst long")})
+        st["emb"] = node2vec_embeddings(
+            sub,
+            num_walks=up["sampled_walks"],
+            walk_length=up["max_length"],
+            vector_size=ln["embedding_dimension"],
+            alpha=ln["learning_rate"],
+            negative=max(1, int(ln["negative_rate"])),
+        ).localCheckpoint(eager=True)
+        st["dirty"] = False
+    return st["emb"]
+
+
+def _n2vo_reset(g):
+    if hasattr(g, "_n2v_online_state"):
+        del g._n2v_online_state
+    return g.spark.createDataFrame(
+        [("The model has been reset.",)], "message string")
+
+
+def _n2vo_help(g):
+    rows = [(f"node2vec_online.{p}", d) for p, d in (
+        ("set_streamwalk_updater",
+         "configure temporal walk sampling (half_life, max_length, beta, "
+         "cutoff, sampled_walks, full_walks)"),
+        ("set_word2vec_learner",
+         "configure SGNS (embedding_dimension, learning_rate, skip_gram, "
+         "negative_rate, threads)"),
+        ("update", "buffer stream edges; embeddings retrain lazily"),
+        ("get", "YIELD node, embedding"),
+        ("reset", "clear updater, learner and embeddings"))]
+    return g.spark.createDataFrame(rows, "name string, value string")
+
+
 def _json_load_from_path(g, path: str):
     """json_util.load_from_path(path) YIELD objects
     (src/mage/python/json_util.py:85). Distributed spark.read.json scan —
@@ -977,6 +1095,13 @@ register("tgn.train_and_eval", _tgn_train_and_eval)
 register("tgn.get_results", _tgn_get_results)
 register("tgn.set_eval", _tgn_set_eval)
 register("tgn.reset", _tgn_reset)
+register("node2vec_online.set_streamwalk_updater",
+         _n2vo_set_streamwalk_updater)
+register("node2vec_online.set_word2vec_learner", _n2vo_set_word2vec_learner)
+register("node2vec_online.update", _n2vo_update)
+register("node2vec_online.get", _n2vo_get)
+register("node2vec_online.reset", _n2vo_reset)
+register("node2vec_online.help", _n2vo_help)
 register("json_util.load_from_path", _json_load_from_path)
 register("export_util.json", _export_json)
 register("export_util.csv", _export_csv)

@@ -111,3 +111,35 @@ def test_procedure_surface(spark):
     r = gs.execute("CALL tgn.reset() YIELD message RETURN message"
                    ).collect()
     assert "Reset" in r[0].message
+
+
+def test_node2vec_online_surface(spark):
+    """node2vec_online parity (query_modules/node2vec_online_module):
+    set updater + learner, stream edges, get (node, embedding), reset;
+    uninitialized update errors like the reference."""
+    from memgraph_spark.plans import GraphSession
+    g = _graph(spark)
+    gs = GraphSession(g)
+    with pytest.raises(Exception, match="set_streamwalk_updater"):
+        gs.execute("CALL node2vec_online.update([[0, 1]]) YIELD * "
+                   "RETURN 1 AS ok").collect()
+    r = gs.execute("CALL node2vec_online.set_streamwalk_updater"
+                   "(7200, 4, 0.9, 604800, 2) YIELD message "
+                   "RETURN message").collect()
+    assert "updater" in r[0].message.lower()
+    r = gs.execute("CALL node2vec_online.set_word2vec_learner(16, 0.05) "
+                   "YIELD message RETURN message").collect()
+    assert "learner" in r[0].message.lower()
+    gs.execute("CALL node2vec_online.update([[0, 1], [1, 2], [2, 0], "
+               "[3, 4], [4, 5], [5, 3]]) YIELD * RETURN 1 AS ok")
+    rows = gs.execute("CALL node2vec_online.get() YIELD node, embedding "
+                      "RETURN node, size(embedding) AS d ORDER BY node"
+                      ).collect()
+    assert [r.node for r in rows] == [0, 1, 2, 3, 4, 5]
+    assert all(r.d == 16 for r in rows)
+    r = gs.execute("CALL node2vec_online.reset() YIELD message "
+                   "RETURN message").collect()
+    assert "reset" in r[0].message.lower()
+    h = gs.execute("CALL node2vec_online.help() YIELD name, value "
+                   "RETURN count(*) AS n").collect()
+    assert h[0].n == 5
