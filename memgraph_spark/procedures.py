@@ -1102,6 +1102,42 @@ register("node2vec_online.update", _n2vo_update)
 register("node2vec_online.get", _n2vo_get)
 register("node2vec_online.reset", _n2vo_reset)
 register("node2vec_online.help", _n2vo_help)
+
+
+def _gnn_pyg_export(g, node_property_names=None, edge_property_names=None,
+                    node_label_property=None):
+    from memgraph_spark.gnn_io import pyg_export
+    return pyg_export(g, node_property_names, edge_property_names,
+                      node_label_property)
+
+
+def _gnn_pyg_import(g, json_data, default_node_label="PygNode",
+                    default_edge_type="PYG_EDGE",
+                    node_property_names=None, edge_property_names=None):
+    from memgraph_spark.gnn_io import pyg_import
+    return pyg_import(g, str(json_data), str(default_node_label),
+                      str(default_edge_type), node_property_names,
+                      edge_property_names)
+
+
+def _gnn_tf_export(g, node_property_names=None, edge_property_names=None,
+                   node_set_name="node", edge_set_name="edge"):
+    from memgraph_spark.gnn_io import tf_export
+    return tf_export(g, node_property_names, edge_property_names,
+                     str(node_set_name), str(edge_set_name))
+
+
+def _gnn_tf_import(g, json_data, default_node_label="TfGnnNode",
+                   default_edge_type="TFGNN_EDGE"):
+    from memgraph_spark.gnn_io import tf_import
+    return tf_import(g, str(json_data), str(default_node_label),
+                     str(default_edge_type))
+
+
+register("gnn.pyg_export", _gnn_pyg_export)
+register("gnn.pyg_import", _gnn_pyg_import)
+register("gnn.tf_export", _gnn_tf_export)
+register("gnn.tf_import", _gnn_tf_import)
 register("json_util.load_from_path", _json_load_from_path)
 register("export_util.json", _export_json)
 register("export_util.csv", _export_csv)
