@@ -346,8 +346,15 @@ def weighted_shortest_path(
     ).localCheckpoint(eager=True)
     # dist = lazy min-agg over the checkpointed per-round improvement deltas;
     # each delta only holds strict improvements, so no per-round
-    # re-materialization of the full distance table is needed
+    # re-materialization of the full distance table is needed. Every
+    # CONSOLIDATE_EVERY rounds the delta union is collapsed into ONE
+    # checkpoint (and the spent delta blocks freed) — otherwise round k
+    # re-aggregates k generations of deltas and the lineage deepens
+    # unboundedly on long relaxation chains (skew/sf1 profile).
+    from memgraph_spark.session import checkpoint_with_metrics, free_checkpoint
+    CONSOLIDATE_EVERY = 4
     pieces = init
+    deltas = [init]
     frontier = init
     f_rows = frontier.count()
     for _ in range(max_iterations):
@@ -361,7 +368,6 @@ def weighted_shortest_path(
         )
         # keep candidates strictly better than the current distance; the
         # row count rides the checkpoint job (observe)
-        from memgraph_spark.session import checkpoint_with_metrics
         improved, m = checkpoint_with_metrics(
             cand.join(dist.withColumnRenamed("cost", "__old"), ["start", "id"], "left")
             .filter(F.col("__old").isNull() | (F.col("cost") < F.col("__old")))
@@ -372,6 +378,18 @@ def weighted_shortest_path(
         if f_rows == 0:
             break
         pieces = pieces.unionByName(improved)
+        deltas.append(improved)
         frontier = improved
+        if len(deltas) >= CONSOLIDATE_EVERY:
+            pieces = (pieces.groupBy("start", "id")
+                      .agg(F.min("cost").alias("cost"))
+                      .localCheckpoint(eager=True))
+            # the frontier delta stays live for the next round's join;
+            # every other generation is folded into the consolidation
+            for d in deltas:
+                if d is not frontier:
+                    free_checkpoint(d)
+            deltas = [frontier]
     release_e()
-    return pieces.groupBy("start", "id").agg(F.min("cost").alias("cost"))
+    out = pieces.groupBy("start", "id").agg(F.min("cost").alias("cost"))
+    return out
