@@ -37,49 +37,47 @@ def topological_layers(graph, etype: str | None = None, mode: str = "out"):
         adj.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("indeg")),
         "id", "left")
         .select("id", F.coalesce("indeg", F.lit(0)).alias("indeg")))
-    _metrics = dict(n=F.count(F.lit(1)),
-                    zeros=F.count(F.when(F.col("indeg") == 0, 1)))
-    x, m = checkpoint_with_metrics(indeg0, **_metrics)
-    layers, zeros, layer, remaining = [], [], 0, m["n"]
-    while remaining > 0:
+    # the layer label lives INSIDE the in-degree frame: one checkpoint
+    # job per layer (the round's zero set is a lazy filter over the
+    # already-cached checkpoint, not a second materialization), and the
+    # final frame IS the result — no per-layer zero checkpoints to
+    # union/free
+    def _metrics(cur: int) -> dict:
+        return dict(
+            unassigned=F.count(F.when(F.col("layer").isNull(), 1)),
+            zeros=F.count(F.when(F.col("layer") == cur, 1)))
+    layer = 0
+    x, m = checkpoint_with_metrics(
+        indeg0.withColumn(
+            "layer", F.when(F.col("indeg") == 0, F.lit(0)).cast("int")),
+        **_metrics(0))
+    while m["unassigned"] > 0:
         if m["zeros"] == 0:
             free_checkpoint(x)
-            for z in zeros:  # free per-layer zero checkpoints on the
-                free_checkpoint(z)  # cycle path: nothing is returned
             return None  # no zero-in-degree node left -> cycle
-        zero = (x.filter(F.col("indeg") == 0).select("id")
-                .localCheckpoint(eager=True))
-        zeros.append(zero)
-        layers.append(zero.withColumn("layer", F.lit(layer)))
-        remaining -= m["zeros"]
-        if remaining == 0:
-            free_checkpoint(x)
-            break
-        dec = (adj.join(_maybe_broadcast(
-                   zero.withColumnRenamed("id", "src"), m["zeros"]), "src")
+        cur_zero = (x.filter(F.col("layer") == layer)
+                    .select(F.col("id").alias("src")))
+        dec = (adj.join(_maybe_broadcast(cur_zero, m["zeros"]), "src")
                .groupBy(F.col("dst").alias("id"))
                .agg(F.count("*").alias("c")))
+        unassigned = F.col("layer").isNull()
+        new_indeg = F.when(
+            unassigned, F.col("indeg") - F.coalesce("c", F.lit(0))
+        ).otherwise(F.col("indeg"))
         new_x, m = checkpoint_with_metrics(
-            x.filter(F.col("indeg") > 0)
-            .join(dec, "id", "left")
-            .select("id", (F.col("indeg") - F.coalesce("c", F.lit(0)))
-                    .alias("indeg")),
-            **_metrics)
+            x.join(dec, "id", "left")
+            .select("id", new_indeg.alias("indeg"),
+                    F.when(~unassigned, F.col("layer"))
+                    .when(new_indeg == 0, F.lit(layer + 1)).cast("int")
+                    .alias("layer")),
+            **_metrics(layer + 1))
         free_checkpoint(x)
         x = new_x
         layer += 1
-    if not layers:
-        return graph.spark.createDataFrame([], "id long, layer int")
-    out = layers[0]
-    for df in layers[1:]:
-        out = out.unionByName(df)
-    # materialize the union into ONE checkpoint so every per-layer zero
-    # checkpoint can be freed here instead of leaking until driver GC;
-    # caller owns the single returned O(V) frame
-    out = out.localCheckpoint(eager=True)
-    for z in zeros:
-        free_checkpoint(z)
-    return out
+    # x is already ONE checkpoint holding every (id, layer); the caller
+    # owns it. zeros in the last round may be 0 legitimately (all nodes
+    # assigned earlier).
+    return x.select("id", "layer")
 
 
 def contains_cycle(graph, etype: str | None = None) -> bool:
