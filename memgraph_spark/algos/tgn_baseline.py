@@ -52,11 +52,51 @@ DEFAULTS = {
 def _state(graph) -> dict:
     if not hasattr(graph, "_tgn_state"):
         graph._tgn_state = {
-            "params": dict(DEFAULTS), "buffer": [], "edges": [],
+            "params": dict(DEFAULTS), "buffer": [], "edges_df": None,
             "memory": None, "results": [], "mode": "train",
             "split_idx": None, "edge_count": 0, "epoch": 0, "batch": 0,
         }
     return graph._tgn_state
+
+
+def _append_stream(graph, rows: list, base: int) -> None:
+    """Append batch rows to the DISTRIBUTED stream history (seq, src,
+    dst, ts) starting at sequence `base`. The driver never holds more
+    than one batch of rows at a time — the history itself lives as a
+    checkpointed frame that scales with the cluster, not the driver
+    heap."""
+    st = _state(graph)
+    df = graph.spark.createDataFrame(
+        [(base + i, s, d, t) for i, (s, d, t) in enumerate(rows)],
+        "seq long, src long, dst long, ts double")
+    from memgraph_spark.session import free_checkpoint
+    if st["edges_df"] is None:
+        st["edges_df"] = df.localCheckpoint(eager=True)
+    else:
+        merged = st["edges_df"].unionByName(df).localCheckpoint(eager=True)
+        free_checkpoint(st["edges_df"])
+        st["edges_df"] = merged
+
+
+def _flush_unprocessed(graph) -> None:
+    """Move still-buffered (untrained) rows into the history frame so
+    replay and readout see the full ingested stream."""
+    st = _state(graph)
+    if st["buffer"]:
+        rows, st["buffer"] = st["buffer"], []
+        _append_stream(graph, rows, st["edge_count"] - len(rows))
+
+
+def _batch_rows(graph, lo: int, hi: int) -> list:
+    """Fetch one replay batch [lo, hi) from the distributed history —
+    at most batch_size rows cross to the driver."""
+    st = _state(graph)
+    if st["edges_df"] is None:
+        return []
+    return [(r["src"], r["dst"], r["ts"]) for r in
+            st["edges_df"].filter((F.col("seq") >= lo)
+                                  & (F.col("seq") < hi))
+            .orderBy("seq").collect()]
 
 
 def tgn_set_params(graph, params: dict | None = None) -> DataFrame:
@@ -105,6 +145,8 @@ def _process_batch(graph, batch_rows: list) -> None:
     """One TGN batch step over `batch_rows` = [(src, dst, ts), ...]:
     decay -> message (mean over batch partners) -> EMA memory update.
     One groupBy + two joins; only the batch literal leaves the driver."""
+    if not batch_rows:
+        return
     st = _state(graph)
     p = st["params"]
     d = int(p["memory_dimension"])
@@ -165,13 +207,14 @@ def tgn_update(graph, edges) -> DataFrame:
         src, dst = int(row[0]), int(row[1])
         ts = float(row[2]) if len(row) > 2 else float(st["edge_count"])
         st["buffer"].append((src, dst, ts))
-        st["edges"].append((src, dst, ts))
         st["edge_count"] += 1
     while len(st["buffer"]) >= int(p["batch_size"]):
         batch = st["buffer"][:int(p["batch_size"])]
         st["buffer"] = st["buffer"][int(p["batch_size"]):]
         t0 = time.perf_counter()
         _process_batch(graph, batch)
+        _append_stream(graph, batch,
+                       st["edge_count"] - len(st["buffer"]) - len(batch))
         st["batch"] += 1
         st["results"].append(
             (st["epoch"], st["batch"],
@@ -185,10 +228,9 @@ def tgn_get(graph) -> DataFrame:
     st = _state(graph)
     mem = _ensure_memory(graph)
     d = int(st["params"]["memory_dimension"])
-    spark = graph.spark
-    if st["edges"]:
-        seen = spark.createDataFrame(st["edges"],
-                                     "src long, dst long, ts double")
+    _flush_unprocessed(graph)
+    if st["edges_df"] is not None:
+        seen = st["edges_df"]
         und = (seen.select("src", "dst")
                .unionAll(seen.select(F.col("dst").alias("src"),
                                      F.col("src").alias("dst"))))
@@ -288,14 +330,14 @@ def tgn_train_and_eval(graph, num_epochs: int = 1) -> DataFrame:
                          "(no train/eval split recorded)")
     p = st["params"]
     bs = int(p["batch_size"])
-    train = st["edges"][:st["split_idx"]]
-    evale = st["edges"][st["split_idx"]:]
+    _flush_unprocessed(graph)
+    split, total = st["split_idx"], st["edge_count"]
     rows = []
     for epoch in range(1, int(num_epochs) + 1):
         st["epoch"] = epoch
         batch_no = 0
-        for lo in range(0, len(train), bs):
-            batch = train[lo:lo + bs]
+        for lo in range(0, split, bs):
+            batch = _batch_rows(graph, lo, min(lo + bs, split))
             t0 = time.perf_counter()
             _process_batch(graph, batch)
             prec = _eval_precision(graph, batch)
@@ -303,8 +345,10 @@ def tgn_train_and_eval(graph, num_epochs: int = 1) -> DataFrame:
             rows.append((epoch, batch_no,
                          round(time.perf_counter() - t0, 3), prec,
                          "train"))
-        for lo in range(0, len(evale), bs):
-            batch = evale[lo:lo + bs]
+        for lo in range(split, total, bs):
+            batch = _batch_rows(graph, lo, min(lo + bs, total))
+            if not batch:
+                continue
             t0 = time.perf_counter()
             prec = _eval_precision(graph, batch)
             batch_no += 1
@@ -327,6 +371,11 @@ def tgn_get_results(graph) -> DataFrame:
 
 def tgn_reset(graph) -> DataFrame:
     if hasattr(graph, "_tgn_state"):
+        from memgraph_spark.session import free_checkpoint
+        st = graph._tgn_state
+        for key in ("edges_df", "memory"):
+            if st.get(key) is not None:
+                free_checkpoint(st[key])
         del graph._tgn_state
     return graph.spark.createDataFrame(
         [("Reset was successful.",)], "message string")
