@@ -833,7 +833,7 @@ def _tgn_reset(g):
 def _n2vo_state(g) -> dict:
     if not hasattr(g, "_n2v_online_state"):
         g._n2v_online_state = {"updater": None, "learner": None,
-                               "edges": [], "dirty": True, "emb": None}
+                               "edges_df": None, "dirty": True, "emb": None}
     return g._n2v_online_state
 
 
@@ -886,14 +886,26 @@ def _n2vo_update(g, edges=None):
     [src, dst] or edge structs); embeddings retrain lazily on get().
     Online in protocol, amortized batch recompute in implementation — at
     scale the retrain is the distributed SGNS path of
-    node2vec_embeddings."""
+    node2vec_embeddings. The stream history accumulates as a checkpointed
+    frame (old generations freed), never a driver-side list."""
+    from memgraph_spark.session import free_checkpoint
     st = _n2vo_state(g)
     _n2vo_require_init(st)
+    rows = []
     for e in edges or []:
         row = _pyval(e)
         if isinstance(row, (list, tuple)) and len(row) >= 2:
-            st["edges"].append((int(row[0]), int(row[1])))
-    st["dirty"] = True
+            rows.append((int(row[0]), int(row[1])))
+    if rows:
+        df = g.spark.createDataFrame(rows, "src long, dst long")
+        if st.get("edges_df") is None:
+            st["edges_df"] = df.localCheckpoint(eager=True)
+        else:
+            merged = (st["edges_df"].unionByName(df)
+                      .localCheckpoint(eager=True))
+            free_checkpoint(st["edges_df"])
+            st["edges_df"] = merged
+        st["dirty"] = True
     return g.spark.createDataFrame([], "message string")
 
 
@@ -901,21 +913,21 @@ def _n2vo_get(g):
     """node2vec_online.get() YIELD node, embedding."""
     st = _n2vo_state(g)
     _n2vo_require_init(st)
-    if not st["edges"]:
+    if st.get("edges_df") is None:
         return g.spark.createDataFrame(
             [], "node long, embedding array<double>")
     if st["dirty"] or st["emb"] is None:
         from memgraph_spark.algos.node2vec import node2vec_embeddings
         from memgraph_spark.catalog import PropertyGraph
         up, ln = st["updater"], st["learner"]
+        e = st["edges_df"]
         sub = PropertyGraph(
             g.spark,
-            nodes={"V": g.spark.createDataFrame(
-                sorted({x for e in st["edges"] for x in e}),
-                "long").withColumnRenamed("value", "id")},
-            edges={"E": g.spark.createDataFrame(
-                st["edges"], "src long, dst long")})
-        st["emb"] = node2vec_embeddings(
+            nodes={"V": e.select(F.col("src").alias("id"))
+                   .unionAll(e.select(F.col("dst").alias("id")))
+                   .dropDuplicates()},
+            edges={"E": e})
+        new_emb = node2vec_embeddings(
             sub,
             num_walks=up["sampled_walks"],
             walk_length=up["max_length"],
@@ -923,12 +935,20 @@ def _n2vo_get(g):
             alpha=ln["learning_rate"],
             negative=max(1, int(ln["negative_rate"])),
         ).localCheckpoint(eager=True)
+        if st["emb"] is not None:
+            from memgraph_spark.session import free_checkpoint
+            free_checkpoint(st["emb"])
+        st["emb"] = new_emb
         st["dirty"] = False
     return st["emb"]
 
 
 def _n2vo_reset(g):
     if hasattr(g, "_n2v_online_state"):
+        from memgraph_spark.session import free_checkpoint
+        st = g._n2v_online_state
+        if st.get("edges_df") is not None:
+            free_checkpoint(st["edges_df"])
         del g._n2v_online_state
     return g.spark.createDataFrame(
         [("The model has been reset.",)], "message string")
