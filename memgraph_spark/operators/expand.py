@@ -251,6 +251,7 @@ def bfs(
     direction: str = "out",
     max_hops: int = 20,
     source_col: str = "id",
+    edges_df: DataFrame | None = None,
 ) -> DataFrame:
     """SingleSourceShortestPath / BFS (operator.cpp:2726).
 
@@ -258,9 +259,14 @@ def bfs(
     (start BIGINT, id BIGINT, dist INT) — minimal hop distance from each
     start to every reachable node. Each round: frontier ⋈ edges, anti-join
     the visited set, union. Driver loop = diameter iterations only.
+
+    `edges_df` overrides the adjacency frame — a traversal-oriented
+    (src, dst) list for callers whose edge-set semantics don't reduce to
+    one (etype, direction) pair (e.g. neighbors.at_hop's per-type
+    direction prefixes).
     """
     # shared persisted adjacency; every BFS round re-joins it
-    edges = graph.adjacency(etype, direction)
+    edges = edges_df if edges_df is not None else graph.adjacency(etype, direction)
     frontier = sources.select(
         F.col(source_col).alias("start"),
         F.col(source_col).alias("id"),

@@ -436,24 +436,64 @@ def _knn(g, top_k: int = 1, similarity_cutoff: float = 0.0):
             .select("node", "neighbour", "similarity"))
 
 
+def _hop_adjacency(g, rel_types):
+    """Traversal adjacency for the neighbors module's rel_types contract
+    (src/mage/cpp/neighbors_module/algorithm/neighbors.cpp:26-48
+    DetermineDirection): a LIST of types unioned together, where `<T`
+    matches T incoming only, `T>` matches T outgoing only, bare `T`
+    matches both directions, `""` (or an empty list) matches any type,
+    and `<T>` raises. Returns a (src, dst) frame oriented for expansion
+    from src — the union of per-(type, direction) persisted adjacency
+    slices, so BFS re-joins cached data each round."""
+    if not rel_types:
+        return g.adjacency(None, "both")
+    in_types, out_types = set(), set()
+    for rt in rel_types:
+        rt = str(rt)
+        if rt.startswith("<") and rt.endswith(">") and len(rt) > 1:
+            raise ValueError("Invalid relationship specification!")
+        if rt.startswith("<"):
+            in_types.add(rt[1:])
+        elif rt.endswith(">"):
+            out_types.add(rt[:-1])
+        else:
+            in_types.add(rt)
+            out_types.add(rt)
+    # "" = any type for that direction (reference appends "" on empty list);
+    # a direction that already matches any type subsumes its named types
+    parts = []
+    for types, direction in ((out_types, "out"), (in_types, "in")):
+        if "" in types:
+            parts.append(g.adjacency(None, direction))
+        else:
+            parts.extend(g.adjacency(t, direction) for t in sorted(types))
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.unionByName(p)
+    # no dropDuplicates: BFS dedups its frontier per round, and the extra
+    # shuffle here would run once per BFS round
+    return edges
+
+
 def _neighbors_at_hop(g, node, rel_types=None, distance: int = 1):
     """neighbors.at_hop(node, rel_types, distance) YIELD nodes
-    (src/mage/cpp/neighbors_module) — nodes at exactly `distance` hops."""
+    (src/mage/cpp/neighbors_module) — nodes at exactly `distance` hops,
+    edge set per _hop_adjacency (full type list + direction prefixes)."""
     from memgraph_spark.operators.expand import bfs
     src = g.spark.createDataFrame([(int(node),)], "id long")
-    etype = rel_types[0] if rel_types else None
-    r = bfs(g, src, etype, direction="both", max_hops=int(distance))
+    r = bfs(g, src, max_hops=int(distance),
+            edges_df=_hop_adjacency(g, rel_types))
     return (r.filter(F.col("dist") == int(distance))
             .select(F.col("id").alias("nodes")).orderBy("nodes"))
 
 
 def _neighbors_by_hop(g, node, rel_types=None, distance: int = 3):
     """neighbors.by_hop(...) YIELD nodes — one row per hop with the node-id
-    list at that distance."""
+    list at that distance; edge set per _hop_adjacency."""
     from memgraph_spark.operators.expand import bfs
     src = g.spark.createDataFrame([(int(node),)], "id long")
-    etype = rel_types[0] if rel_types else None
-    r = bfs(g, src, etype, direction="both", max_hops=int(distance))
+    r = bfs(g, src, max_hops=int(distance),
+            edges_df=_hop_adjacency(g, rel_types))
     return (r.filter(F.col("dist") > 0)
             .groupBy("dist").agg(F.sort_array(F.collect_list("id")).alias("nodes"))
             .orderBy("dist").select("nodes"))
@@ -556,7 +596,10 @@ def _vec_node_rel_exists(g, keys: DataFrame) -> DataFrame:
     have = F.coalesce(F.col("__inc"), F.array().cast("array<string>"))
     if "k1" in keys.columns:
         want = _string_array_col(keys, "k1")
-        exists = F.when(want.isNull(), F.size(have) > 0) \
+        # empty list = reference default "" = match any type (node.cpp:144
+        # appends ""), same as a null arg — not array_intersect(have, [])
+        exists = F.when(want.isNull() | (F.size(want) == 0),
+                        F.size(have) > 0) \
             .otherwise(F.size(F.array_intersect(have, want)) > 0)
     else:
         exists = F.size(have) > 0
@@ -630,8 +673,8 @@ def _vec_neighbors_at_hop(g, keys: DataFrame) -> DataFrame:
     for rel_types, distance, sub in _vec_hop_variants(keys, 1):
         nid = _node_id_col(sub, "k0")
         src = sub.select(nid.alias("id")).dropDuplicates()
-        etype = rel_types[0] if rel_types else None
-        r = (bfs(g, src, etype, direction="both", max_hops=distance)
+        r = (bfs(g, src, max_hops=distance,
+                 edges_df=_hop_adjacency(g, rel_types))
              .filter(F.col("dist") == distance)
              .select(F.col("start"), F.col("id").alias("nodes")))
         piece = (sub.join(r, _node_id_col(sub, "k0") == r["start"])
@@ -648,8 +691,8 @@ def _vec_neighbors_by_hop(g, keys: DataFrame) -> DataFrame:
     for rel_types, distance, sub in _vec_hop_variants(keys, 3):
         nid = _node_id_col(sub, "k0")
         src = sub.select(nid.alias("id")).dropDuplicates()
-        etype = rel_types[0] if rel_types else None
-        r = (bfs(g, src, etype, direction="both", max_hops=distance)
+        r = (bfs(g, src, max_hops=distance,
+                 edges_df=_hop_adjacency(g, rel_types))
              .filter(F.col("dist") > 0)
              .groupBy("start", "dist")
              .agg(F.sort_array(F.collect_list("id")).alias("nodes")))
