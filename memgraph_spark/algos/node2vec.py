@@ -43,14 +43,31 @@ def node2vec_walks(
     etype: str | None = None,
     is_directed: bool = False,
     seed: int = 1,
+    weighted_adj: DataFrame | None = None,
+    start_nodes: DataFrame | None = None,
 ) -> DataFrame:
     """Returns (start, rep, step, node) — one row per visited position;
-    group by (start, rep) and sort by step to recover each walk."""
+    group by (start, rep) and sort by step to recover each walk.
+
+    `weighted_adj` overrides the adjacency with a traversal-oriented
+    (src, dst, w) frame whose `w` multiplies the p/q bias in the
+    per-step exponential race — StreamWalk-style temporal decay
+    (node2vec_online's half_life). The unweighted plan is untouched when
+    it is None, so existing callers keep bit-identical seeded draws.
+    `start_nodes` overrides the walk-start set (an `id` column) — e.g.
+    full-history endpoints whose live edges were cut off, which must keep
+    their length-1 walk so they stay in the vocabulary."""
     direction = "out" if is_directed else "both"
-    adj = graph.adjacency(etype, direction)
-    nodes = (adj.select(F.col("src").alias("id"))
-             .unionAll(adj.select(F.col("dst").alias("id")))
-             .dropDuplicates())
+    if weighted_adj is not None:
+        adj = weighted_adj.select("src", "dst", F.col("w").alias("__ew"))
+    else:
+        adj = graph.adjacency(etype, direction)
+    if start_nodes is not None:
+        nodes = start_nodes.select("id").dropDuplicates()
+    else:
+        nodes = (adj.select(F.col("src").alias("id"))
+                 .unionAll(adj.select(F.col("dst").alias("id")))
+                 .dropDuplicates())
     reps = graph.spark.range(num_walks).select(F.col("id").cast("int").alias("rep"))
     state = (nodes.crossJoin(reps)
              .select(F.col("id").alias("start"), "rep",
@@ -61,14 +78,26 @@ def node2vec_walks(
                           F.col("cur").alias("node"))]
     nbr = adj.select(F.col("src").alias("prev"), F.col("dst").alias("nxt"),
                      F.lit(1).alias("is_nbr"))
+    if weighted_adj is not None:
+        # weighted frames may repeat (src, dst) — one row per arrival —
+        # and nbr is an existence flag, so dedup to avoid candidate
+        # multiplication; the unweighted adjacency is already deduped and
+        # must keep its exact plan (seeded rand draws are layout-sensitive)
+        nbr = nbr.dropDuplicates()
     for step in range(1, walk_length):
+        cand_cols = ["start", "rep", "prev", "cur",
+                     F.col("dst").alias("nxt")]
+        if weighted_adj is not None:
+            cand_cols.append("__ew")
         cand = (state.join(adj, state["cur"] == adj["src"])
-                .select("start", "rep", "prev", "cur", F.col("dst").alias("nxt"))
+                .select(*cand_cols)
                 .join(nbr, ["prev", "nxt"], "left"))
         w = (F.when(F.col("prev").isNull(), F.lit(1.0))            # first hop
              .when(F.col("nxt") == F.col("prev"), F.lit(1.0 / p))  # return
              .when(F.col("is_nbr") == 1, F.lit(1.0))               # stay close
              .otherwise(F.lit(1.0 / q)))                           # explore
+        if weighted_adj is not None:
+            w = w * F.col("__ew")
         race = -F.log(F.rand(seed + step) + F.lit(1e-12)) / w
         state = (cand.withColumn("r", race)
                  .groupBy("start", "rep")
@@ -234,15 +263,19 @@ def node2vec_embeddings(
     seed: int = 1,
     etype: str | None = None,
     distributed: bool | None = None,
+    weighted_adj: DataFrame | None = None,
+    start_nodes: DataFrame | None = None,
 ) -> DataFrame:
     """node2vec.get_embeddings parity: returns (node, embedding) rows
     (the reference packs them into two parallel lists — same content).
 
     `distributed=None` auto-routes: corpora up to DRIVER_CORPUS_FENCE walks
     use the driver-exact trainer (gensim parity), larger ones the
-    model-averaging distributed trainer."""
+    model-averaging distributed trainer. `weighted_adj`/`start_nodes`
+    pass through to node2vec_walks (temporal decay for node2vec_online)."""
     walks = node2vec_walks(graph, p, q, num_walks, walk_length, etype,
-                           is_directed, seed)
+                           is_directed, seed, weighted_adj=weighted_adj,
+                           start_nodes=start_nodes)
     seqs = (walks.groupBy("start", "rep")
             .agg(F.transform(F.sort_array(F.collect_list(F.struct("step", "node"))),
                              lambda s: s["node"]).alias("seq")))

@@ -219,7 +219,12 @@ def tgn_update(graph, edges) -> DataFrame:
         st["results"].append(
             (st["epoch"], st["batch"],
              round(time.perf_counter() - t0, 3), None, st["mode"]))
-    return graph.spark.createDataFrame([], "message string")
+    # zero-COLUMN frame: the reference update() returns mgp.Record() (one
+    # empty record), so in-query CALLs keep the frame's cardinality via
+    # session.py's void_like pass-through; a 0-row typed frame would
+    # annihilate every frame row through the per-row join
+    from pyspark.sql import types as T
+    return graph.spark.createDataFrame([], T.StructType([]))
 
 
 def tgn_get(graph) -> DataFrame:

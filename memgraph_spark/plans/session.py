@@ -1608,9 +1608,9 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         if self.df is None:
             raise CompileError(
                 "CALL arguments reference variables, but none are in scope")
-        if cl.yield_mode == "none":
-            raise CompileError(
-                f"CALL {cl.name} inside a query must YIELD its outputs")
+        # yield_mode "none" is legal only for VOID procedures (reference
+        # update() returns one empty mgp.Record per call — pipeline
+        # cardinality preserved); decided below once the stream is built
         tags = [f"__ca{i}" for i in range(len(cl.args))]
         tagged = self.df.select(
             "*", *[compile_expr(self._lift(a), self._env()).alias(t)
@@ -1620,7 +1620,15 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         if stream is None:
             stream = self._per_combo_call(cl, fn, tagged, tags, tag_types)
         out_cols = [c for c in stream.columns if not c.startswith("__cb")]
-        if cl.yield_mode == "dash":
+        if cl.yield_mode == "none":
+            if out_cols:
+                raise CompileError(
+                    f"CALL {cl.name} inside a query must YIELD its outputs")
+            # void procedure: keep only the join keys — one empty record
+            # per combo preserves the frame's cardinality
+            stream = stream.select(
+                *[c for c in stream.columns if c.startswith("__cb")])
+        elif cl.yield_mode == "dash":
             stream = stream.select(
                 *[c for c in stream.columns if c.startswith("__cb")])
         elif cl.yield_mode == "list":
@@ -1698,6 +1706,11 @@ class QueryCompiler(WriteMixin, TraversalMixin):
             # procedure expects; the join-back key keeps the ORIGINAL
             # typed value via a structured literal
             res = fn(self.g, *[_pyval(v) for v in row])
+            if not res.columns:
+                # VOID procedure: one empty record per invocation
+                # (mgp.Record() semantics) — a 0-row keyed stream would
+                # annihilate the frame rows carrying this combo
+                res = self.g.spark.range(1).select()
             keyed = res.select(
                 *[_typed_lit(row[i], tag_types[t]).alias(f"__cb{i}")
                   for i, t in enumerate(tags)],

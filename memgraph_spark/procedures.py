@@ -880,15 +880,27 @@ def _n2vo_state(g) -> dict:
     return g._n2v_online_state
 
 
+def _n2vo_now() -> int:
+    """Edge arrival clock for the stream buffer (reference stamps each
+    update batch with std::time(nullptr), node2vec_online_module.cpp:216).
+    Module-level so tests can monkeypatch time."""
+    import time
+    return int(time.time())
+
+
 def _n2vo_set_streamwalk_updater(g, half_life=7200, max_length=3, beta=0.9,
                                  cutoff=604800, sampled_walks=4,
                                  full_walks=False):
     """node2vec_online.set_streamwalk_updater
     (query_modules/node2vec_online_module/node2vec_online_module.cpp:329).
     Parameters are stored; the walk sampler maps max_length ->
-    walk_length and sampled_walks -> num_walks of the batch re-expression
-    (temporal half-life/cutoff decay is a protocol no-op here — the
-    buffered stream is replayed whole on get())."""
+    walk_length and sampled_walks -> num_walks of the batch re-expression,
+    and half_life/cutoff drive temporal decay at get(): edges older than
+    cutoff (vs the newest buffered edge) are dropped, the rest weight walk
+    sampling by 0.5^(age/half_life) — the StreamWalk decay law
+    (algorithm/stream_walk_updater.hpp:12, c = -ln(0.5)/half_life)."""
+    if int(half_life) <= 0:
+        raise ValueError("half_life must be positive.")
     st = _n2vo_state(g)
     st["updater"] = {"half_life": int(half_life),
                      "max_length": int(max_length), "beta": float(beta),
@@ -926,21 +938,27 @@ def _n2vo_require_init(st):
 
 def _n2vo_update(g, edges=None):
     """node2vec_online.update(edges) — buffers stream edges (rows of
-    [src, dst] or edge structs); embeddings retrain lazily on get().
-    Online in protocol, amortized batch recompute in implementation — at
-    scale the retrain is the distributed SGNS path of
-    node2vec_embeddings. The stream history accumulates as a checkpointed
-    frame (old generations freed), never a driver-side list."""
+    [src, dst] or edge structs), stamped with the arrival time (the
+    reference stamps the batch with std::time, module.cpp:216);
+    embeddings retrain lazily on get(). Online in protocol, amortized
+    batch recompute in implementation — at scale the retrain is the
+    distributed SGNS path of node2vec_embeddings. The stream history
+    accumulates as a checkpointed frame (old generations freed), never a
+    driver-side list. Returns a zero-column frame: the reference update()
+    yields one empty mgp.Record per call, so in-query CALLs must keep the
+    frame's cardinality (void_like pass-through), not annihilate it."""
+    from pyspark.sql import types as T
     from memgraph_spark.session import free_checkpoint
     st = _n2vo_state(g)
     _n2vo_require_init(st)
+    now = _n2vo_now()
     rows = []
     for e in edges or []:
         row = _pyval(e)
         if isinstance(row, (list, tuple)) and len(row) >= 2:
-            rows.append((int(row[0]), int(row[1])))
+            rows.append((int(row[0]), int(row[1]), now))
     if rows:
-        df = g.spark.createDataFrame(rows, "src long, dst long")
+        df = g.spark.createDataFrame(rows, "src long, dst long, t long")
         if st.get("edges_df") is None:
             st["edges_df"] = df.localCheckpoint(eager=True)
         else:
@@ -949,11 +967,22 @@ def _n2vo_update(g, edges=None):
             free_checkpoint(st["edges_df"])
             st["edges_df"] = merged
         st["dirty"] = True
-    return g.spark.createDataFrame([], "message string")
+    return g.spark.createDataFrame([], T.StructType([]))
 
 
 def _n2vo_get(g):
-    """node2vec_online.get() YIELD node, embedding."""
+    """node2vec_online.get() YIELD node, embedding.
+
+    Temporal decay (StreamWalk, algorithm/stream_walk_updater.hpp:12):
+    relative to the newest buffered edge, edges older than `cutoff` are
+    dropped and the survivors weight walk sampling by
+    0.5^(age/half_life). Endpoints whose every edge aged past the cutoff
+    stay in the vocabulary (length-1 walks) so their embeddings drift to
+    independent init vectors rather than vanishing. When every weight is
+    exactly 1.0 in float (single-timestamp buffer, or half_life large
+    enough that the oldest decay rounds to 1), the unweighted plan runs —
+    bit-identical to the no-decay output."""
+    import math
     st = _n2vo_state(g)
     _n2vo_require_init(st)
     if st.get("edges_df") is None:
@@ -964,12 +993,32 @@ def _n2vo_get(g):
         from memgraph_spark.catalog import PropertyGraph
         up, ln = st["updater"], st["learner"]
         e = st["edges_df"]
-        sub = PropertyGraph(
-            g.spark,
-            nodes={"V": e.select(F.col("src").alias("id"))
-                   .unionAll(e.select(F.col("dst").alias("id")))
-                   .dropDuplicates()},
-            edges={"E": e})
+        half_life, cutoff = up["half_life"], up["cutoff"]
+        bounds = e.agg(F.max("t").alias("tmax"),
+                       F.min("t").alias("tmin")).first()
+        span = int(bounds.tmax - bounds.tmin)
+        live = e.filter(F.col("t") > F.lit(int(bounds.tmax) - cutoff))
+        endpoints = (e.select(F.col("src").alias("id"))
+                     .unionAll(e.select(F.col("dst").alias("id")))
+                     .dropDuplicates())
+        no_decay = (span < cutoff
+                    and math.exp(-math.log(2.0) * span / half_life) == 1.0)
+        if no_decay:
+            weighted, starts = None, None
+            edge_frame = e.select("src", "dst")
+        else:
+            w = F.exp(F.lit(-math.log(2.0) / half_life)
+                      * (F.lit(int(bounds.tmax)) - F.col("t")).cast("double"))
+            directed = live.select("src", "dst", w.alias("w"))
+            # undirected traversal: both orientations, per-arrival rows kept
+            # (multiple arrivals = more sampling mass, as in StreamWalk)
+            weighted = directed.unionAll(
+                directed.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst"), "w"))
+            starts = endpoints
+            edge_frame = live.select("src", "dst")
+        sub = PropertyGraph(g.spark, nodes={"V": endpoints},
+                            edges={"E": edge_frame})
         new_emb = node2vec_embeddings(
             sub,
             num_walks=up["sampled_walks"],
@@ -977,6 +1026,8 @@ def _n2vo_get(g):
             vector_size=ln["embedding_dimension"],
             alpha=ln["learning_rate"],
             negative=max(1, int(ln["negative_rate"])),
+            weighted_adj=weighted,
+            start_nodes=starts,
         ).localCheckpoint(eager=True)
         if st["emb"] is not None:
             from memgraph_spark.session import free_checkpoint
@@ -992,6 +1043,8 @@ def _n2vo_reset(g):
         st = g._n2v_online_state
         if st.get("edges_df") is not None:
             free_checkpoint(st["edges_df"])
+        if st.get("emb") is not None:
+            free_checkpoint(st["emb"])
         del g._n2v_online_state
     return g.spark.createDataFrame(
         [("The model has been reset.",)], "message string")
