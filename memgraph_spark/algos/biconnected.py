@@ -144,6 +144,14 @@ def biconnected_components_distributed(graph, etype: str | None = None,
         tree_pieces.append(nxt)
         visited = visited.unionByName(nxt)
         frontier = nxt
+    if m["n"] > 0:
+        # the loop exhausted max_rounds with a live frontier: nodes deeper
+        # than max_rounds would silently vanish from the spanning forest
+        # (and their edges from the output) — fail loudly instead
+        raise ValueError(
+            f"biconnected_components: spanning-tree BFS did not converge "
+            f"within max_rounds={max_rounds} (graph depth exceeds it); "
+            "raise max_rounds")
     if not tree_pieces:
         und.unpersist(); adj.unpersist()
         return empty
@@ -203,6 +211,12 @@ def biconnected_components_distributed(graph, etype: str | None = None,
             n=F.count(F.when(F.col("u") != F.col("v"), 1)))
         free_checkpoint(state)
         state = new_state
+    if m["n"] > 0:
+        # unfinished cycles would be mislabeled as already-lifted — raise
+        # rather than return a partial labeling
+        raise ValueError(
+            f"biconnected_components: cycle lifting did not converge "
+            f"within max_rounds={max_rounds}; raise max_rounds")
 
     # -- 3. incidence CC: {tree child ids (>=0 node space)} x {cyc (<0)}
     if link_pieces:

@@ -164,7 +164,16 @@ def _bulk_create(graph, node_rows, edge_rows):
             continue
         epoch = graph.next_epoch()
         names = sorted({k for _s, _d, p in rows for k in p})
-        recs = [{"src": idx_to_id.get(s, s), "dst": idx_to_id.get(d, d),
+        unknown = sorted({e for s, d, _p in rows for e in (s, d)
+                          if e not in idx_to_id})
+        if unknown:
+            # an edge_index entry outside [0, num_nodes) would otherwise
+            # mint a dangling edge whose endpoint is the raw index
+            # reinterpreted as a global node id
+            raise ValueError(
+                f"edge_index references node indexes outside "
+                f"[0, {len(node_rows)}): {unknown[:5]}")
+        recs = [{"src": idx_to_id[s], "dst": idx_to_id[d],
                  **{k: p.get(k) for k in names}}
                 for s, d, p in rows]
         df = spark.createDataFrame(recs)

@@ -70,3 +70,15 @@ def test_empty_graph(spark):
         biconnected_components_distributed)
     g = PropertyGraph(spark, nodes={}, edges={})
     assert biconnected_components_distributed(g).collect() == []
+
+
+def test_max_rounds_exhaustion_raises(spark):
+    """ADVICE r4: a graph deeper than max_rounds must raise, not silently
+    drop the deep nodes from the spanning forest / mislabel unfinished
+    cycles."""
+    from memgraph_spark.algos.biconnected import (
+        biconnected_components_distributed)
+    chain = [(i, i + 1) for i in range(6)] + [(0, 6)]  # 7-cycle, depth 6
+    g = _graph(spark, chain)
+    with pytest.raises(ValueError, match="max_rounds"):
+        biconnected_components_distributed(g, max_rounds=2)

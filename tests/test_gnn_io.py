@@ -84,3 +84,13 @@ def test_procedure_surface(spark):
     rows = gs.execute("CALL gnn.tf_export() YIELD json_data "
                       "RETURN json_data").collect()
     assert json.loads(rows[0].json_data)["node_sets"]["node"]["sizes"] == [3]
+
+
+def test_import_rejects_out_of_range_edge_index(spark):
+    """ADVICE r4: an edge_index entry outside [0, num_nodes) must raise
+    instead of minting a dangling edge with the raw index as a node id."""
+    from memgraph_spark.gnn_io import pyg_import
+    g = PropertyGraph(spark, nodes={}, edges={})
+    bad = json.dumps({"num_nodes": 2, "edge_index": [[0, 5], [1, 0]]})
+    with pytest.raises(ValueError, match="node indexes outside"):
+        pyg_import(g, bad)
