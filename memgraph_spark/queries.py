@@ -33,6 +33,23 @@ from memgraph_spark.operators import (
 graph_for = _catalog_graph_for
 
 
+def money(col) -> F.Column:
+    """Money-semantics column for aggregation: DECIMAL(18,2) (the source
+    values are 2dp TPC-H amounts stored as doubles). Decimal sums are
+    exact and order-independent — at 100 TB a double sum drifts with
+    addend count (the sf1 spot-check caught a one-cent deviation in ~6e10
+    additions), while JVM decimal aggregation stays hash-exact. Cast back
+    to double at the edge to keep result schemas unchanged."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(18,2)")
+
+
+def money_sum(expr, alias: str) -> F.Column:
+    """round(sum(<decimal expr>), 2) cast back to double — the oracle SQL
+    mirrors the same CAST so both sides produce the identical double."""
+    return F.round(F.sum(expr), 2).cast("double").alias(alias)
+
+
 # node-id arithmetic mirrored in SQL oracles (catalog.node_id)
 _B = 1 << 56
 _ID = {label: code * _B for label, code in
@@ -81,13 +98,14 @@ def q_expand_one_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         df,
         [F.col("c_mktsegment").alias("mktsegment")],
         [F.count("*").alias("n_orders"),
-         F.round(F.sum("o_n_totalprice"), 2).alias("total_value")],
+         money_sum(money("o_n_totalprice"), "total_value")],
     )
 
 
 ORACLE_EXPAND_ONE_HOP = """
 SELECT c_mktsegment AS mktsegment, count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS total_value
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_value
 FROM customer JOIN orders ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
@@ -135,15 +153,19 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregate(
         df,
         [F.col("reg_name").alias("region")],
-        [F.round(F.sum(F.col("e_extendedprice") * (1 - F.col("e_discount"))), 2)
-         .alias("revenue"),
+        [money_sum(money("e_extendedprice")
+                   * (F.lit(1).cast("decimal(3,2)") - money("e_discount")),
+                   "revenue"),
          F.count("*").alias("n_lineitems")],
     )
 
 
 ORACLE_REGION_REVENUE = """
 SELECT r_name AS region,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(3,2))
+                         - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+         AS revenue,
        count(*) AS n_lineitems
 FROM region
 JOIN nation ON n_regionkey = r_regionkey
