@@ -281,6 +281,21 @@ class _RowStream:
             self._pushback = next(self._it, None)
         return self._pushback is not None
 
+    def close(self) -> None:
+        """Drop a half-pulled stream without leaking the iterator's job:
+        generator.close() raises GeneratorExit in toLocalIterator's frame,
+        releasing the PyLocalIterable so its cleanup (stop signal to the
+        JVM serving thread) runs promptly rather than at interpreter
+        exit."""
+        close = getattr(self._it, "close", None)
+        if close is not None:
+            try:
+                close()
+            except Exception:  # noqa: BLE001 - best-effort release
+                pass
+        self._it = iter(())
+        self._pushback = None
+
 
 class _Session:
     """Per-connection state machine (SessionHL parity)."""
@@ -356,6 +371,8 @@ class _Session:
             return False
         if tag == RESET:
             self.failed = False
+            if self.rows is not None:
+                self.rows.close()
             self.rows, self.cursor, self.fields = None, 0, []
             self.success({})
             return True
@@ -378,8 +395,14 @@ class _Session:
                                        df.schema.fields, kinds, self.v5)
                 self.success({"fields": self.fields, "t_first": 0})
             except Exception as exc:  # noqa: BLE001 - wire-level boundary
-                self.failure("Memgraph.ClientError.Statement.SyntaxError",
-                             str(exc))
+                # parse/compile errors keep the SyntaxError code; anything
+                # else maps to the reference's generic query-failure code
+                # (handlers.hpp:58 — ClientError means do not retry)
+                from memgraph_spark.plans.exprs import CompileError
+                code = ("Memgraph.ClientError.Statement.SyntaxError"
+                        if isinstance(exc, (CompileError, SyntaxError))
+                        else "Memgraph.ClientError.MemgraphError.MemgraphError")
+                self.failure(code, str(exc))
             return True
         if tag == PULL:
             if self.rows is None:
@@ -403,10 +426,15 @@ class _Session:
                 raise
             except Exception as exc:  # noqa: BLE001 - deferred exec errors
                 # toLocalIterator defers job execution to iteration time;
-                # a runtime failure surfaces here, not at RUN
+                # a runtime failure surfaces here, not at RUN — and it is
+                # an execution error, not a syntax one (reference
+                # handlers.hpp:58 wraps query failures as
+                # ClientError.MemgraphError)
+                self.rows.close()
                 self.rows = None
-                self.failure("Memgraph.ClientError.Statement.SyntaxError",
-                             str(exc))
+                self.failure(
+                    "Memgraph.ClientError.MemgraphError.MemgraphError",
+                    str(exc))
                 return True
             if more:
                 self.success({"has_more": True})
@@ -415,7 +443,11 @@ class _Session:
                 self.success({"type": "r", "t_last": 0})
             return True
         if tag == DISCARD:
-            self.rows = None
+            if self.rows is not None:
+                # half-pulled stream: release the local-iterator socket /
+                # serving thread now instead of at GC
+                self.rows.close()
+                self.rows = None
             self.success({"type": "r", "t_last": 0})
             return True
         if tag in (BEGIN, COMMIT, ROLLBACK):

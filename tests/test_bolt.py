@@ -12,8 +12,8 @@ from memgraph_spark.catalog import PropertyGraph
 from memgraph_spark.server import BoltServer
 from memgraph_spark.server import packstream as ps
 from memgraph_spark.server.bolt import (
-    FAILURE, GOODBYE, HELLO, IGNORED, LOGON, MAGIC, PULL, RECORD, RESET,
-    RUN, SUCCESS, read_message, write_message,
+    DISCARD, FAILURE, GOODBYE, HELLO, IGNORED, LOGON, MAGIC, PULL, RECORD,
+    RESET, RUN, SUCCESS, read_message, write_message,
 )
 
 
@@ -332,3 +332,65 @@ def test_pull_deferred_execution_error_is_failure(server):
     resp = _roundtrip(sock, RUN, "RETURN 1 AS ok", {}, {})
     assert resp.tag == SUCCESS
     sock.close()
+
+
+def test_pull_runtime_error_code_is_memgraph_error(server):
+    """VERDICT r4 item 4: a deferred execution failure is an execution
+    error, not a syntax one — the reference wraps query failures as
+    Memgraph.ClientError.MemgraphError.MemgraphError (handlers.hpp:58)."""
+    sock = _login(server)
+    assert _roundtrip(sock, RUN,
+                      "UNWIND [1, 0] AS d RETURN 10 / d AS q",
+                      {}, {}).tag == SUCCESS
+    write_message(sock, PULL, {"n": -1})
+    msg = read_message(sock)
+    while msg.tag == RECORD:
+        msg = read_message(sock)
+    assert msg.tag == FAILURE
+    assert msg.fields[0]["code"] == \
+        "Memgraph.ClientError.MemgraphError.MemgraphError"
+    # a genuine parse error keeps the SyntaxError code
+    assert _roundtrip(sock, RESET).tag == SUCCESS
+    resp = _roundtrip(sock, RUN, "MATCH )broken( RETURN 1", {}, {})
+    assert resp.tag == FAILURE
+    assert resp.fields[0]["code"] == \
+        "Memgraph.ClientError.Statement.SyntaxError"
+    sock.close()
+
+
+def test_discard_half_pulled_stream_closes_iterator(server):
+    """DISCARD mid-pull must close the local-iterator generator (stop
+    signal to the JVM serving thread) and leave the session usable."""
+    from memgraph_spark.server import bolt as B
+    closed = []
+    orig_close = B._RowStream.close
+
+    def spy_close(self):
+        closed.append(True)
+        orig_close(self)
+    B._RowStream.close = spy_close
+    try:
+        sock = _login(server)
+        assert _roundtrip(sock, RUN,
+                          "UNWIND range(1, 100000) AS x RETURN x",
+                          {}, {}).tag == SUCCESS
+        write_message(sock, PULL, {"n": 10})
+        seen = 0
+        while True:
+            msg = read_message(sock)
+            if msg.tag == SUCCESS:
+                assert msg.fields[0].get("has_more")
+                break
+            assert msg.tag == RECORD
+            seen += 1
+        assert seen == 10
+        assert _roundtrip(sock, DISCARD, {"n": -1}).tag == SUCCESS
+        assert closed, "DISCARD did not close the row stream"
+        # session still serves queries after the discard
+        assert _roundtrip(sock, RUN, "RETURN 1 AS ok", {}, {}).tag == SUCCESS
+        write_message(sock, PULL, {"n": -1})
+        assert read_message(sock).tag == RECORD
+        assert read_message(sock).tag == SUCCESS
+        sock.close()
+    finally:
+        B._RowStream.close = orig_close
