@@ -66,7 +66,16 @@ def _gc(spark) -> None:
 
 def run_suite(spark, sf_dir: str, runs: int = 3):
     """One warm-up pass + `runs` measured hot passes.
-    Returns (medians: {name: sec}, per_run_totals: [sec], raw: {name: [sec]})."""
+    Returns (medians, per_run_totals, raw, load_avgs) — load_avgs records
+    os.getloadavg()[0] at the start of each measured pass (plus index 0 =
+    pre-warm-up, i.e. ambient machine load before we add our own). The VM
+    this runs on shows +-50% cross-day variance from noisy neighbours;
+    the load trail makes adjudication mechanical: a pass whose AMBIENT
+    (pre-suite) load exceeds ~2 with no local processes is a polluted
+    window (round-4 A/B saw load 6+ account for a uniform 1.4x
+    inflation). Mid-suite samples include our own just-finished pass, so
+    only the first sample gates quietness."""
+    load_avgs = [round(os.getloadavg()[0], 2)]
     # warm the JVM + file metadata (not the query plans themselves)
     for t in Q.graph_for(spark, sf_dir).tables.values():
         t.count()
@@ -80,6 +89,7 @@ def run_suite(spark, sf_dir: str, runs: int = 3):
     totals: list[float] = []
     for _ in range(runs):
         _gc(spark)
+        load_avgs.append(round(os.getloadavg()[0], 2))
         t_all = time.perf_counter()
         for name in names:
             t0 = time.perf_counter()
@@ -87,7 +97,7 @@ def run_suite(spark, sf_dir: str, runs: int = 3):
             raw[name].append(round(time.perf_counter() - t0, 3))
         totals.append(round(time.perf_counter() - t_all, 3))
     medians = {n: round(statistics.median(v), 3) for n, v in raw.items()}
-    return medians, totals, raw
+    return medians, totals, raw, load_avgs
 
 
 def main() -> None:
@@ -97,7 +107,7 @@ def main() -> None:
     spark = get_spark("memgraph-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    medians, totals, _raw = run_suite(spark, sf_dir, runs)
+    medians, totals, _raw, load_avgs = run_suite(spark, sf_dir, runs)
     out = {
         "metric": "headline_suite_total",
         "value": round(sum(medians.values()), 3),
@@ -105,6 +115,7 @@ def main() -> None:
         "queries": medians,
         "runs": runs,
         "per_run_totals": totals,
+        "load_avg": load_avgs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # extended sections (VERDICT r3 items 1-2): supernode-skew stress vs a

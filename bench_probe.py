@@ -36,15 +36,27 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     spark = get_spark("memgraph-spark-bench-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    medians, totals, raw = run_suite(spark, sf_dir, runs)
+    ambient = os.getloadavg()[0]
+    if ambient > 2 and "--update" in sys.argv \
+            and os.environ.get("SPARK_GRAFT_FORCE_PIN") != "1":
+        # re-pinning the baseline in a noisy window poisons every future
+        # comparison — refuse (VERDICT r4 item 7); probe-only runs proceed
+        # and record the load so adjudication stays mechanical
+        print(f"ambient load {ambient:.1f} > 2: refusing to re-pin the "
+              "baseline in a noisy window (set SPARK_GRAFT_FORCE_PIN=1 "
+              "to override)")
+        return
+    medians, totals, raw, load_avgs = run_suite(spark, sf_dir, runs)
     total = round(sum(medians.values()), 3)
     print(json.dumps({"medians": medians, "total": total,
-                      "per_run_totals": totals}, indent=1))
+                      "per_run_totals": totals,
+                      "load_avg": load_avgs}, indent=1))
 
     if "--update" in sys.argv or not os.path.exists(BASELINE):
         with open(BASELINE, "w") as f:
             json.dump({"sf_dir": sf_dir, "runs": runs, "total": total,
-                       "medians": medians}, f, indent=1)
+                       "medians": medians, "load_avg": load_avgs}, f,
+                      indent=1)
         print(f"baseline written: {BASELINE}")
         return
 

