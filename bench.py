@@ -132,6 +132,10 @@ def main() -> None:
             out["sf1"] = benchx.run_sf1_bench(spark, sf_dir)
         except Exception as exc:  # noqa: BLE001
             out["sf1"] = {"error": f"{type(exc).__name__}: {exc}"}
+        try:
+            out["dsthot"] = benchx.run_dsthot_bench(spark)
+        except Exception as exc:  # noqa: BLE001
+            out["dsthot"] = {"error": f"{type(exc).__name__}: {exc}"}
     print(json.dumps(out))
 
 

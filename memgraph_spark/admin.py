@@ -1082,6 +1082,11 @@ def try_admin(graph, query: str, params: dict | None = None,
         rows = []
         if not hasattr(graph, "_analyzed_stats"):
             graph._analyzed_stats = set()
+        if graph.edges:
+            # degree stats feed hot-key aggregation routing
+            # (operators.aggregate.rollup_collect) — measured here because
+            # ANALYZE is the explicit stats opt-in, like the reference
+            graph.measure_degree_hint(None)
         indexed = [(e[0], e[1] if isinstance(e[1], tuple) else (e[1],))
                    for e in graph.index_registry
                    if len(e) == 2 and e[1] is not None

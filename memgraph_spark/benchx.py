@@ -258,3 +258,101 @@ def run_sf1_bench(spark: SparkSession, sf01_dir: str,
     return {"queries": times, "passes": 1,
             "total": round(time.perf_counter() - t_all, 3),
             "copies": _COPIES}
+
+
+# ---------------------------------------------------------------------------
+# dst-hot-key aggregation stress (VERDICT r4 item 8)
+# ---------------------------------------------------------------------------
+
+DSTHOT_N = 5_000_000
+DSTHOT_KEYS = 100_000
+
+
+def _dsthot_frames(spark: SparkSession):
+    """HOT: key 0 holds a full shuffle-partition share (N/parts rows) —
+    SCALE.md's named untested shape (the supernode as AGGREGATION key,
+    not frontier member). FLAT twin: same N rows uniform over the same
+    key count. Generated in-memory, seeded by xxhash64 of the row id —
+    deterministic."""
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    hot_share = DSTHOT_N // max(parts, 1)
+    base = spark.range(DSTHOT_N).select(
+        F.col("id").alias("payload"),
+        (F.pmod(F.xxhash64("id"), DSTHOT_KEYS) + 1).alias("uni"))
+    hot = base.select(
+        F.when(F.col("payload") < hot_share, F.lit(0))
+        .otherwise(F.col("uni")).alias("dst"), "payload").persist()
+    flat = base.select(F.col("uni").alias("dst"), "payload").persist()
+    hot.count(); flat.count()
+    return hot, flat, hot_share
+
+
+def run_dsthot_bench(spark: SparkSession) -> dict:
+    """Measures the two-phase salted collect vs the plain single-shuffle
+    plan on a hot-key frame, against a flat equal-work twin:
+
+    - collect_hot_plain:  groupBy(dst).collect_list — one reduce task
+      buffers the hot key's whole slice
+    - collect_hot_salted: operators.aggregate.salted_collect_list
+    - collect_flat_plain: the flat twin, plain plan (the ≤1.3x target)
+    - sum_hot_plain: algebraic control — Catalyst's partial aggregation
+      already neutralizes the hot key for sums, measured to prove it
+
+    Also asserts result equivalence (per-key count + payload sum) between
+    the plain and salted collects."""
+    import statistics
+
+    from memgraph_spark.operators.aggregate import salted_collect_list
+    hot, flat, hot_share = _dsthot_frames(spark)
+
+    def plain(df):
+        return (df.groupBy("dst")
+                .agg(F.collect_list("payload").alias("vals")).count())
+
+    def salted(df):
+        return salted_collect_list(df, ["dst"], "payload", "vals").count()
+
+    def algebraic(df):
+        return (df.groupBy("dst")
+                .agg(F.sum("payload").alias("s"),
+                     F.count("*").alias("n")).count())
+
+    cases = (("collect_hot_plain", lambda: plain(hot)),
+             ("collect_hot_salted", lambda: salted(hot)),
+             ("collect_flat_plain", lambda: plain(flat)),
+             ("collect_flat_salted", lambda: salted(flat)),
+             ("sum_hot_plain", lambda: algebraic(hot)),
+             ("sum_flat_plain", lambda: algebraic(flat)))
+    for _name, thunk in cases:           # warm-up (JIT/codegen)
+        thunk()
+    times, rows = {}, {}
+    raw = {name: [] for name, _ in cases}
+    for _ in range(3):                   # per-case medians, hot passes
+        for name, thunk in cases:
+            t0 = time.perf_counter()
+            rows[name] = thunk()
+            raw[name].append(round(time.perf_counter() - t0, 3))
+    for name, vals in raw.items():
+        times[name] = round(statistics.median(vals), 3)
+        _log(f"  dsthot {name}: {times[name]}s ({rows[name]} groups)")
+
+    # equivalence: salted and plain agree on per-key size + payload sum
+    def digest(agg_df):
+        return (agg_df
+                .select("dst", F.size("vals").alias("n"),
+                        F.aggregate("vals", F.lit(0).cast("long"),
+                                    lambda a, x: a + x).alias("s"))
+                .agg(F.sum("n"), F.sum("s"), F.count("*")).first())
+    d_plain = digest(hot.groupBy("dst")
+                     .agg(F.collect_list("payload").alias("vals")))
+    d_salt = digest(salted_collect_list(hot, ["dst"], "payload", "vals"))
+    equivalent = tuple(d_plain) == tuple(d_salt)
+    hot.unpersist(); flat.unpersist()
+    flat_t = times["collect_flat_plain"] or 1e-9
+    return {"times": times, "groups": rows,
+            "hot_share_rows": hot_share,
+            "salted_vs_flat_ratio": round(
+                times["collect_hot_salted"] / flat_t, 3),
+            "plain_vs_flat_ratio": round(
+                times["collect_hot_plain"] / flat_t, 3),
+            "equivalent": bool(equivalent)}

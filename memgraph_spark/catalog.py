@@ -97,6 +97,12 @@ class PropertyGraph:
     # cached per-label row counts (ANALYZE GRAPH parity — the planner's
     # vertex_count_cache, src/query/plan/vertex_count_cache.hpp)
     _count_cache: dict = field(default_factory=dict, repr=False)
+    # measured degree stats: etype|None -> (max_degree, total_edge_ends).
+    # Populated by ANALYZE GRAPH or measure_degree_hint (stats are opt-in,
+    # like the reference's label_property_index_stats); consulted by
+    # hot-key aggregation routing (operators.aggregate.rollup_collect).
+    # Invalidated on edge writes alongside the adjacency cache.
+    degree_hint: dict = field(default_factory=dict, repr=False)
     # built text indexes: (table, id_col, text_col) -> (index_df, n_docs,
     # avg_len). Parity with the reference's persistent tantivy index
     # (src/storage/v2/indices/text_index.hpp:37): built once at CREATE TEXT
@@ -172,6 +178,8 @@ class PropertyGraph:
                 if key[0] in (etype, None):
                     cached.unpersist()
                     del cache[key]
+        for key in (etype, None):
+            self.degree_hint.pop(key, None)
 
     def alloc_edge_ids(self, n: int) -> int:
         """Allocate n consecutive edge ids from an in-memory counter
@@ -415,6 +423,19 @@ class PropertyGraph:
                 edges.select(F.col("dst").alias("id"))
             )
         return keyed.groupBy("id").agg(F.count("*").alias("degree"))
+
+    def measure_degree_hint(self, etype: str | None = None) -> tuple:
+        """Measure and cache (max_degree, total_edge_ends) for hot-key
+        aggregation routing — one map-side-combined aggregation over the
+        edge ends. Explicitly invoked (ANALYZE GRAPH / bulk loads), never
+        implicitly per query."""
+        if etype not in self.degree_hint:
+            r = (self.degrees(etype, "both")
+                 .agg(F.max("degree").alias("mx"),
+                      F.sum("degree").alias("total")).first())
+            self.degree_hint[etype] = (int(r["mx"] or 0),
+                                       int(r["total"] or 0))
+        return self.degree_hint[etype]
 
 
 def _read_parquet(spark: SparkSession, path: str) -> DataFrame:

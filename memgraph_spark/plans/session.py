@@ -2049,9 +2049,12 @@ class QueryCompiler(WriteMixin, TraversalMixin):
             sub._where(pc.where)
         proj = compile_expr(sub._lift(pc.projection), sub._env())
         if keys:
-            rolled = (self._scan_order(sub.df)
-                      .select(*keys, proj.alias("__proj"))
-                      .groupBy(*keys).agg(F.collect_list("__proj").alias(out)))
+            from memgraph_spark.operators.aggregate import rollup_collect
+            rolled = rollup_collect(
+                self.g,
+                self._scan_order(sub.df).select(*keys,
+                                                proj.alias("__proj")),
+                keys, "__proj", out)
             if all(ren.get(s, s) == s for s in node_shared):
                 self.df = self.df.join(rolled, on=keys, how="left")
             else:
