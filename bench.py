@@ -136,6 +136,10 @@ def main() -> None:
             out["dsthot"] = benchx.run_dsthot_bench(spark)
         except Exception as exc:  # noqa: BLE001
             out["dsthot"] = {"error": f"{type(exc).__name__}: {exc}"}
+        try:
+            out["pokec"] = benchx.run_pokec_bench(spark)
+        except Exception as exc:  # noqa: BLE001
+            out["pokec"] = {"error": f"{type(exc).__name__}: {exc}"}
     print(json.dumps(out))
 
 

@@ -261,6 +261,125 @@ def run_sf1_bench(spark: SparkSession, sf01_dir: str,
 
 
 # ---------------------------------------------------------------------------
+# Pokec-shaped social workload (VERDICT r4 item 9)
+# ---------------------------------------------------------------------------
+# The reference's published bench envelope is Pokec/LDBC
+# (tests/mgbench/workloads/pokec.py:613-1079). These mirror its read/
+# aggregate/expansion Cypher shapes over the benchx power-law graph —
+# compiled through the Cypher frontend, so the bench exercises
+# reference-shaped plans, not only the star schema. The anchor vertex is
+# the supernode (id 0): the hardest instance of each shape.
+
+POKEC_QUERIES = {
+    # benchmark__aggregation__count
+    "aggregation_count":
+        "MATCH (n) RETURN count(n) AS cnt, count(n.age) AS cnt_age",
+    # benchmark__aggregation__min_max_avg
+    "aggregation_min_max_avg":
+        "MATCH (n) RETURN min(n.age) AS mn, max(n.age) AS mx, "
+        "round(avg(n.age), 4) AS av",
+    # benchmark__basic__expansion_1_analytical
+    "expansion_1":
+        "MATCH (s:User {uid: 0})-->(n:User) RETURN n.uid AS nid",
+    # benchmark__basic__expansion_1_with_filter_analytical
+    "expansion_1_with_filter":
+        "MATCH (s:User {uid: 0})-->(n:User) WHERE n.age >= 40 "
+        "RETURN n.uid AS nid",
+    # benchmark__basic__expansion_2_analytical
+    "expansion_2":
+        "MATCH (s:User {uid: 0})-->()-->(n:User) "
+        "RETURN DISTINCT n.uid AS nid",
+    # benchmark__basic__neighbours_2_analytical
+    "neighbours_2":
+        "MATCH (s:User {uid: 0})-[*1..2]->(n:User) "
+        "RETURN DISTINCT n.uid AS nid",
+    # benchmark__match__pattern_cycle
+    "pattern_cycle":
+        "MATCH (n:User {uid: 0})-[e1]->(m)-[e2]->(n) "
+        "RETURN count(*) AS cycles",
+    # benchmark__match__pattern_short
+    "pattern_short":
+        "MATCH (s:User {uid: 0})-->(n) RETURN id(n) AS nid LIMIT 1",
+}
+
+# DuckDB oracles over edges.parquet + range(SKEW_N) users with the same
+# deterministic age = 18 + id % 43 (aggregating/expansion shapes only;
+# pattern_short is LIMIT 1 of an arbitrary row — rows-only)
+POKEC_ORACLES = {
+    "aggregation_count":
+        "SELECT count(*) AS cnt, count(age) AS cnt_age FROM users",
+    "aggregation_min_max_avg":
+        "SELECT min(age) AS mn, max(age) AS mx, "
+        "round(avg(age), 4) AS av FROM users",
+    "expansion_1":
+        "SELECT e.dst AS nid FROM edges e WHERE e.src = 0",
+    "expansion_1_with_filter":
+        "SELECT e.dst AS nid FROM edges e JOIN users u ON u.id = e.dst "
+        "WHERE e.src = 0 AND u.age >= 40",
+    "expansion_2":
+        "SELECT DISTINCT e2.dst AS nid FROM edges e1 "
+        "JOIN edges e2 ON e1.dst = e2.src WHERE e1.src = 0",
+    "neighbours_2":
+        "SELECT DISTINCT nid FROM ("
+        "SELECT dst AS nid FROM edges WHERE src = 0 "
+        "UNION ALL "
+        "SELECT e2.dst AS nid FROM edges e1 "
+        "JOIN edges e2 ON e1.dst = e2.src WHERE e1.src = 0)",
+    "pattern_cycle":
+        "SELECT count(*) AS cycles FROM edges e1 "
+        "JOIN edges e2 ON e1.dst = e2.src "
+        "WHERE e1.src = 0 AND e2.dst = 0",
+}
+
+
+def _pokec_graph(spark: SparkSession, path: str):
+    from memgraph_spark.catalog import PropertyGraph
+    edges = spark.read.parquet(os.path.join(path, "edges.parquet"))
+    users = spark.range(SKEW_N).select(
+        F.col("id"), F.col("id").alias("uid"),
+        (F.lit(18) + F.col("id") % 43).alias("age"))
+    return PropertyGraph(spark, nodes={"User": users}, edges={"E": edges})
+
+
+def run_pokec_bench(spark: SparkSession, root: str = DATA_ROOT) -> dict:
+    """Times the Pokec-shaped Cypher suite on the supernode graph (warm
+    single pass per query after one warm-up) and DuckDB-spot-checks the
+    aggregating shapes (sorted-rows equality at full result size)."""
+    from memgraph_spark.plans import GraphSession
+    skew_path, _flat = ensure_skew_graphs(spark, root)
+    gs = GraphSession(_pokec_graph(spark, skew_path))
+    gs.graph.edge("E").count()    # warm file metadata
+    times, rows, checks = {}, {}, {}
+    for name, q in POKEC_QUERIES.items():
+        df = gs.execute(q)
+        df.count()                # warm-up (plan + codegen)
+        t0 = time.perf_counter()
+        rows[name] = int(gs.execute(q).count())
+        times[name] = round(time.perf_counter() - t0, 3)
+        _log(f"  pokec {name}: {times[name]}s ({rows[name]} rows)")
+    try:
+        import duckdb
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW edges AS SELECT * FROM read_parquet("
+            f"'{os.path.join(skew_path, 'edges.parquet')}/*.parquet')")
+        con.execute(
+            "CREATE VIEW users AS SELECT range AS id, "
+            f"18 + range % 43 AS age FROM range(0, {SKEW_N})")
+        for name, osql in POKEC_ORACLES.items():
+            a = sorted(map(tuple, gs.execute(
+                POKEC_QUERIES[name]).collect()))
+            b = sorted(map(tuple, con.execute(osql).fetchall()))
+            checks[name] = bool(a == b)
+            if not checks[name]:
+                _log(f"  pokec ORACLE MISMATCH {name}: "
+                     f"{a[:2]} vs {b[:2]}")
+    except Exception as exc:  # noqa: BLE001 - bench must not die
+        checks["error"] = f"{type(exc).__name__}: {exc}"
+    return {"times": times, "rows": rows, "oracle": checks}
+
+
+# ---------------------------------------------------------------------------
 # dst-hot-key aggregation stress (VERDICT r4 item 8)
 # ---------------------------------------------------------------------------
 
