@@ -323,16 +323,43 @@ def node_classification_train(graph, num_epochs: int = 100,
                               features_attr: str = "features",
                               label_attr: str = "class",
                               etype: str | None = None,
-                              deep: bool = False) -> DataFrame:
+                              deep: bool = False,
+                              layer_type: str = "GATJK",
+                              hidden_sizes=None,
+                              aggregator: str = "mean",
+                              weight_decay: float = 5e-4,
+                              seed: int = 1) -> DataFrame:
     """node_classification.train parity (node_classification.py:435).
 
     No-torch baseline: softmax regression over own ++ mean-neighbour
     features (see module docstring). Yields one row per epoch —
     (epoch, loss, val_loss, train_log, val_log) — the reference record
-    shape; the logs carry [accuracy]. deep=True requests the GraphSAGE/
-    GAT path and keeps the torch gate."""
+    shape; the logs carry [accuracy].
+
+    deep=True selects the reference's deep path by layer_type:
+    SAGE (mean aggregation) trains for real without torch — the numpy
+    GraphSAGE in algos/sage.py (distributed forward/backward, driver
+    holds only the weight matrices); the attention layers
+    (GAT/GATv2/GATJK — the reference default) keep the torch gate."""
     if deep:
-        _require_torch("node_classification.train(deep=True)")
+        if str(layer_type).upper() == "SAGE":
+            if str(aggregator).lower() != "mean":
+                raise NotImplementedError(
+                    f"SAGE aggregator {aggregator!r}: only 'mean' runs "
+                    "without torch (reference SAGEConv default)")
+            from memgraph_spark.algos.sage import sage_train
+            rows, model = sage_train(
+                graph, hidden_sizes=hidden_sizes,
+                num_epochs=int(num_epochs),
+                learning_rate=float(learning_rate),
+                weight_decay=float(weight_decay),
+                split_ratio=float(split_ratio),
+                features_attr=features_attr, label_attr=label_attr,
+                etype=etype, seed=int(seed))
+            graph._nc_model = model
+            return rows
+        _require_torch(
+            f"node_classification.train(layer_type={layer_type})")
     spark = graph.spark
     design, d_own = _nc_design(graph, features_attr, label_attr, etype)
     out_schema = ("epoch int, loss double, val_loss double, "
@@ -405,6 +432,20 @@ def node_classification_predict(graph, vertex) -> DataFrame:
         raise ValueError("Load or train a model before predicting "
                          "(CALL node_classification.train() first).")
     nid = int(vertex)
+    if model.get("kind") == "sage":
+        from memgraph_spark.algos.sage import sage_forward
+        row = (sage_forward(graph, model)
+               .filter(F.col("id") == nid).select("h").first())
+        if row is None:
+            return graph.spark.createDataFrame(
+                [(-1, f"node {nid} has no "
+                  f"'{model['features_attr']}' feature vector")],
+                "predicted_class long, status string")
+        z = list(row["h"])
+        best = model["classes"][z.index(max(z))]
+        return graph.spark.createDataFrame(
+            [(int(best), "Prediction complete.")],
+            "predicted_class long, status string")
     design, _ = _nc_design(graph, model["features_attr"],
                            model["label_attr"], model["etype"])
     row = (design.filter(F.col("id") == nid).select("x").first()

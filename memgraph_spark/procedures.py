@@ -803,11 +803,15 @@ def _nc_set_model_parameters(g, params=None):
 
 def _nc_train(g, num_epochs=None):
     """node_classification.train([num_epochs]) YIELD epoch, loss,
-    val_loss, train_log, val_log (node_classification.py:435) — the
-    no-torch softmax-regression baseline over own ++ mean-neighbour
-    features (algos/gnn.py); torch GraphSAGE/GAT stays dependency-gated."""
+    val_loss, train_log, val_log (node_classification.py:435). Default:
+    the no-torch softmax-regression baseline over own ++ mean-neighbour
+    features (algos/gnn.py). Setting layer_type in
+    set_model_parameters selects the deep path: SAGE trains the real
+    numpy GraphSAGE (algos/sage.py, no torch needed);
+    GAT/GATv2/GATJK keep the reference's torch gate."""
     from memgraph_spark.algos.gnn import node_classification_train
     p = _nc_params(g)
+    layer_type = p.get("layer_type")
     return node_classification_train(
         g,
         num_epochs=int(num_epochs if num_epochs is not None
@@ -815,7 +819,12 @@ def _nc_train(g, num_epochs=None):
         learning_rate=float(p.get("learning_rate", 0.1)),
         split_ratio=float(p.get("split_ratio", 0.8)),
         features_attr=str(p.get("features_name", "features")),
-        label_attr=str(p.get("class_name", "class")))
+        label_attr=str(p.get("class_name", "class")),
+        deep=layer_type is not None,
+        layer_type=str(layer_type) if layer_type is not None else "GATJK",
+        hidden_sizes=p.get("hidden_features_size"),
+        aggregator=str(p.get("aggregator", "mean")),
+        weight_decay=float(p.get("weight_decay", 5e-4)))
 
 
 def _nc_predict(g, vertex):

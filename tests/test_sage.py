@@ -1,0 +1,180 @@
+"""No-torch distributed GraphSAGE (layer_type SAGE) — reference
+mage/node_classification/models/sage.py (PyG SAGEConv mean) re-expressed
+as numpy + DataFrame message passing. The key test trains the same model
+with a LOCAL numpy implementation of the identical algebra and asserts
+the distributed trainer reproduces its loss trajectory and weights."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from memgraph_spark.catalog import PropertyGraph
+
+
+def _two_cluster_graph(spark):
+    rows = []
+    for i in range(20):
+        jitter = (i % 5) * 0.05
+        rows.append((i, [1.0 - jitter, jitter], 0))
+    for i in range(20, 40):
+        jitter = (i % 5) * 0.05
+        rows.append((i, [jitter, 1.0 - jitter], 1))
+    rows.append((40, [0.9, 0.1], None))          # unlabeled
+    nodes = spark.createDataFrame(
+        rows, "id long, features array<double>, class long")
+    edges = [(i, (i + 1) % 20) for i in range(20)]
+    edges += [(i, 20 + (i + 1) % 20) for i in range(20, 40)]
+    edges.append((40, 0))
+    edf = (spark.createDataFrame(edges, "src long, dst long")
+           .withColumn("eid", F.xxhash64("src", "dst")))
+    return PropertyGraph(spark, nodes={"N": nodes}, edges={"E": edf})
+
+
+def test_sage_matches_local_numpy_twin(spark):
+    """The distributed trainer must reproduce a local numpy
+    implementation of the same algebra exactly (same seed/init/split):
+    loss trajectory and final weights to 1e-8."""
+    from memgraph_spark.algos.sage import sage_train
+    g = _two_cluster_graph(spark)
+    rows_df, model = sage_train(g, hidden_sizes=[4], num_epochs=5,
+                                learning_rate=0.3, weight_decay=0.0,
+                                seed=7)
+    rows = rows_df.collect()
+
+    # ---- local twin ----------------------------------------------------
+    data = {r.id: (np.array(r.features), r["class"])
+            for r in g.node("N").collect()}
+    eds = [(r.src, r.dst) for r in g.edge("E").select("src", "dst")
+           .collect()]
+    und = set()
+    for s, d in eds:
+        if s != d:
+            und.add((s, d)); und.add((d, s))
+    nbrs = {}
+    for s, d in und:
+        nbrs.setdefault(s, []).append(d)
+    ids = sorted(data)
+    idx = {n: i for i, n in enumerate(ids)}
+    X = np.stack([data[n][0] for n in ids])
+    y = np.array([-1 if data[n][1] is None else data[n][1] for n in ids])
+    # the trainer's split: pmod(xxhash64(id), 1000) < 800 => train
+    split_rows = (g.node("N")
+                  .select("id", (F.pmod(F.xxhash64("id"), 1000) < 800)
+                          .alias("tr")).collect())
+    tr_map = {r.id: r.tr for r in split_rows}
+    labeled = y >= 0
+    train = np.array([labeled[i] and tr_map[n]
+                      for i, n in enumerate(ids)])
+    val = labeled & ~train
+    n_train = int(train.sum())
+
+    def mean_nbr(H):
+        M = np.zeros_like(H)
+        for n, i in idx.items():
+            js = nbrs.get(n, [])
+            if js:
+                M[i] = H[[idx[j] for j in js]].mean(axis=0)
+        return M
+
+    dims = [2, 4, 2]
+    rng = np.random.default_rng(7)
+    layers = []
+    for i in range(2):
+        lim = np.sqrt(6.0 / (dims[i] + dims[i + 1]))
+        layers.append([rng.uniform(-lim, lim, (dims[i], dims[i + 1])),
+                       rng.uniform(-lim, lim, (dims[i], dims[i + 1])),
+                       np.zeros(dims[i + 1])])
+    losses = []
+    for _ in range(5):
+        M0 = mean_nbr(X)
+        H1 = np.maximum(X @ layers[0][0] + M0 @ layers[0][1]
+                        + layers[0][2], 0.0)
+        M1 = mean_nbr(H1)
+        Z = H1 @ layers[1][0] + M1 @ layers[1][1] + layers[1][2]
+        Zs = Z - Z.max(axis=1, keepdims=True)
+        P = np.exp(Zs) / np.exp(Zs).sum(axis=1, keepdims=True)
+        yl = np.where(labeled, y, 0)
+        logp = np.log(np.clip(P[np.arange(len(y)), yl], 1e-12, None))
+        losses.append(-logp[train].mean())
+        G = P.copy()
+        G[np.arange(len(y)), yl] -= 1.0
+        G /= n_train
+        G[~train] = 0.0
+        dWr2 = H1.T @ G
+        dWn2 = M1.T @ G
+        db2 = G.sum(axis=0)
+        # scatter: transpose of the mean
+        dM1 = G @ layers[1][1].T
+        dH1 = G @ layers[1][0].T
+        for n, i in idx.items():
+            js = nbrs.get(n, [])
+            for j in js:
+                dH1[idx[j]] += dM1[i] / len(js)
+        dH1 *= (H1 > 0)
+        dWr1 = X.T @ dH1
+        dWn1 = mean_nbr(X).T @ dH1
+        db1 = dH1.sum(axis=0)
+        layers[1][0] -= 0.3 * dWr2
+        layers[1][1] -= 0.3 * dWn2
+        layers[1][2] -= 0.3 * db2
+        layers[0][0] -= 0.3 * dWr1
+        layers[0][1] -= 0.3 * dWn1
+        layers[0][2] -= 0.3 * db1
+
+    for r, lo in zip(rows, losses):
+        assert r.loss == pytest.approx(float(lo), abs=1e-8), \
+            f"epoch {r.epoch}: {r.loss} vs local {lo}"
+    got = np.array(model["layers"][0]["Wr"])
+    want = layers[0][0]
+    assert np.allclose(got, want, atol=1e-8)
+
+
+def test_sage_learns_separable_graph(spark):
+    from memgraph_spark.algos.gnn import (
+        node_classification_predict, node_classification_train)
+    g = _two_cluster_graph(spark)
+    out = node_classification_train(
+        g, num_epochs=30, learning_rate=0.3, deep=True,
+        layer_type="SAGE", hidden_sizes=[8]).collect()
+    assert len(out) == 30
+    assert out[-1].loss < out[0].loss
+    assert out[-1].train_log[0] >= 0.9
+    r0 = node_classification_predict(g, 2).collect()[0]
+    r1 = node_classification_predict(g, 22).collect()[0]
+    assert (r0.predicted_class, r1.predicted_class) == (0, 1)
+    # unlabeled node is predictable through its features + neighbourhood
+    ru = node_classification_predict(g, 40).collect()[0]
+    assert ru.predicted_class == 0
+
+
+def test_attention_layers_keep_torch_gate(spark):
+    from memgraph_spark.algos.gnn import (
+        _HAS_TORCH, node_classification_train)
+    if _HAS_TORCH:                                # pragma: no cover
+        pytest.skip("torch present; gate not exercised")
+    g = _two_cluster_graph(spark)
+    with pytest.raises(NotImplementedError, match="torch"):
+        node_classification_train(g, deep=True, layer_type="GATJK")
+    with pytest.raises(NotImplementedError, match="mean"):
+        node_classification_train(g, deep=True, layer_type="SAGE",
+                                  aggregator="max")
+
+
+def test_procedure_surface_layer_type_sage(spark):
+    from memgraph_spark.plans import GraphSession
+    g = _two_cluster_graph(spark)
+    gs = GraphSession(g)
+    gs.execute("CALL node_classification.set_model_parameters("
+               "{layer_type: 'SAGE', hidden_features_size: [4], "
+               "num_epochs: 3, learning_rate: 0.3}) "
+               "YIELD status RETURN status").collect()
+    rows = gs.execute("CALL node_classification.train() "
+                      "YIELD epoch, loss RETURN epoch, loss "
+                      "ORDER BY epoch").collect()
+    assert [r.epoch for r in rows] == [1, 2, 3]
+    assert g._nc_model["kind"] == "sage"
+    p = gs.execute("CALL node_classification.predict(2) "
+                   "YIELD predicted_class, status RETURN *").collect()[0]
+    assert p.status == "Prediction complete."
