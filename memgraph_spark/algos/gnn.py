@@ -337,29 +337,33 @@ def node_classification_train(graph, num_epochs: int = 100,
     shape; the logs carry [accuracy].
 
     deep=True selects the reference's deep path by layer_type:
-    SAGE (mean aggregation) trains for real without torch — the numpy
-    GraphSAGE in algos/sage.py (distributed forward/backward, driver
-    holds only the weight matrices); the attention layers
-    (GAT/GATv2/GATJK — the reference default) keep the torch gate."""
+    SAGE (mean aggregation, algos/sage.py) and single-head GAT
+    (algos/gat.py) train for real without torch — distributed
+    forward/backward, the driver holds only the weight matrices;
+    GATv2/GATJK (the reference default) keep the torch gate."""
     if deep:
-        if str(layer_type).upper() == "SAGE":
+        lt = str(layer_type).upper()
+        if lt == "SAGE":
             if str(aggregator).lower() != "mean":
                 raise NotImplementedError(
                     f"SAGE aggregator {aggregator!r}: only 'mean' runs "
                     "without torch (reference SAGEConv default)")
-            from memgraph_spark.algos.sage import sage_train
-            rows, model = sage_train(
-                graph, hidden_sizes=hidden_sizes,
-                num_epochs=int(num_epochs),
-                learning_rate=float(learning_rate),
-                weight_decay=float(weight_decay),
-                split_ratio=float(split_ratio),
-                features_attr=features_attr, label_attr=label_attr,
-                etype=etype, seed=int(seed))
-            graph._nc_model = model
-            return rows
-        _require_torch(
-            f"node_classification.train(layer_type={layer_type})")
+            from memgraph_spark.algos.sage import sage_train as _train
+        elif lt == "GAT":
+            from memgraph_spark.algos.gat import gat_train as _train
+        else:
+            _require_torch(
+                f"node_classification.train(layer_type={layer_type})")
+        rows, model = _train(
+            graph, hidden_sizes=hidden_sizes,
+            num_epochs=int(num_epochs),
+            learning_rate=float(learning_rate),
+            weight_decay=float(weight_decay),
+            split_ratio=float(split_ratio),
+            features_attr=features_attr, label_attr=label_attr,
+            etype=etype, seed=int(seed))
+        graph._nc_model = model
+        return rows
     spark = graph.spark
     design, d_own = _nc_design(graph, features_attr, label_attr, etype)
     out_schema = ("epoch int, loss double, val_loss double, "
@@ -432,9 +436,12 @@ def node_classification_predict(graph, vertex) -> DataFrame:
         raise ValueError("Load or train a model before predicting "
                          "(CALL node_classification.train() first).")
     nid = int(vertex)
-    if model.get("kind") == "sage":
-        from memgraph_spark.algos.sage import sage_forward
-        row = (sage_forward(graph, model)
+    if model.get("kind") in ("sage", "gat"):
+        if model["kind"] == "sage":
+            from memgraph_spark.algos.sage import sage_forward as _fwd
+        else:
+            from memgraph_spark.algos.gat import gat_forward as _fwd
+        row = (_fwd(graph, model)
                .filter(F.col("id") == nid).select("h").first())
         if row is None:
             return graph.spark.createDataFrame(
