@@ -337,10 +337,11 @@ def node_classification_train(graph, num_epochs: int = 100,
     shape; the logs carry [accuracy].
 
     deep=True selects the reference's deep path by layer_type:
-    SAGE (mean aggregation, algos/sage.py) and single-head GAT
-    (algos/gat.py) train for real without torch — distributed
-    forward/backward, the driver holds only the weight matrices;
-    GATv2/GATJK (the reference default) keep the torch gate."""
+    SAGE (mean aggregation, algos/sage.py), single-head GAT
+    (algos/gat.py) and single-head GATv2 (algos/gatv2.py) train for
+    real without torch — distributed forward/backward, the driver holds
+    only the weight matrices; GATJK (3-head + JumpingKnowledge, the
+    reference default) keeps the torch gate."""
     if deep:
         lt = str(layer_type).upper()
         if lt == "SAGE":
@@ -351,6 +352,8 @@ def node_classification_train(graph, num_epochs: int = 100,
             from memgraph_spark.algos.sage import sage_train as _train
         elif lt == "GAT":
             from memgraph_spark.algos.gat import gat_train as _train
+        elif lt == "GATV2":
+            from memgraph_spark.algos.gatv2 import gatv2_train as _train
         else:
             _require_torch(
                 f"node_classification.train(layer_type={layer_type})")
@@ -436,11 +439,13 @@ def node_classification_predict(graph, vertex) -> DataFrame:
         raise ValueError("Load or train a model before predicting "
                          "(CALL node_classification.train() first).")
     nid = int(vertex)
-    if model.get("kind") in ("sage", "gat"):
+    if model.get("kind") in ("sage", "gat", "gatv2"):
         if model["kind"] == "sage":
             from memgraph_spark.algos.sage import sage_forward as _fwd
-        else:
+        elif model["kind"] == "gat":
             from memgraph_spark.algos.gat import gat_forward as _fwd
+        else:
+            from memgraph_spark.algos.gatv2 import gatv2_forward as _fwd
         row = (_fwd(graph, model)
                .filter(F.col("id") == nid).select("h").first())
         if row is None:

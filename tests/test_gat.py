@@ -173,12 +173,13 @@ def test_gat_learns_and_predicts(spark):
     assert (r0.predicted_class, r1.predicted_class) == (0, 1)
 
 
-def test_gatv2_and_gatjk_keep_torch_gate(spark):
+def test_gatjk_keeps_torch_gate(spark):
+    """GATJK (3-head attention + JumpingKnowledge) is the one remaining
+    torch-gated layer type; SAGE/GAT/GATv2 all train without torch."""
     from memgraph_spark.algos.gnn import (
         _HAS_TORCH, node_classification_train)
     if _HAS_TORCH:                                # pragma: no cover
         pytest.skip("torch present; gate not exercised")
     g = _two_cluster_graph(spark)
-    for lt in ("GATv2", "GATJK"):
-        with pytest.raises(NotImplementedError, match="torch"):
-            node_classification_train(g, deep=True, layer_type=lt)
+    with pytest.raises(NotImplementedError, match="torch"):
+        node_classification_train(g, deep=True, layer_type="GATJK")
