@@ -176,10 +176,14 @@ def _gat_forward_layer(h: DataFrame, adj_self: DataFrame, lay: dict,
 
 
 def _gat_backward_layer(st: _GatLayerState, g: DataFrame, lay: dict,
-                        d_in: int, d_out: int, need_dh: bool):
+                        d_in: int, d_out: int, need_dh: bool,
+                        act: str | None = "relu"):
     """Returns (dW, da_src, da_dst, db, dh_frame|None). `g` is
-    (id, g array) = dL/d(pre-bias aggregation output) — the relu mask is
-    applied by the caller before entry."""
+    (id, g array) = dL/d(pre-bias aggregation output). `act` names the
+    activation the INPUT frame h_in went through, so dh carries its
+    derivative: "relu" (default, this module's trainer), or None when
+    the caller handles the activation itself (GATJK routes ELU + the
+    jumping-knowledge gradient outside the per-head backward)."""
     import pandas as pd
     db = np.asarray(
         g.select(F.posexplode("g").alias("pos", "x"))
@@ -255,7 +259,8 @@ def _gat_backward_layer(st: _GatLayerState, g: DataFrame, lay: dict,
                 if not len(pdf):
                     continue
                 DH = _np_rows(pdf["g"]) @ W_t
-                DH *= (_np_rows(pdf["h"]) > 0.0)      # relu' of h_in
+                if act == "relu":
+                    DH *= (_np_rows(pdf["h"]) > 0.0)  # relu' of h_in
                 yield pd.DataFrame({"id": pdf["id"], "g": list(DH)})
 
         dh = (st.h_in.join(du, "id")

@@ -354,6 +354,8 @@ def node_classification_train(graph, num_epochs: int = 100,
             from memgraph_spark.algos.gat import gat_train as _train
         elif lt == "GATV2":
             from memgraph_spark.algos.gatv2 import gatv2_train as _train
+        elif lt == "GATJK":
+            from memgraph_spark.algos.gatjk import gatjk_train as _train
         else:
             _require_torch(
                 f"node_classification.train(layer_type={layer_type})")
@@ -439,13 +441,15 @@ def node_classification_predict(graph, vertex) -> DataFrame:
         raise ValueError("Load or train a model before predicting "
                          "(CALL node_classification.train() first).")
     nid = int(vertex)
-    if model.get("kind") in ("sage", "gat", "gatv2"):
+    if model.get("kind") in ("sage", "gat", "gatv2", "gatjk"):
         if model["kind"] == "sage":
             from memgraph_spark.algos.sage import sage_forward as _fwd
         elif model["kind"] == "gat":
             from memgraph_spark.algos.gat import gat_forward as _fwd
-        else:
+        elif model["kind"] == "gatv2":
             from memgraph_spark.algos.gatv2 import gatv2_forward as _fwd
+        else:
+            from memgraph_spark.algos.gatjk import gatjk_forward as _fwd
         row = (_fwd(graph, model)
                .filter(F.col("id") == nid).select("h").first())
         if row is None:

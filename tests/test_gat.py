@@ -173,13 +173,14 @@ def test_gat_learns_and_predicts(spark):
     assert (r0.predicted_class, r1.predicted_class) == (0, 1)
 
 
-def test_gatjk_keeps_torch_gate(spark):
-    """GATJK (3-head attention + JumpingKnowledge) is the one remaining
-    torch-gated layer type; SAGE/GAT/GATv2 all train without torch."""
+def test_unknown_layer_type_keeps_torch_gate(spark):
+    """Every reference layer type (SAGE/GAT/GATv2/GATJK) now trains
+    without torch; only an unrecognized layer type still hits the
+    dependency gate."""
     from memgraph_spark.algos.gnn import (
         _HAS_TORCH, node_classification_train)
     if _HAS_TORCH:                                # pragma: no cover
         pytest.skip("torch present; gate not exercised")
     g = _two_cluster_graph(spark)
     with pytest.raises(NotImplementedError, match="torch"):
-        node_classification_train(g, deep=True, layer_type="GATJK")
+        node_classification_train(g, deep=True, layer_type="FancyNet")
