@@ -118,29 +118,72 @@ def main() -> None:
         "load_avg": load_avgs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    # extended sections (VERDICT r3 items 1-2): supernode-skew stress vs a
-    # flat twin, and a single sf1 pass. Datasets are generated once into
+    # extended sections (VERDICT r3 items 1-2, r4 items 8-9): supernode
+    # skew vs a flat twin, a single sf1 pass, dst-hot-key salting, and the
+    # Pokec-shaped social workload. Datasets are generated once into
     # .benchdata and reused; failures degrade to an "error" note so the
     # headline metric always lands.
+    #
+    # The full sections go to a SIDE FILE (BENCHX.json next to this
+    # script, or $SPARK_GRAFT_BENCHX_OUT): the round driver parses the
+    # final stdout JSON from a 2000-char tail window, and round 5's
+    # inline sections pushed the line past it — the headline went
+    # unparsed (BENCH_r05.json "parsed": null). Only one-number
+    # summaries ride the stdout line now.
     if os.environ.get("SPARK_GRAFT_BENCH_EXTENDED", "1") != "0":
         from memgraph_spark import benchx
+        ext: dict = {}
         try:
-            out["skew"] = benchx.run_skew_bench(spark)
+            ext["skew"] = benchx.run_skew_bench(spark)
+            r = {k: v for k, v in ext["skew"].get("ratio", {}).items()
+                 if v is not None}
+            out["skew_max_time_ratio"] = max(r.values()) if r else None
         except Exception as exc:  # noqa: BLE001 - bench must not die
-            out["skew"] = {"error": f"{type(exc).__name__}: {exc}"}
+            ext["skew"] = {"error": f"{type(exc).__name__}: {exc}"}
+            out["skew_max_time_ratio"] = "error"
         try:
-            out["sf1"] = benchx.run_sf1_bench(spark, sf_dir)
+            ext["sf1"] = benchx.run_sf1_bench(spark, sf_dir)
+            out["sf1_total"] = ext["sf1"].get("total")
         except Exception as exc:  # noqa: BLE001
-            out["sf1"] = {"error": f"{type(exc).__name__}: {exc}"}
+            ext["sf1"] = {"error": f"{type(exc).__name__}: {exc}"}
+            out["sf1_total"] = "error"
         try:
-            out["dsthot"] = benchx.run_dsthot_bench(spark)
+            ext["dsthot"] = benchx.run_dsthot_bench(spark)
+            out["dsthot_salted_vs_flat"] = ext["dsthot"].get(
+                "salted_vs_flat_ratio")
         except Exception as exc:  # noqa: BLE001
-            out["dsthot"] = {"error": f"{type(exc).__name__}: {exc}"}
+            ext["dsthot"] = {"error": f"{type(exc).__name__}: {exc}"}
+            out["dsthot_salted_vs_flat"] = "error"
         try:
-            out["pokec"] = benchx.run_pokec_bench(spark)
+            ext["pokec"] = benchx.run_pokec_bench(spark)
+            orc = ext["pokec"].get("oracle", {})
+            out["pokec_total"] = round(
+                sum(ext["pokec"].get("times", {}).values()), 3)
+            out["pokec_oracle_ok"] = (f"{sum(bool(v) for v in orc.values())}"
+                                      f"/{len(orc)}")
         except Exception as exc:  # noqa: BLE001
-            out["pokec"] = {"error": f"{type(exc).__name__}: {exc}"}
-    print(json.dumps(out))
+            ext["pokec"] = {"error": f"{type(exc).__name__}: {exc}"}
+            out["pokec_oracle_ok"] = "error"
+        ext_path = os.environ.get(
+            "SPARK_GRAFT_BENCHX_OUT",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCHX.json"))
+        try:
+            with open(ext_path, "w") as f:
+                json.dump(ext, f, indent=1)
+            out["extended"] = os.path.basename(ext_path)
+        except OSError as exc:
+            out["extended"] = f"unwritable: {exc}"
+    line = json.dumps(out)
+    if len(line) > 1900:
+        # never let the stdout line outgrow the driver's tail window:
+        # drop the biggest optional fields first, queries last
+        for k in ("per_run_totals", "load_avg", "queries"):
+            out.pop(k, None)
+            line = json.dumps(out)
+            if len(line) <= 1900:
+                break
+    print(line)
 
 
 if __name__ == "__main__":

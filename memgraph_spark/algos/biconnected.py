@@ -145,13 +145,21 @@ def biconnected_components_distributed(graph, etype: str | None = None,
         visited = visited.unionByName(nxt)
         frontier = nxt
     if m["n"] > 0:
-        # the loop exhausted max_rounds with a live frontier: nodes deeper
-        # than max_rounds would silently vanish from the spanning forest
-        # (and their edges from the output) — fail loudly instead
-        raise ValueError(
-            f"biconnected_components: spanning-tree BFS did not converge "
-            f"within max_rounds={max_rounds} (graph depth exceeds it); "
-            "raise max_rounds")
+        # the loop exhausted max_rounds with a live frontier. That is
+        # fine when the BFS depth is EXACTLY max_rounds (the last
+        # frontier is the deepest, fully-visited level); only nodes
+        # beyond it would silently vanish from the spanning forest — so
+        # probe the would-be next frontier and fail loudly only if it
+        # is non-empty.
+        unexplored = (frontier.join(adj, frontier["id"] == adj["src"])
+                      .select(F.col("dst").alias("nid"))
+                      .join(visited.select(F.col("id").alias("nid")),
+                            "nid", "left_anti"))
+        if not unexplored.isEmpty():
+            raise ValueError(
+                f"biconnected_components: spanning-tree BFS did not "
+                f"converge within max_rounds={max_rounds} (graph depth "
+                "exceeds it); raise max_rounds")
     if not tree_pieces:
         und.unpersist(); adj.unpersist()
         return empty

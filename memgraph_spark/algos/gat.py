@@ -13,8 +13,9 @@ for each edge j -> i (self-loops included):
     out_i = sum_j alpha_ij u_j + b
 
 relu between layers, softmax cross-entropy on top. GATv2 swaps the
-attention formula (a . LeakyReLU(W_s h_j + W_d h_i)); GATJK adds
-3-head attention + JumpingKnowledge — both keep the torch gate.
+attention formula (a . LeakyReLU(W_s h_j + W_d h_i), algos/gatv2.py);
+GATJK adds 3-head attention + JumpingKnowledge (algos/gatjk.py) —
+both now train without torch too.
 
 Same execution model as algos/sage.py: per-node states are
 (id, array<double>) frames, per-edge attention lives in an
@@ -177,21 +178,27 @@ def _gat_forward_layer(h: DataFrame, adj_self: DataFrame, lay: dict,
 
 def _gat_backward_layer(st: _GatLayerState, g: DataFrame, lay: dict,
                         d_in: int, d_out: int, need_dh: bool,
-                        act: str | None = "relu"):
+                        act: str | None = "relu", need_db: bool = True):
     """Returns (dW, da_src, da_dst, db, dh_frame|None). `g` is
     (id, g array) = dL/d(pre-bias aggregation output). `act` names the
     activation the INPUT frame h_in went through, so dh carries its
     derivative: "relu" (default, this module's trainer), or None when
     the caller handles the activation itself (GATJK routes ELU + the
-    jumping-knowledge gradient outside the per-head backward)."""
+    jumping-knowledge gradient outside the per-head backward). Callers
+    that compute the conv bias gradient themselves (GATJK sums graw
+    once across heads) pass need_db=False to skip the per-head bias
+    aggregation job; db is then returned as None."""
     import pandas as pd
-    db = np.asarray(
-        g.select(F.posexplode("g").alias("pos", "x"))
-        .groupBy("pos").agg(F.sum("x").alias("s"))
-        .orderBy("pos").select("s").rdd
-        .map(lambda r: r["s"]).collect(), dtype=np.float64)
-    if db.shape != (d_out,):          # no gradient rows at all
-        db = np.zeros(d_out)
+    if need_db:
+        db = np.asarray(
+            g.select(F.posexplode("g").alias("pos", "x"))
+            .groupBy("pos").agg(F.sum("x").alias("s"))
+            .orderBy("pos").select("s").rdd
+            .map(lambda r: r["s"]).collect(), dtype=np.float64)
+        if db.shape != (d_out,):      # no gradient rows at all
+            db = np.zeros(d_out)
+    else:
+        db = None
     # edge-level attention gradient: dalpha_ij = g_i . u_j
     gsel = g.select(F.col("id").alias("dst"), F.col("g"))
     usel = st.uf.select(F.col("id").alias("src"), "u")

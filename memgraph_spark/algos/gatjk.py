@@ -311,9 +311,9 @@ def gatjk_train(graph, hidden_sizes=None, num_epochs: int = 100,
                 g_h = graw.select(
                     "id", F.slice("g", hi * d_head + 1, d_head)
                     .alias("g"))
-                dW, das, dad, db_h, dh = _gat_backward_layer(
+                dW, das, dad, _db_unused, dh = _gat_backward_layer(
                     st, g_h, head, d_in, d_head,
-                    need_dh=(li > 0), act=None)
+                    need_dh=(li > 0), act=None, need_db=False)
                 head_grads.append((dW, das, dad))
                 if dh is not None:
                     ck.append(dh)

@@ -338,10 +338,11 @@ def node_classification_train(graph, num_epochs: int = 100,
 
     deep=True selects the reference's deep path by layer_type:
     SAGE (mean aggregation, algos/sage.py), single-head GAT
-    (algos/gat.py) and single-head GATv2 (algos/gatv2.py) train for
-    real without torch — distributed forward/backward, the driver holds
-    only the weight matrices; GATJK (3-head + JumpingKnowledge, the
-    reference default) keeps the torch gate."""
+    (algos/gat.py), single-head GATv2 (algos/gatv2.py) and GATJK
+    (3-head + JumpingKnowledge, the reference default, algos/gatjk.py)
+    all train for real without torch — distributed forward/backward,
+    the driver holds only the weight matrices. Only an unrecognized
+    layer_type still hits the torch dependency gate."""
     if deep:
         lt = str(layer_type).upper()
         if lt == "SAGE":

@@ -8,8 +8,8 @@ aggregation computes  z_i = h_i @ Wr + mean_{j in N(i)} h_j @ Wn + b,
 with relu between layers and softmax cross-entropy on top
 (train_model.py). The reference gates this behind `import torch`; this
 module trains the SAME layer algebra with numpy + DataFrames, so SAGE
-runs in environments without torch. GAT/GATv2/GATJK (attention layers)
-keep the torch gate.
+runs in environments without torch. GAT/GATv2/GATJK (attention layers,
+algos/gat.py / gatv2.py / gatjk.py) train without torch the same way.
 
 Documented deviations from the torch path (regularization, not layer
 algebra): no BatchNorm1d or dropout(0.5) between layers — this is

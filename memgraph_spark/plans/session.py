@@ -1610,7 +1610,16 @@ class QueryCompiler(WriteMixin, TraversalMixin):
                 "CALL arguments reference variables, but none are in scope")
         # yield_mode "none" is legal only for VOID procedures (reference
         # update() returns one empty mgp.Record per call — pipeline
-        # cardinality preserved); decided below once the stream is built
+        # cardinality preserved). Reject declared-non-void procedures
+        # BEFORE any invocation (a per-combo run would execute side
+        # effects first); undeclared ones are checked on the first combo
+        # in _per_combo_call, and again on the built stream below.
+        if cl.yield_mode == "none":
+            from memgraph_spark.procedures import SIGNATURES
+            sig = SIGNATURES.get(cl.name.lower())
+            if sig is not None and not sig.get("void", False):
+                raise CompileError(
+                    f"CALL {cl.name} inside a query must YIELD its outputs")
         tags = [f"__ca{i}" for i in range(len(cl.args))]
         tagged = self.df.select(
             "*", *[compile_expr(self._lift(a), self._env()).alias(t)
@@ -1706,6 +1715,11 @@ class QueryCompiler(WriteMixin, TraversalMixin):
             # procedure expects; the join-back key keeps the ORIGINAL
             # typed value via a structured literal
             res = fn(self.g, *[_pyval(v) for v in row])
+            if cl.yield_mode == "none" and res.columns and not pieces:
+                # first combo proved the procedure non-void: stop before
+                # executing the remaining combos' side effects
+                raise CompileError(
+                    f"CALL {cl.name} inside a query must YIELD its outputs")
             if not res.columns:
                 # VOID procedure: one empty record per invocation
                 # (mgp.Record() semantics) — a 0-row keyed stream would

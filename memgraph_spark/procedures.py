@@ -806,9 +806,10 @@ def _nc_train(g, num_epochs=None):
     val_loss, train_log, val_log (node_classification.py:435). Default:
     the no-torch softmax-regression baseline over own ++ mean-neighbour
     features (algos/gnn.py). Setting layer_type in
-    set_model_parameters selects the deep path: SAGE trains the real
-    numpy GraphSAGE (algos/sage.py, no torch needed);
-    GAT/GATv2/GATJK keep the reference's torch gate."""
+    set_model_parameters selects the deep path: SAGE, GAT, GATv2 and
+    GATJK all train the real numpy layer algebra without torch
+    (algos/sage.py, gat.py, gatv2.py, gatjk.py); only unknown layer
+    types hit the reference's torch gate."""
     from memgraph_spark.algos.gnn import node_classification_train
     p = _nc_params(g)
     layer_type = p.get("layer_type")

@@ -82,3 +82,23 @@ def test_max_rounds_exhaustion_raises(spark):
     g = _graph(spark, chain)
     with pytest.raises(ValueError, match="max_rounds"):
         biconnected_components_distributed(g, max_rounds=2)
+
+
+def test_depth_exactly_max_rounds_converges(spark):
+    """ADVICE r5: a BFS tree of depth EXACTLY max_rounds is complete —
+    the final frontier is the deepest fully-visited level, and the guard
+    must not reject it. The closing cycle also exercises the lifting
+    loop at its own boundary (deepest endpoint lifts max_rounds times)."""
+    from memgraph_spark.algos.biconnected import (
+        biconnected_components, biconnected_components_distributed)
+    d = 4
+    # a (2d+1)-cycle: BFS from root 0 runs down both sides, so the two
+    # deepest nodes sit at depth exactly d and the non-tree edge joins
+    # them — lifting then needs exactly d rounds too
+    cyc = [(i, i + 1) for i in range(2 * d)] + [(2 * d, 0)]
+    g = _graph(spark, cyc)
+    rows = biconnected_components_distributed(g, max_rounds=d).collect()
+    assert _canon(rows) == _canon(biconnected_components(g).collect())
+    # one round short must still raise (true positive preserved)
+    with pytest.raises(ValueError, match="max_rounds"):
+        biconnected_components_distributed(g, max_rounds=d - 1)

@@ -120,14 +120,19 @@ def test_procedure_surface(spark):
     assert not hasattr(g, "_nc_model")
 
 
-def test_deep_path_stays_torch_gated(spark):
+def test_deep_path_default_trains_without_torch(spark):
+    """deep=True with the default layer_type (GATJK, the reference
+    default) dispatches to the no-torch gatjk trainer; only an unknown
+    layer type still hits the dependency gate."""
     from memgraph_spark.algos.gnn import (
         _HAS_TORCH, node_classification_train)
-    if _HAS_TORCH:                            # pragma: no cover
-        pytest.skip("torch present; gate not exercised")
     g = _two_cluster_graph(spark)
-    with pytest.raises(NotImplementedError, match="torch"):
-        node_classification_train(g, deep=True)
+    out = node_classification_train(g, deep=True, num_epochs=3,
+                                    hidden_sizes=[4]).collect()
+    assert len(out) == 3 and out[0].loss > 0.0
+    if not _HAS_TORCH:
+        with pytest.raises(NotImplementedError, match="torch"):
+            node_classification_train(g, deep=True, layer_type="GCN")
 
 
 def test_long_path_one_action_per_epoch(spark, monkeypatch):

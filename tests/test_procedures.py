@@ -99,6 +99,37 @@ def test_call_in_query_without_yield_errors(gs):
         gs.execute("UNWIND [1] AS v CALL pagerank.get() RETURN v").collect()
 
 
+def test_call_without_yield_rejected_before_side_effects(gs):
+    """A non-void procedure called in-query without YIELD must be rejected
+    before its side effects run (round-5 advice: the check had moved to
+    after the full per-combo loop). Declared-non-void: zero invocations;
+    undeclared: at most the single first-combo schema probe."""
+    from memgraph_spark import procedures as P
+    calls = {"n": 0}
+
+    def effectful(g, x):
+        calls["n"] += 1
+        return g.spark.createDataFrame([(int(x),)], "out long")
+
+    P.register("tests.effectful", effectful,
+               signature={"args": [("x", "int")], "void": False})
+    try:
+        with pytest.raises(Exception, match="YIELD|yield"):
+            gs.execute("UNWIND [1, 2, 3] AS v "
+                       "CALL tests.effectful(v) RETURN v").collect()
+        assert calls["n"] == 0          # declared non-void: no invocation
+    finally:
+        P.unregister("tests.effectful")
+    P.register("tests.effectful", effectful)   # undeclared signature
+    try:
+        with pytest.raises(Exception, match="YIELD|yield"):
+            gs.execute("UNWIND [1, 2, 3] AS v "
+                       "CALL tests.effectful(v) RETURN v").collect()
+        assert calls["n"] <= 1          # only the first-combo probe ran
+    finally:
+        P.unregister("tests.effectful")
+
+
 def test_load_csv_no_header_delimiter(gs):
     d = tempfile.mkdtemp()
     with open(os.path.join(d, "data.csv"), "w") as f:

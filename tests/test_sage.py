@@ -149,14 +149,14 @@ def test_sage_learns_separable_graph(spark):
     assert ru.predicted_class == 0
 
 
-def test_attention_layers_keep_torch_gate(spark):
-    from memgraph_spark.algos.gnn import (
-        _HAS_TORCH, node_classification_train)
-    if _HAS_TORCH:                                # pragma: no cover
-        pytest.skip("torch present; gate not exercised")
+def test_attention_layers_train_and_sage_aggregator_gate(spark):
+    """GATJK (like GAT/GATv2) now trains without torch; the remaining
+    gates are non-mean SAGE aggregators and unknown layer types."""
+    from memgraph_spark.algos.gnn import node_classification_train
     g = _two_cluster_graph(spark)
-    with pytest.raises(NotImplementedError, match="torch"):
-        node_classification_train(g, deep=True, layer_type="GATJK")
+    out = node_classification_train(g, deep=True, layer_type="GATJK",
+                                    num_epochs=3, hidden_sizes=[4]).collect()
+    assert len(out) == 3 and out[0].loss > 0.0
     with pytest.raises(NotImplementedError, match="mean"):
         node_classification_train(g, deep=True, layer_type="SAGE",
                                   aggregator="max")
