@@ -491,9 +491,12 @@ def node_classification_reset(graph) -> DataFrame:
 
 
 def tgn_update(graph, batch, **config):
-    """Deep TGN (GRU memory + graph attention) — torch-gated. The
-    registered tgn.* procedures run the no-torch temporal baseline in
-    algos/tgn_baseline.py (time-decayed EMA memory + graph-sum readout);
-    only torch-specific configs (gru/rnn updater, graph_attn layer) land
-    here."""
-    _require_torch("tgn.update (deep path)")
+    """Deprecated entry: the deep TGN (GRU/RNN memory updaters,
+    graph-sum / graph-attention embedding layers) now trains without
+    torch in algos/tgn_deep.py, dispatched from the registered tgn.*
+    procedures (algos/tgn_baseline.py tgn_set_params). Kept only so old
+    imports fail with a pointer instead of an AttributeError."""
+    raise NotImplementedError(
+        "gnn.tgn_update is superseded: call the tgn.* procedures "
+        "(algos/tgn_baseline.py), which run the no-torch deep TGN in "
+        "algos/tgn_deep.py for gru/rnn configs")

@@ -1,12 +1,21 @@
-"""Temporal graph network surface — no-torch baseline.
+"""Temporal graph network surface — no torch needed.
 
 Parity target: src/mage/python/tgn.py (set_params / update / get /
 predict_link_score / train_and_eval / get_results / set_eval / reset).
-The reference's deep path (GRU memory updater, graph-attention
-embedding, MLP link scorer) needs torch and stays gated in algos/gnn.py;
-this module implements the same PROTOCOL with the learning-free temporal
-baseline family the TGN paper compares against (time-decayed memory +
-message aggregation — Jodie/time-decay style):
+
+Two engines behind the same protocol:
+
+- **deep** (memory_updater_type 'gru' or 'rnn' — every reference e2e
+  config): the REAL TGN algebra in numpy — GRU/RNN memory updaters,
+  identity/MLP message functions, mean/last aggregation,
+  graph-sum/graph-attention embedding layers, self-supervised link
+  prediction or supervised label prediction with Adam — implemented in
+  algos/tgn_deep.py. This module owns the distributed state: the edge
+  stream history and node memory/embedding frames; each batch fetches
+  the bounded touched-node slice, runs the numpy forward/backward, and
+  writes the updated rows back.
+- **baseline** (memory_updater_type 'ema', this module's default): the
+  learning-free time-decay family the TGN paper compares against:
 
 - **memory**: per-node vector, exponentially decayed by interaction gap
   and EMA-updated with the batch message (the no-torch analog of the
@@ -55,6 +64,11 @@ def _state(graph) -> dict:
             "params": dict(DEFAULTS), "buffer": [], "edges_df": None,
             "memory": None, "results": [], "mode": "train",
             "split_idx": None, "edge_count": 0, "epoch": 0, "batch": 0,
+            # deep-path state: the numpy trainer, last batch's raw
+            # messages, the embeddings frame, and the negative-sample
+            # pools (seen source/dest ids, reference tgn.py:393-403)
+            "deep": None, "pending": [], "deep_emb": None,
+            "seen_src": set(), "seen_dst": set(),
         }
     return graph._tgn_state
 
@@ -89,30 +103,47 @@ def _flush_unprocessed(graph) -> None:
 
 def _batch_rows(graph, lo: int, hi: int) -> list:
     """Fetch one replay batch [lo, hi) from the distributed history —
-    at most batch_size rows cross to the driver."""
+    at most batch_size rows cross to the driver. Rows are
+    (src, dst, ts, seq); seq doubles as the edge index (eidx)."""
     st = _state(graph)
     if st["edges_df"] is None:
         return []
-    return [(r["src"], r["dst"], r["ts"]) for r in
+    return [(r["src"], r["dst"], r["ts"], r["seq"]) for r in
             st["edges_df"].filter((F.col("seq") >= lo)
                                   & (F.col("seq") < hi))
             .orderBy("seq").collect()]
 
 
 def tgn_set_params(graph, params: dict | None = None) -> DataFrame:
-    """tgn.set_params(params) — initializes the module (tgn.py set_params);
-    unknown keys are stored verbatim (the reference also accepts the full
-    config map). Requesting a torch-only layer/updater raises the same
-    dependency gate as the deep path."""
+    """tgn.set_params(params) — initializes the module (tgn.py
+    set_params); unknown keys are stored verbatim (the reference also
+    accepts the full config map).
+
+    memory_updater_type 'gru'/'rnn' (every reference e2e config)
+    instantiates the real numpy TGN trainer (algos/tgn_deep.py);
+    'ema' keeps this module's learning-free baseline. 'graph_attn'
+    layers require the deep path (the baseline has no attention)."""
     st = _state(graph)
     p = {**st["params"], **(params or {})}
-    if str(p.get("layer_type")) in ("graph_attn",) or \
-            str(p.get("memory_updater_type")) in ("gru", "rnn"):
-        from memgraph_spark.algos.gnn import _require_torch
-        _require_torch(f"tgn layer_type={p.get('layer_type')} / "
-                       f"memory_updater_type={p.get('memory_updater_type')}")
+    upd = str(p.get("memory_updater_type"))
+    if upd in ("gru", "rnn"):
+        from memgraph_spark.algos.tgn_deep import TGNDeep
+        st["deep"] = TGNDeep(p)
+    elif str(p.get("layer_type")) == "graph_attn":
+        raise ValueError(
+            "tgn: layer_type 'graph_attn' runs on the deep path — set "
+            "memory_updater_type to 'gru' or 'rnn'")
+    elif upd != "ema":
+        raise ValueError(
+            f"tgn: unsupported memory_updater_type {upd!r} "
+            "(supported: gru, rnn, ema)")
+    else:
+        st["deep"] = None
     st["params"] = p
     st["memory"] = None
+    st["pending"] = []
+    st["deep_emb"] = None
+    st["seen_src"], st["seen_dst"] = set(), set()
     return graph.spark.createDataFrame(
         [("TGN initialized.",)], "message string")
 
@@ -196,6 +227,187 @@ def _process_batch(graph, batch_rows: list) -> None:
     st["memory"] = new_mem
 
 
+# --------------------------------------------------------------------
+# deep path (algos/tgn_deep.py): distributed state <-> bounded batches
+# --------------------------------------------------------------------
+
+def _fetch_neighbors(graph, node_ids: set,
+                     max_seq: int | None = None) -> dict:
+    """Interaction history per node from the DISTRIBUTED stream frame:
+    {node: [(partner, eidx, ts), ...]} (ts ascending), capped at the
+    most recent `max_neighborhood` interactions per node (the reference
+    keeps the full history in a driver dict and carries a TODO to cap
+    at the latest 128 — tgn.py:424; we make the cap real)."""
+    st = _state(graph)
+    if st["edges_df"] is None or not node_ids:
+        return {n: [] for n in node_ids}
+    cap = int(st["params"].get("max_neighborhood", 128))
+    spark = graph.spark
+    ids = spark.createDataFrame([(int(n),) for n in node_ids],
+                                "id long")
+    e = st["edges_df"]
+    if max_seq is not None:
+        # replay: only the stream prefix before this batch existed when
+        # the reference's per-epoch neighborhood saw it (tgn.py:785)
+        e = e.filter(F.col("seq") < int(max_seq))
+    und = (e.select(F.col("src").alias("id"), F.col("dst").alias("nbr"),
+                    F.col("seq").alias("eidx"), "ts")
+           .unionAll(e.select(F.col("dst").alias("id"),
+                              F.col("src").alias("nbr"),
+                              F.col("seq").alias("eidx"), "ts")))
+    w = Window.partitionBy("id").orderBy(F.col("ts").desc(),
+                                         F.col("eidx").desc())
+    rows = (und.join(ids, "id")
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= cap)
+            .select("id", "nbr", "eidx", "ts").collect())
+    out: dict = {int(n): [] for n in node_ids}
+    for r in rows:
+        out[int(r["id"])].append((int(r["nbr"]), int(r["eidx"]),
+                                  float(r["ts"])))
+    for v in out.values():
+        v.sort(key=lambda x: (x[2], x[1]))
+    return out
+
+
+def _fetch_memory(graph, node_ids: set) -> dict:
+    """{id: (np.ndarray(M), last_ts)} for the touched nodes — a join
+    against the memory frame; absent ids fall back to zero memory in
+    the core (reference Memory.get_node_memory)."""
+    import numpy as np
+    if not node_ids:
+        return {}
+    mem = _ensure_memory(graph)
+    ids = graph.spark.createDataFrame(
+        [(int(n),) for n in node_ids], "id long")
+    return {int(r["id"]): (np.array(r["mem"], dtype=np.float64),
+                           float(r["last_ts"]))
+            for r in mem.join(ids, "id").collect()}
+
+
+def _fetch_labels(graph, node_ids: set) -> dict:
+    """Supervised labels from the node tables' label property column
+    (params['node_label_property'], default 'label'); absent -> 0.0."""
+    st = _state(graph)
+    prop = str(st["params"].get("node_label_property", "label"))
+    out: dict = {}
+    if not node_ids:
+        return out
+    nodes = graph.all_nodes()
+    if prop not in nodes.columns:
+        return out
+    ids = graph.spark.createDataFrame(
+        [(int(n),) for n in node_ids], "id long")
+    for r in (nodes.select("id", F.col(prop).alias("y"))
+              .join(ids, "id").collect()):
+        if r["y"] is not None:
+            out[int(r["id"])] = float(r["y"])
+    return out
+
+
+def _writeback_memory(graph, new_mem: dict, last_upd: dict) -> None:
+    """Upsert updated memory rows / last-update timestamps into the
+    memory frame (full outer join so stream-only ids survive)."""
+    st = _state(graph)
+    if not new_mem and not last_upd:
+        return
+    mem = _ensure_memory(graph)
+    d = int(st["params"]["memory_dimension"])
+    ids = sorted(set(new_mem) | set(last_upd))
+    upd = graph.spark.createDataFrame(
+        [(int(i),
+          ([float(x) for x in new_mem[i]] if i in new_mem else None),
+          (float(last_upd[i]) if i in last_upd else None))
+         for i in ids],
+        "id long, nmem array<double>, nts double")
+    merged = (mem.join(upd, "id", "full")
+              .select("id",
+                      F.coalesce("nmem", "mem",
+                                 F.array_repeat(F.lit(0.0), d))
+                      .alias("mem"),
+                      F.coalesce("nts", "last_ts", F.lit(0.0))
+                      .alias("last_ts")))
+    from memgraph_spark.session import free_checkpoint
+    merged = merged.localCheckpoint(eager=True)
+    free_checkpoint(st["memory"])
+    st["memory"] = merged
+
+
+def _writeback_embeddings(graph, emb: dict) -> None:
+    st = _state(graph)
+    if not emb:
+        return
+    upd = graph.spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in emb.items()],
+        "id long, nemb array<double>")
+    from memgraph_spark.session import free_checkpoint
+    if st["deep_emb"] is None:
+        st["deep_emb"] = upd.select(
+            "id", F.col("nemb").alias("emb")).localCheckpoint(eager=True)
+        return
+    merged = (st["deep_emb"].join(upd, "id", "full")
+              .select("id", F.coalesce("nemb", "emb").alias("emb"))
+              .localCheckpoint(eager=True))
+    free_checkpoint(st["deep_emb"])
+    st["deep_emb"] = merged
+
+
+def _process_batch_deep(graph, rows4: list, train: bool) -> float:
+    """One deep-TGN batch: sample negatives, fetch the touched slice of
+    the distributed state (L rounds of neighborhood expansion + memory
+    rows), run the numpy forward/backward (algos/tgn_deep.py), write
+    the updated memory/embeddings back, and stage this batch's raw
+    messages for the next batch. Returns the reference's precision
+    metric for the batch."""
+    st = _state(graph)
+    core = st["deep"]
+    edges = [(int(s), int(d), float(t), int(e))
+             for (s, d, t, e) in rows4]
+    if not edges:
+        return 0.0
+    batch_src = {e[0] for e in edges}
+    batch_dst = {e[1] for e in edges}
+    negs = None
+    level0 = batch_src | batch_dst
+    if core.learning == "self_supervised":
+        negs = core.sample_negatives(
+            len(edges), st["seen_src"] | batch_src,
+            st["seen_dst"] | batch_dst)
+        level0 = level0 | {int(n) for n in negs[0]} \
+            | {int(n) for n in negs[1]}
+    level0 = level0 | {0}                      # zero-padding target
+    min_seq = min(e[3] for e in edges)
+    neighbors: dict = {}
+    frontier = set(level0)
+    for _ in range(core.L):
+        fetch = frontier - set(neighbors)
+        if fetch:
+            neighbors.update(
+                _fetch_neighbors(graph, fetch, max_seq=min_seq))
+        frontier = {p for n in frontier
+                    for (p, _e, _t) in neighbors.get(n, [])}
+    mem_ids = (set(neighbors) | level0
+               | {int(n) for (n, _r, _t) in st["pending"]})
+    memory = _fetch_memory(graph, mem_ids)
+    labels = (_fetch_labels(graph, batch_src | batch_dst)
+              if core.learning == "supervised" else None)
+    compiled = core.compile_batch(edges, memory, neighbors,
+                                  st["pending"], labels=labels,
+                                  negatives=negs)
+    _loss, prec, new_mem, emb, _g = core.run_compiled(compiled,
+                                                      train=train)
+    st["pending"] = core.make_raw_messages(compiled, new_mem)
+    last_upd: dict = {}
+    for (s, d, t, _e) in edges:
+        last_upd[s] = max(last_upd.get(s, 0.0), t)
+        last_upd[d] = max(last_upd.get(d, 0.0), t)
+    _writeback_memory(graph, new_mem, last_upd)
+    _writeback_embeddings(graph, emb)
+    st["seen_src"] |= batch_src
+    st["seen_dst"] |= batch_dst
+    return prec
+
+
 def tgn_update(graph, edges) -> DataFrame:
     """tgn.update(edges) — buffer stream edges; train a batch whenever
     batch_size accumulate (tgn.py update). `edges` rows are (src, dst[,
@@ -211,14 +423,25 @@ def tgn_update(graph, edges) -> DataFrame:
     while len(st["buffer"]) >= int(p["batch_size"]):
         batch = st["buffer"][:int(p["batch_size"])]
         st["buffer"] = st["buffer"][int(p["batch_size"]):]
+        base = st["edge_count"] - len(st["buffer"]) - len(batch)
         t0 = time.perf_counter()
-        _process_batch(graph, batch)
-        _append_stream(graph, batch,
-                       st["edge_count"] - len(st["buffer"]) - len(batch))
+        prec = None
+        if st["deep"] is not None:
+            # the stream is appended AFTER the deep step: the reference
+            # updates the temporal neighborhood only at the end of
+            # forward() (_process_current_batch), so a batch's own
+            # edges are not sample-able during its own embedding pass
+            rows4 = [(s, d, t, base + i)
+                     for i, (s, d, t) in enumerate(batch)]
+            prec = _process_batch_deep(graph, rows4,
+                                       train=st["mode"] == "train")
+        else:
+            _process_batch(graph, batch)
+        _append_stream(graph, batch, base)
         st["batch"] += 1
         st["results"].append(
             (st["epoch"], st["batch"],
-             round(time.perf_counter() - t0, 3), None, st["mode"]))
+             round(time.perf_counter() - t0, 3), prec, st["mode"]))
     # zero-COLUMN frame: the reference update() returns mgp.Record() (one
     # empty record), so in-query CALLs keep the frame's cardinality via
     # session.py's void_like pass-through; a 0-row typed frame would
@@ -228,9 +451,19 @@ def tgn_update(graph, edges) -> DataFrame:
 
 
 def tgn_get(graph) -> DataFrame:
-    """tgn.get() YIELD node, embedding — memory + mean neighbour memory
-    (one graph-sum layer) for every node seen so far."""
+    """tgn.get() YIELD node, embedding. Deep path: the last computed
+    TGN embedding per node (reference all_embeddings, tgn.py:980 —
+    kept as a distributed frame here). Baseline: memory + mean
+    neighbour memory (one graph-sum layer) for every node seen."""
     st = _state(graph)
+    if st["deep"] is not None:
+        if st["deep_emb"] is None:
+            return graph.spark.createDataFrame(
+                [], "node long, embedding array<double>")
+        return st["deep_emb"].select(
+            F.col("id").alias("node"),
+            F.transform("emb", lambda x: F.round(x, 6))
+            .alias("embedding"))
     mem = _ensure_memory(graph)
     d = int(st["params"]["memory_dimension"])
     _flush_unprocessed(graph)
@@ -261,9 +494,32 @@ def tgn_get(graph) -> DataFrame:
 
 
 def tgn_predict_link_score(graph, src, dest) -> DataFrame:
-    """tgn.predict_link_score(src, dest) YIELD prediction —
-    sigmoid(dot(emb_src, emb_dest)) (tgn.py:835; MLP scorer replaced by
-    the dot-product baseline)."""
+    """tgn.predict_link_score(src, dest) YIELD prediction (tgn.py:835).
+    Deep path: the trained MLP link scorer on emb_src || emb_dest
+    (get_link_score, tgn.py:286); baseline:
+    sigmoid(dot(emb_src, emb_dest))."""
+    st = _state(graph)
+    if st["deep"] is not None:
+        import numpy as np
+        core = st["deep"]
+        if core.learning != "self_supervised":
+            raise ValueError(
+                "predict_link_score needs learning_type "
+                "'self_supervised' (the supervised scorer predicts "
+                "node labels, not links — tgn.py:286)")
+        rows = {r["node"]: r["embedding"] for r in
+                tgn_get(graph)
+                .filter(F.col("node").isin([int(src), int(dest)]))
+                .collect()}
+        a, b = rows.get(int(src)), rows.get(int(dest))
+        if a is None or b is None:
+            raise ValueError("predict_link_score: unseen vertex "
+                             f"{src if a is None else dest}")
+        z, _c = core._score_forward(
+            np.concatenate([a, b])[None, :])
+        return graph.spark.createDataFrame(
+            [(round(float(1.0 / (1.0 + math.exp(-float(z[0])))), 6),)],
+            "prediction double")
     emb = tgn_get(graph)
     rows = {r["node"]: r["embedding"] for r in
             emb.filter(F.col("node").isin([int(src), int(dest)]))
@@ -337,25 +593,48 @@ def tgn_train_and_eval(graph, num_epochs: int = 1) -> DataFrame:
     bs = int(p["batch_size"])
     _flush_unprocessed(graph)
     split, total = st["split_idx"], st["edge_count"]
+    deep = st["deep"] is not None
+    from memgraph_spark.session import free_checkpoint
     rows = []
     for epoch in range(1, int(num_epochs) + 1):
         st["epoch"] = epoch
+        if deep:
+            # per-epoch clean state (train_eval_epochs, tgn.py:783-786):
+            # memory, messages, embeddings and negative pools reset;
+            # the learned weights persist across epochs
+            st["deep"].epoch_reset()
+            st["pending"] = []
+            st["seen_src"], st["seen_dst"] = set(), set()
+            for key in ("memory", "deep_emb"):
+                if st.get(key) is not None:
+                    free_checkpoint(st[key])
+                    st[key] = None
         batch_no = 0
         for lo in range(0, split, bs):
-            batch = _batch_rows(graph, lo, min(lo + bs, split))
+            rows4 = _batch_rows(graph, lo, min(lo + bs, split))
             t0 = time.perf_counter()
-            _process_batch(graph, batch)
-            prec = _eval_precision(graph, batch)
+            if deep:
+                prec = _process_batch_deep(graph, rows4, train=True)
+            else:
+                batch = [(s, d, t) for (s, d, t, _q) in rows4]
+                _process_batch(graph, batch)
+                prec = _eval_precision(graph, batch)
             batch_no += 1
             rows.append((epoch, batch_no,
                          round(time.perf_counter() - t0, 3), prec,
                          "train"))
         for lo in range(split, total, bs):
-            batch = _batch_rows(graph, lo, min(lo + bs, total))
-            if not batch:
+            rows4 = _batch_rows(graph, lo, min(lo + bs, total))
+            if not rows4:
                 continue
             t0 = time.perf_counter()
-            prec = _eval_precision(graph, batch)
+            if deep:
+                # eval: forward only (no weight update); memory and
+                # messages still advance, mirroring TGNMode.Eval
+                prec = _process_batch_deep(graph, rows4, train=False)
+            else:
+                prec = _eval_precision(
+                    graph, [(s, d, t) for (s, d, t, _q) in rows4])
             batch_no += 1
             rows.append((epoch, batch_no,
                          round(time.perf_counter() - t0, 3), prec,
@@ -378,7 +657,7 @@ def tgn_reset(graph) -> DataFrame:
     if hasattr(graph, "_tgn_state"):
         from memgraph_spark.session import free_checkpoint
         st = graph._tgn_state
-        for key in ("edges_df", "memory"):
+        for key in ("edges_df", "memory", "deep_emb"):
             if st.get(key) is not None:
                 free_checkpoint(st[key])
         del graph._tgn_state

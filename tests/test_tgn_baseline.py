@@ -80,14 +80,17 @@ def test_requires_set_eval_before_train(spark):
         TB.tgn_train_and_eval(g, 1)
 
 
-def test_torch_configs_stay_gated(spark):
+def test_deep_configs_route_without_torch(spark):
+    """gru/rnn updaters (every reference e2e config) now instantiate
+    the real numpy TGN trainer instead of raising the torch gate; only
+    genuinely unknown configs still raise."""
     import memgraph_spark.algos.tgn_baseline as TB
-    from memgraph_spark.algos.gnn import _HAS_TORCH
-    if _HAS_TORCH:                       # pragma: no cover
-        pytest.skip("torch present; gate not exercised")
     g = _graph(spark)
-    with pytest.raises(NotImplementedError, match="torch"):
-        TB.tgn_set_params(g, {"memory_updater_type": "gru"})
+    TB.tgn_set_params(g, {"memory_updater_type": "gru"})
+    assert g._tgn_state["deep"] is not None
+    TB.tgn_reset(g)
+    with pytest.raises(ValueError, match="memory_updater_type"):
+        TB.tgn_set_params(g, {"memory_updater_type": "bogus"})
 
 
 def test_procedure_surface(spark):
