@@ -883,6 +883,23 @@ def _tgn_reset(g):
     return _tgn("reset")(g)
 
 
+def _tgn_revert_from_database(g):
+    """tgn.revert_from_database — unimplemented IN THE REFERENCE too
+    (tgn.py:956 raises NotImplementedError with a docs pointer);
+    registered for exact surface parity."""
+    raise NotImplementedError(
+        "tgn.revert_from_database is not implemented (the reference's "
+        "own procedure raises NotImplementedError — tgn.py:956)")
+
+
+def _tgn_save_tgn_params(g):
+    """tgn.save_tgn_params — unimplemented IN THE REFERENCE too
+    (tgn.py:965); registered for exact surface parity."""
+    raise NotImplementedError(
+        "tgn.save_tgn_params is not implemented (the reference's own "
+        "procedure raises NotImplementedError — tgn.py:965)")
+
+
 def _n2vo_state(g) -> dict:
     if not hasattr(g, "_n2v_online_state"):
         g._n2v_online_state = {"updater": None, "learner": None,
@@ -1221,6 +1238,8 @@ register("tgn.train_and_eval", _tgn_train_and_eval)
 register("tgn.get_results", _tgn_get_results)
 register("tgn.set_eval", _tgn_set_eval)
 register("tgn.reset", _tgn_reset)
+register("tgn.revert_from_database", _tgn_revert_from_database)
+register("tgn.save_tgn_params", _tgn_save_tgn_params)
 register("node2vec_online.set_streamwalk_updater",
          _n2vo_set_streamwalk_updater)
 register("node2vec_online.set_word2vec_learner", _n2vo_set_word2vec_learner)

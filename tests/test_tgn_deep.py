@@ -289,3 +289,15 @@ def test_deep_procedure_surface(spark):
     assert [r.node for r in rows] == [0, 1, 2, 3, 8, 9, 10, 11]
     assert all(r.d == 6 + 2 for r in rows)
     TB.tgn_reset(g)
+
+
+def test_reference_unimplemented_stubs_registered(spark):
+    """revert_from_database / save_tgn_params raise NotImplementedError
+    in the REFERENCE itself (tgn.py:956,965) — registered here with the
+    same behavior for exact surface parity."""
+    from memgraph_spark import procedures as P
+    g = _graph(spark)
+    for name in ("tgn.revert_from_database", "tgn.save_tgn_params"):
+        assert name in P.PROCEDURES
+        with pytest.raises(NotImplementedError, match="reference"):
+            P.PROCEDURES[name](g)
