@@ -346,11 +346,13 @@ def node_classification_train(graph, num_epochs: int = 100,
     if deep:
         lt = str(layer_type).upper()
         if lt == "SAGE":
-            if str(aggregator).lower() != "mean":
-                raise NotImplementedError(
-                    f"SAGE aggregator {aggregator!r}: only 'mean' runs "
-                    "without torch (reference SAGEConv default)")
-            from memgraph_spark.algos.sage import sage_train as _train
+            import functools
+
+            from memgraph_spark.algos.sage import sage_train
+            # sage_train validates the aggregator itself (mean/max run
+            # without torch; anything else raises)
+            _train = functools.partial(sage_train,
+                                       aggregator=str(aggregator))
         elif lt == "GAT":
             from memgraph_spark.algos.gat import gat_train as _train
         elif lt == "GATV2":

@@ -1,10 +1,12 @@
 """Distributed no-torch GraphSAGE for node_classification (layer_type
-SAGE, aggr mean).
+SAGE, aggr mean or max).
 
 Parity target: the reference's deep path —
 src/mage/python/mage/node_classification/models/sage.py wrapping PyG
 SAGEConv layers inside inductive_model.py. PyG SAGEConv with mean
-aggregation computes  z_i = h_i @ Wr + mean_{j in N(i)} h_j @ Wn + b,
+aggregation computes  z_i = h_i @ Wr + mean_{j in N(i)} h_j @ Wn + b
+(aggr='max' swaps the mean for an elementwise max over neighbour
+features, backward routed to the argmax contributor),
 with relu between layers and softmax cross-entropy on top
 (train_model.py). The reference gates this behind `import torch`; this
 module trains the SAME layer algebra with numpy + DataFrames, so SAGE
@@ -55,6 +57,30 @@ def _mean_neighbor(adj: DataFrame, h: DataFrame, dim: int) -> DataFrame:
     zeros = F.array_repeat(F.lit(0.0), dim)
     return (h.select("id").join(nb, "id", "left")
             .select("id", F.coalesce("m", zeros).alias("m")))
+
+
+def _max_neighbor(adj: DataFrame, h: DataFrame, dim: int):
+    """(m_frame, arg_frame) for PyG SAGEConv aggr='max': m = elementwise
+    max over neighbours' h (zeros for isolated nodes, matching the mean
+    path's empty-neighbourhood choice); arg_frame = (id, pos, am) names
+    the contributing neighbour per position — max-pooling backprop
+    routes the gradient to exactly that contributor. Ties break to the
+    largest neighbour id (deterministic on both the distributed and the
+    local-twin side)."""
+    nb = (adj.join(h.select(F.col("id").alias("dst"),
+                            F.col("h").alias("nh")), "dst")
+          .select(F.col("src").alias("id"), F.col("dst").alias("j"),
+                  F.posexplode("nh").alias("pos", "v"))
+          .groupBy("id", "pos")
+          .agg(F.max("v").alias("v"),
+               F.max_by("j", F.struct("v", "j")).alias("am")))
+    m = (nb.groupBy("id").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda s: s.getField("v")).alias("m")))
+    zeros = F.array_repeat(F.lit(0.0), dim)
+    m = (h.select("id").join(m, "id", "left")
+         .select("id", F.coalesce("m", zeros).alias("m")))
+    return m, nb.select("id", "pos", "am")
 
 
 def _np_rows(col):
@@ -146,12 +172,18 @@ def _weight_grads(joined: DataFrame, d_in: int, d_out: int):
 
 def _backprop_to_prev(gframe: DataFrame, hprev: DataFrame,
                       adj: DataFrame, deg: DataFrame, Wr, Wn,
-                      d_prev: int) -> DataFrame:
-    """dH_prev = (G @ Wr^T + scatter(G @ Wn^T / deg)) * relu'(H_prev).
+                      d_prev: int, arg: DataFrame | None = None
+                      ) -> DataFrame:
+    """dH_prev = (G @ Wr^T + scatter(G @ Wn^T)) * relu'(H_prev).
 
-    The scatter is the transpose of the forward mean: node i contributed
-    1/deg_i of each neighbour j's state to its own m_i, so j receives
-    (g_i @ Wn^T)/deg_i from every i it neighbours."""
+    mean (arg is None): the scatter is the transpose of the forward
+    mean — node i contributed 1/deg_i of each neighbour j's state to
+    its own m_i, so j receives (g_i @ Wn^T)/deg_i from every i it
+    neighbours.
+
+    max (arg = the forward's (id, pos, am) argmax frame): max-pooling
+    is locally an indicator — only the contributing neighbour am(i,pos)
+    receives (g_i @ Wn^T)[pos]; everyone else gets zero."""
     import pandas as pd
     Wr_t = np.asarray(Wr, dtype=np.float64).T
     Wn_t = np.asarray(Wn, dtype=np.float64).T
@@ -165,26 +197,51 @@ def _backprop_to_prev(gframe: DataFrame, hprev: DataFrame,
 
     own = gframe.mapInPandas(own_fn, "id long, own array<double>")
 
-    def msg_fn(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            M = (_np_rows(pdf["g"]) @ Wn_t) \
-                / pdf["deg"].to_numpy()[:, None]
-            yield pd.DataFrame({"id": pdf["id"], "msg": list(M)})
+    if arg is None:
+        def msg_fn(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                M = (_np_rows(pdf["g"]) @ Wn_t) \
+                    / pdf["deg"].to_numpy()[:, None]
+                yield pd.DataFrame({"id": pdf["id"], "msg": list(M)})
 
-    msgs = gframe.join(deg, "id").mapInPandas(
-        msg_fn, "id long, msg array<double>")
-    # scatter: i's message reaches every j adjacent to i (adj is
-    # (src=i, dst=j) oriented); posexplode + sum = algebraic
-    nbr = (adj.join(msgs.select(F.col("id").alias("src"), "msg"), "src")
-           .select(F.col("dst").alias("id"),
-                   F.posexplode("msg").alias("pos", "v"))
-           .groupBy("id", "pos").agg(F.sum("v").alias("v"))
-           .groupBy("id").agg(
-               F.transform(F.array_sort(F.collect_list(
-                   F.struct("pos", "v"))),
-                   lambda s: s.getField("v")).alias("nbr")))
+        msgs = gframe.join(deg, "id").mapInPandas(
+            msg_fn, "id long, msg array<double>")
+        # scatter: i's message reaches every j adjacent to i (adj is
+        # (src=i, dst=j) oriented); posexplode + sum = algebraic
+        nbr = (adj.join(msgs.select(F.col("id").alias("src"), "msg"),
+                        "src")
+               .select(F.col("dst").alias("id"),
+                       F.posexplode("msg").alias("pos", "v"))
+               .groupBy("id", "pos").agg(F.sum("v").alias("v"))
+               .groupBy("id").agg(
+                   F.transform(F.array_sort(F.collect_list(
+                       F.struct("pos", "v"))),
+                       lambda s: s.getField("v")).alias("nbr")))
+    else:
+        def msg_fn(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                M = _np_rows(pdf["g"]) @ Wn_t
+                yield pd.DataFrame({"id": pdf["id"], "msg": list(M)})
+
+        msgs = gframe.mapInPandas(msg_fn, "id long, msg array<double>")
+        # route (i, pos) to its argmax contributor; positions a node
+        # never won arrive sparse, so densify through a pos->v map
+        nbr = (msgs.select("id", F.posexplode("msg").alias("pos", "v"))
+               .join(arg, ["id", "pos"])
+               .groupBy(F.col("am").alias("id"), F.col("pos"))
+               .agg(F.sum("v").alias("v"))
+               .groupBy("id").agg(
+                   F.map_from_entries(F.collect_list(
+                       F.struct("pos", "v"))).alias("mp"))
+               .select("id", F.transform(
+                   F.sequence(F.lit(0), F.lit(d_prev - 1)),
+                   lambda i: F.coalesce(
+                       F.element_at("mp", i.cast("int")), F.lit(0.0)))
+                   .alias("nbr")))
     zeros = F.array_repeat(F.lit(0.0), d_prev)
     joined = (hprev.join(own, "id", "left").join(nbr, "id", "left")
               .select("id", "h",
@@ -206,12 +263,20 @@ def sage_train(graph, hidden_sizes=None, num_epochs: int = 100,
                learning_rate: float = 0.1, weight_decay: float = 5e-4,
                split_ratio: float = 0.8, features_attr: str = "features",
                label_attr: str = "class", etype: str | None = None,
-               seed: int = 1):
+               seed: int = 1, aggregator: str = "mean"):
     """Trains the SAGE stack; returns (epoch_rows, model dict).
 
     epoch_rows match node_classification.train's record shape
     (epoch, loss, val_loss, train_log=[acc], val_log=[acc]); the model
-    dict carries per-layer (Wr, Wn, b) for predict."""
+    dict carries per-layer (Wr, Wn, b) for predict. `aggregator` is the
+    PyG SAGEConv aggr: 'mean' or 'max' (max pools neighbour features
+    elementwise; its backward routes each position's gradient to the
+    argmax contributor)."""
+    aggregator = str(aggregator).lower()
+    if aggregator not in ("mean", "max"):
+        raise NotImplementedError(
+            f"SAGE aggregator {aggregator!r}: only 'mean' and 'max' run "
+            "without torch (reference SAGEConv aggr)")
     hidden_sizes = list(hidden_sizes or [16, 16])
     spark = graph.spark
     feat = F.col(features_attr).cast("array<double>")
@@ -253,7 +318,14 @@ def sage_train(graph, hidden_sizes=None, num_epochs: int = 100,
         F.sum(F.when(F.col("train"), 1).otherwise(0)).alias("tr"),
         F.count("*").alias("n")).first()
     n_train = int(counts["tr"] or 0)
-    M0 = _mean_neighbor(adj, X, d0).persist()
+    use_max = aggregator == "max"
+    A0 = None
+    if use_max:
+        M0, A0 = _max_neighbor(adj, X, d0)
+        M0, A0 = M0.persist(), A0.persist()
+        A0.count()
+    else:
+        M0 = _mean_neighbor(adj, X, d0).persist()
     X0 = X.join(M0, "id").persist()
     X0.count()
 
@@ -270,13 +342,24 @@ def sage_train(graph, hidden_sizes=None, num_epochs: int = 100,
     rows = []
     for epoch in range(1, int(num_epochs) + 1):
         # ---- forward: persist each layer's (id, h, m) input frame
+        # (plus, for max aggregation, the per-layer argmax routing frame
+        # the backward scatter joins on)
         inputs = [X0]                    # layer l consumes inputs[l]
+        args = [A0]
         cleanup = []
         cur = X0
         for li, lay in enumerate(layers[:-1]):
             h_next = _sage_layer(cur, lay["Wr"], lay["Wn"], lay["b"],
                                  relu=True)
-            m_next = _mean_neighbor(adj, h_next, dims[li + 1])
+            if use_max:
+                m_next, a_next = _max_neighbor(adj, h_next,
+                                               dims[li + 1])
+                a_next = a_next.persist()
+                cleanup.append(a_next)
+                args.append(a_next)
+            else:
+                m_next = _mean_neighbor(adj, h_next, dims[li + 1])
+                args.append(None)
             cur = h_next.join(m_next, "id").persist()
             cur.count()
             cleanup.append(cur)
@@ -304,7 +387,7 @@ def sage_train(graph, hidden_sizes=None, num_epochs: int = 100,
                 nxt = _backprop_to_prev(
                     g, inputs[li].select("id", "h"), adj, deg,
                     layers[li]["Wr"], layers[li]["Wn"],
-                    dims[li]).persist()
+                    dims[li], arg=args[li]).persist()
                 nxt.count()
                 cleanup.append(nxt)
                 g = nxt
@@ -323,9 +406,11 @@ def sage_train(graph, hidden_sizes=None, num_epochs: int = 100,
                          "Wn": lay["Wn"].tolist(),
                          "b": lay["b"].tolist()} for lay in layers],
              "features_attr": features_attr, "label_attr": label_attr,
-             "etype": etype, "d0": d0}
+             "etype": etype, "d0": d0, "aggregator": aggregator}
     for fr in (X, meta, M0, X0):
         fr.unpersist()
+    if A0 is not None:
+        A0.unpersist()
     return spark.createDataFrame(rows, out_schema), model
 
 
@@ -341,8 +426,12 @@ def sage_forward(graph, model) -> DataFrame:
     adj = graph.adjacency(model["etype"], "both").select("src", "dst")
     cur = nodes
     dims = [int(model["d0"])] + [len(lay["b"]) for lay in model["layers"]]
+    use_max = model.get("aggregator", "mean") == "max"
     for li, lay in enumerate(model["layers"]):
-        m = _mean_neighbor(adj, cur, dims[li])
+        if use_max:
+            m, _arg = _max_neighbor(adj, cur, dims[li])
+        else:
+            m = _mean_neighbor(adj, cur, dims[li])
         cur = _sage_layer(cur.join(m, "id"), lay["Wr"], lay["Wn"],
                           lay["b"], relu=(li < len(model["layers"]) - 1))
     return cur

@@ -150,8 +150,9 @@ def test_sage_learns_separable_graph(spark):
 
 
 def test_attention_layers_train_and_sage_aggregator_gate(spark):
-    """GATJK (like GAT/GATv2) now trains without torch; the remaining
-    gates are non-mean SAGE aggregators and unknown layer types."""
+    """GATJK (like GAT/GATv2) now trains without torch, and SAGE runs
+    both mean and max aggregation; the remaining gates are other SAGE
+    aggregators (lstm, ...) and unknown layer types."""
     from memgraph_spark.algos.gnn import node_classification_train
     g = _two_cluster_graph(spark)
     out = node_classification_train(g, deep=True, layer_type="GATJK",
@@ -159,7 +160,119 @@ def test_attention_layers_train_and_sage_aggregator_gate(spark):
     assert len(out) == 3 and out[0].loss > 0.0
     with pytest.raises(NotImplementedError, match="mean"):
         node_classification_train(g, deep=True, layer_type="SAGE",
-                                  aggregator="max")
+                                  aggregator="lstm")
+
+
+def test_sage_max_matches_local_numpy_twin(spark):
+    """aggr='max' (PyG SAGEConv max pooling): the distributed trainer
+    must reproduce a local numpy twin of the identical algebra — max
+    over neighbour features elementwise, backward routed to the argmax
+    contributor (largest-id tie-break on both sides)."""
+    from memgraph_spark.algos.sage import sage_train
+    g = _two_cluster_graph(spark)
+    rows_df, model = sage_train(g, hidden_sizes=[4], num_epochs=5,
+                                learning_rate=0.3, weight_decay=0.0,
+                                seed=7, aggregator="max")
+    rows = rows_df.collect()
+
+    # ---- local twin ----------------------------------------------------
+    data = {r.id: (np.array(r.features), r["class"])
+            for r in g.node("N").collect()}
+    eds = [(r.src, r.dst) for r in g.edge("E").select("src", "dst")
+           .collect()]
+    und = set()
+    for s, d in eds:
+        if s != d:
+            und.add((s, d)); und.add((d, s))
+    nbrs = {}
+    for s, d in und:
+        nbrs.setdefault(s, []).append(d)
+    ids = sorted(data)
+    idx = {n: i for i, n in enumerate(ids)}
+    X = np.stack([data[n][0] for n in ids])
+    y = np.array([-1 if data[n][1] is None else data[n][1] for n in ids])
+    split_rows = (g.node("N")
+                  .select("id", (F.pmod(F.xxhash64("id"), 1000) < 800)
+                          .alias("tr")).collect())
+    tr_map = {r.id: r.tr for r in split_rows}
+    labeled = y >= 0
+    train = np.array([labeled[i] and tr_map[n]
+                      for i, n in enumerate(ids)])
+    n_train = int(train.sum())
+
+    def max_nbr(H):
+        """Returns (M, ARG): ARG[i, pos] = row index of the winning
+        neighbour (largest node id on ties), -1 when isolated."""
+        M = np.zeros_like(H)
+        ARG = np.full(H.shape, -1, dtype=int)
+        for n, i in idx.items():
+            js = nbrs.get(n, [])
+            if not js:
+                continue
+            # sort ascending by node id so the LAST max occurrence is
+            # the largest id — np.argmax picks the first, so scan from
+            # largest id down
+            rows_j = sorted(js)
+            Hj = H[[idx[j] for j in rows_j]]
+            for pos in range(H.shape[1]):
+                best = 0
+                for k in range(1, len(rows_j)):
+                    if Hj[k, pos] >= Hj[best, pos]:
+                        best = k
+                M[i, pos] = Hj[best, pos]
+                ARG[i, pos] = idx[rows_j[best]]
+        return M, ARG
+
+    dims = [2, 4, 2]
+    rng = np.random.default_rng(7)
+    layers = []
+    for i in range(2):
+        lim = np.sqrt(6.0 / (dims[i] + dims[i + 1]))
+        layers.append([rng.uniform(-lim, lim, (dims[i], dims[i + 1])),
+                       rng.uniform(-lim, lim, (dims[i], dims[i + 1])),
+                       np.zeros(dims[i + 1])])
+    losses = []
+    for _ in range(5):
+        M0, A0 = max_nbr(X)
+        H1 = np.maximum(X @ layers[0][0] + M0 @ layers[0][1]
+                        + layers[0][2], 0.0)
+        M1, A1 = max_nbr(H1)
+        Z = H1 @ layers[1][0] + M1 @ layers[1][1] + layers[1][2]
+        Zs = Z - Z.max(axis=1, keepdims=True)
+        P = np.exp(Zs) / np.exp(Zs).sum(axis=1, keepdims=True)
+        yl = np.where(labeled, y, 0)
+        logp = np.log(np.clip(P[np.arange(len(y)), yl], 1e-12, None))
+        losses.append(-logp[train].mean())
+        G = P.copy()
+        G[np.arange(len(y)), yl] -= 1.0
+        G /= n_train
+        G[~train] = 0.0
+        dWr2 = H1.T @ G
+        dWn2 = M1.T @ G
+        db2 = G.sum(axis=0)
+        dM1 = G @ layers[1][1].T
+        dH1 = G @ layers[1][0].T
+        for i in range(len(ids)):           # route to argmax contributor
+            for pos in range(dims[1]):
+                if A1[i, pos] >= 0:
+                    dH1[A1[i, pos], pos] += dM1[i, pos]
+        dH1 *= (H1 > 0)
+        dWr1 = X.T @ dH1
+        dWn1 = M0.T @ dH1
+        db1 = dH1.sum(axis=0)
+        layers[1][0] -= 0.3 * dWr2
+        layers[1][1] -= 0.3 * dWn2
+        layers[1][2] -= 0.3 * db2
+        layers[0][0] -= 0.3 * dWr1
+        layers[0][1] -= 0.3 * dWn1
+        layers[0][2] -= 0.3 * db1
+
+    for r, lo in zip(rows, losses):
+        assert r.loss == pytest.approx(float(lo), abs=1e-8), \
+            f"epoch {r.epoch}: {r.loss} vs local {lo}"
+    assert model["aggregator"] == "max"
+    got = np.array(model["layers"][0]["Wn"])
+    assert np.allclose(got, layers[0][1], atol=1e-8)
 
 
 def test_procedure_surface_layer_type_sage(spark):
