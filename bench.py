@@ -163,6 +163,7 @@ def main() -> None:
                                       f"/{len(orc)}")
         except Exception as exc:  # noqa: BLE001
             ext["pokec"] = {"error": f"{type(exc).__name__}: {exc}"}
+            out["pokec_total"] = "error"
             out["pokec_oracle_ok"] = "error"
         ext_path = os.environ.get(
             "SPARK_GRAFT_BENCHX_OUT",

@@ -140,9 +140,12 @@ def tgn_set_params(graph, params: dict | None = None) -> DataFrame:
     else:
         st["deep"] = None
     st["params"] = p
-    st["memory"] = None
+    from memgraph_spark.session import free_checkpoint
+    for key in ("memory", "deep_emb"):     # reconfigure = fresh state;
+        if st.get(key) is not None:        # free the old checkpoints
+            free_checkpoint(st[key])
+            st[key] = None
     st["pending"] = []
-    st["deep_emb"] = None
     st["seen_src"], st["seen_dst"] = set(), set()
     return graph.spark.createDataFrame(
         [("TGN initialized.",)], "message string")
@@ -287,15 +290,25 @@ def _fetch_memory(graph, node_ids: set) -> dict:
 
 def _fetch_labels(graph, node_ids: set) -> dict:
     """Supervised labels from the node tables' label property column
-    (params['node_label_property'], default 'label'); absent -> 0.0."""
+    (params['node_label_property'], default 'label'). A missing COLUMN
+    is a configuration error and raises — silently training toward
+    all-zero labels would report inflated precision; a per-node null
+    falls back to 0.0."""
     st = _state(graph)
     prop = str(st["params"].get("node_label_property", "label"))
     out: dict = {}
     if not node_ids:
         return out
-    nodes = graph.all_nodes()
-    if prop not in nodes.columns:
-        return out
+    nodes = graph.all_nodes([prop])
+    # all_nodes carries the requested column as all-null when NO label
+    # table defines it — that is a configuration error, not "all class
+    # zero" (silently training toward zeros reports inflated precision)
+    if prop not in nodes.columns or not any(
+            prop in t.columns for t in graph.nodes.values()):
+        raise ValueError(
+            f"tgn: supervised learning needs node label property "
+            f"{prop!r}, but no node table carries that column (set "
+            "node_label_property in set_params)")
     ids = graph.spark.createDataFrame(
         [(int(n),) for n in node_ids], "id long")
     for r in (nodes.select("id", F.col(prop).alias("y"))
@@ -377,16 +390,31 @@ def _process_batch_deep(graph, rows4: list, train: bool) -> float:
             | {int(n) for n in negs[1]}
     level0 = level0 | {0}                      # zero-padding target
     min_seq = min(e[3] for e in edges)
+    # frontier expansion walks only the SAMPLED neighbors (the core's
+    # sampler is a pure function of (seed, batch_counter, node, t), so
+    # the picks here are exactly the ones compile_batch re-derives):
+    # per depth the pair count grows by x num_neighbors, not by the
+    # 128-interaction history cap
     neighbors: dict = {}
-    frontier = set(level0)
+    ts0 = [float(e[2]) for e in edges]
+    pairs = {(int(n), t) for n, t in
+             zip([e[0] for e in edges] + [e[1] for e in edges],
+                 ts0 + ts0)}
+    if negs is not None:
+        pairs |= {(int(n), t) for n, t in zip(negs[0], ts0)}
+        pairs |= {(int(n), t) for n, t in zip(negs[1], ts0)}
+    all_nodes = {n for (n, _t) in pairs} | level0
     for _ in range(core.L):
-        fetch = frontier - set(neighbors)
+        fetch = {n for (n, _t) in pairs} - set(neighbors)
         if fetch:
             neighbors.update(
                 _fetch_neighbors(graph, fetch, max_seq=min_seq))
-        frontier = {p for n in frontier
-                    for (p, _e, _t) in neighbors.get(n, [])}
-    mem_ids = (set(neighbors) | level0
+        pairs = {(int(ni), float(ti))
+                 for (n, t) in pairs
+                 for (ni, _e, ti) in core.sample_neighborhood(
+                     n, t, neighbors)}
+        all_nodes |= {n for (n, _t) in pairs}
+    mem_ids = (all_nodes
                | {int(n) for (n, _r, _t) in st["pending"]})
     memory = _fetch_memory(graph, mem_ids)
     labels = (_fetch_labels(graph, batch_src | batch_dst)
@@ -515,10 +543,11 @@ def tgn_predict_link_score(graph, src, dest) -> DataFrame:
         if a is None or b is None:
             raise ValueError("predict_link_score: unseen vertex "
                              f"{src if a is None else dest}")
+        from memgraph_spark.algos.tgn_deep import _sigmoid
         z, _c = core._score_forward(
             np.concatenate([a, b])[None, :])
         return graph.spark.createDataFrame(
-            [(round(float(1.0 / (1.0 + math.exp(-float(z[0])))), 6),)],
+            [(round(float(_sigmoid(np.asarray(z))[0]), 6),)],
             "prediction double")
     emb = tgn_get(graph)
     rows = {r["node"]: r["embedding"] for r in

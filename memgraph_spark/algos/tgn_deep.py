@@ -43,11 +43,13 @@ Distribution model: the reference runs the whole TGN on the driver in
 Python dicts (memory_container, message_container, neighborhood — all
 `Dict[int, ...]`). Here the unbounded state lives in DataFrames owned
 by algos/tgn_baseline.py — the edge-stream history frame (temporal
-neighborhood queries are joins against it, fetched per batch for the
-<= 2*batch_size*(1+num_neighbors) touched nodes) and the memory frame
-(fetch/write-back per batch). The driver holds weights, Adam moments,
-and one batch's worth of messages/samples — bounded regardless of
-stream length.
+neighborhood queries are joins against it; the neighbor sampler is a
+PURE function of (seed, batch, node, t) so the Spark layer pre-expands
+exactly the sampled frontier — ~4*batch_size*(1 + nn + ... + nn^(L-1))
+node histories per batch, each capped at max_neighborhood rows) and the
+memory frame (fetch/write-back per batch). The driver holds weights,
+Adam moments, and one batch's worth of messages/samples — bounded
+regardless of stream length.
 
 Documented deviations (semantics-affecting reference quirks we do NOT
 reproduce, each cited):
@@ -87,14 +89,24 @@ def _sigmoid(x):
     return 1.0 / (1.0 + np.exp(-np.clip(x, -60.0, 60.0)))
 
 
+def _mix(*parts) -> int:
+    """Process-stable integer hash (python's str hash is salted per
+    process, so it can NOT back a 'deterministic across runs' claim)."""
+    import zlib
+    h = 2166136261
+    for p in parts:
+        h = zlib.crc32(repr(p).encode(), h)
+    return h & 0x7FFFFFFF
+
+
 def _feat(kind: str, idx: int, dim: int, seed: int) -> np.ndarray:
     """Deterministic stand-in feature for a featureless node/edge:
     uniform(0,1) like the reference's create_torch_tensor (tgn.py:642),
-    but derived from the id so replay epochs see the same features."""
+    but derived from the id so replay epochs (and re-runs) see the same
+    features."""
     if dim <= 0:
         return np.zeros(0)
-    rng = np.random.default_rng(
-        (hash((kind, int(idx), int(seed))) & 0x7FFFFFFF))
+    rng = np.random.default_rng(_mix(kind, int(idx), int(seed)))
     return rng.uniform(0.0, 1.0, dim)
 
 
@@ -157,8 +169,8 @@ class TGNDeep:
         qd = self.emb + self.TD
         if self.layer_type == "graph_attn" and qd % self.heads:
             raise ValueError(
-                f"tgn: query dim {qd} (= memory+node_features+time dims) "
-                f"must divide num_attention_heads={self.heads}")
+                f"tgn: num_attention_heads={self.heads} must divide the "
+                f"query dim {qd} (= memory+node_features+time dims)")
         self.rng = np.random.default_rng(self.seed)
         self.W = self._init_weights()
         self.adam_m = {k: np.zeros_like(v) for k, v in self.W.items()}
@@ -223,6 +235,28 @@ class TGNDeep:
 
     # ----------------------------------------------------- compilation
 
+    def sample_neighborhood(self, node, t, neighbors: dict) -> list:
+        """Sample up to num_neighbors interactions of `node` with
+        timestamps strictly before `t`, zero-padded to num_neighbors
+        (temporal_neighborhood.py get_neighborhood semantics). PURE:
+        the RNG is keyed on (seed, batch_counter, node, t), so any
+        caller — the compile step or the Spark layer's frontier
+        pre-expansion — gets identical picks for the same batch."""
+        hist = neighbors.get(int(node), [])
+        earlier = [h for h in hist if h[2] < t]
+        if earlier:
+            rng = np.random.default_rng(
+                _mix(self.seed, self.batch_counter, int(node), float(t)))
+            take = rng.choice(len(earlier),
+                              size=min(self.nn, len(earlier)),
+                              replace=False)
+            picked = [earlier[i] for i in take]
+        else:
+            picked = []
+        while len(picked) < self.nn:         # zero-pad (reference)
+            picked.append((0, 0, 0.0))
+        return picked
+
     def sample_negatives(self, bs: int, src_pool, dst_pool):
         """Negative pairs for a self-supervised batch, sampled BEFORE
         state fetch so the caller can fetch their memory/history too.
@@ -252,8 +286,6 @@ class TGNDeep:
             [(node, raw_vec np.ndarray(raw_dim), ts)].
         labels: {node: float} for supervised mode.
         """
-        rng = np.random.default_rng(self.seed * 1_000_003
-                                    + self.batch_counter)
         srcs = np.array([e[0] for e in edges], dtype=np.int64)
         dsts = np.array([e[1] for e in edges], dtype=np.int64)
         tss = np.array([e[2] for e in edges], dtype=np.float64)
@@ -285,20 +317,12 @@ class TGNDeep:
                 [last_row[i] for i in range(len(upd_nodes))],
                 dtype=np.int64) if upd_nodes else np.zeros(0, np.int64)
 
-        # ---- computation graphs
+        # ---- computation graphs (sampling is the PURE per-(node, t)
+        # function self.sample_neighborhood, so the Spark layer can
+        # pre-expand exactly the sampled frontier and fetch memory for
+        # it — same picks here and there by construction)
         def sample(node, t):
-            hist = neighbors.get(int(node), [])
-            earlier = [h for h in hist if h[2] < t]
-            if earlier:
-                take = rng.choice(len(earlier),
-                                  size=min(self.nn, len(earlier)),
-                                  replace=False)
-                picked = [earlier[i] for i in take]
-            else:
-                picked = []
-            while len(picked) < self.nn:     # zero-pad (reference)
-                picked.append((0, 0, 0.0))
-            return picked
+            return self.sample_neighborhood(node, t, neighbors)
 
         def build_graph(nodes0, ts0):
             cache = {}
