@@ -100,10 +100,35 @@ def run_suite(spark, sf_dir: str, runs: int = 3):
     return medians, totals, raw, load_avgs
 
 
+def wait_for_quiet_window(threshold: float = 2.0, max_attempts: int = 6,
+                          sleep_s: float = 60.0) -> dict:
+    """Mechanical quiet-window guard (repo bench-noise protocol): the
+    headline is only comparable when the AMBIENT 1-min load (before we
+    add our own work) is ~<=2 — round-4 A/B showed load 6+ inflating
+    every query a uniform ~1.4x. Instead of post-hoc adjudication, poll
+    up to `max_attempts` times, sleeping `sleep_s` between polls, and
+    record the trail so the artifact shows whether the window was clean.
+    Never aborts — after the last attempt the bench runs anyway (the
+    driver needs a number) with `quiet` False flagging the pollution."""
+    trail = []
+    for _ in range(max_attempts):
+        load = round(os.getloadavg()[0], 2)
+        trail.append(load)
+        if load <= threshold:
+            return {"ambient_trail": trail, "quiet": True,
+                    "threshold": threshold}
+        time.sleep(sleep_s)
+    return {"ambient_trail": trail, "quiet": False, "threshold": threshold}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    guard = wait_for_quiet_window(
+        threshold=float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "2.0")),
+        max_attempts=int(os.environ.get("SPARK_GRAFT_BENCH_LOAD_TRIES", "6")),
+        sleep_s=float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_SLEEP", "60")))
     spark = get_spark("memgraph-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -116,6 +141,7 @@ def main() -> None:
         "runs": runs,
         "per_run_totals": totals,
         "load_avg": load_avgs,
+        "load_guard": guard,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # extended sections (VERDICT r3 items 1-2, r4 items 8-9): supernode
@@ -155,6 +181,12 @@ def main() -> None:
             ext["dsthot"] = {"error": f"{type(exc).__name__}: {exc}"}
             out["dsthot_salted_vs_flat"] = "error"
         try:
+            ext["tgn"] = benchx.run_tgn_bench(spark)
+            out["tgn_batches_per_sec"] = ext["tgn"].get("batches_per_sec")
+        except Exception as exc:  # noqa: BLE001
+            ext["tgn"] = {"error": f"{type(exc).__name__}: {exc}"}
+            out["tgn_batches_per_sec"] = "error"
+        try:
             ext["pokec"] = benchx.run_pokec_bench(spark)
             orc = ext["pokec"].get("oracle", {})
             out["pokec_total"] = round(
@@ -179,7 +211,7 @@ def main() -> None:
     if len(line) > 1900:
         # never let the stdout line outgrow the driver's tail window:
         # drop the biggest optional fields first, queries last
-        for k in ("per_run_totals", "load_avg", "queries"):
+        for k in ("per_run_totals", "load_avg", "load_guard", "queries"):
             out.pop(k, None)
             line = json.dumps(out)
             if len(line) <= 1900:

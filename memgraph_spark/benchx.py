@@ -303,9 +303,14 @@ POKEC_QUERIES = {
 }
 
 # DuckDB oracles over edges.parquet + range(SKEW_N) users with the same
-# deterministic age = 18 + id % 43 (aggregating/expansion shapes only;
-# pattern_short is LIMIT 1 of an arbitrary row — rows-only)
+# deterministic age = 18 + id % 43. pattern_short is LIMIT 1 of an
+# arbitrary row, so its oracle runs in "subset" mode: exactly one row,
+# and that row must be a member of the oracle's full neighbour set.
+POKEC_ORACLE_MODE = {"pattern_short": "subset"}
+
 POKEC_ORACLES = {
+    "pattern_short":
+        "SELECT e.dst AS nid FROM edges e WHERE e.src = 0",
     "aggregation_count":
         "SELECT count(*) AS cnt, count(age) AS cnt_age FROM users",
     "aggregation_min_max_avg":
@@ -370,7 +375,10 @@ def run_pokec_bench(spark: SparkSession, root: str = DATA_ROOT) -> dict:
             a = sorted(map(tuple, gs.execute(
                 POKEC_QUERIES[name]).collect()))
             b = sorted(map(tuple, con.execute(osql).fetchall()))
-            checks[name] = bool(a == b)
+            if POKEC_ORACLE_MODE.get(name) == "subset":
+                checks[name] = bool(len(a) == 1 and set(a) <= set(b))
+            else:
+                checks[name] = bool(a == b)
             if not checks[name]:
                 _log(f"  pokec ORACLE MISMATCH {name}: "
                      f"{a[:2]} vs {b[:2]}")
@@ -475,3 +483,49 @@ def run_dsthot_bench(spark: SparkSession) -> dict:
             "plain_vs_flat_ratio": round(
                 times["collect_hot_plain"] / flat_t, 3),
             "equivalent": bool(equivalent)}
+
+
+# ---------------------------------------------------------------------------
+# Deep-TGN batch throughput probe (VERDICT r6 item 6: measured, not asserted)
+# ---------------------------------------------------------------------------
+
+def run_tgn_bench(spark: SparkSession) -> dict:
+    """Streams a small two-community temporal graph through the deep TGN
+    (graph_attn/gru/self_supervised, the reference e2e default shape) and
+    reports batches/second. Per-batch work is bounded by batch params
+    (~L+3 driver jobs — tgn_baseline._process_batch_deep docstring), so
+    this measures the driver-side orchestration cost the job-count test
+    pins structurally."""
+    import memgraph_spark.algos.tgn_baseline as TB
+    from memgraph_spark.catalog import PropertyGraph
+    n_nodes, bs, n_batches = 64, 32, 6
+    nodes = spark.range(n_nodes).select(F.col("id"))
+    g = PropertyGraph(spark, nodes={"V": nodes},
+                      edges={"E": spark.createDataFrame(
+                          [(0, 1)], "src long, dst long")})
+    TB.tgn_set_params(g, {
+        "batch_size": bs, "num_of_layers": 1, "layer_type": "graph_attn",
+        "memory_dimension": 16, "time_dimension": 4,
+        "num_node_features": 4, "num_edge_features": 4,
+        "num_neighbors": 8, "edge_message_function_type": "identity",
+        "message_aggregator_type": "last", "memory_updater_type": "gru",
+        "learning_type": "self_supervised"})
+    edges, t = [], 0.0
+    for i in range(bs * n_batches):
+        a = i % (n_nodes // 2)
+        b = (a + 1 + (i % 7)) % (n_nodes // 2)
+        if i % 2:
+            a, b = a + n_nodes // 2, b + n_nodes // 2
+        edges.append((a, b, t)); t += 1.0
+    TB.tgn_update(g, edges[:bs])          # warm-up batch (plans, codegen)
+    t0 = time.perf_counter()
+    TB.tgn_update(g, edges[bs:])
+    wall = time.perf_counter() - t0
+    st = g._tgn_state
+    done = st["batch"] - 1                # minus the warm-up batch
+    out = {"batches": done, "batch_size": bs, "total_sec": round(wall, 3),
+           "batches_per_sec": round(done / wall, 3) if wall > 0 else None}
+    _log(f"  tgn {done} deep batches in {out['total_sec']}s "
+         f"({out['batches_per_sec']}/s)")
+    TB.tgn_reset(g)
+    return out
