@@ -44,7 +44,13 @@ def _pair_features(graph, etype: str | None = None) -> DataFrame:
     """(u, v, cn, aa, jac, pa, label) for every 2-hop pair u<v: the classic
     link-prediction features, label 1 when the pair is already an edge.
     One self-join + one groupBy — scales with the adjacency cache."""
-    und = graph.adjacency(etype, "both")
+    return pair_features_from_und(graph.adjacency(etype, "both"))
+
+
+def pair_features_from_und(und: DataFrame) -> DataFrame:
+    """Feature core over an explicit undirected (src, dst) adjacency
+    (both directions present, deduped) — shared by the graph path above
+    and the oracle-checked algo_linkpred_feats query."""
     deg = und.groupBy("src").agg(F.count("*").alias("deg"))
     degz = deg.withColumnRenamed("src", "z").withColumnRenamed("deg", "deg_z")
     a = und.select(F.col("dst").alias("u"), F.col("src").alias("z"))

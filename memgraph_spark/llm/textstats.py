@@ -85,6 +85,37 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def fingerprint_exact(df: DataFrame, text_col: str = "text", k: int = 7,
+                      window: int = 4, mod: int = 1_000_000_007) -> DataFrame:
+    """Winnowing fingerprint with an ENGINE-NEUTRAL k-gram hash: each
+    k-gram hashes to a base-31 polynomial of its character codes mod a
+    prime, so a SQL oracle (DuckDB ascii/list_transform) computes the
+    identical signature — unlike `fingerprint`, whose xxhash64 grams are
+    rows-only. Same winnowing as `fingerprint`: min of every `window`
+    consecutive gram hashes, distinct. Pure column expressions, no UDF."""
+    text = F.col(text_col)
+    coeffs = [31 ** (k - 1 - j) for j in range(k)]
+
+    def gram_hash(i):
+        h = F.lit(0).cast("long")
+        for j, c in enumerate(coeffs):
+            h = h + F.ascii(text.substr(i + F.lit(j), F.lit(1))) \
+                .cast("long") * F.lit(c)
+        return F.pmod(h, F.lit(mod))
+
+    grams = F.when(
+        F.length(text) >= k,
+        F.transform(F.sequence(F.lit(1), F.length(text) - k + 1), gram_hash),
+    ).otherwise(F.array().cast("array<long>"))
+    fp = F.when(
+        F.size(grams) >= window,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), F.size(grams) - window + 1),
+                        lambda i: F.array_min(F.slice(grams, i, window)))),
+    ).otherwise(F.array_distinct(grams))
+    return df.withColumn("fingerprints", fp)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", k: int = 7,
                 window: int = 4) -> DataFrame:
     """Winnowing fingerprint: hash all k-grams, keep the min hash of every

@@ -581,6 +581,9 @@ _TAIL = [
     "expand_two_hop",   # same operator surface as cy_two_hop (Cypher path)
     "union_all",        # same operator surface as cy_union (Cypher path)
     "optional_match",   # same operator surface as cy_optional (Cypher path)
+    "pattern_exists",   # same operator surface as cy_exists (Cypher path)
+    "pattern_anti",     # same operator surface as cy_not_exists (Cypher)
+    "unwind_tokens",    # same operator surface as cy_unwind (Cypher path)
     "dedup_simhash",    # no_oracle by design (hash-dependent)
     "embed_ann_lsh",    # no_oracle by design (approximate)
     "embed_ann_ivf",    # no_oracle by design (approximate)

@@ -214,11 +214,101 @@ SELECT component, count(*) AS n_nodes FROM comp GROUP BY component
 """
 
 
+def q_algo_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count (algos/triangles.triangle_count — degree-oriented
+    wedge join, MAGE triangle-analytics parity) over the supplier
+    co-supply projection: suppliers are adjacent when some lineitem ships
+    the same part from both. The bipartite projection is triangle-rich,
+    unlike the TPC-H DAG itself (zero triangles — a degenerate check)."""
+    from memgraph_spark.algos.triangles import triangle_count
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select(F.col("l_partkey").alias("p"),
+                  F.col("l_suppkey").alias("s"))
+          .dropDuplicates())
+    a = li.select(F.col("p"), F.col("s").alias("s1"))
+    b = li.select(F.col("p"), F.col("s").alias("s2"))
+    cosupply = (a.join(b, "p").filter(F.col("s1") < F.col("s2"))
+                .select(F.col("s1").alias("src"), F.col("s2").alias("dst"))
+                .dropDuplicates())
+    return triangle_count(cosupply)
+
+
+ORACLE_ALGO_TRIANGLES = """
+WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+und AS (
+  SELECT DISTINCT a.s AS a, b.s AS b
+  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+)
+SELECT count(*) AS n_triangles
+FROM und e1
+JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+"""
+
+
+def q_algo_linkpred_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic link-prediction pair features (common neighbours,
+    Adamic-Adar, Jaccard, preferential attachment + existing-edge label;
+    algos/gnn.pair_features_from_und — the feature layer under
+    link_prediction.train) over the supplier/nation/region subgraph."""
+    from memgraph_spark.algos.gnn import pair_features_from_und
+    sup = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+           .select((F.lit(_ID["Supplier"]) + F.col("s_suppkey")).alias("src"),
+                   (F.lit(_ID["Nation"]) + F.col("s_nationkey")).alias("dst")))
+    nat = (spark.read.parquet(f"{sf_dir}/nation.parquet")
+           .select((F.lit(_ID["Nation"]) + F.col("n_nationkey")).alias("src"),
+                   (F.lit(_ID["Region"]) + F.col("n_regionkey")).alias("dst")))
+    edges = sup.unionByName(nat)
+    und = (edges.unionByName(edges.select(F.col("dst").alias("src"),
+                                          F.col("src").alias("dst")))
+           .dropDuplicates())
+    feats = pair_features_from_und(und)
+    return feats.select("u", "v", "cn", F.round("aa", 6).alias("aa"),
+                        F.round("jac", 6).alias("jac"), "pa", "label")
+
+
+ORACLE_ALGO_LINKPRED_FEATS = f"""
+WITH edges AS (
+  SELECT ({_ID['Supplier']}::BIGINT)+s_suppkey AS src,
+         ({_ID['Nation']}::BIGINT)+s_nationkey AS dst FROM supplier
+  UNION ALL
+  SELECT ({_ID['Nation']}::BIGINT)+n_nationkey,
+         ({_ID['Region']}::BIGINT)+n_regionkey FROM nation
+),
+und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)
+),
+deg AS (SELECT src AS v, count(*) AS deg FROM und GROUP BY src),
+feats AS (
+  SELECT a.dst AS u, b.dst AS v, count(*)::DOUBLE AS cn,
+         sum(1.0/ln(d.deg + 1e-9)) AS aa
+  FROM und a JOIN und b ON a.src = b.src AND a.dst < b.dst
+  JOIN deg d ON d.v = a.src
+  GROUP BY a.dst, b.dst
+),
+ex AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v, 1 AS label
+  FROM und
+)
+SELECT f.u, f.v, f.cn, round(f.aa, 6) AS aa,
+       round(f.cn/(du.deg + dv.deg - f.cn), 6) AS jac,
+       (du.deg*dv.deg)::DOUBLE AS pa,
+       coalesce(ex.label, 0) AS label
+FROM feats f
+JOIN deg du ON du.v = f.u
+JOIN deg dv ON dv.v = f.v
+LEFT JOIN ex ON ex.u = f.u AND ex.v = f.v
+"""
+
+
 ALGO_QUERIES = {
     "algo_wcc": q_algo_wcc,
     "algo_knn": q_algo_knn,
     "algo_topo_layers": q_algo_topo_layers,
     "algo_katz": q_algo_katz,
+    "algo_triangles": q_algo_triangles,
+    "algo_linkpred_feats": q_algo_linkpred_feats,
 }
 
 ALGO_ORACLES = {
@@ -226,4 +316,6 @@ ALGO_ORACLES = {
     "algo_knn": ORACLE_ALGO_KNN,
     "algo_topo_layers": ORACLE_ALGO_TOPO,
     "algo_katz": ORACLE_ALGO_KATZ,
+    "algo_triangles": ORACLE_ALGO_TRIANGLES,
+    "algo_linkpred_feats": ORACLE_ALGO_LINKPRED_FEATS,
 }

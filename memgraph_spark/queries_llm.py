@@ -267,6 +267,48 @@ def q_text_fingerprint(spark, sf_dir):
     return fp.select("doc_id", F.size("fingerprints").alias("n_fingerprints"))
 
 
+def q_text_fingerprint_exact(spark, sf_dir):
+    """Winnowing fingerprints with the engine-neutral polynomial k-gram
+    hash (llm/textstats.fingerprint_exact): per-doc signature summary
+    (count, min, max, sum mod p) — hash-EXACT against the DuckDB oracle,
+    unlike q_text_fingerprint whose xxhash64 grams are rows-only."""
+    from memgraph_spark.llm.textstats import fingerprint_exact
+    mod = 1_000_000_007
+    fp = fingerprint_exact(_docs(spark, sf_dir), mod=mod)
+    return fp.select(
+        "doc_id",
+        F.size("fingerprints").cast("long").alias("n_fp"),
+        F.array_min("fingerprints").alias("fp_min"),
+        F.array_max("fingerprints").alias("fp_max"),
+        F.pmod(F.aggregate("fingerprints", F.lit(0).cast("long"),
+                           lambda a, v: a + v), F.lit(mod)).alias("fp_sum"))
+
+
+ORACLE_TEXT_FINGERPRINT_EXACT = """
+WITH grams AS (
+  SELECT doc_id,
+    CASE WHEN length(text) >= 7 THEN
+      list_transform(generate_series(1, length(text)-6), i ->
+        (ascii(text[i])::BIGINT*887503681 + ascii(text[i+1])::BIGINT*28629151 +
+         ascii(text[i+2])::BIGINT*923521 + ascii(text[i+3])::BIGINT*29791 +
+         ascii(text[i+4])::BIGINT*961 + ascii(text[i+5])::BIGINT*31 +
+         ascii(text[i+6])::BIGINT) % 1000000007)
+    ELSE CAST([] AS BIGINT[]) END AS g
+  FROM documents),
+fps AS (
+  SELECT doc_id,
+    CASE WHEN len(g) >= 4 THEN
+      list_distinct(list_transform(generate_series(1, len(g)-3),
+                                   i -> list_min(g[i:i+3])))
+    ELSE list_distinct(g) END AS fp
+  FROM grams)
+SELECT doc_id, len(fp)::BIGINT AS n_fp, list_min(fp) AS fp_min,
+       list_max(fp) AS fp_max,
+       list_aggregate(fp, 'sum') % 1000000007 AS fp_sum
+FROM fps
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup connected-component clustering over the verified MinHash
     pair graph (llm/dedup.near_dup_clusters): one (id, cluster) row per
@@ -319,6 +361,7 @@ LLM_QUERIES = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
+    "text_fingerprint_exact": q_text_fingerprint_exact,
 }
 
 LLM_ORACLES = {
@@ -333,5 +376,6 @@ LLM_ORACLES = {
     "text_token_stats": ORACLE_TEXT_TOKEN_STATS,
     "text_quality": ORACLE_TEXT_QUALITY,
     "text_langid": ORACLE_TEXT_LANGID,
+    "text_fingerprint_exact": ORACLE_TEXT_FINGERPRINT_EXACT,
     # dedup_simhash / embed_ann_lsh / embed_ann_ivf / text_fingerprint: rows-only by design
 }
