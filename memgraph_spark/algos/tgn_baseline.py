@@ -273,49 +273,42 @@ def _fetch_neighbors(graph, node_ids: set,
     return out
 
 
-def _fetch_memory(graph, node_ids: set) -> dict:
-    """{id: (np.ndarray(M), last_ts)} for the touched nodes — a join
-    against the memory frame; absent ids fall back to zero memory in
-    the core (reference Memory.get_node_memory)."""
+def _fetch_state(graph, node_ids: set, want_labels: bool = False):
+    """(memory dict, labels dict|None) in ONE driver job: the bounded id
+    frame left-joins the memory frame and — for supervised configs — the
+    node-label column, so the per-batch memory fetch and label fetch
+    share a single collect (VERDICT r6 item 6 fold; they were two jobs).
+    A missing label COLUMN is a configuration error and raises (a
+    metadata check, no job) — silently training toward all-zero labels
+    would report inflated precision; a per-node null falls back to 0."""
     import numpy as np
     if not node_ids:
-        return {}
+        return {}, ({} if want_labels else None)
+    st = _state(graph)
     mem = _ensure_memory(graph)
     ids = graph.spark.createDataFrame(
         [(int(n),) for n in node_ids], "id long")
-    return {int(r["id"]): (np.array(r["mem"], dtype=np.float64),
-                           float(r["last_ts"]))
-            for r in mem.join(ids, "id").collect()}
-
-
-def _fetch_labels(graph, node_ids: set) -> dict:
-    """Supervised labels from the node tables' label property column
-    (params['node_label_property'], default 'label'). A missing COLUMN
-    is a configuration error and raises — silently training toward
-    all-zero labels would report inflated precision; a per-node null
-    falls back to 0.0."""
-    st = _state(graph)
-    prop = str(st["params"].get("node_label_property", "label"))
-    out: dict = {}
-    if not node_ids:
-        return out
-    nodes = graph.all_nodes([prop])
-    # all_nodes carries the requested column as all-null when NO label
-    # table defines it — that is a configuration error, not "all class
-    # zero" (silently training toward zeros reports inflated precision)
-    if prop not in nodes.columns or not any(
-            prop in t.columns for t in graph.nodes.values()):
-        raise ValueError(
-            f"tgn: supervised learning needs node label property "
-            f"{prop!r}, but no node table carries that column (set "
-            "node_label_property in set_params)")
-    ids = graph.spark.createDataFrame(
-        [(int(n),) for n in node_ids], "id long")
-    for r in (nodes.select("id", F.col(prop).alias("y"))
-              .join(ids, "id").collect()):
-        if r["y"] is not None:
-            out[int(r["id"])] = float(r["y"])
-    return out
+    joined = ids.join(mem, "id", "left")
+    if want_labels:
+        prop = str(st["params"].get("node_label_property", "label"))
+        nodes = graph.all_nodes([prop])
+        if prop not in nodes.columns or not any(
+                prop in t.columns for t in graph.nodes.values()):
+            raise ValueError(
+                f"tgn: supervised learning needs node label property "
+                f"{prop!r}, but no node table carries that column (set "
+                "node_label_property in set_params)")
+        joined = joined.join(
+            nodes.select("id", F.col(prop).alias("__y")), "id", "left")
+    memory: dict = {}
+    labels: dict | None = {} if want_labels else None
+    for r in joined.collect():
+        if r["mem"] is not None:
+            memory[int(r["id"])] = (np.array(r["mem"], dtype=np.float64),
+                                    float(r["last_ts"]))
+        if want_labels and r["__y"] is not None:
+            labels[int(r["id"])] = float(r["__y"])
+    return memory, labels
 
 
 def _writeback_memory(graph, new_mem: dict, last_upd: dict) -> None:
@@ -371,7 +364,17 @@ def _process_batch_deep(graph, rows4: list, train: bool) -> float:
     rows), run the numpy forward/backward (algos/tgn_deep.py), write
     the updated memory/embeddings back, and stage this batch's raw
     messages for the next batch. Returns the reference's precision
-    metric for the batch."""
+    metric for the batch.
+
+    Driver-job budget per batch (pinned by
+    tests/test_tgn_deep.py::test_deep_batch_job_count, measured by
+    benchx's tgn section): at most L history fetches + 1 state fetch
+    (memory and supervised labels fold into ONE collect) + 2 write-back
+    checkpoints. The L history rounds are the floor for exact sampled
+    expansion: level-k frontier is a pure function of level-(k-1)
+    HISTORIES, which no single job can know in advance without
+    over-fetching the full 128^k candidate closure; rounds that discover
+    no new nodes skip their fetch entirely."""
     st = _state(graph)
     core = st["deep"]
     edges = [(int(s), int(d), float(t), int(e))
@@ -416,9 +419,8 @@ def _process_batch_deep(graph, rows4: list, train: bool) -> float:
         all_nodes |= {n for (n, _t) in pairs}
     mem_ids = (all_nodes
                | {int(n) for (n, _r, _t) in st["pending"]})
-    memory = _fetch_memory(graph, mem_ids)
-    labels = (_fetch_labels(graph, batch_src | batch_dst)
-              if core.learning == "supervised" else None)
+    memory, labels = _fetch_state(
+        graph, mem_ids, want_labels=core.learning == "supervised")
     compiled = core.compile_batch(edges, memory, neighbors,
                                   st["pending"], labels=labels,
                                   negatives=negs)
@@ -574,39 +576,72 @@ def tgn_set_eval(graph) -> DataFrame:
         [("TGN mode changed to 'eval'.",)], "message string")
 
 
-def _eval_precision(graph, batch_rows: list) -> float:
-    """Ranking precision on a batch: fraction of true edges (u, v) whose
-    score beats the corrupted pair (u, w) with a deterministic
-    hash-sampled w."""
-    emb = tgn_get(graph)
+def _neg_pool(graph, emb):
+    """Dense (rk, node) index over the embedding frame's node set for
+    hash-mod negative draws — built ONCE per eval phase (VERDICT r6 item
+    3). zipWithIndex assigns the dense rank with per-partition offsets
+    (one count job + local enumeration), so no global sort and no
+    single-partition Window anywhere in the eval plan. Returns
+    (pool_frame, n); caller frees the checkpoint."""
+    pool = (emb.select("node").rdd
+            .map(lambda r: (r["node"],))
+            .zipWithIndex()
+            .map(lambda t: (int(t[0][0]), int(t[1])))
+            .toDF("node long, rk long")
+            .localCheckpoint(eager=True))
+    return pool, pool.count()
+
+
+def _precision_frame(graph, batch_rows: list, emb, pool, n: int):
+    """Scored (pos_score, neg_score) frame for a batch: the corrupted
+    partner w is drawn by xxhash64(src,dst,ts) % n against the dense
+    (rk, node) pool — joins only, no Window (tests pin the plan shape)."""
     spark = graph.spark
     batch = spark.createDataFrame(batch_rows, "src long, dst long, ts double")
-    ids = emb.select(F.col("node"))
-    n = ids.count()
-    if n == 0:
-        return 0.0
     neg = (batch.withColumn(
         "rk", (F.abs(F.xxhash64("src", "dst", "ts")) % n))
-        .join(ids.withColumn(
-            "rk", (F.row_number().over(Window.orderBy("node")) - 1)
-            .cast("long")), "rk")
+        .join(pool, "rk")
         .select("src", "dst", F.col("node").alias("wneg")))
     e = emb.select(F.col("node"), F.col("embedding"))
     dot = F.aggregate(F.zip_with("ea", "eb", lambda a, b: a * b),
                       F.lit(0.0), lambda acc, v: acc + v)
-    scored = (neg
-              .join(e.select(F.col("node").alias("src"),
-                             F.col("embedding").alias("ea")), "src")
-              .join(e.select(F.col("node").alias("dst"),
-                             F.col("embedding").alias("eb")), "dst")
-              .withColumn("pos_score", dot)
-              .drop("eb")
-              .join(e.select(F.col("node").alias("wneg"),
-                             F.col("embedding").alias("eb")), "wneg")
-              .withColumn("neg_score", dot))
-    r = scored.agg(F.avg((F.col("pos_score") > F.col("neg_score"))
-                         .cast("double")).alias("p")).first()
-    return round(float(r["p"] or 0.0), 4)
+    return (neg
+            .join(e.select(F.col("node").alias("src"),
+                           F.col("embedding").alias("ea")), "src")
+            .join(e.select(F.col("node").alias("dst"),
+                           F.col("embedding").alias("eb")), "dst")
+            .withColumn("pos_score", dot)
+            .drop("eb")
+            .join(e.select(F.col("node").alias("wneg"),
+                           F.col("embedding").alias("eb")), "wneg")
+            .withColumn("neg_score", dot))
+
+
+def _eval_precision(graph, batch_rows: list, emb=None, pool=None,
+                    n: int | None = None) -> float:
+    """Ranking precision on a batch: fraction of true edges (u, v) whose
+    score beats the corrupted pair (u, w) with a deterministic
+    hash-sampled w. Callers that score many batches against a FROZEN
+    state (the eval phase: memory stops advancing after the last train
+    batch) pass a precomputed `emb`/`pool` so the O(E) neighbour-mean
+    embedding aggregation and the node pool build run once per epoch,
+    not once per batch."""
+    if emb is None:
+        emb = tgn_get(graph)
+    own_pool = pool is None
+    if own_pool:
+        pool, n = _neg_pool(graph, emb)
+    try:
+        if not n:
+            return 0.0
+        scored = _precision_frame(graph, batch_rows, emb, pool, n)
+        r = scored.agg(F.avg((F.col("pos_score") > F.col("neg_score"))
+                             .cast("double")).alias("p")).first()
+        return round(float(r["p"] or 0.0), 4)
+    finally:
+        if own_pool:
+            from memgraph_spark.session import free_checkpoint
+            free_checkpoint(pool)
 
 
 def tgn_train_and_eval(graph, num_epochs: int = 1) -> DataFrame:
@@ -652,6 +687,16 @@ def tgn_train_and_eval(graph, num_epochs: int = 1) -> DataFrame:
             rows.append((epoch, batch_no,
                          round(time.perf_counter() - t0, 3), prec,
                          "train"))
+        # EMA eval phase: memory is frozen after the last train batch, so
+        # the O(E) neighbour-mean embedding frame and the negative pool
+        # are computed ONCE per epoch and shared by every eval batch
+        # (VERDICT r6 item 3); the deep path keeps per-batch state
+        # because its memory/messages still advance in eval mode.
+        emb_eval = pool_eval = None
+        n_eval = 0
+        if not deep and split < total:
+            emb_eval = tgn_get(graph).localCheckpoint(eager=True)
+            pool_eval, n_eval = _neg_pool(graph, emb_eval)
         for lo in range(split, total, bs):
             rows4 = _batch_rows(graph, lo, min(lo + bs, total))
             if not rows4:
@@ -663,11 +708,15 @@ def tgn_train_and_eval(graph, num_epochs: int = 1) -> DataFrame:
                 prec = _process_batch_deep(graph, rows4, train=False)
             else:
                 prec = _eval_precision(
-                    graph, [(s, d, t) for (s, d, t, _q) in rows4])
+                    graph, [(s, d, t) for (s, d, t, _q) in rows4],
+                    emb=emb_eval, pool=pool_eval, n=n_eval)
             batch_no += 1
             rows.append((epoch, batch_no,
                          round(time.perf_counter() - t0, 3), prec,
                          "eval"))
+        if emb_eval is not None:
+            free_checkpoint(emb_eval)
+            free_checkpoint(pool_eval)
     st["results"].extend(rows)
     return graph.spark.createDataFrame(
         rows, "epoch_num int, batch_num int, batch_process_time double, "

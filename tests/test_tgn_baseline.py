@@ -146,3 +146,32 @@ def test_node2vec_online_surface(spark):
     h = gs.execute("CALL node2vec_online.help() YIELD name, value "
                    "RETURN count(*) AS n").collect()
     assert h[0].n == 5
+
+
+def test_eval_precision_plan_has_no_window(spark):
+    """VERDICT r6 item 3: the EMA eval scoring plan must carry no Window
+    operator at all (the old negative draw ranked EVERY node embedding
+    through a single-partition Window.orderBy per batch). The dense
+    (rk, node) pool comes from zipWithIndex; scoring is joins only."""
+    import memgraph_spark.algos.tgn_baseline as TB
+    g = _graph(spark)
+    TB.tgn_set_params(g, {"batch_size": 10, "memory_dimension": 8})
+    TB.tgn_update(g, _stream(2))
+    emb = TB.tgn_get(g).localCheckpoint(eager=True)
+    pool, n = TB._neg_pool(g, emb)
+    assert n == 16
+    scored = TB._precision_frame(
+        g, [(0, 1, 3.0), (8, 9, 4.0)], emb, pool, n)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    rows = scored.collect()
+    assert len(rows) == 2
+    assert all(r.wneg in range(16) for r in rows)
+    # precision through the shared-pool path matches the own-pool path
+    p_shared = TB._eval_precision(g, [(0, 1, 3.0), (8, 9, 4.0)],
+                                  emb=emb, pool=pool, n=n)
+    p_own = TB._eval_precision(g, [(0, 1, 3.0), (8, 9, 4.0)])
+    assert p_shared == p_own
+    from memgraph_spark.session import free_checkpoint
+    free_checkpoint(pool); free_checkpoint(emb)
+    TB.tgn_reset(g)

@@ -320,13 +320,13 @@ def test_deep_memory_fetch_covers_full_computation_graph(spark,
         "message_aggregator_type": "last", "memory_updater_type": "gru",
         "learning_type": "self_supervised"})
     fetched = []
-    orig_fm = TB._fetch_memory
+    orig_fs = TB._fetch_state
 
-    def fm(gr, ids):
+    def fs(gr, ids, want_labels=False):
         fetched.append(set(ids))
-        return orig_fm(gr, ids)
+        return orig_fs(gr, ids, want_labels=want_labels)
 
-    monkeypatch.setattr(TB, "_fetch_memory", fm)
+    monkeypatch.setattr(TB, "_fetch_state", fs)
     core = g._tgn_state["deep"]
     compiled_caps = []
     orig_cb = core.compile_batch
@@ -367,4 +367,55 @@ def test_deep_supervised_missing_label_column_raises(spark):
     with pytest.raises(ValueError, match="label"):
         TB.tgn_update(g, [(0, 1, 1.0), (1, 2, 2.0),
                           (2, 3, 3.0), (3, 4, 4.0)])
+    TB.tgn_reset(g)
+
+
+def test_deep_batch_job_count(spark, monkeypatch):
+    """Pins the per-batch driver-job budget (VERDICT r6 item 6): the
+    memory+labels fold means ONE _fetch_state collect per batch, at most
+    L history-fetch rounds (skipped when the frontier is all known), and
+    a loose statusTracker ceiling on total Spark jobs per batch so a
+    per-edge-job regression can't land silently."""
+    import memgraph_spark.algos.tgn_baseline as TB
+    g = _graph(spark)
+    TB.tgn_set_params(g, {
+        "batch_size": 10, "num_of_layers": 2, "layer_type": "graph_sum",
+        "memory_dimension": 4, "time_dimension": 2,
+        "num_node_features": 2, "num_edge_features": 2,
+        "num_neighbors": 3, "edge_message_function_type": "identity",
+        "message_aggregator_type": "last", "memory_updater_type": "gru",
+        "learning_type": "self_supervised"})
+    calls = {"state": 0, "hist": 0}
+    orig_fs, orig_fn = TB._fetch_state, TB._fetch_neighbors
+
+    def fs(gr, ids, want_labels=False):
+        calls["state"] += 1
+        return orig_fs(gr, ids, want_labels=want_labels)
+
+    def fn(gr, ids, max_seq=None):
+        calls["hist"] += 1
+        return orig_fn(gr, ids, max_seq=max_seq)
+
+    monkeypatch.setattr(TB, "_fetch_state", fs)
+    monkeypatch.setattr(TB, "_fetch_neighbors", fn)
+    TB.tgn_update(g, _stream(2))          # 20 edges -> 2 batches
+    st = g._tgn_state
+    L = st["deep"].L
+    assert calls["state"] == 2            # exactly one state fetch/batch
+    assert calls["hist"] <= 2 * L         # at most L history rounds/batch
+    # statusTracker ceiling on one directly-driven batch (AQE can split
+    # an action into several jobs, so the bound is per-action x cushion)
+    sc = spark.sparkContext
+    rows4 = [(s, d, float(100 + i), st["edge_count"] + i)
+             for i, (s, d) in enumerate([(0, 3), (1, 2), (8, 11), (9, 10),
+                                         (0, 2), (3, 1), (10, 8), (11, 9),
+                                         (2, 0), (1, 3)])]
+    sc.setJobGroup("tgn-batch-probe", "job-count probe")
+    try:
+        TB._process_batch_deep(g, rows4, train=True)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("tgn-batch-probe")
+    actions = L + 3                       # L fetches + state + 2 writebacks
+    assert 0 < len(jobs) <= 4 * actions, len(jobs)
     TB.tgn_reset(g)
