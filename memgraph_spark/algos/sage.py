@@ -1,5 +1,5 @@
 """Distributed no-torch GraphSAGE for node_classification (layer_type
-SAGE, aggr mean or max).
+SAGE, aggr mean / max / pool / gcn).
 
 Parity target: the reference's deep path —
 src/mage/python/mage/node_classification/models/sage.py wrapping PyG
@@ -12,6 +12,28 @@ with relu between layers and softmax cross-entropy on top
 module trains the SAME layer algebra with numpy + DataFrames, so SAGE
 runs in environments without torch. GAT/GATv2/GATJK (attention layers,
 algos/gat.py / gatv2.py / gatjk.py) train without torch the same way.
+
+The link-prediction module's SAGEConv is DGL's
+(src/mage/python/mage/link_prediction/models/graph_sage.py), whose
+aggregator_type names lstm/gcn/mean/pool (link_prediction.py:55). The
+two extra aggregators implemented here follow the DGL algebra:
+
+- gcn:  z_i = ((sum_{j in N(i)} h_j + h_i) / (deg_i + 1)) @ Wn + b —
+  i.e. the MEAN aggregation over the self-loop-augmented adjacency with
+  NO separate root weight (DGL SAGEConv drops fc_self for 'gcn'). The
+  implementation literally reuses the mean path on adj+self-loops with
+  Wr pinned at zero (never updated), so forward and backward come for
+  free from the proven machinery.
+- pool: z_i = h_i @ Wr + (max_{j in N(i)} relu(h_j @ Wp + bp)) @ Wn + b
+  (DGL 'pool': a learned per-neighbour linear+relu before the
+  elementwise max; Wp is square d_in x d_in like DGL's fc_pool). The
+  max backward routes through the same argmax machinery as aggr='max',
+  then continues through relu'(q) and Wp to the contributing
+  neighbour's state.
+- lstm stays dependency-gated: it is order-sensitive (a sequence model
+  over an arbitrary neighbour permutation), so there is no
+  deterministic distributed twin of the torch semantics to pin — the
+  gate names that reason.
 
 Documented deviations from the torch path (regularization, not layer
 algebra): no BatchNorm1d or dropout(0.5) between layers — this is
@@ -86,6 +108,52 @@ def _max_neighbor(adj: DataFrame, h: DataFrame, dim: int):
 def _np_rows(col):
     """Column of array<double> (pandas Series of lists) -> 2-D ndarray."""
     return np.array(col.to_list(), dtype=np.float64)
+
+
+def _with_self_loops(adj: DataFrame, nodes: DataFrame) -> DataFrame:
+    """adj ∪ {(i, i)} over `nodes` (id) — the gcn aggregator is the mean
+    aggregator over this augmented adjacency (DGL divides by deg+1 and
+    adds the node's own state)."""
+    loops = nodes.select(F.col("id").alias("src"),
+                         F.col("id").alias("dst"))
+    return adj.unionByName(loops).dropDuplicates()
+
+
+def _pool_q(h: DataFrame, Wp, bp) -> DataFrame:
+    """(id, q = relu(h @ Wp + bp)): the learned per-neighbour transform
+    the 'pool' aggregator maxes over (DGL SAGEConv fc_pool). relu' for
+    backward is recoverable as (q > 0)."""
+    import pandas as pd
+    Wp_ = np.asarray(Wp, dtype=np.float64)
+    bp_ = np.asarray(bp, dtype=np.float64)
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = _np_rows(pdf["h"]) @ Wp_ + bp_
+            np.maximum(Q, 0.0, out=Q)
+            yield pd.DataFrame({"id": pdf["id"], "q": list(Q)})
+
+    return h.mapInPandas(fn, "id long, q array<double>")
+
+
+def _route_argmax(msgs: DataFrame, arg: DataFrame, d: int) -> DataFrame:
+    """(id, nbr): scatter per-(node, pos) gradient messages to the argmax
+    contributor named by `arg` (id, pos, am), densified to d-vectors —
+    the shared backward router of the 'max' and 'pool' aggregators."""
+    return (msgs.select("id", F.posexplode("msg").alias("pos", "v"))
+            .join(arg, ["id", "pos"])
+            .groupBy(F.col("am").alias("id"), F.col("pos"))
+            .agg(F.sum("v").alias("v"))
+            .groupBy("id").agg(
+                F.map_from_entries(F.collect_list(
+                    F.struct("pos", "v"))).alias("mp"))
+            .select("id", F.transform(
+                F.sequence(F.lit(0), F.lit(d - 1)),
+                lambda i: F.coalesce(
+                    F.element_at("mp", i.cast("int")), F.lit(0.0)))
+                .alias("nbr")))
 
 
 def _sage_layer(joined: DataFrame, Wr, Wn, b, relu: bool,
@@ -230,18 +298,7 @@ def _backprop_to_prev(gframe: DataFrame, hprev: DataFrame,
         msgs = gframe.mapInPandas(msg_fn, "id long, msg array<double>")
         # route (i, pos) to its argmax contributor; positions a node
         # never won arrive sparse, so densify through a pos->v map
-        nbr = (msgs.select("id", F.posexplode("msg").alias("pos", "v"))
-               .join(arg, ["id", "pos"])
-               .groupBy(F.col("am").alias("id"), F.col("pos"))
-               .agg(F.sum("v").alias("v"))
-               .groupBy("id").agg(
-                   F.map_from_entries(F.collect_list(
-                       F.struct("pos", "v"))).alias("mp"))
-               .select("id", F.transform(
-                   F.sequence(F.lit(0), F.lit(d_prev - 1)),
-                   lambda i: F.coalesce(
-                       F.element_at("mp", i.cast("int")), F.lit(0.0)))
-                   .alias("nbr")))
+        nbr = _route_argmax(msgs, arg, d_prev)
     zeros = F.array_repeat(F.lit(0.0), d_prev)
     joined = (hprev.join(own, "id", "left").join(nbr, "id", "left")
               .select("id", "h",
@@ -259,6 +316,239 @@ def _backprop_to_prev(gframe: DataFrame, hprev: DataFrame,
     return joined.mapInPandas(mask_fn, "id long, g array<double>")
 
 
+def _backprop_pool(gframe: DataFrame, hprev: DataFrame, q: DataFrame,
+                   arg: DataFrame, Wr, Wn, Wp, d_prev: int,
+                   need_dh: bool, mask_relu: bool):
+    """Backward through one 'pool' layer's aggregation. Returns
+    (dh_frame | None, dWp, dbp, dq_checkpoint | None) — the caller frees
+    the dq checkpoint once dh is materialized:
+
+      dM_i  = g_i @ Wn^T                      (max output gradient)
+      gq_j  = route dM_i[pos] to argmax j     (same router as aggr=max)
+      dq_j  = gq_j * relu'(q_j)               (through the pool relu)
+      dWp   = sum_j outer(h_j, dq_j),  dbp = sum_j dq_j
+      dh_j  = g_j @ Wr^T + dq_j @ Wp^T [* relu'(h_j) when hprev is a
+              hidden state]
+
+    dWp/dbp reduce via treeAggregate (only d_prev x d_prev floats reach
+    the driver); everything row-shaped stays in frames."""
+    import pandas as pd
+    Wr_t = np.asarray(Wr, dtype=np.float64).T
+    Wn_t = np.asarray(Wn, dtype=np.float64).T
+    Wp_ = np.asarray(Wp, dtype=np.float64)
+
+    def msg_fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = _np_rows(pdf["g"]) @ Wn_t
+            yield pd.DataFrame({"id": pdf["id"], "msg": list(M)})
+
+    msgs = gframe.mapInPandas(msg_fn, "id long, msg array<double>")
+    routed = _route_argmax(msgs, arg, d_prev)
+    # dq rows: only nodes that won at least one position contribute
+    dq_join = (routed.join(q, "id").join(hprev, "id"))
+
+    def dq_fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            DQ = _np_rows(pdf["nbr"]) * (_np_rows(pdf["q"]) > 0.0)
+            yield pd.DataFrame({"id": pdf["id"], "h": pdf["h"],
+                                "dq": list(DQ)})
+
+    dq = dq_join.mapInPandas(
+        dq_fn, "id long, h array<double>, dq array<double>")
+    dq = dq.localCheckpoint(eager=True)
+
+    def part(rows):
+        dWp = np.zeros((d_prev, d_prev))
+        dbp = np.zeros(d_prev)
+        any_row = False
+        for r in rows:
+            any_row = True
+            v = np.asarray(r["dq"], dtype=np.float64)
+            dWp += np.outer(np.asarray(r["h"], dtype=np.float64), v)
+            dbp += v
+        return iter([(dWp, dbp)]) if any_row else iter(())
+
+    zero = (np.zeros((d_prev, d_prev)), np.zeros(d_prev))
+    dWp, dbp = dq.select("h", "dq").rdd.mapPartitions(part) \
+        .treeAggregate(zero, lambda a, b: (a[0] + b[0], a[1] + b[1]),
+                       lambda a, b: (a[0] + b[0], a[1] + b[1]))
+    if not need_dh:
+        from memgraph_spark.session import free_checkpoint
+        free_checkpoint(dq)
+        return None, dWp, dbp, None
+
+    def own_fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame({"id": pdf["id"],
+                                "own": list(_np_rows(pdf["g"]) @ Wr_t)})
+
+    own = gframe.mapInPandas(own_fn, "id long, own array<double>")
+
+    def nbr_fn(batches):
+        Wp_t = Wp_.T
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame({"id": pdf["id"],
+                                "nbr": list(_np_rows(pdf["dq"]) @ Wp_t)})
+
+    nbr = dq.mapInPandas(nbr_fn, "id long, nbr array<double>")
+    zeros = F.array_repeat(F.lit(0.0), d_prev)
+    joined = (hprev.join(own, "id", "left").join(nbr, "id", "left")
+              .select("id", "h",
+                      F.coalesce("own", zeros).alias("own"),
+                      F.coalesce("nbr", zeros).alias("nbr")))
+
+    def mask_fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            G = _np_rows(pdf["own"]) + _np_rows(pdf["nbr"])
+            if mask_relu:
+                G *= (_np_rows(pdf["h"]) > 0.0)
+            yield pd.DataFrame({"id": pdf["id"], "g": list(G)})
+
+    out = joined.mapInPandas(mask_fn, "id long, g array<double>")
+    return out, dWp, dbp, dq
+
+
+def encoder_forward(X, adj, layers, dims, aggregator,
+                    X0=None, A0=None):
+    """Forward through the SAGE stack up to (but excluding) the final
+    affine layer: persists each layer's (id, h, m) input frame plus the
+    aggregation routing state backward needs. Shared by the
+    node-classification trainer below and the deep link-prediction
+    encoder (algos/linkpred_deep.py). Callers with a weight-independent
+    layer-0 neighbour input (mean/max/gcn) pass precomputed (X0, A0) so
+    it isn't rebuilt per epoch; pool rebuilds it through the learned
+    fc_pool each call. Returns (inputs, args, qs, cleanup)."""
+    use_pool = aggregator == "pool"
+    use_max = aggregator == "max"
+    cleanup = []
+    if use_pool:
+        # persist the h-named frame; the q-named view for backward is a
+        # lazy rename OVER the cache (a post-persist rename would be a
+        # different plan and recompute)
+        qh0 = (_pool_q(X, layers[0]["Wp"], layers[0]["bp"])
+               .withColumnRenamed("q", "h").persist())
+        m0, a0 = _max_neighbor(adj, qh0, dims[0])
+        a0 = a0.persist()
+        cur = X.join(m0, "id").persist()
+        cur.count()
+        cleanup += [a0, qh0, cur]
+        inputs, args = [cur], [a0]
+        qs = [qh0.withColumnRenamed("h", "q")]
+    elif X0 is not None:
+        inputs, args, qs = [X0], [A0], [None]
+        cur = X0
+    else:
+        if use_max:
+            m0, a0 = _max_neighbor(adj, X, dims[0])
+            a0 = a0.persist()
+            cleanup.append(a0)
+        else:
+            m0, a0 = _mean_neighbor(adj, X, dims[0]), None
+        cur = X.join(m0, "id").persist()
+        cur.count()
+        cleanup.append(cur)
+        inputs, args, qs = [cur], [a0], [None]
+    for li, lay in enumerate(layers[:-1]):
+        h_next = _sage_layer(cur, lay["Wr"], lay["Wn"], lay["b"],
+                             relu=True)
+        if use_pool:
+            nxt_lay = layers[li + 1]
+            h_next = h_next.persist()
+            cleanup.append(h_next)
+            qh = (_pool_q(h_next, nxt_lay["Wp"], nxt_lay["bp"])
+                  .withColumnRenamed("q", "h").persist())
+            m_next, a_next = _max_neighbor(adj, qh, dims[li + 1])
+            a_next = a_next.persist()
+            cleanup += [a_next, qh]
+            args.append(a_next)
+            qs.append(qh.withColumnRenamed("h", "q"))
+        elif use_max:
+            m_next, a_next = _max_neighbor(adj, h_next, dims[li + 1])
+            a_next = a_next.persist()
+            cleanup.append(a_next)
+            args.append(a_next)
+            qs.append(None)
+        else:
+            m_next = _mean_neighbor(adj, h_next, dims[li + 1])
+            args.append(None)
+            qs.append(None)
+        cur = h_next.join(m_next, "id").persist()
+        cur.count()
+        cleanup.append(cur)
+        inputs.append(cur)
+    return inputs, args, qs, cleanup
+
+
+def encoder_backward(g, inputs, args, qs, adj, deg, layers, dims,
+                     aggregator, cleanup):
+    """Backward through the SAGE stack from g = dL/d(z_L). Returns a
+    per-layer grads list [(dWr, dWn, db, (dWp, dbp) | None), ...];
+    intermediate frames are appended to `cleanup` (caller unpersists)."""
+    from memgraph_spark.session import free_checkpoint
+    use_pool = aggregator == "pool"
+    L = len(layers)
+    raw = []
+    pool_grads = [None] * L
+    for li in range(L - 1, -1, -1):
+        joined = inputs[li].join(g, "id")
+        raw.append(_weight_grads(joined, dims[li], dims[li + 1]))
+        if use_pool:
+            dh, dWp, dbp, dqh = _backprop_pool(
+                g, inputs[li].select("id", "h"), qs[li], args[li],
+                layers[li]["Wr"], layers[li]["Wn"], layers[li]["Wp"],
+                dims[li], need_dh=li > 0, mask_relu=li > 0)
+            pool_grads[li] = (dWp, dbp)
+            if li > 0:
+                dh = dh.persist()
+                dh.count()
+                cleanup.append(dh)
+                free_checkpoint(dqh)
+                g = dh
+        elif li > 0:
+            nxt = _backprop_to_prev(
+                g, inputs[li].select("id", "h"), adj, deg,
+                layers[li]["Wr"], layers[li]["Wn"],
+                dims[li], arg=args[li]).persist()
+            nxt.count()
+            cleanup.append(nxt)
+            g = nxt
+    raw.reverse()
+    return [(dWr, dWn, db, pool_grads[i])
+            for i, (dWr, dWn, db) in enumerate(raw)]
+
+
+def init_sage_layers(dims, aggregator, rng):
+    """Per-layer weight dicts for the SAGE stack; rng draw ORDER is part
+    of the model contract the numpy twin tests replicate: Wr (non-gcn),
+    Wn, then Wp (pool). gcn has no root weight (DGL drops fc_self): Wr
+    stays an all-zero matrix and is never updated, so the shared
+    forward/backward algebra degrades to the gcn formula."""
+    layers = []
+    for i in range(len(dims) - 1):
+        lim = np.sqrt(6.0 / (dims[i] + dims[i + 1]))   # Glorot uniform
+        lay = {
+            "Wr": (np.zeros((dims[i], dims[i + 1])) if aggregator == "gcn"
+                   else rng.uniform(-lim, lim, (dims[i], dims[i + 1]))),
+            "Wn": rng.uniform(-lim, lim, (dims[i], dims[i + 1])),
+            "b": np.zeros(dims[i + 1])}
+        if aggregator == "pool":
+            limp = np.sqrt(6.0 / (dims[i] + dims[i]))
+            lay["Wp"] = rng.uniform(-limp, limp, (dims[i], dims[i]))
+            lay["bp"] = np.zeros(dims[i])
+        layers.append(lay)
+    return layers
+
+
 def sage_train(graph, hidden_sizes=None, num_epochs: int = 100,
                learning_rate: float = 0.1, weight_decay: float = 5e-4,
                split_ratio: float = 0.8, features_attr: str = "features",
@@ -268,15 +558,19 @@ def sage_train(graph, hidden_sizes=None, num_epochs: int = 100,
 
     epoch_rows match node_classification.train's record shape
     (epoch, loss, val_loss, train_log=[acc], val_log=[acc]); the model
-    dict carries per-layer (Wr, Wn, b) for predict. `aggregator` is the
-    PyG SAGEConv aggr: 'mean' or 'max' (max pools neighbour features
-    elementwise; its backward routes each position's gradient to the
-    argmax contributor)."""
+    dict carries per-layer (Wr, Wn, b [, Wp, bp]) for predict.
+    `aggregator` is the SAGEConv aggregation: 'mean' or 'max' (PyG aggr)
+    plus 'pool' and 'gcn' (DGL aggregator_type — see module docstring
+    for the exact algebra). Only 'lstm' keeps the dependency gate: it is
+    order-sensitive over an arbitrary neighbour permutation, so no
+    deterministic distributed twin of the torch semantics exists to
+    pin."""
     aggregator = str(aggregator).lower()
-    if aggregator not in ("mean", "max"):
+    if aggregator not in ("mean", "max", "pool", "gcn"):
         raise NotImplementedError(
-            f"SAGE aggregator {aggregator!r}: only 'mean' and 'max' run "
-            "without torch (reference SAGEConv aggr)")
+            f"SAGE aggregator {aggregator!r}: mean/max/pool/gcn run "
+            "without torch (reference SAGEConv aggregators); 'lstm' is "
+            "order-sensitive and needs the torch sequence model")
     hidden_sizes = list(hidden_sizes or [16, 16])
     spark = graph.spark
     feat = F.col(features_attr).cast("array<double>")
@@ -308,62 +602,44 @@ def sage_train(graph, hidden_sizes=None, num_epochs: int = 100,
                .withColumn("train",
                            F.pmod(F.xxhash64("id"), 1000)
                            < int(split_ratio * 1000)))
+    X = nodes.select("id", "h").persist()
     adj = graph.adjacency(etype, "both").select("src", "dst")
+    if aggregator == "gcn":
+        # gcn = mean over the self-loop-augmented adjacency, Wr pinned 0
+        adj = _with_self_loops(adj, X).persist()
     deg = (adj.groupBy(F.col("src").alias("id"))
            .agg(F.count("*").cast("double").alias("deg")))
 
-    X = nodes.select("id", "h").persist()
     meta = labeled.select("id", "yi", "train").persist()
     counts = meta.agg(
         F.sum(F.when(F.col("train"), 1).otherwise(0)).alias("tr"),
         F.count("*").alias("n")).first()
     n_train = int(counts["tr"] or 0)
     use_max = aggregator == "max"
-    A0 = None
-    if use_max:
-        M0, A0 = _max_neighbor(adj, X, d0)
-        M0, A0 = M0.persist(), A0.persist()
-        A0.count()
-    else:
-        M0 = _mean_neighbor(adj, X, d0).persist()
-    X0 = X.join(M0, "id").persist()
-    X0.count()
+    use_pool = aggregator == "pool"
+    A0 = M0 = X0 = None
+    if not use_pool:
+        # layer-0 neighbour input is weight-independent for mean/max/gcn
+        # => computed ONCE outside the epoch loop; pool's layer-0 input
+        # goes through the learned fc_pool, so it refreshes per epoch
+        if use_max:
+            M0, A0 = _max_neighbor(adj, X, d0)
+            M0, A0 = M0.persist(), A0.persist()
+            A0.count()
+        else:
+            M0 = _mean_neighbor(adj, X, d0).persist()
+        X0 = X.join(M0, "id").persist()
+        X0.count()
 
     dims = [d0] + hidden_sizes + [k]
     rng = np.random.default_rng(seed)
-    layers = []
-    for i in range(len(dims) - 1):
-        lim = np.sqrt(6.0 / (dims[i] + dims[i + 1]))   # Glorot uniform
-        layers.append({
-            "Wr": rng.uniform(-lim, lim, (dims[i], dims[i + 1])),
-            "Wn": rng.uniform(-lim, lim, (dims[i], dims[i + 1])),
-            "b": np.zeros(dims[i + 1])})
-    L = len(layers)
+    layers = init_sage_layers(dims, aggregator, rng)
     rows = []
     for epoch in range(1, int(num_epochs) + 1):
-        # ---- forward: persist each layer's (id, h, m) input frame
-        # (plus, for max aggregation, the per-layer argmax routing frame
-        # the backward scatter joins on)
-        inputs = [X0]                    # layer l consumes inputs[l]
-        args = [A0]
-        cleanup = []
-        cur = X0
-        for li, lay in enumerate(layers[:-1]):
-            h_next = _sage_layer(cur, lay["Wr"], lay["Wn"], lay["b"],
-                                 relu=True)
-            if use_max:
-                m_next, a_next = _max_neighbor(adj, h_next,
-                                               dims[li + 1])
-                a_next = a_next.persist()
-                cleanup.append(a_next)
-                args.append(a_next)
-            else:
-                m_next = _mean_neighbor(adj, h_next, dims[li + 1])
-                args.append(None)
-            cur = h_next.join(m_next, "id").persist()
-            cur.count()
-            cleanup.append(cur)
-            inputs.append(cur)
+        # ---- forward: encoder_forward persists each layer's (id, h, m)
+        # input frame plus the aggregation state backward needs
+        inputs, args, qs, cleanup = encoder_forward(
+            X, adj, layers, dims, aggregator, X0=X0, A0=A0)
         zL = _sage_layer(
             inputs[-1].join(meta, "id"),
             layers[-1]["Wr"], layers[-1]["Wn"], layers[-1]["b"],
@@ -378,39 +654,35 @@ def sage_train(graph, hidden_sizes=None, num_epochs: int = 100,
         rows.append((epoch, float(m["lo"] or 0.0), float(m["vlo"] or 0.0),
                      [float(m["acc"] or 0.0)], [float(m["vacc"] or 0.0)]))
         # ---- backward
-        g = gframe.select("id", "g")
-        grads = []
-        for li in range(L - 1, -1, -1):
-            joined = inputs[li].join(g, "id")
-            grads.append(_weight_grads(joined, dims[li], dims[li + 1]))
-            if li > 0:
-                nxt = _backprop_to_prev(
-                    g, inputs[li].select("id", "h"), adj, deg,
-                    layers[li]["Wr"], layers[li]["Wn"],
-                    dims[li], arg=args[li]).persist()
-                nxt.count()
-                cleanup.append(nxt)
-                g = nxt
-        grads.reverse()
-        for lay, (dWr, dWn, db) in zip(layers, grads):
-            lay["Wr"] -= learning_rate * (dWr + weight_decay * lay["Wr"])
+        grads = encoder_backward(
+            gframe.select("id", "g"), inputs, args, qs, adj, deg,
+            layers, dims, aggregator, cleanup)
+        for lay, (dWr, dWn, db, pg) in zip(layers, grads):
+            if aggregator != "gcn":     # gcn has no root weight
+                lay["Wr"] -= learning_rate * (dWr
+                                              + weight_decay * lay["Wr"])
             lay["Wn"] -= learning_rate * (dWn + weight_decay * lay["Wn"])
             lay["b"] -= learning_rate * db
+            if pg is not None:
+                dWp, dbp = pg
+                lay["Wp"] -= learning_rate * (dWp
+                                              + weight_decay * lay["Wp"])
+                lay["bp"] -= learning_rate * dbp
         gframe.unpersist()
         for fr in cleanup:
             fr.unpersist()
     out_schema = ("epoch int, loss double, val_loss double, "
                   "train_log array<double>, val_log array<double>")
     model = {"kind": "sage", "classes": classes,
-             "layers": [{"Wr": lay["Wr"].tolist(),
-                         "Wn": lay["Wn"].tolist(),
-                         "b": lay["b"].tolist()} for lay in layers],
+             "layers": [{k2: v.tolist() for k2, v in lay.items()}
+                        for lay in layers],
              "features_attr": features_attr, "label_attr": label_attr,
              "etype": etype, "d0": d0, "aggregator": aggregator}
-    for fr in (X, meta, M0, X0):
-        fr.unpersist()
-    if A0 is not None:
-        A0.unpersist()
+    for fr in (X, meta, M0, X0, A0):
+        if fr is not None:
+            fr.unpersist()
+    if aggregator == "gcn":
+        adj.unpersist()
     return spark.createDataFrame(rows, out_schema), model
 
 
@@ -424,13 +696,19 @@ def sage_forward(graph, model) -> DataFrame:
              .filter(F.col("h").isNotNull())
              .filter(F.size("h") == int(model["d0"])))
     adj = graph.adjacency(model["etype"], "both").select("src", "dst")
+    aggr = model.get("aggregator", "mean")
+    if aggr == "gcn":
+        adj = _with_self_loops(adj, nodes)
     cur = nodes
     dims = [int(model["d0"])] + [len(lay["b"]) for lay in model["layers"]]
-    use_max = model.get("aggregator", "mean") == "max"
     for li, lay in enumerate(model["layers"]):
-        if use_max:
+        if aggr == "max":
             m, _arg = _max_neighbor(adj, cur, dims[li])
-        else:
+        elif aggr == "pool":
+            qh = (_pool_q(cur, lay["Wp"], lay["bp"])
+                  .withColumnRenamed("q", "h"))
+            m, _arg = _max_neighbor(adj, qh, dims[li])
+        else:                            # mean and gcn (self-loop adj)
             m = _mean_neighbor(adj, cur, dims[li])
         cur = _sage_layer(cur.join(m, "id"), lay["Wr"], lay["Wn"],
                           lay["b"], relu=(li < len(model["layers"]) - 1))

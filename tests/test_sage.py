@@ -291,3 +291,207 @@ def test_procedure_surface_layer_type_sage(spark):
     p = gs.execute("CALL node_classification.predict(2) "
                    "YIELD predicted_class, status RETURN *").collect()[0]
     assert p.status == "Prediction complete."
+
+
+def _twin_setup(g):
+    """Shared local-twin scaffolding: (ids, idx, X, y, nbrs, train mask,
+    n_train) replicating the trainer's deterministic split."""
+    data = {r.id: (np.array(r.features), r["class"])
+            for r in g.node("N").collect()}
+    eds = [(r.src, r.dst) for r in g.edge("E").select("src", "dst")
+           .collect()]
+    und = set()
+    for s, d in eds:
+        if s != d:
+            und.add((s, d)); und.add((d, s))
+    nbrs = {}
+    for s, d in und:
+        nbrs.setdefault(s, []).append(d)
+    ids = sorted(data)
+    idx = {n: i for i, n in enumerate(ids)}
+    X = np.stack([data[n][0] for n in ids])
+    y = np.array([-1 if data[n][1] is None else data[n][1] for n in ids])
+    split_rows = (g.node("N")
+                  .select("id", (F.pmod(F.xxhash64("id"), 1000) < 800)
+                          .alias("tr")).collect())
+    tr_map = {r.id: r.tr for r in split_rows}
+    labeled = y >= 0
+    train = np.array([labeled[i] and tr_map[n]
+                      for i, n in enumerate(ids)])
+    return ids, idx, X, y, labeled, train, nbrs
+
+
+def test_sage_gcn_matches_local_numpy_twin(spark):
+    """aggregator='gcn' (DGL SAGEConv): z = ((sum_nbr + own)/(deg+1)) @ Wn
+    + b, no root weight. The distributed path reuses the mean machinery
+    over the self-loop-augmented adjacency with Wr pinned at zero; the
+    twin computes the DGL formula directly — they must agree to 1e-8."""
+    from memgraph_spark.algos.sage import sage_train
+    g = _two_cluster_graph(spark)
+    rows_df, model = sage_train(g, hidden_sizes=[4], num_epochs=5,
+                                learning_rate=0.3, weight_decay=0.0,
+                                seed=7, aggregator="gcn")
+    rows = rows_df.collect()
+    ids, idx, X, y, labeled, train, nbrs = _twin_setup(g)
+    n_train = int(train.sum())
+    # self-loop-augmented neighbour lists
+    nbrs_self = {n: sorted(set(nbrs.get(n, [])) | {n}) for n in ids}
+
+    def gcn_nbr(H):
+        M = np.zeros_like(H)
+        for n, i in idx.items():
+            M[i] = H[[idx[j] for j in nbrs_self[n]]].mean(axis=0)
+        return M
+
+    dims = [2, 4, 2]
+    rng = np.random.default_rng(7)
+    layers = []
+    for i in range(2):
+        lim = np.sqrt(6.0 / (dims[i] + dims[i + 1]))
+        # rng draw order contract: gcn draws ONLY Wn (Wr is zeros)
+        layers.append([np.zeros((dims[i], dims[i + 1])),
+                       rng.uniform(-lim, lim, (dims[i], dims[i + 1])),
+                       np.zeros(dims[i + 1])])
+    losses = []
+    for _ in range(5):
+        M0 = gcn_nbr(X)
+        H1 = np.maximum(M0 @ layers[0][1] + layers[0][2], 0.0)
+        M1 = gcn_nbr(H1)
+        Z = M1 @ layers[1][1] + layers[1][2]
+        Zs = Z - Z.max(axis=1, keepdims=True)
+        P = np.exp(Zs) / np.exp(Zs).sum(axis=1, keepdims=True)
+        yl = np.where(labeled, y, 0)
+        logp = np.log(np.clip(P[np.arange(len(y)), yl], 1e-12, None))
+        losses.append(-logp[train].mean())
+        G = P.copy()
+        G[np.arange(len(y)), yl] -= 1.0
+        G /= n_train
+        G[~train] = 0.0
+        dWn2 = M1.T @ G
+        db2 = G.sum(axis=0)
+        dM1 = G @ layers[1][1].T
+        dH1 = np.zeros_like(H1)
+        for n, i in idx.items():        # transpose of the self-loop mean
+            for j in nbrs_self[n]:
+                dH1[idx[j]] += dM1[i] / len(nbrs_self[n])
+        dH1 *= (H1 > 0)
+        dWn1 = gcn_nbr(X).T @ dH1
+        db1 = dH1.sum(axis=0)
+        layers[1][1] -= 0.3 * dWn2
+        layers[1][2] -= 0.3 * db2
+        layers[0][1] -= 0.3 * dWn1
+        layers[0][2] -= 0.3 * db1
+    for r, lo in zip(rows, losses):
+        assert r.loss == pytest.approx(float(lo), abs=1e-8), \
+            f"epoch {r.epoch}: {r.loss} vs local {lo}"
+    assert np.allclose(np.array(model["layers"][0]["Wn"]),
+                       layers[0][1], atol=1e-8)
+    assert np.allclose(np.array(model["layers"][0]["Wr"]), 0.0)
+
+
+def test_sage_pool_matches_local_numpy_twin(spark):
+    """aggregator='pool' (DGL SAGEConv): z = h@Wr +
+    (max_nbr relu(h@Wp+bp))@Wn + b. Backward routes through the argmax
+    contributor, the pool relu and Wp. Distributed == twin to 1e-8."""
+    from memgraph_spark.algos.sage import sage_train
+    g = _two_cluster_graph(spark)
+    rows_df, model = sage_train(g, hidden_sizes=[4], num_epochs=5,
+                                learning_rate=0.3, weight_decay=0.0,
+                                seed=7, aggregator="pool")
+    rows = rows_df.collect()
+    ids, idx, X, y, labeled, train, nbrs = _twin_setup(g)
+    n_train = int(train.sum())
+
+    def max_nbr(Q):
+        M = np.zeros_like(Q)
+        ARG = np.full(Q.shape, -1, dtype=int)
+        for n, i in idx.items():
+            js = sorted(nbrs.get(n, []))
+            if not js:
+                continue
+            Qj = Q[[idx[j] for j in js]]
+            for pos in range(Q.shape[1]):
+                best = 0
+                for k2 in range(1, len(js)):
+                    if Qj[k2, pos] >= Qj[best, pos]:
+                        best = k2
+                M[i, pos] = Qj[best, pos]
+                ARG[i, pos] = idx[js[best]]
+        return M, ARG
+
+    dims = [2, 4, 2]
+    rng = np.random.default_rng(7)
+    layers = []
+    for i in range(2):
+        lim = np.sqrt(6.0 / (dims[i] + dims[i + 1]))
+        limp = np.sqrt(6.0 / (dims[i] + dims[i]))
+        # rng draw order contract: Wr, Wn, then Wp
+        layers.append([rng.uniform(-lim, lim, (dims[i], dims[i + 1])),
+                       rng.uniform(-lim, lim, (dims[i], dims[i + 1])),
+                       np.zeros(dims[i + 1]),
+                       rng.uniform(-limp, limp, (dims[i], dims[i])),
+                       np.zeros(dims[i])])
+    losses = []
+    for _ in range(5):
+        Q0 = np.maximum(X @ layers[0][3] + layers[0][4], 0.0)
+        M0, A0 = max_nbr(Q0)
+        H1 = np.maximum(X @ layers[0][0] + M0 @ layers[0][1]
+                        + layers[0][2], 0.0)
+        Q1 = np.maximum(H1 @ layers[1][3] + layers[1][4], 0.0)
+        M1, A1 = max_nbr(Q1)
+        Z = H1 @ layers[1][0] + M1 @ layers[1][1] + layers[1][2]
+        Zs = Z - Z.max(axis=1, keepdims=True)
+        P = np.exp(Zs) / np.exp(Zs).sum(axis=1, keepdims=True)
+        yl = np.where(labeled, y, 0)
+        logp = np.log(np.clip(P[np.arange(len(y)), yl], 1e-12, None))
+        losses.append(-logp[train].mean())
+        G = P.copy()
+        G[np.arange(len(y)), yl] -= 1.0
+        G /= n_train
+        G[~train] = 0.0
+        # layer 2 weights
+        dWr2 = H1.T @ G
+        dWn2 = M1.T @ G
+        db2 = G.sum(axis=0)
+        # route dM1 through argmax -> pool relu -> Wp
+        dM1 = G @ layers[1][1].T
+        GQ1 = np.zeros_like(Q1)
+        for i in range(len(ids)):
+            for pos in range(dims[1]):
+                if A1[i, pos] >= 0:
+                    GQ1[A1[i, pos], pos] += dM1[i, pos]
+        DQ1 = GQ1 * (Q1 > 0)
+        dWp2 = H1.T @ DQ1
+        dbp2 = DQ1.sum(axis=0)
+        dH1 = G @ layers[1][0].T + DQ1 @ layers[1][3].T
+        dH1 *= (H1 > 0)
+        # layer 1 weights
+        dWr1 = X.T @ dH1
+        dWn1 = M0.T @ dH1
+        db1 = dH1.sum(axis=0)
+        dM0 = dH1 @ layers[0][1].T
+        GQ0 = np.zeros_like(Q0)
+        for i in range(len(ids)):
+            for pos in range(dims[0]):
+                if A0[i, pos] >= 0:
+                    GQ0[A0[i, pos], pos] += dM0[i, pos]
+        DQ0 = GQ0 * (Q0 > 0)
+        dWp1 = X.T @ DQ0
+        dbp1 = DQ0.sum(axis=0)
+        layers[1][0] -= 0.3 * dWr2
+        layers[1][1] -= 0.3 * dWn2
+        layers[1][2] -= 0.3 * db2
+        layers[1][3] -= 0.3 * dWp2
+        layers[1][4] -= 0.3 * dbp2
+        layers[0][0] -= 0.3 * dWr1
+        layers[0][1] -= 0.3 * dWn1
+        layers[0][2] -= 0.3 * db1
+        layers[0][3] -= 0.3 * dWp1
+        layers[0][4] -= 0.3 * dbp1
+    for r, lo in zip(rows, losses):
+        assert r.loss == pytest.approx(float(lo), abs=1e-8), \
+            f"epoch {r.epoch}: {r.loss} vs local {lo}"
+    assert np.allclose(np.array(model["layers"][0]["Wp"]),
+                       layers[0][3], atol=1e-8)
+    assert np.allclose(np.array(model["layers"][1]["Wr"]),
+                       layers[1][0], atol=1e-8)
