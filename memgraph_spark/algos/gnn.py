@@ -6,16 +6,20 @@ node_classification (src/mage/python/node_classification.py),
 temporal graph networks (src/mage/python/tgn.py), embeddings
 (src/mage/python/embeddings.py + embed_worker).
 
-The GNN/TGN paths require torch/dgl, which are not available in this
-environment — those entries raise NotImplementedError naming the missing
-dependency, the same behaviour the reference exhibits when its
-`import torch` fails at module load. link_prediction.train/predict,
-however, now run a REAL model without torch: a logistic regression over
-the classic neighbourhood features (common neighbours, Adamic-Adar,
-Jaccard, preferential attachment). Feature extraction and scoring are
-pure DataFrame aggregations; training is distributed batch gradient
-descent — each iteration is ONE aggregation job producing the 5-float
-gradient, so the driver holds only the weight vector, never the pairs.
+Every reference model now trains for REAL without torch:
+node_classification's deep path dispatches to algos/sage.py (SAGE
+mean/max/pool/gcn) and algos/gat*.py (GAT/GATv2/GATJK), TGN to
+algos/tgn_deep.py, and link_prediction's deep path (the reference
+default, graph_attn/graph_sage encoder + MLP/dot predictor) to
+algos/linkpred_deep.py. This module keeps the shared no-torch surfaces:
+the logistic-regression-over-neighbourhood-features baseline
+(common neighbours, Adamic-Adar, Jaccard, preferential attachment) —
+now ONLY the documented layer_type='logistic' fallback for
+link_prediction — plus the node-classification softmax baseline.
+Feature extraction and scoring are pure DataFrame aggregations;
+training is distributed batch gradient descent — each iteration is ONE
+aggregation job producing the 5-float gradient, so the driver holds
+only the weight vector, never the pairs.
 """
 
 from __future__ import annotations
@@ -36,8 +40,8 @@ def _require_torch(feature: str):
     if not _HAS_TORCH:
         raise NotImplementedError(
             f"{feature} requires torch (reference gates the same way on its "
-            "`import torch`); link_prediction.train/predict run the "
-            "logistic-regression baseline without it")
+            "`import torch`); the reference layer types train without it "
+            "via algos/sage.py / gat*.py / linkpred_deep.py / tgn_deep.py")
 
 
 def _pair_features(graph, etype: str | None = None) -> DataFrame:
@@ -153,9 +157,10 @@ def link_prediction_predict(graph, top_k: int = 50,
 
 
 def gnn_link_prediction_train(graph, **config):
-    """link_prediction.train: the logistic-regression baseline is the
-    supported trainer (real scores, no torch); the deep GNN path stays
-    gated on torch/dgl like the reference's factory import."""
+    """Deprecated alias: link_prediction.train's default is now the REAL
+    deep trainer (algos/linkpred_deep.linkpred_train, reference
+    graph_attn/graph_sage encoders); this logistic baseline remains the
+    documented layer_type='logistic' fallback."""
     return link_prediction_train(graph, **config)
 
 
@@ -355,8 +360,8 @@ def node_classification_train(graph, num_epochs: int = 100,
             import functools
 
             from memgraph_spark.algos.sage import sage_train
-            # sage_train validates the aggregator itself (mean/max run
-            # without torch; anything else raises)
+            # sage_train validates the aggregator itself (mean/max/pool/
+            # gcn run without torch; only order-sensitive lstm raises)
             _train = functools.partial(sage_train,
                                        aggregator=str(aggregator))
         elif lt == "GAT":

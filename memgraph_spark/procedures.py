@@ -767,24 +767,110 @@ def _link_prediction(g, top_k: int = 50, method: str = "adamic_adar"):
     return link_prediction_scores(g, top_k=int(top_k), method=str(method))
 
 
-def _link_prediction_train(g, num_epochs: int = 30,
-                           learning_rate: float = 0.5):
-    """link_prediction.train(...) YIELD status, auc (reference
-    src/mage/python/link_prediction.py train — here the no-torch
-    logistic-regression baseline over neighbourhood features; each epoch
-    is one distributed aggregation)."""
-    from memgraph_spark.algos.gnn import link_prediction_train
-    model = link_prediction_train(g, num_epochs=int(num_epochs),
-                                  learning_rate=float(learning_rate))
-    return g.spark.createDataFrame(
-        [("trained", float(model["auc_proxy"]))], "status string, auc double")
+def _lp_set_model_parameters(g, params=None):
+    """link_prediction.set_model_parameters(params) YIELD status, message
+    (reference link_prediction.py:151): stores the training config on the
+    graph. Unknown parameters return status=false + message, like the
+    reference's reflection setter. layer_type='logistic' is the repo's
+    documented extension selecting the feature-baseline trainer."""
+    from memgraph_spark.algos.linkpred_deep import _validate
+    params = dict(params or {})
+    try:
+        if params.get("layer_type", "graph_attn") != "logistic":
+            _validate(params)
+        g._lp_params = params
+        return g.spark.createDataFrame(
+            [(True, "OK")], "status boolean, message string")
+    except (ValueError, NotImplementedError) as exc:
+        return g.spark.createDataFrame(
+            [(False, str(exc))], "status boolean, message string")
 
 
-def _link_prediction_predict(g, top_k: int = 50):
-    """link_prediction.predict(...) YIELD node1, node2, score — model
-    scores (trains with defaults when no model is stored)."""
+def _link_prediction_train(g, num_epochs=None, learning_rate=None):
+    """link_prediction.train() (reference link_prediction.py:223).
+
+    Default path = the REAL deep trainer (algos/linkpred_deep.py:
+    graph_attn or graph_sage encoder + mlp/dot predictor, reference
+    defaults), yielding per-epoch (epoch, split, loss, accuracy, auc,
+    precision, recall, f1) — the reference's training_results/
+    validation_results metric set as rows. layer_type='logistic'
+    (set via set_model_parameters) selects the documented
+    feature-baseline fallback with its historical (status, auc) shape."""
+    params = dict(getattr(g, "_lp_params", {}))
+    if num_epochs is not None:
+        params["num_epochs"] = int(num_epochs)
+    if learning_rate is not None:
+        params["learning_rate"] = float(learning_rate)
+    if params.get("layer_type") == "logistic":
+        from memgraph_spark.algos.gnn import link_prediction_train
+        model = link_prediction_train(
+            g, etype=params.get("target_relation"),
+            num_epochs=int(params.get("num_epochs", 30)),
+            learning_rate=float(params.get("learning_rate", 0.5)))
+        return g.spark.createDataFrame(
+            [("trained", float(model["auc_proxy"]))],
+            "status string, auc double")
+    from memgraph_spark.algos.linkpred_deep import linkpred_train
+    return linkpred_train(g, **params)
+
+
+def _link_prediction_predict(g, a=None, b=None):
+    """link_prediction.predict — two surfaces:
+
+    predict(src, dest) YIELD score (reference link_prediction.py:328):
+    the trained deep model's probability for one pair.
+    predict([top_k]) YIELD node1, node2, score: ranked candidates from
+    the logistic feature baseline (the repo's historical shape, closest
+    to the reference's recommend())."""
+    if b is not None:
+        from memgraph_spark.algos.linkpred_deep import linkpred_predict_pair
+        score = linkpred_predict_pair(g, int(a), int(b))
+        return g.spark.createDataFrame(
+            [(round(float(score), 6),)], "score double")
     from memgraph_spark.algos.gnn import link_prediction_predict
-    return link_prediction_predict(g, top_k=int(top_k))
+    return link_prediction_predict(g, top_k=int(a) if a is not None else 50)
+
+
+def _lp_recommend(g, src, dest_vertices, k: int = 5):
+    """link_prediction.recommend(src, dest_vertices, k) YIELD score,
+    recommendation (reference link_prediction.py:414): top-k destinations
+    by trained-model edge score."""
+    from memgraph_spark.algos.linkpred_deep import linkpred_recommend
+    rows = linkpred_recommend(g, int(src), list(dest_vertices or []),
+                              int(k))
+    return g.spark.createDataFrame(
+        rows or [], "score double, recommendation long")
+
+
+def _lp_get_training_results(g):
+    """link_prediction.get_training_results() (reference :573): the last
+    train's per-epoch metric rows; raises when train wasn't called."""
+    results = getattr(g, "_lp_results", None)
+    if not results:
+        raise ValueError("Training results are outdated or train method "
+                         "wasn't called.")
+    return g.spark.createDataFrame(
+        results, "epoch int, split string, loss double, accuracy double, "
+                 "auc double, precision double, recall double, f1 double")
+
+
+def _lp_load_model(g, path: str = "/tmp/"):
+    """link_prediction.load_model(path) YIELD status (reference :594):
+    loads the end-of-train checkpoint written when context_save_dir was
+    set; a missing file raises like the reference's torch.load."""
+    from memgraph_spark.algos.linkpred_deep import linkpred_load
+    linkpred_load(g, str(path))
+    return g.spark.createDataFrame([(True,)], "status boolean")
+
+
+def _lp_reset_parameters(g):
+    """link_prediction.reset_parameters() YIELD status (reference :613):
+    clears the stored config, model and training results."""
+    for attr in ("_lp_params", "_lp_deep_model", "_lp_results",
+                 "_lp_model"):
+        if hasattr(g, attr):
+            delattr(g, attr)
+    return g.spark.createDataFrame([(True,)], "status boolean")
 
 
 def _nc_params(g) -> dict:
@@ -1223,8 +1309,13 @@ register("biconnected_components.get", _biconnected)
 register("vrp.route", _vrp)
 register("graph_coloring.color_graph", _color_graph)
 register("link_prediction.get", _link_prediction)
+register("link_prediction.set_model_parameters", _lp_set_model_parameters)
 register("link_prediction.train", _link_prediction_train)
 register("link_prediction.predict", _link_prediction_predict)
+register("link_prediction.recommend", _lp_recommend)
+register("link_prediction.get_training_results", _lp_get_training_results)
+register("link_prediction.load_model", _lp_load_model)
+register("link_prediction.reset_parameters", _lp_reset_parameters)
 register("node_classification.set_model_parameters",
          _nc_set_model_parameters)
 register("node_classification.train", _nc_train)

@@ -64,8 +64,13 @@ def test_link_prediction_logistic_baseline(spark):
     top = link_prediction_predict(g, top_k=5).collect()
     assert (top[0]["node1"], top[0]["node2"]) == (4, 5)
     assert all(0.0 <= r["score"] <= 1.0 for r in top)
-    # procedure surface
+    # procedure surface: the deep GNN trainer is the default since r7;
+    # the logistic baseline stays reachable via set_model_parameters
     gs = GraphSession(g)
+    r = gs.execute("CALL link_prediction.set_model_parameters("
+                   "{layer_type: 'logistic'}) "
+                   "YIELD status, message RETURN status").collect()
+    assert r[0].status is True
     row = gs.execute("CALL link_prediction.train() YIELD status, auc "
                      "RETURN status, auc").collect()[0]
     assert row["status"] == "trained"
