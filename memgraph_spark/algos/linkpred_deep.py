@@ -557,8 +557,9 @@ def linkpred_train(graph, **cfg) -> DataFrame:
         # epochs into context_save_dir (default /tmp/); we persist once
         # at end-of-train and only when the caller SET the directory
         linkpred_save(model, str(cfg_dir))
-    for fr in (X, sup, pool):
+    for fr in (X, sup):
         fr.unpersist()
+    free_checkpoint(pool)
     if p["layer_type"] == "graph_sage":
         if X0 is not None:
             X0.unpersist()
