@@ -394,6 +394,7 @@ def linkpred_train(graph, **cfg) -> DataFrame:
     dims = [d0] + p["hidden_features_size"]
     d_out = dims[-1]
     rng = np.random.default_rng(int(p["seed"]))
+    pre_cache: list = []
     if p["layer_type"] == "graph_sage":
         enc_layers = init_sage_layers(dims, p["aggregator"], rng)
         X0 = A0 = None
@@ -401,13 +402,13 @@ def linkpred_train(graph, **cfg) -> DataFrame:
             from memgraph_spark.algos.sage import (_max_neighbor,
                                                    _mean_neighbor)
             if p["aggregator"] == "max":
-                M0, A0 = _max_neighbor(sage_adj, X, d0)
-                M0, A0 = M0.persist(), A0.persist()
+                M0, A0 = _max_neighbor(sage_adj, X, d0, cache=pre_cache)
                 A0.count()
             else:
                 M0 = _mean_neighbor(sage_adj, X, d0).persist()
             X0 = X.join(M0, "id").persist()
             X0.count()
+            M0.unpersist()   # only needed to build X0, now materialized
     else:
         # single-head GATConv layers (algos/gat.py) with self-loops
         lim_fn = lambda i, o: np.sqrt(6.0 / (i + o))  # noqa: E731
@@ -563,8 +564,8 @@ def linkpred_train(graph, **cfg) -> DataFrame:
     if p["layer_type"] == "graph_sage":
         if X0 is not None:
             X0.unpersist()
-        if A0 is not None:
-            A0.unpersist()
+        for fr in pre_cache:
+            fr.unpersist()
         if sage_adj is not und:
             sage_adj.unpersist()
     else:
@@ -656,6 +657,7 @@ def linkpred_recommend(graph, src: int, dest_vertices, k: int) -> list:
     z = linkpred_forward(graph, model)
     rows = {int(r["id"]): np.asarray(r["h"], dtype=np.float64)
             for r in z.filter(F.col("id").isin(list(want))).collect()}
+    free_checkpoint(z)   # the gat forward returns a checkpointed frame
     a = rows.get(int(src))
     if a is None:
         raise ValueError(f"link_prediction.recommend: node {src} has no "
@@ -691,6 +693,7 @@ def linkpred_predict_pair(graph, src: int, dest: int) -> float:
     rows = {int(r["id"]): np.asarray(r["h"], dtype=np.float64)
             for r in z.filter(F.col("id").isin([int(src), int(dest)]))
             .collect()}
+    free_checkpoint(z)   # the gat forward returns a checkpointed frame
     a, b = rows.get(int(src)), rows.get(int(dest))
     if a is None or b is None:
         missing = src if a is None else dest

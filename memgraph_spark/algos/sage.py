@@ -81,14 +81,21 @@ def _mean_neighbor(adj: DataFrame, h: DataFrame, dim: int) -> DataFrame:
             .select("id", F.coalesce("m", zeros).alias("m")))
 
 
-def _max_neighbor(adj: DataFrame, h: DataFrame, dim: int):
+def _max_neighbor(adj: DataFrame, h: DataFrame, dim: int, cache=None):
     """(m_frame, arg_frame) for PyG SAGEConv aggr='max': m = elementwise
     max over neighbours' h (zeros for isolated nodes, matching the mean
     path's empty-neighbourhood choice); arg_frame = (id, pos, am) names
     the contributing neighbour per position — max-pooling backprop
     routes the gradient to exactly that contributor. Ties break to the
     largest neighbour id (deterministic on both the distributed and the
-    local-twin side)."""
+    local-twin side).
+
+    Training callers pass `cache` (a list collecting frames to unpersist)
+    so the per-(id, pos) aggregate is persisted and computed ONCE — both
+    m (forward) and arg (backward routing) derive from it; without the
+    cache the backward's arg materialization would re-run the whole
+    neighbour aggregation a second time per layer per epoch. Forward-only
+    callers (predict) omit it: they never touch arg."""
     nb = (adj.join(h.select(F.col("id").alias("dst"),
                             F.col("h").alias("nh")), "dst")
           .select(F.col("src").alias("id"), F.col("dst").alias("j"),
@@ -96,6 +103,9 @@ def _max_neighbor(adj: DataFrame, h: DataFrame, dim: int):
           .groupBy("id", "pos")
           .agg(F.max("v").alias("v"),
                F.max_by("j", F.struct("v", "j")).alias("am")))
+    if cache is not None:
+        nb = nb.persist()
+        cache.append(nb)
     m = (nb.groupBy("id").agg(
         F.transform(F.array_sort(F.collect_list(F.struct("pos", "v"))),
                     lambda s: s.getField("v")).alias("m")))
@@ -437,11 +447,10 @@ def encoder_forward(X, adj, layers, dims, aggregator,
         # different plan and recompute)
         qh0 = (_pool_q(X, layers[0]["Wp"], layers[0]["bp"])
                .withColumnRenamed("q", "h").persist())
-        m0, a0 = _max_neighbor(adj, qh0, dims[0])
-        a0 = a0.persist()
+        m0, a0 = _max_neighbor(adj, qh0, dims[0], cache=cleanup)
         cur = X.join(m0, "id").persist()
         cur.count()
-        cleanup += [a0, qh0, cur]
+        cleanup += [qh0, cur]
         inputs, args = [cur], [a0]
         qs = [qh0.withColumnRenamed("h", "q")]
     elif X0 is not None:
@@ -449,9 +458,7 @@ def encoder_forward(X, adj, layers, dims, aggregator,
         cur = X0
     else:
         if use_max:
-            m0, a0 = _max_neighbor(adj, X, dims[0])
-            a0 = a0.persist()
-            cleanup.append(a0)
+            m0, a0 = _max_neighbor(adj, X, dims[0], cache=cleanup)
         else:
             m0, a0 = _mean_neighbor(adj, X, dims[0]), None
         cur = X.join(m0, "id").persist()
@@ -467,15 +474,14 @@ def encoder_forward(X, adj, layers, dims, aggregator,
             cleanup.append(h_next)
             qh = (_pool_q(h_next, nxt_lay["Wp"], nxt_lay["bp"])
                   .withColumnRenamed("q", "h").persist())
-            m_next, a_next = _max_neighbor(adj, qh, dims[li + 1])
-            a_next = a_next.persist()
-            cleanup += [a_next, qh]
+            m_next, a_next = _max_neighbor(adj, qh, dims[li + 1],
+                                           cache=cleanup)
+            cleanup.append(qh)
             args.append(a_next)
             qs.append(qh.withColumnRenamed("h", "q"))
         elif use_max:
-            m_next, a_next = _max_neighbor(adj, h_next, dims[li + 1])
-            a_next = a_next.persist()
-            cleanup.append(a_next)
+            m_next, a_next = _max_neighbor(adj, h_next, dims[li + 1],
+                                           cache=cleanup)
             args.append(a_next)
             qs.append(None)
         else:
@@ -618,13 +624,13 @@ def sage_train(graph, hidden_sizes=None, num_epochs: int = 100,
     use_max = aggregator == "max"
     use_pool = aggregator == "pool"
     A0 = M0 = X0 = None
+    pre_cache: list = []
     if not use_pool:
         # layer-0 neighbour input is weight-independent for mean/max/gcn
         # => computed ONCE outside the epoch loop; pool's layer-0 input
         # goes through the learned fc_pool, so it refreshes per epoch
         if use_max:
-            M0, A0 = _max_neighbor(adj, X, d0)
-            M0, A0 = M0.persist(), A0.persist()
+            M0, A0 = _max_neighbor(adj, X, d0, cache=pre_cache)
             A0.count()
         else:
             M0 = _mean_neighbor(adj, X, d0).persist()
@@ -678,7 +684,7 @@ def sage_train(graph, hidden_sizes=None, num_epochs: int = 100,
                         for lay in layers],
              "features_attr": features_attr, "label_attr": label_attr,
              "etype": etype, "d0": d0, "aggregator": aggregator}
-    for fr in (X, meta, M0, X0, A0):
+    for fr in (X, meta, M0, X0, A0, *pre_cache):
         if fr is not None:
             fr.unpersist()
     if aggregator == "gcn":
