@@ -348,7 +348,7 @@ def node_classification_train(graph, num_epochs: int = 100,
     shape; the logs carry [accuracy].
 
     deep=True selects the reference's deep path by layer_type:
-    SAGE (mean aggregation, algos/sage.py), single-head GAT
+    SAGE (all SAGEConv aggregators, algos/sage.py), single-head GAT
     (algos/gat.py), single-head GATv2 (algos/gatv2.py) and GATJK
     (3-head + JumpingKnowledge, the reference default, algos/gatjk.py)
     all train for real without torch — distributed forward/backward,
@@ -361,7 +361,7 @@ def node_classification_train(graph, num_epochs: int = 100,
 
             from memgraph_spark.algos.sage import sage_train
             # sage_train validates the aggregator itself (mean/max/pool/
-            # gcn run without torch; only order-sensitive lstm raises)
+            # gcn/lstm all run without torch)
             _train = functools.partial(sage_train,
                                        aggregator=str(aggregator))
         elif lt == "GAT":

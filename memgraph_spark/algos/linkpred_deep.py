@@ -131,11 +131,12 @@ def _validate(cfg: dict) -> dict:
             "not in ('mlp', 'dot')")
     p["predictor_type"] = pt
     ag = str(p["aggregator"]).lower()
-    if lt == "graph_sage" and ag not in ("mean", "max", "pool", "gcn"):
+    if lt == "graph_sage" and ag not in ("mean", "max", "pool", "gcn",
+                                         "lstm"):
         raise NotImplementedError(
-            f"link_prediction aggregator {ag!r}: mean/max/pool/gcn run "
-            "without torch; 'lstm' is order-sensitive and needs the "
-            "torch sequence model")
+            f"link_prediction aggregator {ag!r}: mean/max/pool/gcn/lstm "
+            "run without torch (the reference DGL SAGEConv "
+            "aggregator_type values, link_prediction.py:55)")
     p["aggregator"] = ag
     opt = str(p["optimizer"]).upper()
     if opt not in ("ADAM", "SGD"):
@@ -397,8 +398,15 @@ def linkpred_train(graph, **cfg) -> DataFrame:
     pre_cache: list = []
     if p["layer_type"] == "graph_sage":
         enc_layers = init_sage_layers(dims, p["aggregator"], rng)
-        X0 = A0 = None
-        if p["aggregator"] != "pool":
+        X0 = A0 = S0 = None
+        if p["aggregator"] == "lstm":
+            # the layer-0 SEQUENCE (raw X in pinned order) is
+            # weight-independent => built once across epochs
+            from memgraph_spark.algos.sage import _lstm_seq
+            S0 = _lstm_seq(sage_adj, X).persist()
+            S0.count()
+            pre_cache.append(S0)
+        elif p["aggregator"] != "pool":
             from memgraph_spark.algos.sage import (_max_neighbor,
                                                    _mean_neighbor)
             if p["aggregator"] == "max":
@@ -452,7 +460,7 @@ def linkpred_train(graph, **cfg) -> DataFrame:
         if p["layer_type"] == "graph_sage":
             inputs, args, qs, cleanup = encoder_forward(
                 X, sage_adj, enc_layers, dims, p["aggregator"],
-                X0=X0, A0=A0)
+                X0=X0, A0=A0, seq0=S0)
             z = _sage_layer(inputs[-1], enc_layers[-1]["Wr"],
                             enc_layers[-1]["Wn"], enc_layers[-1]["b"],
                             relu=False)
@@ -507,8 +515,15 @@ def linkpred_train(graph, **cfg) -> DataFrame:
                     grads[f"l{li}_Wr"] = dWr
                 grads[f"l{li}_Wn"] = dWn
                 grads[f"l{li}_b"] = db
-                if pg is not None:
+                if pg is not None and len(pg) == 2:
                     grads[f"l{li}_Wp"], grads[f"l{li}_bp"] = pg
+                elif pg is not None:
+                    dWih, dWhh, dbl = pg
+                    grads[f"l{li}_Wih"] = dWih
+                    grads[f"l{li}_Whh"] = dWhh
+                    # b_ih/b_hh grads coincide; both params step (torch)
+                    grads[f"l{li}_bih"] = dbl
+                    grads[f"l{li}_bhh"] = dbl
         else:
             from memgraph_spark.algos.gat import _gat_backward_layer
             g = gz
@@ -598,6 +613,11 @@ def linkpred_forward(graph, model) -> DataFrame:
                 qh = (_pool_q(cur, lay["Wp"], lay["bp"])
                       .withColumnRenamed("q", "h"))
                 m, _a = _max_neighbor(adj, qh, dims[li])
+            elif model["aggregator"] == "lstm":
+                from memgraph_spark.algos.sage import (_lstm_forward,
+                                                       _lstm_seq)
+                m = _lstm_forward(_lstm_seq(adj, cur), cur, lay,
+                                  dims[li])
             else:
                 m = _mean_neighbor(adj, cur, dims[li])
             cur = _sage_layer(cur.join(m, "id"), lay["Wr"], lay["Wn"],

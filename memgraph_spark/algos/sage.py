@@ -1,5 +1,5 @@
 """Distributed no-torch GraphSAGE for node_classification (layer_type
-SAGE, aggr mean / max / pool / gcn).
+SAGE, aggr mean / max / pool / gcn / lstm).
 
 Parity target: the reference's deep path —
 src/mage/python/mage/node_classification/models/sage.py wrapping PyG
@@ -16,7 +16,7 @@ algos/gat.py / gatv2.py / gatjk.py) train without torch the same way.
 The link-prediction module's SAGEConv is DGL's
 (src/mage/python/mage/link_prediction/models/graph_sage.py), whose
 aggregator_type names lstm/gcn/mean/pool (link_prediction.py:55). The
-two extra aggregators implemented here follow the DGL algebra:
+three extra aggregators implemented here follow the DGL algebra:
 
 - gcn:  z_i = ((sum_{j in N(i)} h_j + h_i) / (deg_i + 1)) @ Wn + b —
   i.e. the MEAN aggregation over the self-loop-augmented adjacency with
@@ -30,10 +30,23 @@ two extra aggregators implemented here follow the DGL algebra:
   max backward routes through the same argmax machinery as aggr='max',
   then continues through relu'(q) and Wp to the contributing
   neighbour's state.
-- lstm stays dependency-gated: it is order-sensitive (a sequence model
-  over an arbitrary neighbour permutation), so there is no
-  deterministic distributed twin of the torch semantics to pin — the
-  gate names that reason.
+- lstm: m_i = the final hidden state of an LSTM (torch nn.LSTM cell
+  algebra, gate order i|f|g|o, hidden size = the layer's input dim,
+  h_0 = c_0 = 0) run over the neighbours' states as a sequence, then
+  z_i = h_i @ Wr + m_i @ Wn + b (DGL keeps fc_self for 'lstm').
+  DGL feeds neighbours in whatever order the graph's edge storage
+  yields — incidental and nondeterministic under parallel loading —
+  so this implementation PINS the sequence order to ascending
+  neighbour id (a documented deterministic deviation, the same move
+  as the max aggregator's largest-id tie-break). Params per layer:
+  Wih (d_in x 4d), Whh (d x 4d), bih, bhh (4d), torch nn.LSTM init
+  U(-1/sqrt(d), 1/sqrt(d)); bih/bhh gradients coincide (they always
+  do) and both are updated, matching torch SGD. Sequences live in
+  per-node rows (array_sort(collect_list(struct(j, h)))) and the
+  packed forward/BPTT runs vectorized numpy inside Arrow-batched
+  mapInPandas, chunked by total timesteps so worker memory stays
+  bounded under power-law degree skew; a supernode's O(deg) BPTT tape
+  is the inherent cost of the sequence semantics (DGL pays the same).
 
 Documented deviations from the torch path (regularization, not layer
 algebra): no BatchNorm1d or dropout(0.5) between layers — this is
@@ -118,6 +131,167 @@ def _max_neighbor(adj: DataFrame, h: DataFrame, dim: int, cache=None):
 def _np_rows(col):
     """Column of array<double> (pandas Series of lists) -> 2-D ndarray."""
     return np.array(col.to_list(), dtype=np.float64)
+
+
+def _lstm_seq(adj: DataFrame, h: DataFrame) -> DataFrame:
+    """(id, js array<long>, vs array<array<double>>): each node's
+    neighbour states as a sequence in ascending-neighbour-id order (the
+    pinned deterministic order — see module docstring). js names the
+    contributors so backward can scatter per-timestep input gradients;
+    only nodes with >=1 neighbour appear (isolated nodes aggregate to
+    zeros downstream, matching the mean/max empty-neighbourhood
+    choice)."""
+    pairs = (adj.join(h.select(F.col("id").alias("dst"),
+                               F.col("h").alias("nh")), "dst")
+             .select(F.col("src").alias("id"), F.col("dst").alias("j"),
+                     F.col("nh")))
+    return (pairs.groupBy("id")
+            .agg(F.array_sort(F.collect_list(
+                F.struct(F.col("j"), F.col("nh").alias("v")))).alias("s"))
+            .select("id",
+                    F.transform("s", lambda e: e.getField("j"))
+                    .alias("js"),
+                    F.transform("s", lambda e: e.getField("v"))
+                    .alias("vs")))
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def _np_lstm(flat, lens, Wih, Whh, b, dm=None):
+    """Packed-sequence LSTM (torch nn.LSTM cell algebra, gate order
+    i|f|g|o, h_0 = c_0 = 0) over ragged sequences, vectorized across
+    sequences per timestep via offset gathers (torch PackedSequence's
+    layout, rebuilt in numpy).
+
+    flat: (sum(lens), d_in) row-concatenated sequences; lens: (B,).
+    Returns the final hidden states (B, d). With dm = dL/d(h_T) per
+    sequence (B, d), runs BPTT and returns
+    (final_h, dWih, dWhh, db, dflat) where dflat aligns with `flat`
+    rows and db is the shared b_ih/b_hh gradient (their gradients
+    always coincide). Finite-difference-checked in
+    tests/test_sage.py::test_lstm_bptt_matches_finite_differences."""
+    d = Whh.shape[0]
+    B = len(lens)
+    lens = np.asarray(lens, dtype=np.int64)
+    if B == 0:
+        z = np.zeros((0, d))
+        if dm is None:
+            return z
+        return (z, np.zeros_like(Wih), np.zeros_like(Whh),
+                np.zeros_like(b), np.zeros_like(flat))
+    order = np.argsort(-lens, kind="stable")
+    inv = np.empty(B, dtype=np.int64)
+    inv[order] = np.arange(B)
+    sl = lens[order]
+    offs = np.zeros(B, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    offs_o = offs[order]
+    maxT = int(sl[0])
+    H = np.zeros((B, d))
+    C = np.zeros((B, d))
+    tape = [] if dm is not None else None
+    for t in range(maxT):
+        a = int(np.searchsorted(-sl, -(t + 1), side="right"))
+        rows = offs_o[:a] + t
+        Xt = flat[rows]
+        hp = H[:a].copy()
+        cp = C[:a].copy()
+        A = Xt @ Wih + hp @ Whh + b
+        ig = _sigmoid(A[:, :d])
+        fg = _sigmoid(A[:, d:2 * d])
+        gg = np.tanh(A[:, 2 * d:3 * d])
+        og = _sigmoid(A[:, 3 * d:])
+        C[:a] = fg * cp + ig * gg
+        tc = np.tanh(C[:a])
+        H[:a] = og * tc
+        if tape is not None:
+            tape.append((a, rows, hp, cp, ig, fg, gg, og, tc))
+    if dm is None:
+        return H[inv]
+    dmo = np.asarray(dm, dtype=np.float64)[order]
+    dH = np.zeros((B, d))
+    dC = np.zeros((B, d))
+    dWih = np.zeros_like(Wih)
+    dWhh = np.zeros_like(Whh)
+    db = np.zeros_like(b)
+    dflat = np.zeros_like(flat)
+    prev_a = 0
+    for t in range(maxT - 1, -1, -1):
+        a, rows, hp, cp, ig, fg, gg, og, tc = tape[t]
+        if prev_a < a:
+            # sequences of length exactly t+1 end here: their dL/d(h_T)
+            # enters the recurrence at this step
+            dH[prev_a:a] = dmo[prev_a:a]
+        dh = dH[:a]
+        dc = dC[:a] + dh * og * (1.0 - tc * tc)
+        do = dh * tc
+        di = dc * gg
+        dg = dc * ig
+        df = dc * cp
+        dA = np.concatenate(
+            [di * ig * (1.0 - ig), df * fg * (1.0 - fg),
+             dg * (1.0 - gg * gg), do * og * (1.0 - og)], axis=1)
+        dWih += flat[rows].T @ dA
+        dWhh += hp.T @ dA
+        db += dA.sum(axis=0)
+        dflat[rows] = dA @ Wih.T
+        dH[:a] = dA @ Whh.T
+        dC[:a] = dc * fg
+        prev_a = a
+    return H[inv], dWih, dWhh, db, dflat
+
+
+def _seq_mat(x):
+    """One vs cell (sequence of d-vectors) -> (T, d) float ndarray."""
+    return np.stack([np.asarray(e, dtype=np.float64) for e in x])
+
+
+def _lstm_chunks(lens, cap):
+    """(start, end) row ranges whose total timesteps stay <= cap (every
+    range holds >= 1 row — a single sequence longer than cap forms its
+    own range: BPTT can't split a sequence)."""
+    n = len(lens)
+    start = 0
+    while start < n:
+        end = start + 1
+        tot = int(lens[start])
+        while end < n and tot + int(lens[end]) <= cap:
+            tot += int(lens[end])
+            end += 1
+        yield start, end
+        start = end
+
+
+def _lstm_forward(seq: DataFrame, h: DataFrame, lay, d: int) -> DataFrame:
+    """(id, m): the lstm aggregation for every node in `h` — the final
+    LSTM hidden state over the node's neighbour sequence, zeros for
+    isolated nodes. Arrow-batched; chunked by total timesteps so the
+    worker never holds more than ~cap states at once."""
+    import pandas as pd
+    Wih_ = np.asarray(lay["Wih"], dtype=np.float64)
+    Whh_ = np.asarray(lay["Whh"], dtype=np.float64)
+    b_ = (np.asarray(lay["bih"], dtype=np.float64)
+          + np.asarray(lay["bhh"], dtype=np.float64))
+    cap = max(4096, 1_500_000 // max(d, 1))
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lens_all = pdf["vs"].map(len).to_numpy()
+            for s, e in _lstm_chunks(lens_all, cap):
+                vs = pdf["vs"].iloc[s:e]
+                flat = np.concatenate([_seq_mat(v) for v in vs], axis=0)
+                M = _np_lstm(flat, lens_all[s:e], Wih_, Whh_, b_)
+                yield pd.DataFrame({"id": pdf["id"].iloc[s:e],
+                                    "m": list(M)})
+
+    mrows = seq.select("id", "vs").mapInPandas(fn, "id long, m array<double>")
+    zeros = F.array_repeat(F.lit(0.0), d)
+    return (h.select("id").join(mrows, "id", "left")
+            .select("id", F.coalesce("m", zeros).alias("m")))
 
 
 def _with_self_loops(adj: DataFrame, nodes: DataFrame) -> DataFrame:
@@ -428,8 +602,134 @@ def _backprop_pool(gframe: DataFrame, hprev: DataFrame, q: DataFrame,
     return out, dWp, dbp, dq
 
 
+def _backprop_lstm(gframe: DataFrame, hprev: DataFrame, seq: DataFrame,
+                   lay, Wr, d_prev: int, need_dh: bool, mask_relu: bool,
+                   cleanup: list):
+    """Backward through one 'lstm' layer's aggregation. Returns
+    (dh_frame | None, (dWih, dWhh, db)) with db the shared b_ih/b_hh
+    gradient:
+
+      dM_i  = g_i @ Wn^T                        (LSTM output gradient)
+      BPTT over node i's neighbour sequence     (_np_lstm, recomputing
+            the forward tape — checkpoint-free recompute, the standard
+            BPTT memory/compute trade)
+      dx_t  -> neighbour j_t's dh               (scattered per id)
+      dh_j  = g_j @ Wr^T + sum_t dx_t [* relu'(h_j) on hidden layers]
+
+    One mapInPandas pass emits BOTH gradient kinds: per worker chunk, a
+    p=true sentinel row carrying the chunk's flattened
+    (dWih | dWhh | db) sums plus p=false rows with the chunk's
+    PRE-AGGREGATED per-neighbour input gradients (a map-side combine —
+    row count is bounded by the chunk's distinct neighbour count, not
+    its timestep count). The frame is persisted (appended to `cleanup`)
+    because the param reduction and the dh scatter both consume it;
+    param sums reduce JVM-side via posexplode + sum, so only
+    d_in*4d + d*4d + 4d floats reach the driver."""
+    import pandas as pd
+    Wn_t = np.asarray(lay["Wn"], dtype=np.float64).T
+    Wr_t = np.asarray(Wr, dtype=np.float64).T
+    Wih_ = np.asarray(lay["Wih"], dtype=np.float64)
+    Whh_ = np.asarray(lay["Whh"], dtype=np.float64)
+    b_ = (np.asarray(lay["bih"], dtype=np.float64)
+          + np.asarray(lay["bhh"], dtype=np.float64))
+    d = Whh_.shape[0]
+    d_in = Wih_.shape[0]
+    n_par = d_in * 4 * d + d * 4 * d + 4 * d
+    cap = max(4096, 1_500_000 // max(d, 1))
+
+    def msg_fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame({"id": pdf["id"],
+                                "msg": list(_np_rows(pdf["g"]) @ Wn_t)})
+
+    msgs = gframe.mapInPandas(msg_fn, "id long, msg array<double>")
+    bjoin = seq.join(msgs, "id")
+
+    def bptt_fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lens_all = pdf["vs"].map(len).to_numpy()
+            for s, e in _lstm_chunks(lens_all, cap):
+                vs = pdf["vs"].iloc[s:e]
+                flat = np.concatenate([_seq_mat(v) for v in vs], axis=0)
+                dm = _np_rows(pdf["msg"].iloc[s:e])
+                _, dWih, dWhh, db, dflat = _np_lstm(
+                    flat, lens_all[s:e], Wih_, Whh_, b_, dm=dm)
+                flatp = np.concatenate(
+                    [dWih.ravel(), dWhh.ravel(), db])
+                ids = [-1]
+                vals = [flatp]
+                ps = [True]
+                if need_dh:
+                    jflat = np.concatenate(
+                        [np.asarray(j, dtype=np.int64)
+                         for j in pdf["js"].iloc[s:e]])
+                    uj, inv_idx = np.unique(jflat, return_inverse=True)
+                    acc = np.zeros((len(uj), d_prev))
+                    np.add.at(acc, inv_idx, dflat)
+                    ids += uj.tolist()
+                    vals += list(acc)
+                    ps += [False] * len(uj)
+                yield pd.DataFrame({"id": ids, "v": [x.tolist()
+                                                     for x in vals],
+                                    "p": ps})
+
+    out = bjoin.mapInPandas(
+        bptt_fn, "id long, v array<double>, p boolean").persist()
+    cleanup.append(out)
+    flat_sum = np.zeros(n_par)
+    for r in (out.filter("p")
+              .select(F.posexplode("v").alias("pos", "x"))
+              .groupBy("pos").agg(F.sum("x").alias("x")).collect()):
+        flat_sum[int(r["pos"])] = float(r["x"])
+    cut1 = d_in * 4 * d
+    cut2 = cut1 + d * 4 * d
+    dWih = flat_sum[:cut1].reshape(d_in, 4 * d)
+    dWhh = flat_sum[cut1:cut2].reshape(d, 4 * d)
+    db = flat_sum[cut2:]
+    if not need_dh:
+        return None, (dWih, dWhh, db)
+
+    nbr = (out.filter(~F.col("p"))
+           .select("id", F.posexplode("v").alias("pos", "x"))
+           .groupBy("id", "pos").agg(F.sum("x").alias("x"))
+           .groupBy("id").agg(
+               F.transform(F.array_sort(F.collect_list(
+                   F.struct("pos", "x"))),
+                   lambda s: s.getField("x")).alias("nbr")))
+
+    def own_fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame({"id": pdf["id"],
+                                "own": list(_np_rows(pdf["g"]) @ Wr_t)})
+
+    own = gframe.mapInPandas(own_fn, "id long, own array<double>")
+    zeros = F.array_repeat(F.lit(0.0), d_prev)
+    joined = (hprev.join(own, "id", "left").join(nbr, "id", "left")
+              .select("id", "h",
+                      F.coalesce("own", zeros).alias("own"),
+                      F.coalesce("nbr", zeros).alias("nbr")))
+
+    def mask_fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            G = _np_rows(pdf["own"]) + _np_rows(pdf["nbr"])
+            if mask_relu:
+                G *= (_np_rows(pdf["h"]) > 0.0)
+            yield pd.DataFrame({"id": pdf["id"], "g": list(G)})
+
+    return joined.mapInPandas(mask_fn, "id long, g array<double>"), \
+        (dWih, dWhh, db)
+
+
 def encoder_forward(X, adj, layers, dims, aggregator,
-                    X0=None, A0=None):
+                    X0=None, A0=None, seq0=None):
     """Forward through the SAGE stack up to (but excluding) the final
     affine layer: persists each layer's (id, h, m) input frame plus the
     aggregation routing state backward needs. Shared by the
@@ -437,11 +737,25 @@ def encoder_forward(X, adj, layers, dims, aggregator,
     encoder (algos/linkpred_deep.py). Callers with a weight-independent
     layer-0 neighbour input (mean/max/gcn) pass precomputed (X0, A0) so
     it isn't rebuilt per epoch; pool rebuilds it through the learned
-    fc_pool each call. Returns (inputs, args, qs, cleanup)."""
+    fc_pool each call; lstm callers pass the weight-independent layer-0
+    SEQUENCE frame as `seq0` (the aggregation itself is
+    weight-dependent and refreshes per epoch). For lstm the `args` list
+    carries each layer's sequence frame (backward re-walks it in BPTT).
+    Returns (inputs, args, qs, cleanup)."""
     use_pool = aggregator == "pool"
     use_max = aggregator == "max"
+    use_lstm = aggregator == "lstm"
     cleanup = []
-    if use_pool:
+    if use_lstm:
+        if seq0 is None:
+            seq0 = _lstm_seq(adj, X).persist()
+            cleanup.append(seq0)
+        m0 = _lstm_forward(seq0, X, layers[0], dims[0])
+        cur = X.join(m0, "id").persist()
+        cur.count()
+        cleanup.append(cur)
+        inputs, args, qs = [cur], [seq0], [None]
+    elif use_pool:
         # persist the h-named frame; the q-named view for backward is a
         # lazy rename OVER the cache (a post-persist rename would be a
         # different plan and recompute)
@@ -484,6 +798,13 @@ def encoder_forward(X, adj, layers, dims, aggregator,
                                            cache=cleanup)
             args.append(a_next)
             qs.append(None)
+        elif use_lstm:
+            seq_next = _lstm_seq(adj, h_next).persist()
+            cleanup.append(seq_next)
+            m_next = _lstm_forward(seq_next, h_next, layers[li + 1],
+                                   dims[li + 1])
+            args.append(seq_next)
+            qs.append(None)
         else:
             m_next = _mean_neighbor(adj, h_next, dims[li + 1])
             args.append(None)
@@ -498,17 +819,31 @@ def encoder_forward(X, adj, layers, dims, aggregator,
 def encoder_backward(g, inputs, args, qs, adj, deg, layers, dims,
                      aggregator, cleanup):
     """Backward through the SAGE stack from g = dL/d(z_L). Returns a
-    per-layer grads list [(dWr, dWn, db, (dWp, dbp) | None), ...];
-    intermediate frames are appended to `cleanup` (caller unpersists)."""
+    per-layer grads list [(dWr, dWn, db, extra), ...] where extra is
+    None (mean/max/gcn), (dWp, dbp) for pool, or (dWih, dWhh, db_lstm)
+    for lstm; intermediate frames are appended to `cleanup` (caller
+    unpersists)."""
     from memgraph_spark.session import free_checkpoint
     use_pool = aggregator == "pool"
+    use_lstm = aggregator == "lstm"
     L = len(layers)
     raw = []
     pool_grads = [None] * L
     for li in range(L - 1, -1, -1):
         joined = inputs[li].join(g, "id")
         raw.append(_weight_grads(joined, dims[li], dims[li + 1]))
-        if use_pool:
+        if use_lstm:
+            dh, lg = _backprop_lstm(
+                g, inputs[li].select("id", "h"), args[li], layers[li],
+                layers[li]["Wr"], dims[li], need_dh=li > 0,
+                mask_relu=li > 0, cleanup=cleanup)
+            pool_grads[li] = lg
+            if li > 0:
+                dh = dh.persist()
+                dh.count()
+                cleanup.append(dh)
+                g = dh
+        elif use_pool:
             dh, dWp, dbp, dqh = _backprop_pool(
                 g, inputs[li].select("id", "h"), qs[li], args[li],
                 layers[li]["Wr"], layers[li]["Wn"], layers[li]["Wp"],
@@ -536,9 +871,12 @@ def encoder_backward(g, inputs, args, qs, adj, deg, layers, dims,
 def init_sage_layers(dims, aggregator, rng):
     """Per-layer weight dicts for the SAGE stack; rng draw ORDER is part
     of the model contract the numpy twin tests replicate: Wr (non-gcn),
-    Wn, then Wp (pool). gcn has no root weight (DGL drops fc_self): Wr
-    stays an all-zero matrix and is never updated, so the shared
-    forward/backward algebra degrades to the gcn formula."""
+    Wn, then Wp (pool) or Wih, Whh, bih, bhh (lstm). gcn has no root
+    weight (DGL drops fc_self): Wr stays an all-zero matrix and is
+    never updated, so the shared forward/backward algebra degrades to
+    the gcn formula. lstm params follow torch nn.LSTM init — every
+    tensor U(-k, k), k = 1/sqrt(hidden) with hidden = the layer's input
+    dim (DGL: nn.LSTM(in_feats, in_feats))."""
     layers = []
     for i in range(len(dims) - 1):
         lim = np.sqrt(6.0 / (dims[i] + dims[i + 1]))   # Glorot uniform
@@ -551,6 +889,12 @@ def init_sage_layers(dims, aggregator, rng):
             limp = np.sqrt(6.0 / (dims[i] + dims[i]))
             lay["Wp"] = rng.uniform(-limp, limp, (dims[i], dims[i]))
             lay["bp"] = np.zeros(dims[i])
+        elif aggregator == "lstm":
+            k = 1.0 / np.sqrt(dims[i])
+            lay["Wih"] = rng.uniform(-k, k, (dims[i], 4 * dims[i]))
+            lay["Whh"] = rng.uniform(-k, k, (dims[i], 4 * dims[i]))
+            lay["bih"] = rng.uniform(-k, k, 4 * dims[i])
+            lay["bhh"] = rng.uniform(-k, k, 4 * dims[i])
         layers.append(lay)
     return layers
 
@@ -566,17 +910,15 @@ def sage_train(graph, hidden_sizes=None, num_epochs: int = 100,
     (epoch, loss, val_loss, train_log=[acc], val_log=[acc]); the model
     dict carries per-layer (Wr, Wn, b [, Wp, bp]) for predict.
     `aggregator` is the SAGEConv aggregation: 'mean' or 'max' (PyG aggr)
-    plus 'pool' and 'gcn' (DGL aggregator_type — see module docstring
-    for the exact algebra). Only 'lstm' keeps the dependency gate: it is
-    order-sensitive over an arbitrary neighbour permutation, so no
-    deterministic distributed twin of the torch semantics exists to
-    pin."""
+    plus 'pool', 'gcn' and 'lstm' (DGL aggregator_type — see module
+    docstring for the exact algebra; lstm's neighbour order is pinned
+    to ascending id, a documented deterministic deviation from the
+    torch path's incidental edge-storage order)."""
     aggregator = str(aggregator).lower()
-    if aggregator not in ("mean", "max", "pool", "gcn"):
+    if aggregator not in ("mean", "max", "pool", "gcn", "lstm"):
         raise NotImplementedError(
-            f"SAGE aggregator {aggregator!r}: mean/max/pool/gcn run "
-            "without torch (reference SAGEConv aggregators); 'lstm' is "
-            "order-sensitive and needs the torch sequence model")
+            f"SAGE aggregator {aggregator!r}: mean/max/pool/gcn/lstm "
+            "run without torch (the reference SAGEConv aggregators)")
     hidden_sizes = list(hidden_sizes or [16, 16])
     spark = graph.spark
     feat = F.col(features_attr).cast("array<double>")
@@ -623,9 +965,16 @@ def sage_train(graph, hidden_sizes=None, num_epochs: int = 100,
     n_train = int(counts["tr"] or 0)
     use_max = aggregator == "max"
     use_pool = aggregator == "pool"
-    A0 = M0 = X0 = None
+    use_lstm = aggregator == "lstm"
+    A0 = M0 = X0 = S0 = None
     pre_cache: list = []
-    if not use_pool:
+    if use_lstm:
+        # the layer-0 SEQUENCE is weight-independent (raw X in pinned
+        # order) => built once; the aggregation itself re-runs per epoch
+        # through the learned LSTM
+        S0 = _lstm_seq(adj, X).persist()
+        S0.count()
+    elif not use_pool:
         # layer-0 neighbour input is weight-independent for mean/max/gcn
         # => computed ONCE outside the epoch loop; pool's layer-0 input
         # goes through the learned fc_pool, so it refreshes per epoch
@@ -645,7 +994,7 @@ def sage_train(graph, hidden_sizes=None, num_epochs: int = 100,
         # ---- forward: encoder_forward persists each layer's (id, h, m)
         # input frame plus the aggregation state backward needs
         inputs, args, qs, cleanup = encoder_forward(
-            X, adj, layers, dims, aggregator, X0=X0, A0=A0)
+            X, adj, layers, dims, aggregator, X0=X0, A0=A0, seq0=S0)
         zL = _sage_layer(
             inputs[-1].join(meta, "id"),
             layers[-1]["Wr"], layers[-1]["Wn"], layers[-1]["b"],
@@ -669,11 +1018,20 @@ def sage_train(graph, hidden_sizes=None, num_epochs: int = 100,
                                               + weight_decay * lay["Wr"])
             lay["Wn"] -= learning_rate * (dWn + weight_decay * lay["Wn"])
             lay["b"] -= learning_rate * db
-            if pg is not None:
+            if pg is not None and len(pg) == 2:
                 dWp, dbp = pg
                 lay["Wp"] -= learning_rate * (dWp
                                               + weight_decay * lay["Wp"])
                 lay["bp"] -= learning_rate * dbp
+            elif pg is not None:
+                dWih, dWhh, dbl = pg
+                lay["Wih"] -= learning_rate * (dWih
+                                               + weight_decay * lay["Wih"])
+                lay["Whh"] -= learning_rate * (dWhh
+                                               + weight_decay * lay["Whh"])
+                # b_ih and b_hh gradients coincide; both update (torch)
+                lay["bih"] -= learning_rate * dbl
+                lay["bhh"] -= learning_rate * dbl
         gframe.unpersist()
         for fr in cleanup:
             fr.unpersist()
@@ -684,7 +1042,7 @@ def sage_train(graph, hidden_sizes=None, num_epochs: int = 100,
                         for lay in layers],
              "features_attr": features_attr, "label_attr": label_attr,
              "etype": etype, "d0": d0, "aggregator": aggregator}
-    for fr in (X, meta, M0, X0, A0, *pre_cache):
+    for fr in (X, meta, M0, X0, A0, S0, *pre_cache):
         if fr is not None:
             fr.unpersist()
     if aggregator == "gcn":
@@ -714,6 +1072,8 @@ def sage_forward(graph, model) -> DataFrame:
             qh = (_pool_q(cur, lay["Wp"], lay["bp"])
                   .withColumnRenamed("q", "h"))
             m, _arg = _max_neighbor(adj, qh, dims[li])
+        elif aggr == "lstm":
+            m = _lstm_forward(_lstm_seq(adj, cur), cur, lay, dims[li])
         else:                            # mean and gcn (self-loop adj)
             m = _mean_neighbor(adj, cur, dims[li])
         cur = _sage_layer(cur.join(m, "id"), lay["Wr"], lay["Wn"],

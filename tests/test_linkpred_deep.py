@@ -279,7 +279,8 @@ def test_linkpred_procedure_surface_and_gates(spark):
     """set_model_parameters/train/predict protocol (reference
     link_prediction.py): unknown params -> status false; graph_sage
     config trains through CALL; predict(src, dest) yields a probability;
-    aggregator lstm keeps the dependency gate."""
+    unknown aggregator names keep the gate (every reference
+    aggregator_type — mean/max/pool/gcn/lstm — now trains)."""
     import memgraph_spark.algos.linkpred_deep as LP
     from memgraph_spark.plans import GraphSession
     g = _cluster_graph(spark, n_per=6)
@@ -304,8 +305,29 @@ def test_linkpred_procedure_surface_and_gates(spark):
     score = gs.execute("CALL link_prediction.predict(0, 2) YIELD score "
                        "RETURN score").collect()[0].score
     assert 0.0 <= score <= 1.0
-    with pytest.raises(NotImplementedError, match="lstm"):
-        LP.linkpred_train(g, layer_type="graph_sage", aggregator="lstm")
+    with pytest.raises(NotImplementedError, match="mean"):
+        LP.linkpred_train(g, layer_type="graph_sage", aggregator="attn")
+
+
+def test_linkpred_lstm_aggregator_trains(spark):
+    """aggregator='lstm' end-to-end: the encoder math is pinned by
+    test_sage.py's finite-difference + numpy-twin tests (linkpred
+    reuses the same encoder_forward/encoder_backward); here the full
+    train -> predict protocol must run with finite decreasing loss and
+    a calibrated pair score."""
+    import memgraph_spark.algos.linkpred_deep as LP
+    g = _cluster_graph(spark, n_per=6)
+    out = LP.linkpred_train(
+        g, layer_type="graph_sage", aggregator="lstm",
+        predictor_type="dot", hidden_features_size=[4],
+        num_epochs=4, learning_rate=0.1, seed=0).collect()
+    tr = [r.loss for r in out if r.split == "train"]
+    assert len(tr) == 4 and all(np.isfinite(tr))
+    assert tr[-1] < tr[0]
+    assert g._lp_deep_model["aggregator"] == "lstm"
+    assert "Wih" in g._lp_deep_model["enc_layers"][0]
+    s = LP.linkpred_predict_pair(g, 0, 2)
+    assert 0.0 <= s <= 1.0
 
 
 def test_linkpred_recommend_results_save_load(spark, tmp_path):

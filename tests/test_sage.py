@@ -151,8 +151,8 @@ def test_sage_learns_separable_graph(spark):
 
 def test_attention_layers_train_and_sage_aggregator_gate(spark):
     """GATJK (like GAT/GATv2) now trains without torch, and SAGE runs
-    both mean and max aggregation; the remaining gates are other SAGE
-    aggregators (lstm, ...) and unknown layer types."""
+    every SAGEConv aggregator (mean/max/pool/gcn/lstm); the remaining
+    gates are unknown aggregator names and unknown layer types."""
     from memgraph_spark.algos.gnn import node_classification_train
     g = _two_cluster_graph(spark)
     out = node_classification_train(g, deep=True, layer_type="GATJK",
@@ -160,7 +160,7 @@ def test_attention_layers_train_and_sage_aggregator_gate(spark):
     assert len(out) == 3 and out[0].loss > 0.0
     with pytest.raises(NotImplementedError, match="mean"):
         node_classification_train(g, deep=True, layer_type="SAGE",
-                                  aggregator="lstm")
+                                  aggregator="attn")
 
 
 def test_sage_max_matches_local_numpy_twin(spark):
@@ -495,3 +495,200 @@ def test_sage_pool_matches_local_numpy_twin(spark):
                        layers[0][3], atol=1e-8)
     assert np.allclose(np.array(model["layers"][1]["Wr"]),
                        layers[1][0], atol=1e-8)
+
+
+def test_lstm_bptt_matches_finite_differences():
+    """The packed-sequence LSTM core (_np_lstm): analytic BPTT grads for
+    every parameter tensor AND every input element match central finite
+    differences on ragged sequences (lengths 1..6 incl. ties). Pure
+    numpy — no Spark."""
+    from memgraph_spark.algos.sage import _np_lstm
+    rng = np.random.default_rng(0)
+    d = 3
+    Wih = rng.normal(size=(d, 4 * d)) * 0.4
+    Whh = rng.normal(size=(d, 4 * d)) * 0.4
+    b = rng.normal(size=4 * d) * 0.4
+    lens = np.array([4, 1, 6, 2, 6, 3])
+    flat = rng.normal(size=(int(lens.sum()), d))
+    dm = rng.normal(size=(len(lens), d))
+
+    def loss():
+        return float((dm * _np_lstm(flat, lens, Wih, Whh, b)).sum())
+
+    _, dWih, dWhh, db, dflat = _np_lstm(flat, lens, Wih, Whh, b, dm=dm)
+    eps = 1e-6
+    for P, G in ((Wih, dWih), (Whh, dWhh), (b, db), (flat, dflat)):
+        it = np.nditer(P, flags=["multi_index"])
+        for _ in it:
+            ix = it.multi_index
+            p0 = P[ix]
+            P[ix] = p0 + eps
+            lp = loss()
+            P[ix] = p0 - eps
+            lm = loss()
+            P[ix] = p0
+            assert abs((lp - lm) / (2 * eps) - G[ix]) < 1e-8
+    # degenerate shapes
+    assert _np_lstm(np.zeros((0, d)), np.array([], dtype=np.int64),
+                    Wih, Whh, b).shape == (0, d)
+    assert _np_lstm(flat[:1], np.array([1]), Wih, Whh, b).shape == (1, d)
+
+
+def _np_lstm_node(seqX, Wih, Whh, b):
+    """Naive per-node loop LSTM for the twin — deliberately independent
+    of the packed implementation. Returns (h_T, state tape)."""
+    d = Whh.shape[0]
+
+    def sig(x):
+        return 1.0 / (1.0 + np.exp(-x))
+
+    h = np.zeros(d)
+    c = np.zeros(d)
+    st = []
+    for x in seqX:
+        A = x @ Wih + h @ Whh + b
+        i_, f_ = sig(A[:d]), sig(A[d:2 * d])
+        g_, o_ = np.tanh(A[2 * d:3 * d]), sig(A[3 * d:])
+        cp, hp = c, h
+        c = f_ * cp + i_ * g_
+        tc = np.tanh(c)
+        h = o_ * tc
+        st.append((x, hp, cp, i_, f_, g_, o_, tc))
+    return h, st
+
+
+def _np_lstm_node_bptt(st, dm, Wih, Whh):
+    d = Whh.shape[0]
+    dWih = np.zeros_like(Wih)
+    dWhh = np.zeros_like(Whh)
+    db = np.zeros(4 * d)
+    dxs = []
+    dh = dm.copy()
+    dc = np.zeros(d)
+    for x, hp, cp, i_, f_, g_, o_, tc in reversed(st):
+        dc = dc + dh * o_ * (1 - tc * tc)
+        do = dh * tc
+        di, dg, df = dc * g_, dc * i_, dc * cp
+        dA = np.concatenate([di * i_ * (1 - i_), df * f_ * (1 - f_),
+                             dg * (1 - g_ * g_), do * o_ * (1 - o_)])
+        dWih += np.outer(x, dA)
+        dWhh += np.outer(hp, dA)
+        db += dA
+        dxs.append(dA @ Wih.T)
+        dh = dA @ Whh.T
+        dc = dc * f_
+    dxs.reverse()
+    return dWih, dWhh, db, dxs
+
+
+def test_sage_lstm_matches_local_numpy_twin(spark):
+    """aggregator='lstm' (DGL SAGEConv): m = the final hidden state of a
+    torch-algebra LSTM over the neighbour sequence in pinned
+    ascending-id order, z = h@Wr + m@Wn + b. The twin runs a naive
+    per-node loop LSTM + BPTT (independent of the distributed packed
+    path, whose gradients the finite-difference test above pins) — the
+    distributed trainer must reproduce its loss trajectory and learned
+    weights to 1e-8."""
+    from memgraph_spark.algos.sage import sage_train
+    g = _two_cluster_graph(spark)
+    rows_df, model = sage_train(g, hidden_sizes=[4], num_epochs=5,
+                                learning_rate=0.3, weight_decay=0.0,
+                                seed=7, aggregator="lstm")
+    rows = rows_df.collect()
+    ids, idx, X, y, labeled, train, nbrs = _twin_setup(g)
+    n_train = int(train.sum())
+    dims = [2, 4, 2]
+    rng = np.random.default_rng(7)
+    layers = []
+    for i in range(2):
+        lim = np.sqrt(6.0 / (dims[i] + dims[i + 1]))
+        k = 1.0 / np.sqrt(dims[i])
+        # rng draw order contract: Wr, Wn, then Wih, Whh, bih, bhh
+        layers.append({
+            "Wr": rng.uniform(-lim, lim, (dims[i], dims[i + 1])),
+            "Wn": rng.uniform(-lim, lim, (dims[i], dims[i + 1])),
+            "b": np.zeros(dims[i + 1]),
+            "Wih": rng.uniform(-k, k, (dims[i], 4 * dims[i])),
+            "Whh": rng.uniform(-k, k, (dims[i], 4 * dims[i])),
+            "bih": rng.uniform(-k, k, 4 * dims[i]),
+            "bhh": rng.uniform(-k, k, 4 * dims[i])})
+
+    def agg(H, lay, d):
+        M = np.zeros((len(ids), d))
+        sts = {}
+        for n, i in idx.items():
+            js = sorted(nbrs.get(n, []))
+            if not js:
+                sts[i] = ([], [])
+                continue
+            m, st = _np_lstm_node([H[idx[j]] for j in js], lay["Wih"],
+                                  lay["Whh"], lay["bih"] + lay["bhh"])
+            M[i] = m
+            sts[i] = (js, st)
+        return M, sts
+
+    def bptt_all(sts, dM, lay):
+        dWih = np.zeros_like(lay["Wih"])
+        dWhh = np.zeros_like(lay["Whh"])
+        dbl = np.zeros(lay["bih"].shape[0])
+        dH = np.zeros((len(ids), lay["Wih"].shape[0]))
+        for _n, i in idx.items():
+            js, st = sts[i]
+            if not js:
+                continue
+            a, b_, c_, dxs = _np_lstm_node_bptt(st, dM[i], lay["Wih"],
+                                                lay["Whh"])
+            dWih += a
+            dWhh += b_
+            dbl += c_
+            for j, dx in zip(js, dxs):
+                dH[idx[j]] += dx
+        return dWih, dWhh, dbl, dH
+
+    losses = []
+    for _ in range(5):
+        M0, st0 = agg(X, layers[0], 2)
+        H1 = np.maximum(X @ layers[0]["Wr"] + M0 @ layers[0]["Wn"]
+                        + layers[0]["b"], 0.0)
+        M1, st1 = agg(H1, layers[1], 4)
+        Z = H1 @ layers[1]["Wr"] + M1 @ layers[1]["Wn"] + layers[1]["b"]
+        Zs = Z - Z.max(axis=1, keepdims=True)
+        P = np.exp(Zs) / np.exp(Zs).sum(axis=1, keepdims=True)
+        yl = np.where(labeled, y, 0)
+        logp = np.log(np.clip(P[np.arange(len(y)), yl], 1e-12, None))
+        losses.append(-logp[train].mean())
+        G = P.copy()
+        G[np.arange(len(y)), yl] -= 1.0
+        G /= n_train
+        G[~train] = 0.0
+        dWr2 = H1.T @ G
+        dWn2 = M1.T @ G
+        db2 = G.sum(axis=0)
+        dWih2, dWhh2, dbl2, dH1x = bptt_all(
+            st1, G @ layers[1]["Wn"].T, layers[1])
+        dH1 = G @ layers[1]["Wr"].T + dH1x
+        dH1 *= (H1 > 0)
+        dWr1 = X.T @ dH1
+        dWn1 = M0.T @ dH1
+        db1 = dH1.sum(axis=0)
+        dWih1, dWhh1, dbl1, _ = bptt_all(
+            st0, dH1 @ layers[0]["Wn"].T, layers[0])
+        lr = 0.3
+        for lay, gr in zip(layers,
+                           [(dWr1, dWn1, db1, dWih1, dWhh1, dbl1),
+                            (dWr2, dWn2, db2, dWih2, dWhh2, dbl2)]):
+            dWr, dWn, db_, dWih, dWhh, dbl = gr
+            lay["Wr"] -= lr * dWr
+            lay["Wn"] -= lr * dWn
+            lay["b"] -= lr * db_
+            lay["Wih"] -= lr * dWih
+            lay["Whh"] -= lr * dWhh
+            lay["bih"] -= lr * dbl
+            lay["bhh"] -= lr * dbl
+    for r, lo in zip(rows, losses):
+        assert r.loss == pytest.approx(float(lo), abs=1e-8), \
+            f"epoch {r.epoch}: {r.loss} vs local {lo}"
+    assert np.allclose(np.array(model["layers"][0]["Wih"]),
+                       layers[0]["Wih"], atol=1e-8)
+    assert np.allclose(np.array(model["layers"][1]["Whh"]),
+                       layers[1]["Whh"], atol=1e-8)
