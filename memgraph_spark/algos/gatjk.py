@@ -18,7 +18,12 @@ post-activation value: 1 where x>0 else x+1) and the JK max-mask
 routing are handled at this level. Documented deviations (sage.py):
 no BatchNorm/dropout; full-batch deterministic GD with L2 weight decay.
 JK "max" requires equal hidden sizes (torch errors on mismatched dims
-the same way); "cat"/"lstm" JK modes stay torch-gated.
+the same way); "cat"/"lstm" JK modes stay torch-gated — and are
+UNREACHABLE from the reference's own procedure surface: its
+set_model_parameters constructs GATJK with only
+(in_channels, hidden_features_size, out_channels)
+(node_classification.py:220-224), so jk_type is always the "max"
+default implemented here.
 """
 
 from __future__ import annotations

@@ -248,6 +248,13 @@ def _seq_mat(x):
     return np.stack([np.asarray(e, dtype=np.float64) for e in x])
 
 
+def _lstm_cap(d: int) -> int:
+    """Per-chunk timestep budget: bounds a worker's packed tape at
+    ~9 x cap x d floats (~110 MB) regardless of how the arrow batch
+    mixes degrees."""
+    return max(4096, 1_500_000 // max(d, 1))
+
+
 def _lstm_chunks(lens, cap):
     """(start, end) row ranges whose total timesteps stay <= cap (every
     range holds >= 1 row — a single sequence longer than cap forms its
@@ -274,7 +281,7 @@ def _lstm_forward(seq: DataFrame, h: DataFrame, lay, d: int) -> DataFrame:
     Whh_ = np.asarray(lay["Whh"], dtype=np.float64)
     b_ = (np.asarray(lay["bih"], dtype=np.float64)
           + np.asarray(lay["bhh"], dtype=np.float64))
-    cap = max(4096, 1_500_000 // max(d, 1))
+    cap = _lstm_cap(d)
 
     def fn(batches):
         for pdf in batches:
@@ -422,6 +429,41 @@ def _weight_grads(joined: DataFrame, d_in: int, d_out: int):
                        lambda a, b: (a[0] + b[0], a[1] + b[1], a[2] + b[2]))
 
 
+def _dh_tail(gframe: DataFrame, hprev: DataFrame, nbr: DataFrame,
+             Wr_t, d_prev: int, mask_relu: bool = True) -> DataFrame:
+    """dh = (g @ Wr^T + nbr) [* relu'(h_prev)]: the shared closing step
+    of every aggregation backward — the own-path gradient joined with
+    the scattered neighbour gradient `nbr` (id, nbr), zeros for nodes
+    absent from either side."""
+    import pandas as pd
+    Wr_t = np.asarray(Wr_t, dtype=np.float64)
+
+    def own_fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame({"id": pdf["id"],
+                                "own": list(_np_rows(pdf["g"]) @ Wr_t)})
+
+    own = gframe.mapInPandas(own_fn, "id long, own array<double>")
+    zeros = F.array_repeat(F.lit(0.0), d_prev)
+    joined = (hprev.join(own, "id", "left").join(nbr, "id", "left")
+              .select("id", "h",
+                      F.coalesce("own", zeros).alias("own"),
+                      F.coalesce("nbr", zeros).alias("nbr")))
+
+    def mask_fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            G = _np_rows(pdf["own"]) + _np_rows(pdf["nbr"])
+            if mask_relu:
+                G *= (_np_rows(pdf["h"]) > 0.0)        # relu'
+            yield pd.DataFrame({"id": pdf["id"], "g": list(G)})
+
+    return joined.mapInPandas(mask_fn, "id long, g array<double>")
+
+
 def _backprop_to_prev(gframe: DataFrame, hprev: DataFrame,
                       adj: DataFrame, deg: DataFrame, Wr, Wn,
                       d_prev: int, arg: DataFrame | None = None
@@ -439,15 +481,6 @@ def _backprop_to_prev(gframe: DataFrame, hprev: DataFrame,
     import pandas as pd
     Wr_t = np.asarray(Wr, dtype=np.float64).T
     Wn_t = np.asarray(Wn, dtype=np.float64).T
-
-    def own_fn(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            yield pd.DataFrame({"id": pdf["id"],
-                                "own": list(_np_rows(pdf["g"]) @ Wr_t)})
-
-    own = gframe.mapInPandas(own_fn, "id long, own array<double>")
 
     if arg is None:
         def msg_fn(batches):
@@ -483,21 +516,7 @@ def _backprop_to_prev(gframe: DataFrame, hprev: DataFrame,
         # route (i, pos) to its argmax contributor; positions a node
         # never won arrive sparse, so densify through a pos->v map
         nbr = _route_argmax(msgs, arg, d_prev)
-    zeros = F.array_repeat(F.lit(0.0), d_prev)
-    joined = (hprev.join(own, "id", "left").join(nbr, "id", "left")
-              .select("id", "h",
-                      F.coalesce("own", zeros).alias("own"),
-                      F.coalesce("nbr", zeros).alias("nbr")))
-
-    def mask_fn(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            G = _np_rows(pdf["own"]) + _np_rows(pdf["nbr"])
-            G *= (_np_rows(pdf["h"]) > 0.0)        # relu'
-            yield pd.DataFrame({"id": pdf["id"], "g": list(G)})
-
-    return joined.mapInPandas(mask_fn, "id long, g array<double>")
+    return _dh_tail(gframe, hprev, nbr, Wr_t, d_prev)
 
 
 def _backprop_pool(gframe: DataFrame, hprev: DataFrame, q: DataFrame,
@@ -565,15 +584,6 @@ def _backprop_pool(gframe: DataFrame, hprev: DataFrame, q: DataFrame,
         free_checkpoint(dq)
         return None, dWp, dbp, None
 
-    def own_fn(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            yield pd.DataFrame({"id": pdf["id"],
-                                "own": list(_np_rows(pdf["g"]) @ Wr_t)})
-
-    own = gframe.mapInPandas(own_fn, "id long, own array<double>")
-
     def nbr_fn(batches):
         Wp_t = Wp_.T
         for pdf in batches:
@@ -583,22 +593,7 @@ def _backprop_pool(gframe: DataFrame, hprev: DataFrame, q: DataFrame,
                                 "nbr": list(_np_rows(pdf["dq"]) @ Wp_t)})
 
     nbr = dq.mapInPandas(nbr_fn, "id long, nbr array<double>")
-    zeros = F.array_repeat(F.lit(0.0), d_prev)
-    joined = (hprev.join(own, "id", "left").join(nbr, "id", "left")
-              .select("id", "h",
-                      F.coalesce("own", zeros).alias("own"),
-                      F.coalesce("nbr", zeros).alias("nbr")))
-
-    def mask_fn(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            G = _np_rows(pdf["own"]) + _np_rows(pdf["nbr"])
-            if mask_relu:
-                G *= (_np_rows(pdf["h"]) > 0.0)
-            yield pd.DataFrame({"id": pdf["id"], "g": list(G)})
-
-    out = joined.mapInPandas(mask_fn, "id long, g array<double>")
+    out = _dh_tail(gframe, hprev, nbr, Wr_t, d_prev, mask_relu)
     return out, dWp, dbp, dq
 
 
@@ -635,7 +630,7 @@ def _backprop_lstm(gframe: DataFrame, hprev: DataFrame, seq: DataFrame,
     d = Whh_.shape[0]
     d_in = Wih_.shape[0]
     n_par = d_in * 4 * d + d * 4 * d + 4 * d
-    cap = max(4096, 1_500_000 // max(d, 1))
+    cap = _lstm_cap(d)
 
     def msg_fn(batches):
         for pdf in batches:
@@ -678,8 +673,11 @@ def _backprop_lstm(gframe: DataFrame, hprev: DataFrame, seq: DataFrame,
                                     "p": ps})
 
     out = bjoin.mapInPandas(
-        bptt_fn, "id long, v array<double>, p boolean").persist()
-    cleanup.append(out)
+        bptt_fn, "id long, v array<double>, p boolean")
+    if need_dh:
+        # both the param reduction and the dh scatter consume it
+        out = out.persist()
+        cleanup.append(out)
     flat_sum = np.zeros(n_par)
     for r in (out.filter("p")
               .select(F.posexplode("v").alias("pos", "x"))
@@ -700,31 +698,7 @@ def _backprop_lstm(gframe: DataFrame, hprev: DataFrame, seq: DataFrame,
                F.transform(F.array_sort(F.collect_list(
                    F.struct("pos", "x"))),
                    lambda s: s.getField("x")).alias("nbr")))
-
-    def own_fn(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            yield pd.DataFrame({"id": pdf["id"],
-                                "own": list(_np_rows(pdf["g"]) @ Wr_t)})
-
-    own = gframe.mapInPandas(own_fn, "id long, own array<double>")
-    zeros = F.array_repeat(F.lit(0.0), d_prev)
-    joined = (hprev.join(own, "id", "left").join(nbr, "id", "left")
-              .select("id", "h",
-                      F.coalesce("own", zeros).alias("own"),
-                      F.coalesce("nbr", zeros).alias("nbr")))
-
-    def mask_fn(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            G = _np_rows(pdf["own"]) + _np_rows(pdf["nbr"])
-            if mask_relu:
-                G *= (_np_rows(pdf["h"]) > 0.0)
-            yield pd.DataFrame({"id": pdf["id"], "g": list(G)})
-
-    return joined.mapInPandas(mask_fn, "id long, g array<double>"), \
+    return _dh_tail(gframe, hprev, nbr, Wr_t, d_prev, mask_relu), \
         (dWih, dWhh, db)
 
 
@@ -799,6 +773,10 @@ def encoder_forward(X, adj, layers, dims, aggregator,
             args.append(a_next)
             qs.append(None)
         elif use_lstm:
+            # h_next feeds three consumers (the seq shuffle, the
+            # forward's id base, the cur join) — persist like pool does
+            h_next = h_next.persist()
+            cleanup.append(h_next)
             seq_next = _lstm_seq(adj, h_next).persist()
             cleanup.append(seq_next)
             m_next = _lstm_forward(seq_next, h_next, layers[li + 1],
@@ -908,7 +886,8 @@ def sage_train(graph, hidden_sizes=None, num_epochs: int = 100,
 
     epoch_rows match node_classification.train's record shape
     (epoch, loss, val_loss, train_log=[acc], val_log=[acc]); the model
-    dict carries per-layer (Wr, Wn, b [, Wp, bp]) for predict.
+    dict carries per-layer (Wr, Wn, b [, Wp, bp for pool | Wih, Whh,
+    bih, bhh for lstm]) for predict.
     `aggregator` is the SAGEConv aggregation: 'mean' or 'max' (PyG aggr)
     plus 'pool', 'gcn' and 'lstm' (DGL aggregator_type — see module
     docstring for the exact algebra; lstm's neighbour order is pinned
