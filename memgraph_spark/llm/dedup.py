@@ -113,6 +113,12 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         shingle(F.col(text_col), k).alias("sh"),
     ).filter(F.size("sh") > 0).repartition(spark.sparkContext.defaultParallelism, "id")
+    # the shingle frame feeds THREE consumers (signatures + both sides of
+    # the exact-Jaccard verify join); materialize it once per call instead
+    # of re-running the substring transform three times. Per-invocation
+    # localCheckpoint, no cross-run caching; the stored arrays are the
+    # standard fuzzy-dedup signature-table materialization.
+    docs = docs.localCheckpoint(eager=True)
     sigs = docs.select("id", minhash_signature(F.col("sh"), num_perm).alias("sig"))
     banded = sigs.select(
         "id",

@@ -154,13 +154,19 @@ def lsh_candidate_pairs(
     v = df.select(F.col(id_col).alias("id"),
                   F.col(vec_col).cast("array<double>").alias("v"))
     v = v.withColumn("sig", lsh_signature(F.col("v"), dim, n_planes))
-    bandrows = None
-    for b in range(bands):
-        piece = v.select(
-            "id", F.lit(b).alias("band"),
-            F.shiftrightunsigned("sig", b * rows)
-            .bitwiseAND(F.lit(mask)).alias("bucket"))
-        bandrows = piece if bandrows is None else bandrows.unionByName(piece)
+    # bands via explode, not a per-band union: a union would re-evaluate
+    # the ArrowEvalPython signature once PER BAND (Spark does not merge
+    # common Python-UDF subtrees across union branches); explode keeps one
+    # signature pass and one scan (guide §4.1 — control how often columns
+    # cross the Python boundary)
+    bandrows = v.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftrightunsigned("sig", b * rows)
+                     .bitwiseAND(F.lit(mask)).alias("bucket"))
+            for b in range(bands)])).alias("bb")
+    ).select("id", "bb.band", "bb.bucket")
     a = bandrows.select("band", "bucket", F.col("id").alias("id_a"))
     b_ = bandrows.select("band", "bucket", F.col("id").alias("id_b"))
     return (a.join(b_, on=["band", "bucket"])

@@ -13,6 +13,7 @@ from memgraph_spark.operators.scan import bind, scan_by_id, once  # noqa: F401
 from memgraph_spark.operators.expand import (  # noqa: F401
     expand,
     expand_into,
+    expand_node_props,
     expand_variable,
     bfs,
     shortest_path,

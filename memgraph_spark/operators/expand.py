@@ -72,6 +72,44 @@ def expand(
     return joined.withColumnRenamed("__to", f"{to_sym}_id").drop("__from")
 
 
+def expand_node_props(
+    df: DataFrame,
+    graph,
+    etype: str,
+    from_sym: str,
+    to_sym: str,
+    label: str,
+    properties: list[str],
+    direction: str = "out",
+) -> DataFrame:
+    """Expand + bind target-node properties as ONE operator.
+
+    When the catalog holds a co-located scan for (etype, end) — the edge is
+    minted from the target node's own fact table, so one source row IS the
+    edge and the node — the node properties ride the edge scan and the
+    edge.dst = node.id self-join disappears (at scale: one scan and zero
+    extra shuffle/broadcast of the fact table instead of two scans plus a
+    join). Falls back to expand + id equi-join when no co-scan applies.
+    Output columns: input cols + {to_sym}_id + {to_sym}_<prop>.
+    """
+    end = {"out": "dst", "in": "src"}.get(direction)
+    co = getattr(graph, "co_scan", {}).get((etype, end)) if end else None
+    if co is not None and co[0] == label and graph.extra_labels is None:
+        _lbl, codf = co
+        sel = [F.col("dst" if direction == "out" else "src").alias("__to"),
+               F.col("src" if direction == "out" else "dst").alias("__from")]
+        sel += [F.col(f"__n_{p}").alias(f"{to_sym}_{p}") for p in properties]
+        e = codf.select(*sel)
+        return (df.join(e, df[f"{from_sym}_id"] == e["__from"], "inner")
+                .withColumnRenamed("__to", f"{to_sym}_id").drop("__from"))
+    out = expand(df, graph, etype, from_sym, to_sym, direction)
+    node = graph.node(label).select(
+        F.col("id").alias("__nid"),
+        *[F.col(p).alias(f"{to_sym}_{p}") for p in properties])
+    return out.join(node, out[f"{to_sym}_id"] == node["__nid"],
+                    "inner").drop("__nid")
+
+
 def expand_into(
     df: DataFrame,
     graph,

@@ -1035,8 +1035,44 @@ class QueryCompiler(WriteMixin, TraversalMixin):
             # constraint (expand-into on the edge): match under a fresh
             # symbol, then require the same edge id
             rsym = self._anon_sym("r")
-        e = self._edge_table(rel.types, rsym, want_props=rel.var is not None
-                             or bool(rel.props))
+        want_props = rel.var is not None or bool(rel.props)
+        # single-scan fusion: when the edge is minted from the target
+        # node's own fact table (catalog.co_scan), the target's properties
+        # ride the edge scan itself — the _attach_node id self-join (a
+        # second full scan + shuffle/broadcast of the fact table at scale)
+        # disappears. Conditions: one edge type with a co-scan for the
+        # attached end, target unbound, exactly the co-located label, and
+        # no SET-added labels anywhere (extra labels join by id regardless
+        # of label, which the fused path skips).
+        fused = None
+        co_end = {"out": "dst", "in": "src"}.get(rel.direction)
+        if (co_end is not None and to_sym not in self.symbols
+                and rel.types and len(rel.types) == 1
+                and not any(isinstance(x, A.Param) for x in rel.types)
+                and self.g.extra_labels is None):
+            co = self.g.co_scan.get((rel.types[0], co_end))
+            if co is not None and self._labels(np.labels) == [co[0]]:
+                fused = co
+        if fused is not None:
+            lbl, codf = fused
+            ty = rel.types[0]
+            cols = [
+                F.col("src"), F.col("dst"),
+                F.col("eid").alias(f"{rsym}_eid"),
+                F.lit(ty).alias(f"{rsym}_type"),
+                F.col("src").alias(f"{rsym}_src"),
+                F.col("dst").alias(f"{rsym}_dst"),
+            ]
+            if want_props:
+                cols += [F.col(p).alias(f"{rsym}_{p}") for p in sorted(
+                    c for c in self.g.edge(ty).columns
+                    if c not in ("src", "dst", "eid"))]
+            cols.append(F.array(F.lit(lbl)).alias(f"{to_sym}_labels"))
+            cols += [F.col(c).alias(f"{to_sym}_{c[4:]}")
+                     for c in codf.columns if c.startswith("__n_")]
+            e = codf.select(*cols)
+        else:
+            e = self._edge_table(rel.types, rsym, want_props=want_props)
         if rel.direction == "out":
             e = e.withColumnRenamed("src", "__from").withColumnRenamed("dst", "__to")
         elif rel.direction == "in":
@@ -1092,6 +1128,12 @@ class QueryCompiler(WriteMixin, TraversalMixin):
             self.df = self.df.filter(F.col("__to") == F.col(f"{to_sym}_id")) \
                              .drop("__from", "__to")
             self._bind_node(np, to_sym)
+        elif fused is not None:
+            # node labels/properties already rode the fused edge scan
+            self.df = self.df.withColumnRenamed("__to", f"{to_sym}_id") \
+                             .drop("__from")
+            self.symbols[to_sym] = "node"
+            self._prop_filters(to_sym, np.props)
         else:
             self.df = self.df.withColumnRenamed("__to", f"{to_sym}_id") \
                              .drop("__from")
@@ -2770,12 +2812,20 @@ class QueryCompiler(WriteMixin, TraversalMixin):
             else:
                 key_cols.append(compile_expr(spec, env).alias(name))
         src = self.df
-        if agg_cols and not getattr(self, "_frame_ordered", False):
+        has_collect = any(
+            isinstance(n, A.FuncCall) and n.name.lower() == "collect"
+            for _name, kind, spec in outs if kind == "value"
+            and contains_aggregate(spec)
+            for n in A.walk(spec))
+        if (agg_cols and has_collect
+                and not getattr(self, "_frame_ordered", False)):
             # stabilize collect()-family order to creation (id) order when
             # no explicit ORDER BY governs the frame: memgraph's pull order
             # is storage scan order, which our sequential ids reproduce
             # (aggregations.feature "Collect nodes properties into a map").
-            # Within-partition only — no shuffle, irrelevant at scale.
+            # Within-partition only — no shuffle. Gated on collect():
+            # count/sum/min/max/avg are order-insensitive, and the per-task
+            # O(n log n) sort is pure waste for them at scale.
             ids = ([c for c in src.columns if c.endswith("_eid")]
                    + [c for c in src.columns if c.endswith("_id")])
             if ids:

@@ -21,6 +21,7 @@ from memgraph_spark.operators import (
     bind,
     distinct,
     expand,
+    expand_node_props,
     expand_variable,
     optional,
     order_by,
@@ -91,14 +92,15 @@ def q_expand_one_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     RETURN c.mktsegment, count(o) AS n_orders, round(sum(o.totalprice),2)."""
     g = graph_for(spark, sf_dir)
     df = bind(g, "Customer", "c", ["mktsegment"])
-    df = expand(df, g, "PLACED", "c", "o")
-    df = df.join(bind(g, "Order", "o_n", ["totalprice"]),
-                 F.col("o_id") == F.col("o_n_id"))
+    # Expand+property-bind fused onto the co-located orders scan: one scan
+    # of the fact table instead of scan + self-join (guide §2.4)
+    df = expand_node_props(df, g, "PLACED", "c", "o", "Order",
+                           ["totalprice"])
     return aggregate(
         df,
         [F.col("c_mktsegment").alias("mktsegment")],
         [F.count("*").alias("n_orders"),
-         money_sum(money("o_n_totalprice"), "total_value")],
+         money_sum(money("o_totalprice"), "total_value")],
     )
 
 
@@ -225,9 +227,17 @@ def q_pattern_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MATCH (c:Customer) WHERE exists((c)-[:PLACED]->(o)) AND o.totalprice
     filter — customers with at least one big order (left-semi join)."""
     g = graph_for(spark, sf_dir)
-    big = g.edge("PLACED").join(
-        bind(g, "Order", "o", ["totalprice"]).filter(F.col("o_totalprice") > 400000),
-        F.col("dst") == F.col("o_id"), "left_semi")
+    co = getattr(g, "co_scan", {}).get(("PLACED", "dst"))
+    if co is not None:
+        # order totalprice rides the co-located edge scan: the semi-join
+        # against the Order table collapses to a pushed-down filter
+        big = (co[1].filter(F.col("__n_totalprice") > 400000)
+               .select("src", "dst"))
+    else:
+        big = g.edge("PLACED").join(
+            bind(g, "Order", "o", ["totalprice"])
+            .filter(F.col("o_totalprice") > 400000),
+            F.col("dst") == F.col("o_id"), "left_semi")
     c = bind(g, "Customer", "c", ["mktsegment"])
     c = pattern_semi(c, big, F.col("c_id") == F.col("src"))
     return aggregate(c, [F.col("c_mktsegment").alias("mktsegment")],
@@ -352,16 +362,16 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k expressed as a window; deterministic tiebreak on orderkey)."""
     g = graph_for(spark, sf_dir)
     df = bind(g, "Customer", "c", ["mktsegment"])
-    df = expand(df, g, "PLACED", "c", "o")
-    df = df.join(bind(g, "Order", "on", ["key", "totalprice"]),
-                 F.col("o_id") == F.col("on_id"))
+    # fused expand+property-bind: the orders fact table is scanned once
+    df = expand_node_props(df, g, "PLACED", "c", "o", "Order",
+                           ["key", "totalprice"])
     w = W.partitionBy("c_mktsegment").orderBy(
-        F.col("on_totalprice").desc(), F.col("on_key").asc())
+        F.col("o_totalprice").desc(), F.col("o_key").asc())
     ranked = df.withColumn("rk", F.row_number().over(w))
     return ranked.filter(F.col("rk") <= 3).select(
         F.col("c_mktsegment").alias("mktsegment"),
-        F.col("on_key").alias("orderkey"),
-        F.round(F.col("on_totalprice"), 2).alias("totalprice"),
+        F.col("o_key").alias("orderkey"),
+        F.round(F.col("o_totalprice"), 2).alias("totalprice"),
         F.col("rk"),
     )
 
