@@ -66,9 +66,11 @@ def bm25_search(df: DataFrame, query: str, id_col: str = "doc_id",
                     __import__("re").split(r"[^a-z0-9]+", query.lower()) if t})
     if not terms:
         return df.sparkSession.createDataFrame([], "doc_id long, score double")
-    spark = df.sparkSession
-    tdf = spark.createDataFrame([(t,) for t in terms], "token string")
-    hits = idx.join(F.broadcast(tdf), "token")
+    # literal IN-list filter, not a broadcast join against a 3-row terms
+    # DataFrame: the predicate pushes into the (cached) index scan and the
+    # per-query createDataFrame + broadcast-exchange job disappears —
+    # at lake scale the same predicate prunes token-bucketed partitions
+    hits = idx.filter(F.col("token").isin(terms))
     dfreq = hits.groupBy("token").agg(
         F.count_distinct("doc_id").alias("df_t"))
     scored = (
