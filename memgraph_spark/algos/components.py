@@ -42,20 +42,44 @@ def weakly_connected_components(
         .withColumn("prev", F.lit(None).cast("long"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
-        nbr_min = (
-            labels.join(und, labels["id"] == und["a"], "inner")
-            .groupBy(F.col("b").alias("id"))
-            .agg(F.min("component").alias("nbr"))
-        )
-        new_labels, m = checkpoint_with_metrics(
-            labels.select("id", F.col("component").alias("prev"))
-            .join(nbr_min, "id", "left")
-            .select("id",
-                    F.least(F.col("prev"),
-                            F.coalesce(F.col("nbr"), F.col("prev"))).alias("component"),
-                    "prev"),
-            changed=F.count(F.when(F.col("component") != F.col("prev"), 1)))
+    def _prop(frame):
+        # fresh aliases (new expr ids) so two lazy steps sharing lineage
+        # can't resolve the join ambiguously
+        lhs = frame.select(F.col("id").alias("__pid"),
+                           F.col("component").alias("__pc"))
+        nbr = (lhs.join(und, F.col("__pid") == und["a"], "inner")
+               .groupBy(F.col("b").alias("id"))
+               .agg(F.min("__pc").alias("nbr")))
+        return (frame.select("id", F.col("component").alias("prev"))
+                .join(nbr, "id", "left")
+                .select("id",
+                        F.least(F.col("prev"),
+                                F.coalesce(F.col("nbr"),
+                                           F.col("prev"))).alias("component"),
+                        "prev"))
+
+    import os
+    # Two-propagations-per-checkpoint batching: the intermediate label
+    # frame stays lazy; AQE's stage cache computes its exchanges once even
+    # though the second step's plan embeds them twice, so per-round shuffle
+    # volume is unchanged while the driver round count halves. Min-label
+    # propagation is idempotent at the fixpoint, so stopping on the second
+    # sub-step's changed-count yields byte-identical labels.
+    batch2 = os.environ.get("SPARK_GRAFT_WCC_BATCH", "2") != "1"
+    it = 0
+    while it < max_iter:
+        if batch2 and max_iter - it >= 2:
+            new_labels, m = checkpoint_with_metrics(
+                _prop(_prop(labels)),
+                changed=F.count(F.when(F.col("component") != F.col("prev"),
+                                       1)))
+            it += 2
+        else:
+            new_labels, m = checkpoint_with_metrics(
+                _prop(labels),
+                changed=F.count(F.when(F.col("component") != F.col("prev"),
+                                       1)))
+            it += 1
         free_checkpoint(labels)
         labels = new_labels
         if m["changed"] == 0:

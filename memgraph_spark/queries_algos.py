@@ -78,32 +78,39 @@ def q_algo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .join(a, on="node").join(b, on="neighbour")
                  .withColumn("similarity",
                              F.round(dot(F.col("va"), F.col("vb")), 4)))
-        w0 = W.partitionBy("node").orderBy(F.desc("similarity"),
-                                           F.asc("neighbour"))
         # `top` feeds the result AND the orphan anti-join below — without the
         # checkpoint the whole signature+band pipeline executes twice more
-        top = (pairs.withColumn("rn", F.row_number().over(w0))
-               .filter(F.col("rn") == 1)
-               .select("node", "neighbour", "similarity")
-               .localCheckpoint(eager=True))
+        top = (_top1(pairs).localCheckpoint(eager=True))
         # nodes whose signature shares no band with anyone fall back to an
         # exact scan (few rows x full table — bounded patch-up, not O(n^2))
         orphans = a.join(top.select("node"), on="node", how="left_anti")
-        patched = (orphans.crossJoin(b)
-                   .filter(F.col("node") != F.col("neighbour"))
-                   .withColumn("similarity",
-                               F.round(dot(F.col("va"), F.col("vb")), 4))
-                   .withColumn("rn", F.row_number().over(w0))
-                   .filter(F.col("rn") == 1)
-                   .select("node", "neighbour", "similarity"))
+        patched = _top1(
+            orphans.crossJoin(b)
+            .filter(F.col("node") != F.col("neighbour"))
+            .withColumn("similarity",
+                        F.round(dot(F.col("va"), F.col("vb")), 4)))
         return top.unionByName(patched)
     pairs = (a.crossJoin(b).filter(F.col("node") != F.col("neighbour"))
              .withColumn("similarity",
                          F.round(dot(F.col("va"), F.col("vb")), 4)))
-    w = W.partitionBy("node").orderBy(F.desc("similarity"), F.asc("neighbour"))
-    return (pairs.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "neighbour", "similarity"))
+    return _top1(pairs)
+
+
+def _top1(pairs: DataFrame) -> DataFrame:
+    """Best neighbour per node by (similarity DESC, neighbour ASC) as a
+    max_by aggregation: partial map-side aggregation collapses the pair
+    stream to one row per node BEFORE the exchange (guide §2.3 "aggregate
+    before you shuffle" — also skew-immune), where the former
+    row_number window shuffled and sorted every candidate pair. The
+    (similarity, -neighbour) ordering struct reproduces the window's
+    tie-break exactly; (node, neighbour) pairs are unique so the winner
+    is deterministic."""
+    best = F.max_by(
+        F.struct(F.col("neighbour"), F.col("similarity")),
+        F.struct(F.col("similarity"), (-F.col("neighbour")).alias("nb")))
+    return (pairs.groupBy("node").agg(best.alias("b"))
+            .select("node", F.col("b.neighbour").alias("neighbour"),
+                    F.col("b.similarity").alias("similarity")))
 
 
 ORACLE_ALGO_KNN = """
