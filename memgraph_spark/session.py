@@ -73,16 +73,17 @@ def get_spark(app_name: str = "memgraph-spark", cpus: int | str | None = None) -
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # size post-shuffle partitions by BYTES, not core count (guide
-        # §2.2): with the default parallelismFirst=true AQE refuses to
-        # coalesce below local parallelism, so a kilobyte-sized shuffle
-        # still fans out `cpus` tasks per stage — measured 637-1137 tasks
-        # per iterative query at sf0.1 for data that fits one partition.
-        # At cluster scale the same setting yields advisory-sized (64 MB)
-        # partitions, which is the guide's recommendation either way.
-        # Env-overridable for A/B (SPARK_GRAFT_PARALLELISM_FIRST=true).
+        # keep Spark's default parallelismFirst=true: AQE coalesces small
+        # shuffles down to minPartitionSize while never starving cores.
+        # `false` (advisory-byte sizing) was tried for a round and REVERTED
+        # on measurement: it coalesces the 10-200 MB shuffles of 10x-data
+        # suites to 1-3 partitions and serializes real compute (pokec hot
+        # passes 1.4-2.4x slower, sf1 total ~4x) while a pinned-worktree
+        # A/B showed no clean win on the sf0.1 iterative loops either —
+        # a local-only tune and a scale-killer, exactly what the guide's
+        # §1.2 step-3 warning is about. Env-overridable for A/B only.
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-                os.environ.get("SPARK_GRAFT_PARALLELISM_FIRST", "false"))
+                os.environ.get("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
