@@ -208,12 +208,18 @@ def expand_variable(
     results = []
     if lower == 0:
         results.append(cur)
-    # Shallow expansions (the common `*1..3` case) compile to ONE lazy plan —
-    # no per-round materialization, no driver round-trips; Catalyst plans the
-    # whole join chain and one job executes it. Deep/unbounded expansions and
-    # HOPS LIMIT runs keep the eager loop: per-round localCheckpoint truncates
-    # lineage and the row count drives early termination / the hops budget.
-    lazy = upper <= 3 and hops is None
+    # Single-hop expansions compile to ONE lazy plan (a broadcast-able join,
+    # no per-round materialization). Everything deeper takes the eager loop:
+    # depth k>=2 in a lazy plan joins hop k-1's output against the edge frame
+    # with NO size information, so Catalyst sort-merge-joins it — a full
+    # shuffle of the edge table per extra depth even when the frontier is a
+    # few hundred rows (AQE materializes both shuffle stages before it can
+    # rewrite the join). The eager loop's checkpoint makes the frontier count
+    # known and `_maybe_broadcast` keeps the edges unshuffled below the
+    # 500k-row fence — the BFS frontier-join shape, measured 0.70x at sf0.1
+    # and structurally safer at scale. Lineage truncation and the hops
+    # budget ride the same per-round checkpoint.
+    lazy = upper <= 1 and hops is None
     cur_rows = None
     for depth in range(1, upper + 1):
         lhs = cur if cur_rows is None else _maybe_broadcast(cur, cur_rows)

@@ -72,14 +72,23 @@ def q_algo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb.select(F.col("vec_id"), F.col("v").alias("embedding")),
             id_col="vec_id", vec_col="embedding",
             n_planes=32, bands=4)
-        pairs = (cand.selectExpr("id_a AS node", "id_b AS neighbour")
-                 .unionByName(cand.selectExpr("id_b AS node",
-                                              "id_a AS neighbour"))
-                 .join(a, on="node").join(b, on="neighbour")
-                 .withColumn("similarity",
-                             F.round(dot(F.col("va"), F.col("vb")), 4)))
-        # `top` feeds the result AND the orphan anti-join below — without the
-        # checkpoint the whole signature+band pipeline executes twice more
+        # score each UNORDERED pair once (cand already has id_a < id_b):
+        # half the endpoint joins and half the exact-re-rank dot products
+        # vs symmetrizing first; the checkpoint keeps the symmetrized union
+        # from executing the signature+band+re-rank pipeline twice
+        scored = (cand
+                  .join(a.selectExpr("node AS id_a", "va"), on="id_a")
+                  .join(b.selectExpr("neighbour AS id_b", "vb"), on="id_b")
+                  .withColumn("similarity",
+                              F.round(dot(F.col("va"), F.col("vb")), 4))
+                  .select("id_a", "id_b", "similarity")
+                  .localCheckpoint(eager=True))
+        pairs = (scored.selectExpr("id_a AS node", "id_b AS neighbour",
+                                   "similarity")
+                 .unionByName(scored.selectExpr("id_b AS node",
+                                                "id_a AS neighbour",
+                                                "similarity")))
+        # `top` feeds the result AND the orphan anti-join below
         top = (_top1(pairs).localCheckpoint(eager=True))
         # nodes whose signature shares no band with anyone fall back to an
         # exact scan (few rows x full table — bounded patch-up, not O(n^2))
