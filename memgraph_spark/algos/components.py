@@ -29,12 +29,19 @@ def weakly_connected_components(
     undirected paths. Per round each vertex adopts the min label among itself
     and its neighbors; converges in O(diameter) rounds (use doubling/star
     contraction if diameters grow past ~20 at scale)."""
+    import os
+    # hash(a) layout for the per-round propagation join: repartition("a")
+    # BEFORE the dedup costs nothing extra (HashPartitioning(a) satisfies
+    # the dedup aggregate's ClusteredDistribution(a, b), so the dedup rides
+    # the same single exchange) and every round's join on a reuses the
+    # cached layout instead of re-shuffling the O(E) edge frame.
     und = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .unionAll(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
-        .dropDuplicates()
-        .persist()
     )
+    if os.environ.get("SPARK_GRAFT_WCC_EDGE_LAYOUT", "a") == "a":
+        und = und.repartition("a")
+    und = und.dropDuplicates().persist()
     labels = (
         und.select(F.col("a").alias("id"))
         .dropDuplicates()
@@ -97,12 +104,16 @@ def label_propagation(
     """Synchronous LPA: each vertex adopts the most frequent label among its
     neighbors (ties -> smallest label, fully deterministic). Returns
     (id, label)."""
+    import os
     und = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .unionAll(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
-        .dropDuplicates()
-        .persist()
     )
+    # same hash(a) layout rationale as weakly_connected_components: the
+    # per-round vote join is on a, and the dedup rides the one exchange
+    if os.environ.get("SPARK_GRAFT_WCC_EDGE_LAYOUT", "a") == "a":
+        und = und.repartition("a")
+    und = und.dropDuplicates().persist()
     labels = (
         und.select(F.col("a").alias("id")).dropDuplicates()
         .withColumn("label", F.col("id"))
