@@ -120,6 +120,10 @@ def minhash_lsh_pairs(
     # standard fuzzy-dedup signature-table materialization.
     docs = docs.localCheckpoint(eager=True)
     sigs = docs.select("id", minhash_signature(F.col("sh"), num_perm).alias("sig"))
+    # both sides of the band self-join embed this frame; without the
+    # checkpoint the broadcast side re-runs the whole num_perm-hash
+    # signature pipeline a second time (visible as a duplicated
+    # Generate+signature subtree under the BroadcastExchange)
     banded = sigs.select(
         "id",
         F.explode(
@@ -129,13 +133,22 @@ def minhash_lsh_pairs(
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select("id", "bb.band", "bb.bh")
+    ).select("id", "bb.band", "bb.bh").localCheckpoint(eager=True)
     cand = (
         banded.alias("l")
         .join(banded.alias("r"), ["band", "bh"])
         .filter(F.col("l.id") < F.col("r.id"))
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates()
+        # the exact-Jaccard verify below is compute-dense but byte-light
+        # (two longs per candidate row): AQE's byte-based coalescing packs
+        # the deduped pair list into ONE post-shuffle partition and the
+        # whole verify stage — an array_intersect over the shingle sets
+        # per pair — runs on a single core (measured 22.6s of a 37.6s
+        # query at sf0.1). Round-robin with an explicit partition count:
+        # a keyed repartition on (id_a, id_b) is statically pruned as
+        # redundant with the dedup's exchange and AQE then re-coalesces it.
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     a = docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = docs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -263,10 +276,13 @@ def ngram_jaccard_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .filter((F.col("sz_a") >= threshold * F.col("sz_b"))
                 & (F.col("sz_b") >= threshold * F.col("sz_a")))
+        # |A u B| = |A| + |B| - |A n B| exactly (distinct arrays), so the
+        # union ARRAY never needs building — the intersect is the only
+        # per-pair set pass (measured ~7.4M surviving pairs at sf0.1)
+        .withColumn("inter", F.size(F.array_intersect("ng_a", "ng_b")))
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("ng_a", "ng_b"))
-            / F.size(F.array_union("ng_a", "ng_b")),
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))

@@ -62,13 +62,25 @@ def cosine_pairs(
     Exact all-pairs — use lsh_bucket_topk's banding for the 100 TB path."""
     from memgraph_spark.llm.dedup import _guard_all_pairs
     _guard_all_pairs(df, "cosine_pairs", "lsh_bucket_topk / ivf_topk")
+    # hoist the per-vector norm out of the O(n^2) pair loop: cosine(a, b)
+    # = dot(a,b)/(norm(a)*norm(b)), and norm is per-row, so computing it
+    # once per vector is float-identical to computing it once per pair —
+    # each pair then costs ONE higher-order aggregate instead of three.
+    # The single-file embeddings scan also arrives as 1 partition, which
+    # would run the whole quadratic stage on one core: spread the streamed
+    # side first (the other side is the broadcast build of the loop join).
     v = df.select(F.col(id_col).alias("id"),
                   F.col(vec_col).cast("array<double>").alias("v"))
-    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    v = v.withColumn("nrm", norm(F.col("v")))
+    a = (v.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+                  F.col("nrm").alias("n_a"))
+         .repartition(df.sparkSession.sparkContext.defaultParallelism))
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+                 F.col("nrm").alias("n_b"))
     return (
         a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", F.round(cosine(F.col("v_a"), F.col("v_b")), 4))
+        .withColumn("sim", F.round(dot(F.col("v_a"), F.col("v_b"))
+                                   / (F.col("n_a") * F.col("n_b")), 4))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
