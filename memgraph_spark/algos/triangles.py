@@ -39,13 +39,27 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
         .select("e.lo", "e.hi")
         .persist()
     )
-    # wedges centered at the low-rank vertex, endpoints normalized a<b
-    wedges = (
-        ranked.alias("p").join(ranked.alias("q"), F.col("p.lo") == F.col("q.lo"))
-        .filter(F.col("p.hi") < F.col("q.hi"))
-        .select(F.col("p.hi").alias("a"), F.col("q.hi").alias("b"))
+    # compact-forward closure: per oriented edge (lo, hi), triangles whose
+    # rank-lowest vertex is lo are |N+(lo) n N+(hi)| — the wedge list never
+    # materializes as rows. The former wedge self-join emitted sum C(d+,2)
+    # ROWS through a shuffle + sort-merge join (166M rows at sf0.1, where
+    # the co-supply projection is the complete graph K_1000); here the same
+    # elements flow as array members inside one codegen stage. Degree
+    # orientation bounds every adjacency array by O(sqrt E), so collect_list
+    # is supernode-safe at any scale (the standard arboricity argument).
+    adj = ranked.groupBy("lo").agg(F.collect_list("hi").alias("nb"))
+    pairs = (
+        ranked
+        .join(adj.select(F.col("lo").alias("jl"), F.col("nb").alias("nb_lo")),
+              F.col("lo") == F.col("jl"))
+        # inner join: an edge whose hi has no out-neighbours contributes 0
+        .join(adj.select(F.col("lo").alias("jh"), F.col("nb").alias("nb_hi")),
+              F.col("hi") == F.col("jh"))
     )
-    out = wedges.join(und, ["a", "b"], "inner").agg(F.count("*").alias("n_triangles"))
+    out = pairs.agg(
+        F.coalesce(
+            F.sum(F.size(F.array_intersect("nb_lo", "nb_hi"))), F.lit(0)
+        ).cast("long").alias("n_triangles"))
     n = out.localCheckpoint(eager=True)
     ranked.unpersist(); und.unpersist()
     return n

@@ -79,6 +79,14 @@ class PropertyGraph:
     # that join is a full second scan plus a shuffle/broadcast of the fact
     # table. Invalidated whenever either side gets a new version.
     co_scan: dict = field(default_factory=dict, repr=False)
+    # (etype, end) -> label: static guarantee that EVERY <end> id of the
+    # edge type references an existing node of exactly that label (parquet
+    # FK-minted edges; the id namespace encodes the label). Lets the
+    # compiler skip the target-attach join for anonymous patterns — the
+    # inner join would be a no-op filter. Invalidated like co_scan
+    # whenever either side gets a new version; never populated for
+    # constructor-built graphs.
+    endpoint_labels: dict = field(default_factory=dict, repr=False)
     # persisted eid-carrying oriented edge tables (expand_variable & friends)
     _eid_cache: dict = field(default_factory=dict, repr=False)
     # (id, label) rows for labels added by SET n:Label (multi-label support
@@ -148,6 +156,10 @@ class PropertyGraph:
         # a new node version breaks the edge<->node single-scan equivalence
         for key in [k for k in self.co_scan if self.co_scan[k][0] == label]:
             del self.co_scan[key]
+        # ... and the FK endpoint guarantee (a swapped table may drop rows)
+        for key in [k for k in self.endpoint_labels
+                    if self.endpoint_labels[k] == label]:
+            del self.endpoint_labels[key]
         if not keys_allocated:
             # an external table swap may introduce arbitrary keys — the
             # in-memory allocator must re-derive its base from the data
@@ -195,6 +207,9 @@ class PropertyGraph:
         # a new edge version breaks the edge<->node single-scan equivalence
         for key in [k for k in self.co_scan if k[0] == etype]:
             del self.co_scan[key]
+        # ... and the FK endpoint guarantee (created edges carry user dsts)
+        for key in [k for k in self.endpoint_labels if k[0] == etype]:
+            del self.endpoint_labels[key]
 
     def alloc_edge_ids(self, n: int) -> int:
         """Allocate n consecutive edge ids from an in-memory counter
@@ -649,6 +664,18 @@ def load_tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
         [F.col("s_suppkey").alias("__n_key"),
          F.col("s_name").alias("__n_name"),
          F.col("s_acctbal").alias("__n_acctbal")])
+    # FK endpoint guarantees (TPC-H referential integrity + the id
+    # namespace encoding the label): anonymous-target attach joins on
+    # these (etype, end) pairs are provably no-op filters.
+    g.endpoint_labels.update({
+        ("IN_REGION", "src"): "Nation", ("IN_REGION", "dst"): "Region",
+        ("FROM_NATION", "src"): "Customer", ("FROM_NATION", "dst"): "Nation",
+        ("BASED_IN", "src"): "Supplier", ("BASED_IN", "dst"): "Nation",
+        ("PLACED", "src"): "Customer", ("PLACED", "dst"): "Order",
+        ("CONTAINS", "src"): "Order", ("CONTAINS", "dst"): "Part",
+        ("SUPPLIED_BY", "src"): "Order", ("SUPPLIED_BY", "dst"): "Supplier",
+    })
+
     _co("IN_REGION", "src", "Nation", t["nation"],
         [node_id("Nation", F.col("n_nationkey")).alias("src"),
          node_id("Region", F.col("n_regionkey")).alias("dst")],

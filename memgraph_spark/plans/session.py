@@ -729,11 +729,25 @@ class QueryCompiler(WriteMixin, TraversalMixin):
         if not part.chain or any(r.var_length for r, _ in part.chain):
             return part
         end = part.chain[-1][1]
-        if self._node_score(end) >= self._node_score(part.start):
+        # an end whose target-attach join is provably elidable
+        # (endpoint_labels FK guarantee) costs NOTHING as a target but a
+        # full scan as an anchor — elidability dominates the scan-size
+        # comparison (anchoring at the other end saves a whole scan+join)
+        flip = {"out": "in", "in": "out", "both": "both"}
+        co_end = {"out": "dst", "in": "src"}
+        last_rel = part.chain[-1][0]
+        first_rel = part.chain[0][0]
+        end_el = self._attach_elidable(
+            end, last_rel, co_end.get(last_rel.direction))
+        start_el = self._attach_elidable(
+            part.start, first_rel, co_end.get(flip[first_rel.direction]))
+        if end_el and not start_el:
+            return part
+        if not (start_el and not end_el) \
+                and self._node_score(end) >= self._node_score(part.start):
             return part
         nodes = [part.start] + [n for _, n in part.chain]
         rels = [r for r, _ in part.chain]
-        flip = {"out": "in", "in": "out", "both": "both"}
         chain = [
             (A.RelPattern(rels[i].var, rels[i].types,
                           flip[rels[i].direction], rels[i].props,
@@ -1138,8 +1152,33 @@ class QueryCompiler(WriteMixin, TraversalMixin):
             self.df = self.df.withColumnRenamed("__to", f"{to_sym}_id") \
                              .drop("__from")
             self.symbols[to_sym] = "node"
-            self._attach_node(to_sym, np)
+            if not self._attach_elidable(np, rel, co_end):
+                self._attach_node(to_sym, np)
         return rsym
+
+    def _attach_elidable(self, np: A.NodePattern, rel: A.RelPattern,
+                         co_end: str | None) -> bool:
+        """True when the target-attach join would be a provable no-op:
+        the pattern is anonymous (no variable — nothing downstream can
+        read its labels or properties; named paths capture only ids, off
+        the edge itself), carries no property/label-OR filters, and the
+        catalog statically guarantees every <co_end> endpoint of this
+        edge type references an existing node of exactly the pattern's
+        label (endpoint_labels — parquet FK-minted edges). SET-added
+        labels disable the shortcut: an extra label grant can satisfy a
+        label pattern the namespace guarantee cannot see."""
+        if np.var is not None or np.props or np.labels_or or np.dyn_labels:
+            return False
+        if co_end is None or self.g.extra_labels is not None:
+            return False
+        if (not rel.types or len(rel.types) != 1
+                or any(isinstance(x, A.Param) for x in rel.types)):
+            return False
+        lbl = self.g.endpoint_labels.get((rel.types[0], co_end))
+        if lbl is None:
+            return False
+        want = self._labels(np.labels)
+        return want == [] or want == [lbl]
 
     def _attach_node(self, sym: str, np: A.NodePattern) -> None:
         """Fetch the target node's labels/properties: an id equi-join against
