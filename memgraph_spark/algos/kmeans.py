@@ -39,8 +39,16 @@ def kmeans(
     centroids = [list(r.v) for r in init]
 
     def _assign(frame):
-        cents = F.array(*[F.array(*[F.lit(float(x)) for x in c])
-                          for c in centroids])
+        # one F.expr parse instead of k*d F.lit calls: each Column op is a
+        # py4j round trip (~ms of driver latency), so the nested literal
+        # cost k*d calls PER ITERATION (16x64 = 1024 at the IVF defaults —
+        # measured as the dominant cost of the whole ivf query). repr()
+        # doubles round-trip exactly; the D suffix keeps Spark SQL from
+        # parsing them as decimals, so the expression tree is the same
+        # double-typed literal array as before, bit for bit.
+        cents = F.expr("array({})".format(",".join(
+            "array({})".format(",".join(
+                f"{float(x)!r}D" for x in c)) for c in centroids)))
         dists = F.transform(
             cents,
             lambda c: F.aggregate(F.zip_with(c, F.col("v"),
