@@ -256,29 +256,70 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All pairs with word-n-gram Jaccard >= threshold.
 
-    Exact (no LSH): pairs are pruned with the provably-safe size filter
-    |A| >= t*|B| and |B| >= t*|A| (Jaccard >= t implies both) before the
-    set intersection — the SQL oracle implements the identical semantics.
-    At very large n this operator is the exact fallback; minhash_lsh_pairs
-    is the scale path.
+    Exact (no LSH). Candidates come from PREFIX FILTERING (Chaudhuri et
+    al. 2006; Bayardo et al. 2007 "Scaling Up All Pairs Similarity
+    Search"): order every doc's n-gram set by a GLOBAL total order and
+    emit only its first `sz - ceil(t*sz) + 1` tokens (the "prefix"). Two
+    docs with Jaccard >= t MUST share a prefix token: with w_a/w_b the
+    last prefix tokens and (wlog) w_a <= w_b in the order, a shared token
+    inside A's prefix would rank <= w_a <= w_b yet — were no token shared
+    by BOTH prefixes — have to sit outside B's prefix, i.e. rank > w_b;
+    impossible, so every shared token sits in A's suffix, capping the
+    overlap at ceil(t*|A|) - 1 < t*|A| <= t*|A u B| <= |A n B|, a
+    contradiction. The candidate join is therefore an inverted-index
+    equi-join on prefix tokens instead of an O(n^2) crossJoin; the exact
+    intersect then verifies each candidate once (sf0.1: 310k-1.1M
+    candidates vs 7.4M size-filter survivors before). Any total order is
+    correct; lexicographic (array_sort + slice, zero extra exchanges)
+    A/B-measured 0.60x vs ascending-document-frequency order (which
+    needs an explode + count + join + row_number window — 4 exchanges —
+    to buy fewer candidates; worth revisiting only if a skewed corpus
+    makes common-token prefixes explode). The ceil() is nudged down 1e-9
+    so a float wobble can only LENGTHEN a prefix (extra candidates,
+    never a lost pair). Output identical to the naive all-pairs
+    semantics, which is what the SQL oracle implements.
     """
     _guard_all_pairs(df, "ngram_jaccard_pairs", "minhash_lsh_pairs")
-    docs = df.select(F.col(id_col).alias("id"),
-                     word_ngrams(F.col(text_col), n).alias("ng")) \
-             .withColumn("sz", F.size("ng")).filter(F.col("sz") > 0) \
-             .repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
+    spread = df.sparkSession.sparkContext.defaultParallelism
+    # repartition BEFORE the n-gram build: the documents scan is a single
+    # small file (one task), and the per-doc split/transform is the
+    # compute-dense part — the explicit numPartitions keeps AQE from
+    # byte-coalescing it back to one task; the exchange is reused by all
+    # three consumers (prefix / verify-a / verify-b)
+    docs = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")) \
+             .repartition(spread, "id") \
+             .select("id", word_ngrams(F.col("t"), n).alias("ng")) \
+             .withColumn("sz", F.size("ng")).filter(F.col("sz") > 0)
+    # greatest(, 0): a threshold > 1 makes the formula negative — slice()
+    # would raise where the naive path returned no rows; an empty prefix
+    # yields the same empty result instead
+    prefix_len = F.greatest(
+        (F.col("sz")
+         - F.ceil(F.col("sz") * F.lit(threshold) - F.lit(1e-9))
+         + 1).cast("int"),
+        F.lit(0))
+    prefix = docs.select(
+        "id", "sz",
+        F.explode(F.slice(F.array_sort("ng"), F.lit(1), prefix_len))
+         .alias("tok"))
+    cand = (
+        prefix.alias("a").join(prefix.alias("b"), "tok")
+        .filter(F.col("a.id") < F.col("b.id"))
+        # size filter (Jaccard >= t implies t*|B| <= |A| and t*|A| <= |B|)
+        .filter((F.col("a.sz") >= threshold * F.col("b.sz"))
+                & (F.col("b.sz") >= threshold * F.col("a.sz")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     a = docs.select(F.col("id").alias("id_a"), F.col("ng").alias("ng_a"),
                     F.col("sz").alias("sz_a"))
     b = docs.select(F.col("id").alias("id_b"), F.col("ng").alias("ng_b"),
                     F.col("sz").alias("sz_b"))
     return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter((F.col("sz_a") >= threshold * F.col("sz_b"))
-                & (F.col("sz_b") >= threshold * F.col("sz_a")))
+        cand.join(a, "id_a").join(b, "id_b")
         # |A u B| = |A| + |B| - |A n B| exactly (distinct arrays), so the
         # union ARRAY never needs building — the intersect is the only
-        # per-pair set pass (measured ~7.4M surviving pairs at sf0.1)
+        # per-pair set pass
         .withColumn("inter", F.size(F.array_intersect("ng_a", "ng_b")))
         .withColumn(
             "jaccard",

@@ -54,6 +54,51 @@ def test_ngram_jaccard(spark, doc_df):
     assert pairs[(1, 2)] == 1.0
 
 
+def test_ngram_jaccard_prefix_filter_equivalence(spark):
+    """The prefix-filtered candidate generation must be EXACT: compare
+    against a brute-force Python ground truth on an adversarial corpus
+    (tiny token alphabet -> heavy prefix collisions; near-threshold
+    overlaps; shared tokens that sort LAST lexicographically, which is
+    where a too-short prefix would drop a pair)."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff", "gg", "zz"]
+    rows = []
+    for i in range(40):
+        k = rng.randint(2, 12)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(k))))
+    # pairs whose only shared trigrams sort last ("zz zz zz" suffix runs)
+    rows.append((100, "aa bb cc zz zz zz zz zz"))
+    rows.append((101, "dd ee ff zz zz zz zz zz"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def ngrams(text, n=3):
+        toks = [t for t in text.split() if t]
+        if len(toks) < n:
+            return set()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    for threshold in (0.3, 0.5, 0.75):
+        expected = {}
+        for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+            a, b = ngrams(ta), ngrams(tb)
+            if not a or not b:
+                continue
+            j = len(a & b) / len(a | b)
+            if j >= threshold:
+                lo, hi = min(ia, ib), max(ia, ib)
+                expected[(lo, hi)] = round(j, 4)
+        got = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in ngram_jaccard_pairs(df, threshold=threshold).collect()}
+        assert got == expected, (
+            f"t={threshold}: missing={set(expected) - set(got)} "
+            f"extra={set(got) - set(expected)}")
+    # threshold > 1 is unsatisfiable: empty result, not a slice() error
+    assert ngram_jaccard_pairs(df, threshold=1.5).count() == 0
+
+
 def test_cosine_topk(spark):
     rows = [(0, [1.0, 0.0]), (1, [1.0, 0.1]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
