@@ -40,6 +40,35 @@ class Env:
     def typeof(self, col: Column) -> T.DataType | None:
         if self.df is None:
             return None
+        # Bare lambda parameters (tagged at their HOF hand-out sites) can
+        # NEVER resolve in a frame probe — today that costs a full JVM
+        # analysis exception (measured 130-440ms each, half of
+        # cy_collect_reduce's probes); their static types ride
+        # env.lambda_types, and the probe's answer for them is always
+        # None, so answer without touching the JVM.
+        # (__dict__ lookup, not getattr: Column.__getattr__ turns unknown
+        # attribute names into getField() Columns)
+        if col.__dict__.get("_mg_unresolvable", False):
+            return None
+        # Probe against a SCHEMA-ONLY empty twin of the frame: analysis of
+        # the probe select then walks a LocalRelation leaf instead of the
+        # full (join/agg/variant-decode) plan — measured ~200ms per probe
+        # on cy_collect_reduce's frame, 87% of its 5s compile. Resolution
+        # is by column name over an identical schema, so a successful
+        # probe yields the identical type; ANY probe failure falls back to
+        # the original full-frame path (bound attribute refs from another
+        # plan resolve only there), keeping semantics byte-identical.
+        probe = _probe_twin(self.df)
+        if probe is not None:
+            try:
+                return probe.select(col.alias("__t")).schema[0].dataType
+            except Exception as ex:
+                msg = str(ex)
+                if "GROUP" in msg or "AGGREGATE" in msg.upper():
+                    try:
+                        return probe.agg(col.alias("__t")).schema[0].dataType
+                    except Exception:
+                        pass
         try:
             return self.df.select(col.alias("__t")).schema[0].dataType
         except Exception as ex:
@@ -54,6 +83,29 @@ class Env:
                 except Exception:
                     return None
             return None
+
+
+def _mark_lambda(*cols: Column) -> None:
+    """Tag HOF lambda-parameter Columns as unresolvable-by-probe (see
+    Env.typeof): a bare lambda var only resolves inside its enclosing
+    higher-order function, never in a select/agg probe."""
+    for c in cols:
+        c._mg_unresolvable = True
+
+
+def _probe_twin(df: DataFrame) -> DataFrame | None:
+    """Schema-only empty twin of `df` for type probes, cached on the
+    DataFrame object (each compile stage's frame gets its own; a frame
+    that is never probed never builds one). `False` caches an
+    unbuildable twin so we don't retry per probe."""
+    twin = df.__dict__.get("_mg_typeof_twin")
+    if twin is None:
+        try:
+            twin = df.sparkSession.createDataFrame([], df.schema)
+        except Exception:
+            twin = False
+        df.__dict__["_mg_typeof_twin"] = twin
+    return twin or None
 
 
 class CompileError(Exception):
@@ -401,6 +453,7 @@ def compile_expr(e: A.Expr, env: Env) -> Column:
         _et = _st.elementType if isinstance(_st, T.ArrayType) else None
 
         def step(acc: Column, x: Column) -> Column:
+            _mark_lambda(acc, x)
             inner = Env(env.df, env.symbols, env.params,
                         {**env.lambda_vars, e.acc: acc, e.var: x},
                         {**env.lambda_types, e.var: _et}, env.hops)
@@ -413,6 +466,7 @@ def compile_expr(e: A.Expr, env: Env) -> Column:
         _et = _st.elementType if isinstance(_st, T.ArrayType) else None
 
         def body(x: Column) -> Column:
+            _mark_lambda(x)
             inner = Env(env.df, env.symbols, env.params,
                         {**env.lambda_vars, e.var: x},
                         {**env.lambda_types, e.var: _et})
@@ -998,7 +1052,7 @@ def _compile_binop(e: A.BinaryOp, env: Env) -> Column:
         return l * r
     if op == "/":
         # Cypher int/int is integer division truncating toward zero
-        return l / r if _is_float(e, env) else _int_div(l, r)
+        return l / r if _is_float(e, env, l, r) else _int_div(l, r)
     if op == "%":
         return l % r
     if op == "^":
@@ -1130,11 +1184,19 @@ def _string_operand(c: Column, ast_side, env: Env, op: str) -> Column:
                        f"got {t.simpleString()}")
 
 
-def _is_float(e: A.BinaryOp, env: Env) -> bool:
-    for side in (e.left, e.right):
+def _is_float(e: A.BinaryOp, env: Env,
+              l: Column | None = None, r: Column | None = None) -> bool:
+    # the caller passes its ALREADY-compiled operand Columns — recompiling
+    # e.left/e.right here duplicated the whole operand subtree build at
+    # the driver (point.distance(...)/1000 paid the ~2s Andoyer tree
+    # twice), and the recompile is deterministic so the probe answer is
+    # identical either way
+    for side, col in ((e.left, l), (e.right, r)):
         if isinstance(side, A.Literal) and isinstance(side.value, float):
             return True
-        t = env.typeof(compile_expr(side, env)) if env.df is not None else None
+        if env.df is None:
+            continue
+        t = env.typeof(col if col is not None else compile_expr(side, env))
         if isinstance(t, (T.DoubleType, T.FloatType)):
             return True
     return False
@@ -1268,6 +1330,7 @@ def _compile_func(e: A.FuncCall, env: Env) -> Column:
         et = st.elementType if isinstance(st, T.ArrayType) else None
 
         def pred(x: Column) -> Column:
+            _mark_lambda(x)
             inner = Env(env.df, env.symbols, env.params,
                         {**env.lambda_vars, lc.var: x},
                         {**env.lambda_types, lc.var: et})
