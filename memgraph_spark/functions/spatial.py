@@ -91,10 +91,10 @@ def _euclid3d(a: Column, b: Column) -> Column:
                   + (a["z"] - b["z"]) ** 2)
 
 
-def point_distance(a: Column, b: Column) -> Column:
-    """point.distance: haversine meters for WGS84 (3d adds the height delta
-    in quadrature), euclidean for cartesian. Mismatched CRSs yield null
-    (point_functions.hpp Distance: requires identical CRS)."""
+def _point_distance_cols(a: Column, b: Column) -> Column:
+    """Column-op construction of point.distance (fallback when no active
+    session can host the SQL UDF; the SQL body below mirrors this tree
+    op-for-op and tests pin bitwise equality)."""
     same = a["srid"] == b["srid"]
     d = (F.when(same & (a["srid"] == SRID_WGS84), _hav2d(a, b))
          .when(same & (a["srid"] == SRID_WGS84_3D),
@@ -105,11 +105,9 @@ def point_distance(a: Column, b: Column) -> Column:
             .otherwise(d)
 
 
-def point_withinbbox(p: Column, lower_left: Column,
-                     upper_right: Column) -> Column:
-    """point.withinbbox: inclusive containment. For WGS84, a lower-left
-    longitude greater than the upper-right wraps the box across the
-    antimeridian (point_functions.hpp WithinBBox); latitude never wraps."""
+def _point_withinbbox_cols(p: Column, lower_left: Column,
+                           upper_right: Column) -> Column:
+    """Column-op construction of point.withinbbox (see above)."""
     wgs = p["srid"].isin(*WGS_SRIDS)
     lon_plain = p["x"].between(lower_left["x"], upper_right["x"])
     lon_wrap = (p["x"] >= lower_left["x"]) | (p["x"] <= upper_right["x"])
@@ -124,3 +122,122 @@ def point_withinbbox(p: Column, lower_left: Column,
     return F.when(nul, F.lit(None).cast("boolean")) \
             .when(~same, F.lit(None).cast("boolean")) \
             .otherwise(x_ok & y_ok & z_ok)
+
+
+# --- SQL scalar UDF registration (driver-latency optimization) -----------
+#
+# Building the Andoyer tree through pyspark Column ops costs one py4j round
+# trip PER OPERATOR (~1-4 ms each in this environment; point_distance is
+# ~150 ops, so each compile-time use paid seconds of pure driver latency).
+# A session-registered SQL scalar UDF (CREATE OR REPLACE TEMPORARY FUNCTION
+# ... RETURN <expr>) builds the identical tree JVM-side from ONE parsed SQL
+# string, and Catalyst inlines the body at analysis time — the executed
+# plan, and therefore the results, are identical to the Column build (the
+# SQL text below is a 1:1 transcription; tests/test_search.py pins bitwise
+# equality of the two paths over an adversarial point grid).
+
+_POINT_STRUCT = "STRUCT<x: DOUBLE, y: DOUBLE, z: DOUBLE, srid: INT>"
+
+
+def _hav_sql(a: str, b: str) -> str:
+    """SQL text for _hav2d(a, b), mirroring the Column ops exactly
+    (power() is what Column.__pow__ emits; D suffixes keep float literals
+    DOUBLE — bare 0.0 would parse as DECIMAL)."""
+    lat1, lon1 = f"radians({a}.y)", f"radians({a}.x)"
+    lat2, lon2 = f"radians({b}.y)", f"radians({b}.x)"
+    fm = f"(({lat1} + {lat2}) / 2)"
+    g = f"(({lat1} - {lat2}) / 2)"
+    ll = f"(({lon1} - {lon2}) / 2)"
+    s = (f"((power(sin({g}), 2) * power(cos({ll}), 2)) + "
+         f"(power(cos({fm}), 2) * power(sin({ll}), 2)))")
+    c = (f"((power(cos({g}), 2) * power(cos({ll}), 2)) + "
+         f"(power(sin({fm}), 2) * power(sin({ll}), 2)))")
+    w = f"atan(sqrt(({s} / {c})))"
+    r = f"(sqrt(({s} * {c})) / {w})"
+    d = f"((2 * {w}) * {WGS84_A!r}D)"
+    h1 = f"(((3 * {r}) - 1) / (2 * {c}))"
+    h2 = f"(((3 * {r}) + 1) / (2 * {s}))"
+    full = (f"({d} * (1 + ({WGS84_F!r}D * "
+            f"((({h1} * power(sin({fm}), 2)) * power(cos({g}), 2)) - "
+            f"(({h2} * power(cos({fm}), 2)) * power(sin({g}), 2))))))")
+    return f"CASE WHEN ({s} < 1.0E-30D) THEN 0.0D ELSE {full} END"
+
+
+def _distance_sql_body() -> str:
+    hav = _hav_sql("a", "b")
+    e2 = "sqrt((power((a.x - b.x), 2) + power((a.y - b.y), 2)))"
+    e3 = ("sqrt(((power((a.x - b.x), 2) + power((a.y - b.y), 2)) + "
+          "power((a.z - b.z), 2)))")
+    return f"""
+CASE WHEN ((a IS NULL) OR (b IS NULL)) THEN CAST(NULL AS DOUBLE)
+ELSE CASE
+  WHEN ((a.srid = b.srid) AND (a.srid = {SRID_WGS84})) THEN {hav}
+  WHEN ((a.srid = b.srid) AND (a.srid = {SRID_WGS84_3D}))
+    THEN sqrt((power({hav}, 2) + power((a.z - b.z), 2)))
+  WHEN ((a.srid = b.srid) AND (a.srid = {SRID_CARTESIAN})) THEN {e2}
+  WHEN ((a.srid = b.srid) AND (a.srid = {SRID_CARTESIAN_3D})) THEN {e3}
+END END"""
+
+
+def _withinbbox_sql_body() -> str:
+    wgs = f"(p.srid IN ({SRID_WGS84}, {SRID_WGS84_3D}))"
+    x_ok = (f"CASE WHEN ({wgs} AND (ll.x > ur.x)) "
+            f"THEN ((p.x >= ll.x) OR (p.x <= ur.x)) "
+            f"ELSE (p.x BETWEEN ll.x AND ur.x) END")
+    y_ok = "(p.y BETWEEN ll.y AND ur.y)"
+    z_ok = (f"CASE WHEN (p.srid IN ({SRID_WGS84_3D}, {SRID_CARTESIAN_3D})) "
+            f"THEN (p.z BETWEEN ll.z AND ur.z) ELSE true END")
+    same = "((p.srid = ll.srid) AND (p.srid = ur.srid))"
+    return f"""
+CASE WHEN ((p IS NULL) OR (ll IS NULL) OR (ur IS NULL))
+       THEN CAST(NULL AS BOOLEAN)
+     WHEN (NOT {same}) THEN CAST(NULL AS BOOLEAN)
+     ELSE (({x_ok} AND {y_ok}) AND {z_ok}) END"""
+
+
+_SQL_UDF_FLAG = "_mg_spatial_sql_udfs"
+
+
+def _sql_udf_session():
+    """Active session with the spatial SQL UDFs registered, else None
+    (fall back to the Column build). Registration is once per session
+    object; CREATE OR REPLACE makes a re-register harmless."""
+    from pyspark.sql import SparkSession
+    s = SparkSession.getActiveSession()
+    if s is None:
+        return None
+    state = s.__dict__.get(_SQL_UDF_FLAG)
+    if state is None:
+        try:
+            s.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION mg_point_distance"
+                  f"(a {_POINT_STRUCT}, b {_POINT_STRUCT}) RETURNS DOUBLE "
+                  f"RETURN {_distance_sql_body()}")
+            s.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION mg_point_withinbbox"
+                  f"(p {_POINT_STRUCT}, ll {_POINT_STRUCT}, "
+                  f"ur {_POINT_STRUCT}) RETURNS BOOLEAN "
+                  f"RETURN {_withinbbox_sql_body()}")
+            state = True
+        except Exception:  # pragma: no cover - SQL UDF unsupported
+            state = False
+        s.__dict__[_SQL_UDF_FLAG] = state
+    return s if state else None
+
+
+def point_distance(a: Column, b: Column) -> Column:
+    """point.distance: haversine meters for WGS84 (3d adds the height delta
+    in quadrature), euclidean for cartesian. Mismatched CRSs yield null
+    (point_functions.hpp Distance: requires identical CRS)."""
+    if _sql_udf_session() is not None:
+        return F.call_function("mg_point_distance", a, b)
+    return _point_distance_cols(a, b)
+
+
+def point_withinbbox(p: Column, lower_left: Column,
+                     upper_right: Column) -> Column:
+    """point.withinbbox: inclusive containment. For WGS84, a lower-left
+    longitude greater than the upper-right wraps the box across the
+    antimeridian (point_functions.hpp WithinBBox); latitude never wraps."""
+    if _sql_udf_session() is not None:
+        return F.call_function("mg_point_withinbbox", p, lower_left,
+                               upper_right)
+    return _point_withinbbox_cols(p, lower_left, upper_right)

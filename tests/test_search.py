@@ -88,3 +88,54 @@ def test_point_withinbbox(gs):
         "point({x: 0.0, y: 0.0}), point({x: 5.0, y: 5.0})) AS inside "
         "ORDER BY inside").collect()
     assert [r.inside for r in rows] == [False, True]
+
+
+def test_spatial_sql_udf_bitwise_equals_column_build(spark):
+    """The SQL-scalar-UDF spatial kernels must produce BITWISE-identical
+    doubles/booleans to the Column-op build they replaced (the UDF body is
+    a 1:1 transcription that Catalyst inlines). Grid includes identical
+    points (the S < 1e-30 branch), poles, antimeridian wrap, 3d srids,
+    mismatched srids, and null points."""
+    import itertools
+    import struct as _struct
+
+    from memgraph_spark.functions import spatial as S
+
+    coords = [(13.4, 52.52), (0.0, 0.0), (179.99, 0.01), (-179.99, -0.01),
+              (0.0, 90.0), (1e-15, 1e-15), (123.456789, -67.891)]
+    rows, rid = [], 0
+    for (x1, y1), (x2, y2) in itertools.product(coords, coords):
+        for s1, s2, z1, z2 in [(4326, 4326, None, None),
+                               (4979, 4979, 12.5, -3.25),
+                               (7203, 7203, None, None),
+                               (9157, 9157, 5.5, 2.25),
+                               (4326, 7203, None, None)]:
+            rows.append((rid, x1, y1, z1, s1, x2, y2, z2, s2))
+            rid += 1
+    rows.append((rid, None, None, None, None, 1.0, 2.0, None, 4326))
+    df = spark.createDataFrame(
+        rows, "id long, ax double, ay double, az double, asrid int, "
+              "bx double, by double, bz double, bsrid int")
+
+    def mk(px, py, pz, ps):
+        return F.struct(F.col(px).alias("x"), F.col(py).alias("y"),
+                        F.col(pz).alias("z"),
+                        F.col(ps).cast("int").alias("srid"))
+
+    a = F.when(F.col("asrid").isNotNull(), mk("ax", "ay", "az", "asrid"))
+    b = mk("bx", "by", "bz", "bsrid")
+    assert S._sql_udf_session() is not None  # the UDF path is active
+    # separate selects: one projection holding BOTH giant inlined trees
+    # trips janino's 64KB method limit into (slow) interpreted fallback
+    new = df.select("id", S.point_distance(a, b).alias("d"),
+                    S.point_withinbbox(a, b, mk("ax", "ay", "az", "asrid"))
+                    .alias("w")).collect()
+    old = df.select("id", S._point_distance_cols(a, b).alias("d"),
+                    S._point_withinbbox_cols(
+                        a, b, mk("ax", "ay", "az", "asrid"))
+                    .alias("w")).collect()
+    for rn, ro in zip(sorted(new), sorted(old)):
+        assert (rn["d"] is None) == (ro["d"] is None)
+        if rn["d"] is not None:
+            assert _struct.pack("<d", rn["d"]) == _struct.pack("<d", ro["d"])
+        assert rn["w"] == ro["w"]
