@@ -69,6 +69,14 @@ class Env:
                         return probe.agg(col.alias("__t")).schema[0].dataType
                     except Exception:
                         pass
+                elif "UNRESOLVED_COLUMN" in msg:
+                    # by-NAME resolution failure: the twin has the exact
+                    # column set of the real frame, so the full-frame
+                    # fallback would fail identically (composite
+                    # expressions over lambda vars hit this; a stale
+                    # exprId-BOUND ref fails as MISSING_ATTRIBUTES
+                    # instead and still falls through to the real frame)
+                    return None
         try:
             return self.df.select(col.alias("__t")).schema[0].dataType
         except Exception as ex:
