@@ -151,17 +151,35 @@ def lsh_candidate_pairs(
     vec_col: str = "embedding",
     n_planes: int = 16,
     bands: int = 4,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Bucketed near-duplicate candidates: pairs sharing >= 1 signature
     band (bands x (n_planes/bands)-bit chunks). The O(n x bands)
     bucket self-join that replaces exact all-pairs at corpus scale;
-    callers re-rank candidates with the exact metric."""
+    callers re-rank candidates with the exact metric.
+
+    Pass `n_rows` (corpus size, if the caller already knows it) to make
+    the band width SCALE-ADAPTIVE: bits/band grows with log2(n/8) so the
+    per-band bucket count tracks n and expected bucket occupancy stays at
+    the fixed tuning's design point (~8 rows/bucket) — candidate volume
+    stays O(n x occupancy) instead of O(n^2 / 2^bits). The hyperplane
+    family is seeded per plane index, so widening only APPENDS planes:
+    at or below the design size (n <= 8 * 2^(n_planes/bands)) the
+    signature, buckets and output are byte-identical to the fixed
+    tuning. Width is capped at 16 bits/band (a 4-band signature must
+    pack into one long); past ~500k rows the next step is per-band
+    signature words — documented, not yet needed at bench scale."""
     first = df.select(vec_col).first()
     if first is None:
         return df.sparkSession.createDataFrame(
             [], "id_a long, id_b long")
     dim = len(first[0])
     rows = n_planes // bands
+    if n_rows is not None:
+        import math
+        rows = min(max(rows, math.ceil(math.log2(max(2, int(n_rows)) / 8))),
+                   64 // bands)
+        n_planes = rows * bands
     mask = (1 << rows) - 1
     v = df.select(F.col(id_col).alias("id"),
                   F.col(vec_col).cast("array<double>").alias("v"))

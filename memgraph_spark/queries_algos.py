@@ -68,10 +68,15 @@ def q_algo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 8-bit bands: full top-1 coverage on the clustered test corpus at
         # ~half the signature cost of 64 planes (the signature, not the
         # band join, dominates — 32 hyperplane dots per row)
+        # n_rows makes the band width scale-adaptive (bits/band tracks
+        # log2(n/8), byte-identical at n <= 2048): without it the fixed
+        # 256-buckets/band tuning turns quadratic past its design size —
+        # measured 52.6s at sf1 (20k vectors, ~3.1M candidates) vs 2.3s
+        # at sf0.1 (2k vectors, 38k candidates)
         cand = lsh_candidate_pairs(
             emb.select(F.col("vec_id"), F.col("v").alias("embedding")),
             id_col="vec_id", vec_col="embedding",
-            n_planes=32, bands=4)
+            n_planes=32, bands=4, n_rows=_m["n"])
         # score each UNORDERED pair once (cand already has id_a < id_b):
         # half the endpoint joins and half the exact-re-rank dot products
         # vs symmetrizing first; the checkpoint keeps the symmetrized union

@@ -242,3 +242,49 @@ def test_near_dup_clusters_transitive(spark):
     assert got[4] == 4
     kept = sorted(r["doc_id"] for r in dedup_corpus(df).collect())
     assert kept == [1, 4]
+
+
+def test_lsh_adaptive_band_width(spark):
+    """Scale-adaptive banding contract (queries_algos/similarity):
+    (a) at or below the design size (n <= 8 * 2^(n_planes/bands)) passing
+    n_rows must be a byte-identical no-op — the hyperplane family is
+    seeded per index, widening only appends planes; (b) past the design
+    size the adaptive width must emit strictly fewer candidates on an
+    occupancy-heavy corpus while still covering every exact-duplicate
+    pair (identical vectors share every bucket at ANY width)."""
+    import random
+
+    from memgraph_spark.llm.similarity import lsh_candidate_pairs
+
+    rnd = random.Random(7)
+    dim = 8
+
+    def corpus(n, dups_of=None):
+        rows = []
+        for i in range(n):
+            if dups_of is not None and i >= n - len(dups_of):
+                rows.append((i, rows[dups_of[i - (n - len(dups_of))]][1]))
+            else:
+                rows.append((i, [rnd.uniform(-1, 1) for _ in range(dim)]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # (a) small corpus: n_rows is a no-op (same pairs, same count)
+    small = corpus(60).localCheckpoint(eager=True)
+    fixed = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(
+        small, n_planes=32, bands=4).collect()}
+    adaptive = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(
+        small, n_planes=32, bands=4, n_rows=60).collect()}
+    assert fixed == adaptive
+
+    # (b) past the design size for an 8-bit/band tuning (here: design size
+    # 8 * 2^2 = 32 for a 8-plane/4-band tuning, so n=400 is 12x past it):
+    # adaptive must shrink the candidate set and keep all duplicate pairs
+    dup_src = [0, 1, 2, 3, 4]
+    big = corpus(400, dups_of=dup_src).localCheckpoint(eager=True)
+    fixed_big = lsh_candidate_pairs(big, n_planes=8, bands=4)
+    adaptive_big = lsh_candidate_pairs(big, n_planes=8, bands=4, n_rows=400)
+    nf, na = fixed_big.count(), adaptive_big.count()
+    assert na < nf, (na, nf)
+    want = {(src, 395 + k) for k, src in enumerate(dup_src)}
+    got = {(r.id_a, r.id_b) for r in adaptive_big.collect()}
+    assert want <= got, want - got
