@@ -288,3 +288,37 @@ def test_lsh_adaptive_band_width(spark):
     want = {(src, 395 + k) for k, src in enumerate(dup_src)}
     got = {(r.id_a, r.id_b) for r in adaptive_big.collect()}
     assert want <= got, want - got
+
+
+def test_simhash_arrow_equals_column_build(spark):
+    """The one-numpy-pass simhash must be BIT-EQUAL to the pure column
+    build on an adversarial corpus: empty text, whitespace-only, single
+    token, repeated tokens, unicode, very long docs, and null — the vote
+    sums are integer, so any divergence is a bit-order or segmentation
+    bug, not float noise."""
+    import random
+
+    from memgraph_spark.llm.dedup import simhash, simhash_column_build
+
+    rnd = random.Random(11)
+    words = ["alpha", "beta", "Gamma", "δέλτα", "x", "1234", "a-b_c", "ZZ"]
+    rows = [
+        (1, ""),
+        (2, "   \t  "),
+        (3, "solo"),
+        (4, "dup dup dup dup"),
+        (5, " ".join(rnd.choice(words) for _ in range(500))),
+        (6, "καλημέρα κόσμε ünïcodë tøkens"),
+        (7, None),
+    ] + [(10 + i, " ".join(rnd.choice(words) for _ in range(rnd.randint(1, 40))))
+         for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = df.select(
+        "doc_id",
+        simhash(F.col("text")).alias("a"),
+        simhash_column_build(F.col("text")).alias("b"),
+    ).collect()
+    for r in got:
+        # the column build yields NULL->0 via its otherwise(0) branches;
+        # both paths must agree on every row, including null text
+        assert (r["a"] or 0) == (r["b"] or 0), (r["doc_id"], r["a"], r["b"])
