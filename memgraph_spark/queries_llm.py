@@ -304,7 +304,7 @@ fps AS (
   FROM grams)
 SELECT doc_id, len(fp)::BIGINT AS n_fp, list_min(fp) AS fp_min,
        list_max(fp) AS fp_max,
-       list_aggregate(fp, 'sum') % 1000000007 AS fp_sum
+       (list_aggregate(fp, 'sum') % 1000000007)::BIGINT AS fp_sum
 FROM fps
 """
 
