@@ -12,6 +12,9 @@ from pyspark.sql import functions as F
 
 from memgraph_spark.catalog import PropertyGraph
 
+pytestmark = pytest.mark.slow  # multi-epoch training; skipped by default (conftest)
+
+
 NEG = 0.2
 
 

@@ -14,6 +14,9 @@ from pyspark.sql import functions as F
 
 from memgraph_spark.catalog import PropertyGraph
 
+pytestmark = pytest.mark.slow  # multi-epoch training; skipped by default (conftest)
+
+
 
 def _cluster_graph(spark, n_per: int = 12, d: int = 4):
     """Two clusters wired as rings, features encoding (ring angle,

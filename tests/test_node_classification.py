@@ -10,6 +10,9 @@ from pyspark.sql import functions as F
 
 from memgraph_spark.catalog import PropertyGraph
 
+pytestmark = pytest.mark.slow  # multi-epoch training; skipped by default (conftest)
+
+
 
 def _two_cluster_graph(spark, unlabeled: int = 4):
     """Two feature-separable communities: class 0 around [1, 0], class 1

@@ -11,6 +11,9 @@ import pytest
 
 from memgraph_spark.algos.tgn_deep import TGNDeep, _feat
 
+pytestmark = pytest.mark.slow  # multi-epoch training; skipped by default (conftest)
+
+
 
 def _toy_stream(n_edges=12, n_nodes=8, seed=3):
     rng = np.random.default_rng(seed)
