@@ -3,10 +3,13 @@ similarity search, text analysis, multimodal plumbing.
 
 These extend the reference's surface (text_search / vector_search modules,
 query_modules/text_search_module.cpp, query_modules/vector_search_module.cpp)
-with the operations a large-scale LLM data pipeline needs. All hot paths are
-JVM-side column expressions (shingling, minhash, simhash, cosine) — no Python
-row UDFs; candidate generation is LSH band-bucket shuffle joins, never O(n²)
-cross joins at scale.
+with the operations a large-scale LLM data pipeline needs. Hot paths are
+JVM-side column expressions (shingling, minhash, n-gram Jaccard) or one
+vectorized Arrow/numpy pass per batch (simhash votes, LSH signatures) — no
+Python row-at-a-time UDFs; JVM-only fallbacks exist for environments without
+Python workers (simhash_column_build, lsh_signature_jvm). Candidate
+generation is LSH band-bucket shuffle joins, never O(n²) cross joins at
+scale.
 """
 
 from memgraph_spark.llm.dedup import (  # noqa: F401

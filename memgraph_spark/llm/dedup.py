@@ -1,8 +1,12 @@
 """Deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
 
-All signature computation is JVM-side (higher-order functions over arrays +
-xxhash64) — whole-stage-codegen'd, no Python in the hot path. Candidate
-generation shuffles on band hashes (O(n) per band), never all-pairs.
+Tokenization and hashing are JVM-side (higher-order functions over arrays +
+xxhash64, whole-stage-codegen'd). The SimHash bit-vote runs as one
+vectorized numpy pass per Arrow batch (`_simhash_votes_arrow`); everything
+else stays pure column expressions. Environments without Python workers can
+set SPARK_GRAFT_SIMHASH_JVM=1 to route simhash() through the pure-column
+`simhash_column_build` (bit-identical, slower). Candidate generation
+shuffles on band hashes (O(n) per band), never all-pairs.
 """
 
 from __future__ import annotations
@@ -176,28 +180,36 @@ def minhash_lsh_pairs(
 # -- simhash ----------------------------------------------------------------
 
 def simhash(text: Column, bits: int = 64) -> Column:
-    """64-bit SimHash over whitespace tokens: bit b = sign of the sum over
-    tokens of (2*bit_b(xxhash64(token)) - 1).
+    """SimHash over whitespace tokens: bit b (b < bits) = sign of the sum
+    over tokens of (2*bit_b(xxhash64(token)) - 1).
 
     Tokenization and hashing stay JVM-side (same xxhash64 values as the
-    column build); the 64 bit-vote sums run as ONE vectorized numpy pass
-    per Arrow batch (unpackbits + add.reduceat) instead of 64 interpreted
-    aggregate() passes over the hash array per row — the signature column
-    alone measured 1.88s of dedup_simhash's 3.15s at sf0.1 under the old
-    build (guide §4.2: hand whole batches to vectorized native code).
-    Bit-exact vs the column build — votes are integer sums, the sign
-    decision and bit packing are identical; pinned by
-    tests/test_llm.py::test_simhash_arrow_equals_column_build."""
+    column build); the bit-vote sums run as ONE vectorized numpy pass
+    per Arrow batch (unpackbits + add.reduceat) instead of `bits`
+    interpreted aggregate() passes over the hash array per row — the
+    signature column alone measured 1.88s of dedup_simhash's 3.15s at
+    sf0.1 under the old build (guide §4.2: hand whole batches to
+    vectorized native code). Bit-exact vs `simhash_column_build` — votes
+    are integer sums, the sign decision and bit packing are identical;
+    pinned by tests/test_llm.py::test_simhash_arrow_equals_column_build.
+    Set SPARK_GRAFT_SIMHASH_JVM=1 to force the pure-column build
+    (environments without Python workers)."""
+    if os.environ.get("SPARK_GRAFT_SIMHASH_JVM"):
+        return simhash_column_build(text, bits)
     tokens = F.filter(F.split(text, r"\s+"), lambda t: t != "")
     hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    return _simhash_votes_arrow(hashes)
+    return _simhash_votes_arrow(hashes, bits)
 
 
-def _simhash_votes_arrow(hashes: Column) -> Column:
+def _simhash_votes_arrow(hashes: Column, bits: int = 64) -> Column:
     """Vote + pack over per-row token-hash arrays, one numpy pass/batch."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
+
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
+    n_bits = bits
 
     @pandas_udf("long")
     def _vote(hs):
@@ -216,18 +228,23 @@ def _simhash_votes_arrow(hashes: Column) -> Column:
                 flat[pos:pos + m] = v
                 pos += m
             # bit b of the long's unsigned value, LSB-first — exactly the
-            # (h >> b) & 1 the column build tests (bit 63 = sign bit)
-            bits = np.unpackbits(
+            # (h >> b) & 1 the column build tests (bit 63 = sign bit).
+            # Stays uint8 (the int64 accumulation happens inside reduceat
+            # via dtype) — the unpacked matrix is 64 B/token, not 512 B,
+            # which bounds the per-batch Python-worker footprint on long
+            # documents (10k rows x 1k tokens ≈ 0.6 GB, not 5 GB).
+            bmat = np.unpackbits(
                 flat.view(np.uint8).reshape(total, 8), axis=1,
-                bitorder="little").astype(np.int64)      # total x 64
+                bitorder="little")[:, :n_bits]           # total x bits, uint8
             nz = lens > 0
             starts = np.zeros(n, dtype=np.int64)
             np.cumsum(lens[:-1], out=starts[1:])
-            ones = np.add.reduceat(bits, starts[nz], axis=0)  # per-row 1s
+            ones = np.add.reduceat(
+                bmat, starts[nz], axis=0, dtype=np.int64)  # per-row 1s
             votes = 2 * ones - lens[nz, None]            # sum of (2b - 1)
             sel = votes > 0                              # strict, as when()
             weights = np.left_shift(
-                np.uint64(1), np.arange(64, dtype=np.uint64))
+                np.uint64(1), np.arange(n_bits, dtype=np.uint64))
             packed[nz] = (sel.astype(np.uint64) * weights).sum(
                 axis=1, dtype=np.uint64)
         return pd.Series(packed.astype(np.int64))

@@ -322,3 +322,24 @@ def test_simhash_arrow_equals_column_build(spark):
         # the column build yields NULL->0 via its otherwise(0) branches;
         # both paths must agree on every row, including null text
         assert (r["a"] or 0) == (r["b"] or 0), (r["doc_id"], r["a"], r["b"])
+
+
+def test_simhash_narrow_bits_matches_column_build(spark):
+    """simhash(text, bits<64) must honour the width (the Arrow vote path
+    slices the unpacked bit matrix), agree bit-for-bit with the column
+    build at the same width, and stay inside the declared bit range."""
+    from memgraph_spark.llm.dedup import simhash, simhash_column_build
+
+    rows = [(1, "alpha beta gamma"), (2, "alpha beta gamma delta"),
+            (3, ""), (4, None), (5, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for bits in (1, 8, 32, 63):
+        got = df.select(
+            "doc_id",
+            simhash(F.col("text"), bits=bits).alias("a"),
+            simhash_column_build(F.col("text"), bits=bits).alias("b"),
+        ).collect()
+        for r in got:
+            a, b = (r["a"] or 0), (r["b"] or 0)
+            assert a == b, (bits, r["doc_id"], a, b)
+            assert 0 <= a < (1 << bits), (bits, a)
