@@ -26,16 +26,29 @@ def kmeans(
     id_col: str = "id",
     vec_col: str = "embedding",
     return_model: bool = False,
+    train_rows: int | None = None,
 ):
     """Returns (id, cluster_id) — or ((id, cluster_id), centroids) when
     `return_model` (the IVF coarse quantizer needs the centroid matrix).
     Init: deterministic pseudo-random k rows (hash-ordered sample — the
-    distributed analogue of seeded init)."""
+    distributed analogue of seeded init).
+
+    `train_rows` bounds the Lloyd iterations to the first `train_rows`
+    rows of the SAME hash order the init uses (a deterministic sample) —
+    the standard quantizer-training bound (cost O(train_rows * k * d)
+    per iteration instead of O(n * k * d)); the returned assignment
+    still covers every input row. train_rows=None keeps full-corpus
+    training, bit-identical to before the parameter existed (the init
+    rows are the first k of the same ordering either way)."""
     pts = df.select(F.col(id_col).alias("id"),
                     F.col(vec_col).cast("array<double>").alias("v")) \
         .filter(F.col("v").isNotNull()).persist()
     k = int(n_clusters)
-    init = pts.orderBy(F.xxhash64(F.col("id") + F.lit(seed))).limit(k).collect()
+    tr = pts
+    if train_rows is not None:
+        tr = (pts.orderBy(F.xxhash64(F.col("id") + F.lit(seed)))
+              .limit(int(train_rows)).localCheckpoint(eager=True))
+    init = tr.orderBy(F.xxhash64(F.col("id") + F.lit(seed))).limit(k).collect()
     centroids = [list(r.v) for r in init]
 
     def _assign(frame):
@@ -58,7 +71,7 @@ def kmeans(
             "cid", (F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
 
     for _ in range(max_iter):
-        assigned = _assign(pts)
+        assigned = _assign(tr)
         rows = (assigned.select("cid", F.posexplode("v").alias("pos", "x"))
                 .groupBy("cid", "pos").agg(F.avg("x").alias("m")).collect())
         new = [list(c) for c in centroids]
@@ -70,6 +83,9 @@ def kmeans(
         if shift < tol:
             break
     out = _assign(pts).select("id", F.col("cid").alias("cluster_id"))
+    if tr is not pts:
+        from memgraph_spark.session import free_checkpoint
+        free_checkpoint(tr)
     if return_model:
         out = out.localCheckpoint(eager=True)
         pts.unpersist()

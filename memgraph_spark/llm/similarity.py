@@ -145,6 +145,42 @@ def lsh_signature_jvm(vec: Column, dim: int, n_planes: int = 16) -> Column:
     return sig
 
 
+def lsh_band_buckets(vec: Column, dim: int, rows: int, bands: int) -> Column:
+    """array<long> of per-band LSH bucket values: band b packs the sign
+    bits of hyperplanes [b*rows, (b+1)*rows) LSB-first. Identical values
+    to slicing the packed `lsh_signature` long when rows*bands <= 64,
+    but with no 64-plane cap — wide adaptive tunings (rows*bands > 64)
+    carry one word per band instead of one packed long. One numpy matmul
+    per Arrow batch, same kernel shape as lsh_signature."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    n_planes = rows * bands
+    planes = np.array([_hyperplane(dim, i + 1) for i in range(n_planes)],
+                      dtype=np.float64)           # n_planes x dim
+    weights = np.left_shift(np.uint64(1), np.arange(rows, dtype=np.uint64))
+    n_bands, n_rows_band = bands, rows
+
+    @pandas_udf("array<long>")
+    def _buckets(v):
+        import pandas as pd
+        rws = [(x if x is not None and len(x) == dim else [0.0] * dim)
+               for x in v]
+        m = np.asarray(rws, dtype=np.float64)     # batch x dim
+        bits = (m @ planes.T) > 0                 # batch x n_planes
+        bb = bits.reshape(len(rws), n_bands, n_rows_band).astype(np.uint64)
+        packed = (bb * weights).sum(axis=2, dtype=np.uint64).astype(np.int64)
+        return pd.Series(list(packed))            # batch x bands
+
+    return _buckets(vec)
+
+
+# The similarity level the adaptive tuning is designed to keep catching:
+# a pair at cosine angle-match probability p* per plane. The base tuning's
+# recall at p* is the anchor the band count preserves as bits/band widen.
+LSH_DESIGN_P = 0.9
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -159,16 +195,26 @@ def lsh_candidate_pairs(
     callers re-rank candidates with the exact metric.
 
     Pass `n_rows` (corpus size, if the caller already knows it) to make
-    the band width SCALE-ADAPTIVE: bits/band grows with log2(n/8) so the
-    per-band bucket count tracks n and expected bucket occupancy stays at
-    the fixed tuning's design point (~8 rows/bucket) — candidate volume
-    stays O(n x occupancy) instead of O(n^2 / 2^bits). The hyperplane
-    family is seeded per plane index, so widening only APPENDS planes:
-    at or below the design size (n <= 8 * 2^(n_planes/bands)) the
-    signature, buckets and output are byte-identical to the fixed
-    tuning. Width is capped at 16 bits/band (a 4-band signature must
-    pack into one long); past ~500k rows the next step is per-band
-    signature words — documented, not yet needed at bench scale."""
+    the tuning SCALE-ADAPTIVE along BOTH axes:
+
+    - bits/band grows with log2(n/8) so the per-band bucket count tracks
+      n and expected bucket occupancy stays at the fixed tuning's design
+      point (~8 rows/bucket) — candidate volume stays O(n x occupancy)
+      instead of O(n^2 / 2^bits);
+    - the band count grows alongside so the per-PAIR match probability
+      does not collapse as bands get more selective: with q = p*^rows the
+      band count is the smallest B with 1-(1-q)^B >= the base tuning's
+      recall at p* = LSH_DESIGN_P (widening bits alone would drop a
+      p=0.9 pair's recall from 1-(1-p^8)^4 ≈ 0.90 to 1-(1-p^12)^4 ≈ 0.73
+      by 20k rows).
+
+    The hyperplane family is seeded per plane index and bands are packed
+    per-band words (lsh_band_buckets), so at or below the design size
+    (n <= 8 * 2^(n_planes/bands)) buckets and output pairs are
+    byte-identical to the fixed tuning. bits/band caps at 24 (16M
+    buckets/band), bands at 16 — past that design point (~134M rows)
+    occupancy grows linearly again and the honest next step is IVF/graph
+    indexes, not more planes."""
     first = df.select(vec_col).first()
     if first is None:
         return df.sparkSession.createDataFrame(
@@ -177,26 +223,23 @@ def lsh_candidate_pairs(
     rows = n_planes // bands
     if n_rows is not None:
         import math
+        rows0 = rows
         rows = min(max(rows, math.ceil(math.log2(max(2, int(n_rows)) / 8))),
-                   64 // bands)
-        n_planes = rows * bands
-    mask = (1 << rows) - 1
+                   24)
+        if rows > rows0:
+            q0 = LSH_DESIGN_P ** rows0
+            target = 1.0 - (1.0 - q0) ** bands   # base recall at p*
+            q = LSH_DESIGN_P ** rows
+            bands = min(max(bands, math.ceil(math.log(1.0 - target)
+                                             / math.log(1.0 - q))), 16)
     v = df.select(F.col(id_col).alias("id"),
                   F.col(vec_col).cast("array<double>").alias("v"))
-    v = v.withColumn("sig", lsh_signature(F.col("v"), dim, n_planes))
-    # bands via explode, not a per-band union: a union would re-evaluate
-    # the ArrowEvalPython signature once PER BAND (Spark does not merge
-    # common Python-UDF subtrees across union branches); explode keeps one
-    # signature pass and one scan (guide §4.1 — control how often columns
-    # cross the Python boundary)
-    bandrows = v.select(
-        "id",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.shiftrightunsigned("sig", b * rows)
-                     .bitwiseAND(F.lit(mask)).alias("bucket"))
-            for b in range(bands)])).alias("bb")
-    ).select("id", "bb.band", "bb.bucket")
+    # one Arrow pass emits every band's bucket word (posexplode unrolls
+    # them JVM-side), so the signature crosses the Python boundary once
+    # regardless of band count (guide §4.1) and the tuning is free to
+    # exceed 64 total planes
+    v = v.withColumn("bk", lsh_band_buckets(F.col("v"), dim, rows, bands))
+    bandrows = v.select("id", F.posexplode("bk").alias("band", "bucket"))
     a = bandrows.select("band", "bucket", F.col("id").alias("id_a"))
     b_ = bandrows.select("band", "bucket", F.col("id").alias("id_b"))
     return (a.join(b_, on=["band", "bucket"])
@@ -251,18 +294,45 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: kmeans coarse quantizer (algos/kmeans — fully
     JVM-side Lloyd's) partitions vectors into n_lists inverted lists; the
     query probes its n_probe nearest centroids and brute-forces only those
     lists. The 100 TB path: lists are disjoint partitions, so the probe scan
     touches ~n_probe/n_lists of the data; the assignment is a one-off
-    offline job reused across queries."""
+    offline job reused across queries.
+
+    Pass `n_rows` (corpus size, if the caller knows it) to make the list
+    count SCALE-ADAPTIVE: n_lists grows to ~sqrt(n) (the standard IVF
+    sizing) so the probed fraction n_probe/n_lists SHRINKS with the corpus
+    instead of staying a constant 3/8 of it — at 100 TB a fixed-list probe
+    is a 37% table scan per query. Below the design size
+    (sqrt(n) <= n_lists) the parameter is a no-op, output identical. The
+    quantizer cost stays bounded: Lloyd trains on a deterministic
+    256*n_lists-row sample (kmeans train_rows — O(k^2 d) per iteration,
+    independent of n); the full-corpus assignment remains one O(n k d)
+    pass, the offline amortized-across-queries part of any IVF index."""
     from memgraph_spark.algos.kmeans import kmeans
 
+    train_rows = None
+    if n_rows is not None:
+        import math
+        adaptive = min(math.isqrt(max(1, int(n_rows))), 1024)
+        if adaptive > n_lists:
+            n_lists = adaptive
+            # probe ~ sqrt(n_lists) (the usual IVF heuristic): recall
+            # degrades if the probe count stays fixed while lists
+            # multiply; the probed FRACTION n_probe/n_lists still
+            # shrinks as ~n^(-1/4)
+            n_probe = max(n_probe, math.isqrt(n_lists))
+            cap = 256 * n_lists
+            if int(n_rows) > cap:
+                train_rows = cap
     assigned, centroids = kmeans(
         df.select(F.col(id_col).alias("id"), vec_col), n_lists,
-        seed=seed, vec_col=vec_col, return_model=True)
+        seed=seed, vec_col=vec_col, return_model=True,
+        train_rows=train_rows)
     import numpy as np
     q = np.asarray(query_vec, dtype=float)
     cents = np.asarray(centroids, dtype=float)

@@ -92,28 +92,47 @@ def fingerprint_exact(df: DataFrame, text_col: str = "text", k: int = 7,
     prime, so a SQL oracle (DuckDB ascii/list_transform) computes the
     identical signature — unlike `fingerprint`, whose xxhash64 grams are
     rows-only. Same winnowing as `fingerprint`: min of every `window`
-    consecutive gram hashes, distinct. Pure column expressions, no UDF."""
+    consecutive gram hashes, distinct. Pure column expressions, no UDF.
+
+    The char codes are extracted ONCE per row into an array column
+    (split(text, '') + ascii, O(L)) and the gram polynomial reads them
+    back with O(1) element_at: the original per-gram
+    `ascii(substr(text, i+j, 1))` paid an O(i) UTF-8 scan per character
+    access (substr must walk the string to find a char offset), i.e.
+    O(k·L²) per document — measured 500+ s for the sf0.01 oracle suite,
+    ~3 s after. The codes array lives in its own projection so it
+    materializes per row instead of re-evaluating inside each lambda."""
     text = F.col(text_col)
     coeffs = [31 ** (k - 1 - j) for j in range(k)]
+    # split('', -1) yields one single-char element per char (no trailing
+    # empty); ascii() of each is the same code point substr+ascii saw
+    codes = F.when(
+        text.isNotNull() & (F.length(text) >= k),
+        F.transform(F.split(text, ""), lambda c: F.ascii(c).cast("long")),
+    ).otherwise(F.array().cast("array<long>"))
+    with_codes = df.withColumn("__fp_cs", codes)
+    cs = F.col("__fp_cs")
 
     def gram_hash(i):
         h = F.lit(0).cast("long")
         for j, c in enumerate(coeffs):
-            h = h + F.ascii(text.substr(i + F.lit(j), F.lit(1))) \
-                .cast("long") * F.lit(c)
+            h = h + F.element_at(cs, i + F.lit(j)) * F.lit(c)
         return F.pmod(h, F.lit(mod))
 
     grams = F.when(
-        F.length(text) >= k,
-        F.transform(F.sequence(F.lit(1), F.length(text) - k + 1), gram_hash),
+        F.size(cs) >= k,
+        F.transform(F.sequence(F.lit(1), F.size(cs) - k + 1), gram_hash),
     ).otherwise(F.array().cast("array<long>"))
+    with_grams = with_codes.withColumn("__fp_g", grams)
+    g = F.col("__fp_g")
     fp = F.when(
-        F.size(grams) >= window,
+        F.size(g) >= window,
         F.array_distinct(
-            F.transform(F.sequence(F.lit(1), F.size(grams) - window + 1),
-                        lambda i: F.array_min(F.slice(grams, i, window)))),
-    ).otherwise(F.array_distinct(grams))
-    return df.withColumn("fingerprints", fp)
+            F.transform(F.sequence(F.lit(1), F.size(g) - window + 1),
+                        lambda i: F.array_min(F.slice(g, i, window)))),
+    ).otherwise(F.array_distinct(g))
+    return (with_grams.withColumn("fingerprints", fp)
+            .drop("__fp_cs", "__fp_g"))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", k: int = 7,

@@ -59,17 +59,22 @@ def q_algo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=F.count(F.lit(1)))
     a = emb.select(F.col("vec_id").alias("node"), F.col("v").alias("va"))
     b = emb.select(F.col("vec_id").alias("neighbour"), F.col("v").alias("vb"))
-    # exact all-pairs is O(n^2): keep it only for small inputs (the sf0.01
-    # correctness gate), band-join + exact re-rank beyond — the same
-    # candidate structure a 100 TB corpus would use
-    exact_max = int(os.environ.get("SPARK_GRAFT_KNN_EXACT_MAX", "1000"))
+    # exact all-pairs is O(n^2): keep it only for small inputs, band-join +
+    # exact re-rank beyond — the same candidate structure a 100 TB corpus
+    # would use. The fence sits at 4096 (grown from 1000): up to there the
+    # n^2/2 dot products measure at parity with the LSH pipeline's
+    # signature+join overhead locally, and the exact path's top-1 IS the
+    # brute-force answer — which the LSH path at sf0.1 (2000 rows) missed
+    # on most rows under the old fence (the round-7 recall wart).
+    exact_max = int(os.environ.get("SPARK_GRAFT_KNN_EXACT_MAX", "4096"))
     if _m["n"] > exact_max:
         from memgraph_spark.llm.similarity import lsh_candidate_pairs
         # 8-bit bands: full top-1 coverage on the clustered test corpus at
         # ~half the signature cost of 64 planes (the signature, not the
         # band join, dominates — 32 hyperplane dots per row)
-        # n_rows makes the band width scale-adaptive (bits/band tracks
-        # log2(n/8), byte-identical at n <= 2048): without it the fixed
+        # n_rows makes the tuning scale-adaptive (bits/band tracks
+        # log2(n/8) AND bands grow to hold the design recall at p*=0.9,
+        # byte-identical at n <= 2048): without it the fixed
         # 256-buckets/band tuning turns quadratic past its design size —
         # measured 52.6s at sf1 (20k vectors, ~3.1M candidates) vs 2.3s
         # at sf0.1 (2k vectors, 38k candidates)
@@ -104,7 +109,13 @@ def q_algo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("similarity",
                         F.round(dot(F.col("va"), F.col("vb")), 4)))
         return top.unionByName(patched)
-    pairs = (a.crossJoin(b).filter(F.col("node") != F.col("neighbour"))
+    # the single-file embeddings scan arrives as ONE partition, which would
+    # run the whole O(n^2) dot-product stage on one core; spread the
+    # streamed side across the cluster first (the other side is the
+    # broadcast build of the nested-loop join) — same shape as
+    # embed_cosine_pairs, identical output (per-node max is order-free)
+    pairs = (a.repartition(spark.sparkContext.defaultParallelism)
+             .crossJoin(b).filter(F.col("node") != F.col("neighbour"))
              .withColumn("similarity",
                          F.round(dot(F.col("va"), F.col("vb")), 4)))
     return _top1(pairs)

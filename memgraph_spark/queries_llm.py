@@ -148,12 +148,15 @@ def q_embed_ann_lsh(spark, sf_dir):
 
 def q_embed_ann_ivf(spark, sf_dir):
     """Approximate top-10 via IVF (kmeans coarse quantizer + probed lists).
-    Approximate -> rows-only."""
+    Approximate -> rows-only. n_rows makes the list count scale-adaptive
+    (n_lists ~ sqrt(n), no-op at sqrt(n) <= 8) so the probed fraction
+    shrinks with the corpus instead of scanning a constant 3/8 of it."""
     from memgraph_spark.llm.similarity import ivf_topk
     emb = _embeds(spark, sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return ivf_topk(emb.filter(F.col("vec_id") != 0),
-                    [float(v) for v in qvec], k=10, n_lists=8, n_probe=3)
+    rest = emb.filter(F.col("vec_id") != 0)
+    return ivf_topk(rest, [float(v) for v in qvec], k=10, n_lists=8,
+                    n_probe=3, n_rows=rest.count())
 
 
 def q_embed_label_norms(spark, sf_dir):

@@ -221,6 +221,52 @@ def test_ivf_topk_matches_exact_on_small_set(spark):
     assert len(approx) == 10
 
 
+def test_ivf_adaptive_lists(spark):
+    """Scale-adaptive IVF sizing contract: (a) below the design size
+    (sqrt(n) <= n_lists) passing n_rows is a no-op — identical rows;
+    (b) past it the list count grows to ~sqrt(n) (probed fraction
+    n_probe/n_lists shrinks) while the probe still returns a full,
+    high-recall top-k against the exact scan."""
+    import random
+
+    from memgraph_spark.llm.similarity import cosine_topk, ivf_topk
+
+    rnd = random.Random(13)
+    dim = 8
+
+    def corpus(n):
+        return spark.createDataFrame(
+            [(i, [rnd.uniform(-1, 1) for _ in range(dim)]) for i in range(n)],
+            "vec_id long, embedding array<double>").localCheckpoint(eager=True)
+
+    # (a) n=40: isqrt(40)=6 <= 8 lists -> no-op
+    small = corpus(40)
+    q = [1.0] + [0.0] * (dim - 1)
+    base = [tuple(r) for r in ivf_topk(small, q, k=5, n_lists=8,
+                                       n_probe=3).collect()]
+    noop = [tuple(r) for r in ivf_topk(small, q, k=5, n_lists=8,
+                                       n_probe=3, n_rows=40).collect()]
+    assert base == noop
+
+    # (b) n=1000 CLUSTERED corpus (the IVF assumption — inverted lists
+    # track natural clusters; uniform noise is adversarial for any IVF):
+    # isqrt(1000)=31 lists with probe grown to isqrt(31)=5, probed
+    # fraction 5/31 ~ 16% (was 3/8 = 37.5%); quantizer trains on a
+    # bounded sample only when n > 256*n_lists (here full). Recall
+    # against the exact top-10 must stay at the driver-query bar.
+    centers = [[rnd.uniform(-1, 1) for _ in range(dim)] for _ in range(20)]
+    rows_c = [(i, [c + rnd.uniform(-0.15, 0.15)
+                   for c in centers[i % 20]]) for i in range(1000)]
+    big = spark.createDataFrame(
+        rows_c, "vec_id long, embedding array<double>").localCheckpoint(eager=True)
+    qc = centers[7]
+    exact = [r[0] for r in cosine_topk(big, qc, k=10).collect()]
+    approx = [r[0] for r in ivf_topk(big, qc, k=10, n_lists=8, n_probe=3,
+                                     n_rows=1000).collect()]
+    assert len(approx) == 10
+    assert len(set(exact) & set(approx)) >= 6, set(exact) & set(approx)
+
+
 def test_near_dup_clusters_transitive(spark):
     """A-B and B-C near-dup pairs must land A, B, C in ONE cluster labeled
     by the min id, even if A-C alone falls below the pair threshold;
@@ -288,6 +334,30 @@ def test_lsh_adaptive_band_width(spark):
     want = {(src, 395 + k) for k, src in enumerate(dup_src)}
     got = {(r.id_a, r.id_b) for r in adaptive_big.collect()}
     assert want <= got, want - got
+
+    # (c) NEAR-duplicate (p < 1) recall past the design size: widening
+    # bits/band alone would tank the per-pair match probability (a p=0.9
+    # pair falls from 1-(1-p^8)^4≈0.90 to 1-(1-p^9)^4≈0.79 at this size,
+    # worse as n grows); the band count must grow alongside. 50 planted
+    # noisy copies (cosine ≈ 0.95-0.98, NOT identical — identical vectors
+    # share every bucket at any width and prove nothing) at n=3000, which
+    # is past the 8-bit design size 2048, so rows widens 8 -> 9 and bands
+    # must rise to hold the design recall.
+    n_big, n_dup, dim_c = 3000, 50, 16
+    rows2 = []
+    for i in range(n_big - n_dup):
+        rows2.append((i, [rnd.uniform(-1, 1) for _ in range(dim_c)]))
+    for k in range(n_dup):
+        base_v = rows2[k][1]
+        noisy = [x + rnd.uniform(-0.08, 0.08) for x in base_v]
+        rows2.append((n_big - n_dup + k, noisy))
+    near = spark.createDataFrame(
+        rows2, "vec_id long, embedding array<double>").localCheckpoint(eager=True)
+    planted = {(k, n_big - n_dup + k) for k in range(n_dup)}
+    cand = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(
+        near, n_planes=32, bands=4, n_rows=n_big).collect()}
+    recovered = len(planted & cand)
+    assert recovered >= int(0.9 * n_dup), (recovered, n_dup)
 
 
 def test_simhash_arrow_equals_column_build(spark):
